@@ -1,0 +1,169 @@
+"""Physical Parquet writer + APPEND commit.
+
+Spark-side mirror of the reference's sink (partitioned Delta append,
+/root/reference/etl/glue_stream.py:304-354): schema-conform projection →
+partition-column derivation → partitioned Parquet write → atomic
+metadata commit. Differences from the reference, by design:
+
+- tasks write straight into an immutable per-job directory under
+  ``data/`` (no renames; uncommitted job dirs are invisible to readers
+  and swept by GC) — the same no-rename commit discipline Iceberg uses
+  so the protocol survives object stores;
+- per-file stats are harvested from Parquet footers after the write,
+  driver-side (threaded, IO-bound) for small file counts and as a Spark
+  job above ``DISTRIBUTE_STATS_THRESHOLD`` files;
+- file sizing is explicit: callers either keep the incoming partitioning
+  (streaming micro-batches — the canonical small-file generator the
+  compactor exists for) or request a shuffle to ``target_file_count``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..meta.manifests import DataFileEntry, collect_file_stats
+from ..partitioning import (
+    PART_PREFIX,
+    decode_dir_value,
+    with_partition_columns,
+)
+from ..schema import conform
+
+DISTRIBUTE_STATS_THRESHOLD = 512
+
+
+def _parse_partition_dirs(
+    rel_path: str, spec: Sequence[dict[str, Any]]
+) -> dict[str, Any]:
+    """Recover partition values from ``_p_<name>=<value>`` components."""
+    by_name = {PART_PREFIX + f["name"]: f for f in spec}
+    out: dict[str, Any] = {}
+    for comp in rel_path.split(os.sep):
+        if "=" not in comp:
+            continue
+        key, _, raw = comp.partition("=")
+        field = by_name.get(key)
+        if field is not None:
+            out[field["name"]] = decode_dir_value(raw, field)
+    return out
+
+
+def list_job_files(
+    table_root: str, job_rel_dir: str, spec: Sequence[dict[str, Any]]
+) -> list[tuple[str, dict[str, Any]]]:
+    """(relative_path, partition_values) for every parquet file the job wrote."""
+    base = os.path.join(table_root, job_rel_dir)
+    found = []
+    for dirpath, _dirnames, filenames in os.walk(base):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            abs_path = os.path.join(dirpath, name)
+            rel = os.path.relpath(abs_path, table_root)
+            found.append((rel, _parse_partition_dirs(rel, spec)))
+    return sorted(found)
+
+
+def harvest_stats(
+    spark: SparkSession,
+    table_root: str,
+    files: Sequence[tuple[str, dict[str, Any]]],
+    *,
+    stat_columns: Optional[Sequence[str]] = None,
+    sort_order: str = "",
+) -> list[DataFileEntry]:
+    """Footer-only stats harvest; distributed over executors when the file
+    count is too large for the driver to chew through serially."""
+    stat_cols = list(stat_columns) if stat_columns else None
+
+    if len(files) <= DISTRIBUTE_STATS_THRESHOLD:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(item):
+            rel, part = item
+            return collect_file_stats(
+                os.path.join(table_root, rel),
+                rel,
+                part,
+                stat_columns=stat_cols,
+                sort_order=sort_order,
+            )
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(one, files))
+
+    # scale path: ship (rel, partition) pairs to executors; each reads only
+    # footers of its slice (shared storage — same layout as S3/HDFS deploys)
+    sc = spark.sparkContext
+    payload = [(rel, part) for rel, part in files]
+
+    def part_stats(items):
+        from ..meta.manifests import collect_file_stats as cfs
+
+        for rel, part in items:
+            yield cfs(
+                os.path.join(table_root, rel),
+                rel,
+                part,
+                stat_columns=stat_cols,
+                sort_order=sort_order,
+            ).to_row()
+
+    rows = (
+        sc.parallelize(payload, max(1, len(payload) // 64))
+        .mapPartitions(part_stats)
+        .collect()
+    )
+    return [DataFileEntry.from_row(r) for r in rows]
+
+
+def write_data_files(
+    spark: SparkSession,
+    table_root: str,
+    schema_json: dict[str, Any],
+    spec: Sequence[dict[str, Any]],
+    df: DataFrame,
+    *,
+    target_file_count: Optional[int] = None,
+    sort_order: str = "",
+    stat_columns: Optional[Sequence[str]] = None,
+    job_dir: Optional[str] = None,
+) -> list[DataFileEntry]:
+    """Write ``df`` as committed-later data files; returns manifest entries.
+
+    ``target_file_count``: shuffle-repartition before the write (round-robin
+    within partition keys) to bound output file count; ``None`` keeps the
+    incoming partitioning (no shuffle — streaming append path).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(schema_json)
+    out = conform(df, schema)
+    out, part_cols = with_partition_columns(out, spec)
+
+    if target_file_count is not None:
+        if part_cols:
+            from pyspark.sql import functions as F
+
+            out = out.repartition(target_file_count, *[F.col(c) for c in part_cols])
+        else:
+            out = out.repartition(target_file_count)
+
+    job_rel = job_dir or f"data/job-{uuid.uuid4().hex}"
+    writer = out.write.mode("error").format("parquet")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(os.path.join(table_root, job_rel))
+
+    files = list_job_files(table_root, job_rel, spec)
+    return harvest_stats(
+        spark,
+        table_root,
+        files,
+        stat_columns=stat_columns,
+        sort_order=sort_order,
+    )

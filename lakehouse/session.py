@@ -1,0 +1,58 @@
+"""SparkSession builder with the engine's execution profile.
+
+Mirrors the shape of the reference's conf block
+(/root/reference/etl/glue_stream.py:295-301) but replaces its
+single-stream sizing (``shuffle.partitions=1``) with AQE: runtime
+partition coalescing + skew-join splitting, which is what survives a
+1000-executor deployment. Package ships via ``spark-submit --py-files``
+(see jobs.py); nothing here depends on local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "lakehouse",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE replaces the reference's hardcoded shuffle sizing (:297)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64m",
+        )
+        # Arrow for every Python-boundary exchange (pandas UDFs / mapInPandas)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # parquet profile lifted from the reference sink (:299-301)
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # scheduler: maintenance jobs submit file groups concurrently
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.config("spark.master", master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,304 @@
+"""Table facade: the engine's public API.
+
+    from lakehouse import Table
+    t = Table.create(spark, root, schema, partition_spec=[...])
+    t.append(df)                       # ACID append (new snapshot)
+    t.scan(filter=[("event_date", "=", d)])      # pruned read
+    t.scan(snapshot_id=3)                        # time travel
+    t.compact(); t.cluster(["a","b"]); t.expire_snapshots(); t.merge(src)
+
+The reference's equivalents are one ``writeStream.format("delta")`` call
+plus the Delta jar (/root/reference/etl/glue_stream.py:339-349); every
+capability the jar provided is a module here (SURVEY.md §2 second table).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .errors import (
+    CommitConflictError,
+    SchemaEvolutionError,
+    TableAlreadyExistsError,
+)
+from .meta import snapshots as S
+from .meta.manifests import DataFileEntry, read_manifest, write_manifest
+from .meta.scan import ScanPlan, plan_scan, plan_scan_distributed, read_plan
+from .ops.append import write_data_files
+from .partitioning import spec_with_result_types
+from .schema import is_additive_evolution
+
+
+class Table:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # --- lifecycle ------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        *,
+        partition_spec: Optional[Sequence[dict[str, Any]]] = None,
+        properties: Optional[dict[str, Any]] = None,
+    ) -> "Table":
+        root = os.path.abspath(root)
+        if S.list_versions(root):
+            raise TableAlreadyExistsError(root)
+        os.makedirs(S.metadata_dir(root), exist_ok=True)
+        spec = spec_with_result_types(partition_spec or [], schema)
+        meta = S.TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            location=root,
+            version=0,
+            schema_json=schema.jsonValue(),
+            schemas=[schema.jsonValue()],
+            current_schema_id=0,
+            partition_spec=spec,
+            properties=dict(properties or {}),
+        )
+        if not S._try_publish(root, 1, {**meta.to_json(), "version": 1}):
+            raise TableAlreadyExistsError(root)
+        return Table(spark, root)
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "Table":
+        root = os.path.abspath(root)
+        S.current_version(root)  # raises TableNotFoundError if absent
+        return Table(spark, root)
+
+    @property
+    def meta(self) -> S.TableMetadata:
+        return S.load_metadata(self.root)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta.schema_json)
+
+    def snapshots(self) -> list[S.Snapshot]:
+        return list(self.meta.snapshots)
+
+    def current_snapshot_id(self) -> Optional[int]:
+        return self.meta.current_snapshot_id
+
+    # --- commit core ----------------------------------------------------------
+
+    def _commit_files(
+        self,
+        operation: str,
+        added: Sequence[DataFileEntry],
+        removed_paths: Sequence[str] = (),
+        *,
+        summary: Optional[dict[str, Any]] = None,
+        new_schema: Optional[T.StructType] = None,
+    ) -> S.Snapshot:
+        """Build snapshot N+1 = parent − removed + added, with manifest
+        rewrite: any parent manifest touched by a removal is rewritten
+        without the removed entries; untouched manifests are reused as-is
+        (cheap commits, bounded metadata churn).
+
+        Conflict detection for rebases: every ``removed_path`` must still
+        be live in the parent we end up committing against — if a
+        concurrent commit already replaced one, raise CommitConflictError
+        so the maintenance job can replan (classic Iceberg validation).
+        """
+        removed = set(removed_paths)
+        result_holder: dict[str, S.Snapshot] = {}
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            sid = S.next_snapshot_id(base)
+            manifests_out: list[dict[str, Any]] = []
+            still_to_remove = set(removed)
+            if base.current_snapshot_id is not None:
+                parent_list = S.read_manifest_list(
+                    self.root, base.snapshot().manifest_list
+                )
+                for m in parent_list:
+                    entries = read_manifest(self.root, m["path"])
+                    hit = [e for e in entries if e.file_path in still_to_remove]
+                    if not hit:
+                        manifests_out.append(m)
+                        continue
+                    still_to_remove.difference_update(
+                        e.file_path for e in hit
+                    )
+                    survivors = [
+                        e for e in entries if e.file_path not in removed
+                    ]
+                    if survivors:
+                        rel, summ = write_manifest(self.root, survivors)
+                        manifests_out.append({"path": rel, "summary": summ})
+            if still_to_remove:
+                raise CommitConflictError(
+                    f"{operation}: {len(still_to_remove)} source files no "
+                    f"longer live (concurrently rewritten); replan needed: "
+                    f"{sorted(still_to_remove)[:3]}..."
+                )
+            if added:
+                rel, summ = write_manifest(self.root, added)
+                manifests_out.append({"path": rel, "summary": summ})
+
+            manifest_list = S.write_manifest_list(self.root, sid, manifests_out)
+            schema_id = base.current_schema_id
+            schemas = list(base.schemas)
+            schema_json = base.schema_json
+            if new_schema is not None:
+                old = T.StructType.fromJson(base.schema_json)
+                if not is_additive_evolution(old, new_schema):
+                    raise SchemaEvolutionError(
+                        "only additive (nullable add / same types) schema "
+                        "evolution is allowed"
+                    )
+                schema_json = new_schema.jsonValue()
+                schemas.append(schema_json)
+                schema_id = len(schemas) - 1
+
+            snap = S.Snapshot(
+                snapshot_id=sid,
+                parent_snapshot_id=base.current_snapshot_id,
+                timestamp_ms=S.now_ms(),
+                operation=operation,
+                manifest_list=manifest_list,
+                schema_id=schema_id,
+                summary={
+                    "added_files": len(added),
+                    "removed_files": len(removed),
+                    "added_records": sum(e.record_count for e in added),
+                    "added_bytes": sum(e.file_size_bytes for e in added),
+                    **(summary or {}),
+                },
+            )
+            result_holder["snap"] = snap
+            return S.TableMetadata(
+                table_uuid=base.table_uuid,
+                location=base.location,
+                version=base.version,  # bumped by commit()
+                schema_json=schema_json,
+                schemas=schemas,
+                current_schema_id=schema_id,
+                partition_spec=base.partition_spec,
+                current_snapshot_id=sid,
+                snapshots=base.snapshots + [snap],
+                properties=base.properties,
+            )
+
+        S.commit(self.root, apply)
+        return result_holder["snap"]
+
+    # --- write path -----------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        target_file_count: Optional[int] = None,
+        new_schema: Optional[T.StructType] = None,
+    ) -> S.Snapshot:
+        """ACID append: write partitioned Parquet + commit a new snapshot.
+
+        Engine counterpart of the reference's streaming Delta append sink
+        (/root/reference/etl/glue_stream.py:339-349); for streams, hook it
+        up via ``writeStream.foreachBatch(lambda b, _: table.append(b))``.
+        """
+        meta = self.meta
+        if new_schema is not None and not is_additive_evolution(
+            T.StructType.fromJson(meta.schema_json), new_schema
+        ):
+            raise SchemaEvolutionError(
+                "only additive (nullable add / same types) schema evolution "
+                "is allowed"
+            )
+        schema_json = (
+            new_schema.jsonValue() if new_schema is not None else meta.schema_json
+        )
+        entries = write_data_files(
+            self.spark,
+            self.root,
+            schema_json,
+            meta.partition_spec,
+            df,
+            target_file_count=target_file_count,
+        )
+        return self._commit_files(
+            "append", entries, (), new_schema=new_schema
+        )
+
+    # --- read path ------------------------------------------------------------
+
+    def plan(
+        self,
+        *,
+        filter=None,  # noqa: A002
+        snapshot_id: Optional[int] = None,
+        distributed: bool = False,
+    ) -> ScanPlan:
+        meta = self.meta
+        if distributed:
+            return plan_scan_distributed(
+                self.spark, self.root, meta, filter=filter, snapshot_id=snapshot_id
+            )
+        return plan_scan(
+            self.root, meta, filter=filter, snapshot_id=snapshot_id
+        )
+
+    def scan(
+        self,
+        *,
+        filter=None,  # noqa: A002
+        snapshot_id: Optional[int] = None,
+        columns: Optional[Sequence[str]] = None,
+        distributed_planning: bool = False,
+    ) -> DataFrame:
+        """Pruned snapshot read; ``snapshot_id`` = time travel."""
+        meta = self.meta
+        plan = self.plan(
+            filter=filter,
+            snapshot_id=snapshot_id,
+            distributed=distributed_planning,
+        )
+        return read_plan(
+            self.spark, self.root, meta, plan, columns=columns
+        )
+
+    def live_files(self, snapshot_id: Optional[int] = None) -> list[DataFileEntry]:
+        return self.plan(snapshot_id=snapshot_id).files
+
+    # --- maintenance (delegated to ops modules) -------------------------------
+
+    def compact(self, **kw):
+        from .ops.compact import compact as _compact
+
+        return _compact(self, **kw)
+
+    def cluster(self, columns: Sequence[str], **kw):
+        from .ops.cluster import cluster as _cluster
+
+        return _cluster(self, columns, **kw)
+
+    def expire_snapshots(self, **kw):
+        from .ops.expire import expire_snapshots as _expire
+
+        return _expire(self, **kw)
+
+    def remove_orphan_files(self, **kw):
+        from .ops.expire import remove_orphan_files as _gc
+
+        return _gc(self, **kw)
+
+    def merge(self, source: DataFrame, **kw):
+        from .ops.merge import merge_into as _merge
+
+        return _merge(self, source, **kw)
+
+    def rewrite_manifests(self, **kw):
+        from .ops.rewrite_manifests import rewrite_manifests as _rw
+
+        return _rw(self, **kw)

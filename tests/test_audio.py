@@ -1,0 +1,99 @@
+"""M0 gate: synth → decode roundtrip, SNR invariant, vectorized UDFs."""
+
+import numpy as np
+import pytest
+
+from lakehouse.audio import decode_wav, snr_db
+from lakehouse.synth import (
+    make_clip_row,
+    synth_clips_pdf,
+    synth_pcm,
+    wrap_wav,
+)
+
+
+def test_wav_roundtrip_pcm16():
+    sr = 16000
+    samples = synth_pcm(42, 7, sr, sr // 2)
+    raw = wrap_wav(samples, sr, "pcm16")
+    dsr, decoded = decode_wav(raw)
+    assert dsr == sr
+    assert len(decoded) == len(samples)
+    # PCM16 quantization noise floor is ~90 dB; invariant requires >= 30
+    assert snr_db(samples, decoded) >= 30.0
+
+
+@pytest.mark.parametrize("codec", ["pcm8", "f32"])
+def test_wav_roundtrip_other_codecs(codec):
+    sr = 8000
+    samples = synth_pcm(42, 11, sr, sr // 4)
+    dsr, decoded = decode_wav(wrap_wav(samples, sr, codec))
+    assert dsr == sr
+    # pcm8 at ~0.3 signal amplitude sits near its theoretical quantization
+    # floor (~29 dB); the 30 dB invariant applies to the canonical pcm16.
+    floor = 25.0 if codec == "pcm8" else 100.0
+    assert snr_db(samples, decoded) >= floor
+
+
+def test_generator_is_deterministic():
+    a = make_clip_row(123, seed=42)
+    b = make_clip_row(123, seed=42)
+    assert a["bytes"] == b["bytes"]
+    assert a["transcript"] == b["transcript"]
+    c = make_clip_row(123, seed=43)
+    assert c["bytes"] != a["bytes"]
+
+
+def test_dur_consistent_with_payload():
+    row = make_clip_row(5, seed=42)
+    sr, samples = decode_wav(row["bytes"])
+    assert sr == row["sr_hz"]
+    assert len(samples) == sr * row["dur_ms"] // 1000
+
+
+def test_hot_prefix_fraction():
+    pdf = synth_clips_pdf(range(1000), seed=42)
+    hot = pdf["clip_id"].str.startswith("hot-").mean()
+    assert 0.25 <= hot <= 0.35
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav file at all........................................")
+
+
+def test_spark_vectorized_decode(spark, clips_pdf_small):
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import pcm_sha1, with_audio_features
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    df = spark.createDataFrame(clips_pdf_small, schema=CLIPS_SCHEMA)
+    feats = with_audio_features(df).select(
+        "clip_id", "sr_hz", "dur_ms", "audio.*"
+    )
+    rows = feats.collect()
+    assert all(r.ok for r in rows)
+    assert all(r.sr_hz == r.sr_hz for r in rows)
+    for r in rows:
+        assert r.n_samples == r.sr_hz * r.dur_ms // 1000
+
+    hashes = df.select("clip_id", pcm_sha1(F.col("bytes")).alias("h")).collect()
+    assert all(r.h and r.h != "DECODE_ERROR" for r in hashes)
+
+
+def test_spark_snr_invariant(spark):
+    """Distributed form of the per-row allclose invariant (SNR >= 30 dB)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import synth_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 32, seed=42, num_partitions=2)
+    df = df.withColumn(
+        "idx", F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+    )
+    snrs = df.select(
+        synth_snr_db(F.col("bytes"), F.col("idx"), F.lit(42)).alias("snr")
+    ).collect()
+    assert all(np.isinf(r.snr) or r.snr >= 30.0 for r in snrs)

@@ -1,0 +1,158 @@
+"""M1 gate: create → append×2 → pruned scan → time travel → CAS conflicts."""
+
+import datetime as dt
+
+import pytest
+
+from lakehouse import (
+    CLIPS_SCHEMA,
+    CommitConflictError,
+    SnapshotNotFoundError,
+    Table,
+    TableAlreadyExistsError,
+)
+from lakehouse.synth import synth_clips_pdf
+
+DATE_SPEC = [{"name": "event_date", "transform": "identity", "source": "event_date"}]
+
+
+def _make_table(spark, root):
+    return Table.create(
+        spark, root, CLIPS_SCHEMA, partition_spec=DATE_SPEC
+    )
+
+
+def _df(spark, lo, hi, n_days=4):
+    return spark.createDataFrame(
+        synth_clips_pdf(range(lo, hi), seed=42, n_days=n_days),
+        schema=CLIPS_SCHEMA,
+    )
+
+
+def test_create_load_and_double_create(spark, table_root):
+    t = _make_table(spark, table_root)
+    assert t.current_snapshot_id() is None
+    with pytest.raises(TableAlreadyExistsError):
+        _make_table(spark, table_root)
+    t2 = Table.load(spark, table_root)
+    assert t2.schema == CLIPS_SCHEMA
+
+
+def test_empty_table_scan_returns_no_rows(spark, table_root):
+    t = _make_table(spark, table_root)
+    assert t.scan().count() == 0
+    assert t.scan(filter=[("clip_id", "=", "x")]).count() == 0
+
+
+def test_append_scan_roundtrip(spark, table_root):
+    t = _make_table(spark, table_root)
+    s1 = t.append(_df(spark, 0, 40))
+    assert s1.operation == "append"
+    s2 = t.append(_df(spark, 40, 64))
+    assert s2.parent_snapshot_id == s1.snapshot_id
+
+    got = t.scan().select("clip_id", "transcript").collect()
+    assert len(got) == 64
+    expected = synth_clips_pdf(range(64), seed=42, n_days=4)
+    assert sorted(r.clip_id for r in got) == sorted(expected["clip_id"])
+    by_id = {r.clip_id: r.transcript for r in got}
+    for _, row in expected.iterrows():
+        assert by_id[row["clip_id"]] == row["transcript"]
+
+
+def test_partition_pruning(spark, table_root):
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 64, n_days=4))
+    day = dt.date(2024, 1, 2)
+    plan = t.plan(filter=[("event_date", "=", day)])
+    assert plan.candidate_files > len(plan.files) > 0
+    # every surviving file's partition is exactly the requested day
+    for e in plan.files:
+        assert e.partition["event_date"] == day.isoformat()
+    got = t.scan(filter=[("event_date", "=", day)]).collect()
+    expected = synth_clips_pdf(range(64), seed=42, n_days=4)
+    want = expected[expected["event_date"] == day]
+    assert sorted(r.clip_id for r in got) == sorted(want["clip_id"])
+
+
+def test_stats_pruning_on_clip_id(spark, table_root):
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 64))
+    plan = t.plan(filter=[("clip_id", ">=", "hot-"), ("clip_id", "<", "hot-~")])
+    got = t.scan(
+        filter=[("clip_id", ">=", "hot-"), ("clip_id", "<", "hot-~")]
+    ).collect()
+    assert all(r.clip_id.startswith("hot-") for r in got)
+    assert len(got) == sum(1 for i in range(64) if i % 10 < 3)
+
+
+def test_time_travel_and_snapshot_isolation(spark, table_root):
+    t = _make_table(spark, table_root)
+    s1 = t.append(_df(spark, 0, 32))
+    n1 = t.scan().count()
+    t.append(_df(spark, 32, 64))
+    assert t.scan().count() == 64
+    # pinned reader still sees v1 exactly
+    assert t.scan(snapshot_id=s1.snapshot_id).count() == n1 == 32
+    with pytest.raises(SnapshotNotFoundError):
+        t.scan(snapshot_id=999)
+
+
+def test_distributed_planning_matches_driver_planning(spark, table_root):
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 64))
+    f = [("event_date", "=", dt.date(2024, 1, 1))]
+    driver_plan = t.plan(filter=f)
+    dist_plan = t.plan(filter=f, distributed=True)
+    assert sorted(e.file_path for e in driver_plan.files) == sorted(
+        e.file_path for e in dist_plan.files
+    )
+
+
+def test_concurrent_commit_one_retries(spark, table_root):
+    """Two committers race for the same version; CAS makes one rebase."""
+    from lakehouse.meta import snapshots as S
+
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 8))
+
+    base = S.load_metadata(t.root)
+    # writer A publishes v(base+1) out from under writer B
+    ok = S._try_publish(
+        t.root, base.version + 1, {**base.to_json(), "version": base.version + 1}
+    )
+    assert ok
+    # writer B (the real append) must detect the loss and land on base+2
+    t.append(_df(spark, 8, 16))
+    assert S.load_metadata(t.root).version == base.version + 2
+    assert t.scan().count() == 16
+
+
+def test_cas_publish_refuses_existing_version(spark, table_root):
+    from lakehouse.meta import snapshots as S
+
+    t = _make_table(spark, table_root)
+    base = S.load_metadata(t.root)
+    payload = {**base.to_json(), "version": base.version}
+    assert not S._try_publish(t.root, base.version, payload)
+
+
+def test_schema_evolution_additive_only(spark, table_root):
+    from pyspark.sql import types as T
+
+    from lakehouse import SchemaEvolutionError
+
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 8))
+    wider = T.StructType(
+        CLIPS_SCHEMA.fields + [T.StructField("speaker", T.StringType(), True)]
+    )
+    t.append(_df(spark, 8, 16), new_schema=wider)
+    got = t.scan()
+    assert "speaker" in got.columns
+    assert got.count() == 16
+    assert got.filter("speaker IS NULL").count() == 16
+
+    narrower = T.StructType(CLIPS_SCHEMA.fields[:3])
+    with pytest.raises(SchemaEvolutionError):
+        t.append(_df(spark, 16, 24), new_schema=narrower)
