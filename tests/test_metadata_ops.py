@@ -1,0 +1,60 @@
+"""Manifest rewrite + replace-commit conflict detection + lineage log."""
+
+import pytest
+
+from lakehouse import CommitConflictError
+from tests.test_maintenance import make_small_file_table, scan_fingerprint
+
+
+def test_rewrite_manifests_compacts_metadata(spark, table_root):
+    t = make_small_file_table(spark, table_root, rows=120, appends=4)
+    from lakehouse.meta import snapshots as S
+
+    snap = t.meta.snapshot()
+    before = len(S.read_manifest_list(t.root, snap.manifest_list))
+    assert before == 4  # one manifest per append
+    fp = scan_fingerprint(t)
+
+    res = t.rewrite_manifests()
+    assert res.manifests_before == 4
+    assert res.manifests_after < before
+    assert scan_fingerprint(t) == fp
+    # planning still prunes identically
+    import datetime as dt
+
+    plan = t.plan(filter=[("event_date", "=", dt.date(2024, 1, 1))])
+    assert 0 < len(plan.files) < plan.candidate_files
+
+
+def test_replace_commit_conflict_on_stale_files(spark, table_root):
+    """Two compactions planned from the same snapshot: the loser must get
+    CommitConflictError, not silently resurrect rewritten files."""
+    t = make_small_file_table(spark, table_root, rows=120, appends=4)
+    live = t.live_files()
+    victim = live[0].file_path
+
+    # winner: a real compaction rewrites everything
+    t.compact(target_file_size=64 * 1024 * 1024)
+
+    # loser: tries to commit a REPLACE of a file that is no longer live
+    with pytest.raises(CommitConflictError, match="no longer live"):
+        t._commit_files("replace", [], [victim])
+
+
+def test_lineage_records_are_complete(spark, table_root):
+    t = make_small_file_table(spark, table_root, rows=120, appends=3)
+    res = t.compact(target_file_size=64 * 1024 * 1024, job_id="lineage-check")
+
+    from lakehouse.lineage import LineageLog
+
+    log = LineageLog(t.root, "lineage-check")
+    job = log.job_record()
+    assert job["op"] == "compact" and job["status"] == "DONE"
+    tasks = log.done_tasks()
+    assert len(tasks) == res.bins
+    for rec in tasks.values():
+        assert rec.files_in and rec.files_out
+        assert rec.bytes_in > 0 and rec.bytes_out > 0
+        assert rec.records_out > 0
+    total_out = sum(r.records_out for r in tasks.values())
+    assert total_out == res.records_rewritten
