@@ -1,38 +1,615 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: builds a lakehouse table from the sf0.001
+events parquet, runs the full maintenance cycle (append → compact →
+Z-order cluster → MERGE → expire), and returns the post-maintenance
+scan aggregate (proving scan parity survives the whole cycle).
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family:
+
+- reference ingest-pipeline operators (SURVEY.md §2 P1–P8): JSON
+  decode, flatten, timestamp/date derivation, defensive casts;
+- analytics surface: aggregation, broadcast join, window functions;
+- lakehouse maintenance (the engine core): compact / cluster / time
+  travel / expire+GC / MERGE INTO — each builds a real table from the
+  events parquet, runs the op, and returns the post-op scan, so the
+  DuckDB oracle (plain SQL over the same parquet) IS the byte-identical
+  scan-parity gate from the north rule;
+- training-data ops: exact/Jaccard/MinHash-LSH/SimHash dedup, text
+  quality + language-ID + token stats + fingerprints, cosine top-k +
+  LSH ANN + embedding near-dup;
+- audio payload ops (no SQL oracle — rows-only check): vectorized WAV
+  decode, SNR invariant.
+
+Numeric discipline for oracle parity: money-style sums go through
+DECIMAL(18,4) (exact, order-insensitive) then cast to double; ratios
+and cosines are rounded to 4 decimals with id tie-breaks before any
+ranking; timestamps compare as unix micros (``unix_micros`` vs
+``epoch_us``) with the Spark session pinned to UTC.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF0001 = "/root/testdata/sf0.001"
+
+EVENTS_OUT_SQL = (
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, "
+    "props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s FROM events"
+)
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived event_date (reference op P7, glue_stream.py:239)."""
+    df = _read(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withColumn("event_date", F.to_date("ts"))
+
+
+def _events_out(df: DataFrame) -> DataFrame:
+    """Comparable projection: timestamps → unix micros, dates → strings."""
+    return df.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.col("event_date").cast("string").alias("event_date_s"),
+    )
+
+
+def _dec_sum(col, alias, scale=4):
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+def _events_table(spark: SparkSession, sf_dir: str, *, appends: int = 4,
+                  files_per_append: int = 4):
+    """Build a real lakehouse table from the events parquet, appended in
+    chunks so compaction has small files to work on."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_entry_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "events_table"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    for i in range(appends):
+        t.append(
+            df.filter(F.col("event_id") % appends == i),
+            target_file_count=files_per_append,
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full maintenance cycle on sf0.001, then the post-cycle rollup."""
+    t = _events_table(spark, SF0001, appends=3, files_per_append=2)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    t.cluster(["user_id", "ts"], curve="zorder")
+    src = (
+        t.scan()
+        .filter(F.col("user_id") % 7 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("event_type", F.lit("updated"))
+    )
+    t.merge(src, key="event_id")
+    t.expire_snapshots(keep_last=1)
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference pipeline + analytics queries
+
+
+def _q_events_json_pipeline(spark, sf_dir):
+    """Reference chain P1→P8: JSON decode (from_json), struct flatten,
+    date derivation, defensive cast + null-fill projection."""
+    ev = _read(spark, sf_dir, "events")
+    payload = F.from_json(F.col("props"), "k INT").alias("payload")
+    flat = ev.select("event_id", "ts", "event_type", payload).select(
+        "event_id", "ts", "event_type", "payload.*"
+    )
+    return flat.select(
+        "event_id",
+        F.col("k").cast("int").alias("k"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("event_date_s"),
+        F.lit(None).cast("string").alias("user_agent"),
+    )
+
+
+def _q_hourly_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+def _q_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "sum_disc_price",
+            6,
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_segment_revenue(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+def _q_window_top_purchase(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse maintenance queries (post-op scan == oracle over raw parquet)
+
+
+def _q_lh_compact(spark, sf_dir):
+    t = _events_table(spark, sf_dir)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    return _events_out(t.scan())
+
+
+def _q_lh_cluster(spark, sf_dir):
+    t = _events_table(spark, sf_dir)
+    t.cluster(["user_id", "ts"], curve="zorder")
+    return _events_out(t.scan())
+
+
+def _q_lh_cluster_hilbert(spark, sf_dir):
+    t = _events_table(spark, sf_dir, appends=2)
+    t.cluster(["user_id", "value"], curve="hilbert")
+    return _events_out(t.scan())
+
+
+def _q_lh_timetravel(spark, sf_dir):
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_tt_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "tt"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    s1 = t.append(df.filter(F.col("event_id") % 2 == 0))
+    t.append(df.filter(F.col("event_id") % 2 == 1))
+    return _events_out(t.scan(snapshot_id=s1.snapshot_id))
+
+
+def _q_lh_partition_pruned(spark, sf_dir):
+    import datetime as dt
+
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact()
+    lo, hi = dt.date(2024, 1, 5), dt.date(2024, 1, 9)
+    return _events_out(
+        t.scan(filter=[("event_date", ">=", lo), ("event_date", "<=", hi)])
+    )
+
+
+def _q_lh_expire_gc(spark, sf_dir):
+    import time
+
+    t = _events_table(spark, sf_dir, appends=3)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000)
+    return _events_out(t.scan())
+
+
+def _q_lh_merge(spark, sf_dir):
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact()
+    ev = _events(spark, sf_dir)
+    is_del = (F.col("event_type") == "error") & (F.col("user_id") % 5 == 0)
+    upd = (
+        ev.filter((F.col("user_id") % 7 == 0) & ~is_del)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("event_type", F.lit("updated"))
+    )
+    dels = ev.filter(is_del).withColumn("op", F.lit("delete"))
+    ins = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 13 == 0))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("event_type", F.lit("inserted"))
+        .withColumn("value", F.lit(1.0))
+    )
+    src = upd.withColumn("op", F.lit(None).cast("string")).unionByName(
+        dels
+    ).unionByName(ins.withColumn("op", F.lit(None).cast("string")))
+    t.merge(src, key="event_id")
+    return _events_out(t.scan())
+
+
+LH_MERGE_ORACLE = """
+WITH ev AS (SELECT * FROM events),
+dels AS (
+    SELECT event_id FROM ev WHERE event_type = 'error' AND user_id % 5 = 0
+),
+upd AS (
+    SELECT event_id, ts, user_id, 'updated' AS event_type,
+           value + 1000.0 AS value, props
+    FROM ev
+    WHERE user_id % 7 = 0
+      AND NOT (event_type = 'error' AND user_id % 5 = 0)
+),
+ins AS (
+    SELECT event_id + 10000000 AS event_id, ts, user_id,
+           'inserted' AS event_type, 1.0 AS value, props
+    FROM ev WHERE event_type = 'signup' AND user_id % 13 = 0
+),
+merged AS (
+    SELECT * FROM ev
+    WHERE event_id NOT IN (SELECT event_id FROM dels)
+      AND event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+)
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lakehouse.dedup import dedup_exact
+
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from lakehouse.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), k=3, threshold=0.1
+    )
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from lakehouse.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.05,
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from lakehouse.dedup import simhash64
+
+    return simhash64(_read(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from lakehouse.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def _q_text_quality(spark, sf_dir):
+    from lakehouse.textops import quality_features
+
+    return quality_features(_read(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from lakehouse.textops import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from lakehouse.textops import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from lakehouse.textops import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf_dir, "documents"), k=8)
+
+
+QUERY_VEC_IDS = list(range(10))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from lakehouse.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from lakehouse.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5, n_bits=4
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from lakehouse.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio payload (rows-only checks; deterministic synth, no sf input)
+
+
+def _q_audio_decode(spark, sf_dir):
+    from lakehouse.audio import with_audio_features
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 256, seed=42, n_days=4)
+    return with_audio_features(df).select(
+        "clip_id",
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        F.col("audio.ok").alias("decode_ok"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.round(F.col("audio.rms"), 4).alias("rms"),
+        F.size(F.split("transcript", " ")).alias("n_words"),
+    )
+
+
+def _q_audio_snr(spark, sf_dir):
+    from lakehouse.audio import synth_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 128, seed=42, n_days=4)
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    snr = synth_snr_db(F.col("bytes"), idx, F.lit(42))
+    return (
+        df.withColumn("snr_db", snr)
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("snr_db") >= 30.0).cast("int")).alias("n_snr_ok"),
+        )
+    )
+
+
+def _q_lh_audio_roundtrip(spark, sf_dir):
+    """Clips table through append→compact→cluster; PCM sha1 + transcript
+    must be invariant (the per-row payload invariant, rows-only)."""
+    from lakehouse import Table
+    from lakehouse.audio import pcm_sha1
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+
+    root = tempfile.mkdtemp(prefix="lh_audio_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "clips"),
+        CLIPS_SCHEMA,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    for i in range(3):
+        t.append(
+            synth_clips_df(spark, 64, seed=42, n_days=2).filter(
+                F.xxhash64("clip_id") % 3 == i
+            ),
+            target_file_count=2,
+        )
+    t.compact()
+    t.cluster(["clip_id"], curve="zorder")
+    return t.scan().select(
+        "clip_id",
+        "transcript",
+        pcm_sha1(F.col("bytes")).alias("pcm_sha1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference pipeline + analytics
+        "events_json_pipeline": _q_events_json_pipeline,
+        "hourly_rollup": _q_hourly_rollup,
+        "q1_pricing_summary": _q_q1_pricing,
+        "segment_revenue": _q_segment_revenue,
+        "window_top_purchase": _q_window_top_purchase,
+        # lakehouse maintenance core
+        "lh_compact_scan_parity": _q_lh_compact,
+        "lh_cluster_zorder_parity": _q_lh_cluster,
+        "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
+        "lh_timetravel_scan": _q_lh_timetravel,
+        "lh_partition_pruned_scan": _q_lh_partition_pruned,
+        "lh_expire_gc_scan_parity": _q_lh_expire_gc,
+        "lh_merge_upsert": _q_lh_merge,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "simhash64": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "doc_fingerprint": _q_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # audio payload (rows-only)
+        "audio_decode_features": _q_audio_decode,
+        "audio_snr_invariant": _q_audio_snr,
+        "lh_audio_roundtrip": _q_lh_audio_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lakehouse.dedup import (
+        dedup_exact_oracle_sql,
+        minhash_lsh_oracle_sql,
+        ngram_jaccard_oracle_sql,
+        simhash_oracle_sql,
+        simhash_pairs_oracle_sql,
+    )
+    from lakehouse.similarity import (
+        ann_lsh_oracle_sql,
+        cosine_topk_oracle_sql,
+        embedding_near_dup_oracle_sql,
+    )
+    from lakehouse.textops import (
+        doc_fingerprint_oracle_sql,
+        lang_id_oracle_sql,
+        quality_oracle_sql,
+        token_stats_oracle_sql,
+    )
+
+    return {
+        "events_json_pipeline": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
+                   CAST(NULL AS VARCHAR) AS user_agent
+            FROM events
+        """,
+        "hourly_rollup": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "window_top_purchase": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        """,
+        # maintenance parity: post-op scan must equal the raw table
+        "lh_compact_scan_parity": EVENTS_OUT_SQL,
+        "lh_cluster_zorder_parity": EVENTS_OUT_SQL,
+        "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,
+        "lh_timetravel_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 0",
+        "lh_partition_pruned_scan": EVENTS_OUT_SQL
+        + " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'",
+        "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
+        "lh_merge_upsert": LH_MERGE_ORACLE,
+        # training-data ops
+        "dedup_exact": dedup_exact_oracle_sql(),
+        "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(k=3, threshold=0.1),
+        "dedup_minhash_lsh": minhash_lsh_oracle_sql(
+            k=3, num_hashes=16, bands=8, threshold=0.05
+        ),
+        "simhash64": simhash_oracle_sql(),
+        "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
+        "text_quality": quality_oracle_sql(),
+        "lang_id": lang_id_oracle_sql(),
+        "token_stats": token_stats_oracle_sql(),
+        "doc_fingerprint": doc_fingerprint_oracle_sql(k=8),
+        "cosine_topk": cosine_topk_oracle_sql(QUERY_VEC_IDS, k=5),
+        "ann_lsh_topk": ann_lsh_oracle_sql(QUERY_VEC_IDS, k=5, n_bits=4),
+        "embedding_near_dup": embedding_near_dup_oracle_sql(
+            threshold=0.45, n_bits=4
+        ),
+        # audio queries intentionally omitted → rows-only check
+    }

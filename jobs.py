@@ -1,0 +1,278 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the lakehouse maintenance engine.
+
+Launch surface (north rule): the engine runs as standalone Spark jobs,
+
+    zip -qr /tmp/lakehouse.zip lakehouse
+    spark-submit --master local[32] --py-files /tmp/lakehouse.zip \
+        jobs.py create  --table /data/clips
+    spark-submit ... jobs.py synth   --table /data/clips --rows 100000 \
+        --appends 8
+    spark-submit ... jobs.py compact --table /data/clips
+    spark-submit ... jobs.py cluster --table /data/clips \
+        --columns clip_id,ingest_ts --curve hilbert
+    spark-submit ... jobs.py expire  --table /data/clips --keep-last 2 --gc
+    spark-submit ... jobs.py merge-demo --table /data/clips --frac 10
+    spark-submit ... jobs.py scan    --table /data/clips [--snapshot N]
+    spark-submit ... jobs.py snapshots --table /data/clips
+    spark-submit ... jobs.py stream-demo --table /data/clips --batches 3
+
+Also runnable as ``python jobs.py ...`` (builds its own local session).
+The reference's equivalent surface is the Glue job submit wiring at
+/root/reference/infra/terraform/modules/glue/main.tf:101-115; here the
+whole table layer is ours, so the CLI exposes maintenance verbs Delta
+kept behind OPTIMIZE/VACUUM/MERGE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(args):
+    from lakehouse.session import build_session
+
+    return build_session(
+        f"lakehouse-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _table(spark, args):
+    from lakehouse import Table
+
+    return Table.load(spark, args.table)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload, default=str))
+
+
+def cmd_create(args):
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    spark = _spark(args)
+    Table.create(
+        spark,
+        args.table,
+        CLIPS_SCHEMA,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    _emit({"op": "create", "table": args.table})
+
+
+def cmd_synth(args):
+    from lakehouse.synth import synth_clips_df
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    per = args.rows // args.appends
+    total = 0
+    t0 = time.time()
+    for i in range(args.appends):
+        # each append synthesizes a disjoint index slice executor-side
+        df = synth_clips_df(
+            spark, per, start=i * per, seed=args.seed, n_days=args.days
+        )
+        snap = t.append(df, target_file_count=args.files_per_append)
+        total += snap.summary.get("added_records", 0)
+    _emit(
+        {
+            "op": "synth",
+            "rows": total,
+            "appends": args.appends,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_compact(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.compact(target_file_size=args.target_file_size)
+    _emit(
+        {
+            "op": "compact",
+            "job_id": res.job_id,
+            "files_in": res.files_rewritten,
+            "files_out": res.files_created,
+            "bytes_rewritten": res.bytes_rewritten,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_cluster(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.cluster(args.columns.split(","), curve=args.curve)
+    _emit(
+        {
+            "op": "cluster",
+            "curve": args.curve,
+            "job_id": res.job_id,
+            "files_in": res.files_rewritten,
+            "files_out": res.files_created,
+            "bytes_rewritten": res.bytes_rewritten,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_expire(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    res = t.expire_snapshots(keep_last=args.keep_last)
+    out = {"op": "expire", "expired": res.expired_snapshot_ids}
+    if args.gc:
+        gc = t.remove_orphan_files(
+            older_than_ms=int(time.time() * 1000) + 60_000
+        )
+        out["gc_deleted_files"] = len(gc.deleted_files)
+    _emit(out)
+
+
+def cmd_merge_demo(args):
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    src = (
+        t.scan()
+        .filter(F.xxhash64("clip_id") % args.frac == 0)
+        .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" [v2]")))
+    )
+    t0 = time.time()
+    res = t.merge(src, key="clip_id")
+    _emit(
+        {
+            "op": "merge",
+            "files_touched": res.files_touched,
+            "rows_written": res.rows_written,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_scan(args):
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    df = t.scan(snapshot_id=args.snapshot)
+    agg = df.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+    )
+    _emit(
+        {
+            "op": "scan",
+            "snapshot": args.snapshot or t.current_snapshot_id(),
+            "rows": df.count(),
+            "by_codec": [r.asDict() for r in agg.collect()],
+        }
+    )
+
+
+def cmd_snapshots(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    _emit(
+        {
+            "op": "snapshots",
+            "current": t.current_snapshot_id(),
+            "snapshots": [
+                {
+                    "id": s.snapshot_id,
+                    "op": s.operation,
+                    "summary": s.summary,
+                }
+                for s in t.snapshots()
+            ],
+        }
+    )
+
+
+def cmd_stream_demo(args):
+    """Structured-streaming ingest demo: rate source → synth clips →
+    foreachBatch append (the reference's W1/W2 sink pattern,
+    /root/reference/etl/glue_stream.py:257-264,339-349, with our table
+    layer in place of the Delta jar)."""
+    from lakehouse.streaming import run_stream_demo
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    result = run_stream_demo(
+        spark, t, batches=args.batches, rows_per_second=args.rate
+    )
+    _emit({"op": "stream-demo", **result})
+
+
+def main():
+    p = argparse.ArgumentParser(prog="jobs.py")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def t(sp):
+        sp.add_argument("--table", required=True)
+
+    t(sub.add_parser("create"))
+    s = sub.add_parser("synth")
+    t(s)
+    s.add_argument("--rows", type=int, default=10_000)
+    s.add_argument("--appends", type=int, default=4)
+    s.add_argument("--files-per-append", type=int, default=8)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--days", type=int, default=8)
+    s = sub.add_parser("compact")
+    t(s)
+    s.add_argument("--target-file-size", type=int, default=128 * 1024 * 1024)
+    s = sub.add_parser("cluster")
+    t(s)
+    s.add_argument("--columns", default="clip_id,ingest_ts")
+    s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    s = sub.add_parser("expire")
+    t(s)
+    s.add_argument("--keep-last", type=int, default=1)
+    s.add_argument("--gc", action="store_true")
+    s = sub.add_parser("merge-demo")
+    t(s)
+    s.add_argument("--frac", type=int, default=10)
+    s = sub.add_parser("scan")
+    t(s)
+    s.add_argument("--snapshot", type=int, default=None)
+    t(sub.add_parser("snapshots"))
+    s = sub.add_parser("stream-demo")
+    t(s)
+    s.add_argument("--batches", type=int, default=3)
+    s.add_argument("--rate", type=int, default=500)
+
+    args = p.parse_args()
+    {
+        "create": cmd_create,
+        "synth": cmd_synth,
+        "compact": cmd_compact,
+        "cluster": cmd_cluster,
+        "expire": cmd_expire,
+        "merge-demo": cmd_merge_demo,
+        "scan": cmd_scan,
+        "snapshots": cmd_snapshots,
+        "stream-demo": cmd_stream_demo,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,475 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed in JVM-side DataFrame ops (portable to the
+DuckDB oracle, zero Python in the hot path):
+
+- exact            hash-groupBy on the content column
+- n-gram Jaccard   shingle explode → self-join on shingle → Jaccard
+- MinHash + LSH    md5-based minhash signatures → banded buckets →
+                   candidate join → exact-Jaccard verify
+- SimHash          64-bit sign-aggregated token-hash → pigeonhole
+                   chunk-join → Hamming filter
+- embedding cosine near-dup pairs over an embedding column (delegated
+                   to lakehouse.similarity)
+
+Scale notes (100 TB): exact dedup is one shuffle on the content hash
+(group on md5(text), not text, to keep shuffle rows narrow). The
+shingle self-join prunes by frequency (`max_shingle_freq`) so stop-
+shingles can't produce quadratic candidate blowup. MinHash bands and
+SimHash chunks both turn O(n²) pair search into equi-joins on bucket
+keys — the only join shapes that survive a 10^12-row corpus.
+
+md5 is used as the portable hash everywhere: Spark's ``md5`` and
+DuckDB's ``md5`` return identical lowercase hex, so signatures — and
+therefore buckets, candidates, and survivors — match the oracle
+bit-for-bit. (xxhash64 exists only on the Spark side.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Group identical content; keep the smallest doc_id as canonical."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS dup_count
+    FROM {table}
+    GROUP BY md5(text)
+    """
+
+
+# ---------------------------------------------------------------------------
+# word-shingles (shared by Jaccard + MinHash)
+
+
+def _shingles(df: DataFrame, content_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) with distinct word k-grams per doc."""
+    toks = F.split(F.col(content_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def _shingles_sql(table: str, k: int) -> str:
+    return f"""
+    SELECT doc_id,
+           unnest(list_distinct(
+               [array_to_string(string_split(text, ' ')[i+1 : i+{k}], ' ')
+                for i in range(0, len(string_split(text, ' ')) - {k} + 1)]
+           )) AS shingle
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """All doc pairs with word-k-gram Jaccard ≥ threshold.
+
+    Candidate generation is an equi-join on shared shingles; shingles
+    occurring in more than ``max_shingle_freq`` docs are dropped from
+    candidate generation (they'd be quadratic) — at the default 1000
+    this only suppresses stop-shingles, and any pair sharing ONLY
+    stop-shingles has Jaccard ≈ 0 anyway.
+    """
+    sh = _shingles(df, content_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") <= max_shingle_freq)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    inter = (
+        shr.alias("a")
+        .join(shr.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    table: str = "documents",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> str:
+    return f"""
+    WITH sh AS ({_shingles_sql(table, k)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {max_shingle_freq}),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shr a JOIN shr b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || ':' || shingle). Lexicographic min over hex strings is a
+    valid minhash (md5 is uniform on hex strings) and is reproducible
+    verbatim in SQL — no platform-specific 64-bit hash needed."""
+    sh = _shingles(df, content_col, k)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(f"h{i}") for i in range(num_hashes)]
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """LSH-banded candidate pairs, verified with exact shingle Jaccard.
+
+    Pipeline: minhash sigs → band keys (md5 of r concatenated minhashes)
+    → group docs per (band, key) bucket → pair within bucket → dedup
+    pairs → verify true Jaccard ≥ threshold. Every stage is an equi-
+    shuffle on a hash key: no cross joins anywhere.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, content_col, k, num_hashes)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (reuses the shingle machinery):
+    # count shared shingles per candidate pair via two equi-joins
+    sh = _shingles(df, content_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> str:
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || chr(124) || '.join(f'h{b * r + j}' for j in range(r))}) AS bkey "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_shingles_sql(table, k)}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    band_rows AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_rows a JOIN band_rows b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS inter
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _hex_nibble(ch):
+    """Map a lowercase hex char column to its int value (JVM-side)."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash64(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, computed entirely with built-in functions.
+
+    Per doc: for each distinct whitespace token take the first 16 hex
+    chars of md5(token) as a 64-bit pattern; simhash bit b is set iff
+    the sum over tokens of ±1 (bit b set → +1) is positive. Unrolled as
+    16 nibble-columns × explode over tokens → one groupBy(doc_id) with
+    partial aggregation; no Python anywhere.
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col(content_col), " "))
+        ).alias("tok"),
+    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    # nibble value of hex char j (0-based) of the md5
+    nib = [
+        _hex_nibble(F.substring(F.col("h"), j + 1, 1)) for j in range(16)
+    ]
+    # bit b (0 = MSB of the 64-bit pattern) lives in nibble b//4,
+    # position 3 - b%4 from its LSB
+    bit_exprs = []
+    for b in range(64):
+        n = nib[b // 4]
+        shift = 3 - (b % 4)
+        bit = F.shiftright(n, shift) % 2
+        bit_exprs.append((bit * 2 - 1).alias(f"c{b}"))
+    contrib = toks.select("doc_id", *bit_exprs)
+    agg = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{b}").alias(f"s{b}") for b in range(64)]
+    )
+    # assemble the signed 64-bit value: sum of bit<<(63-b); the MSB term
+    # wraps to Long.MIN_VALUE, matching the oracle's BIGINT shift
+    val = F.lit(0).cast("long")
+    for b in range(64):
+        bitset = (F.col(f"s{b}") > 0).cast("long")
+        val = val + F.shiftleft(bitset, 63 - b)
+    return agg.select("doc_id", val.alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents") -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', h[{j + 1}:{j + 1}]) - 1)"
+        for j in range(16)
+    ]
+    terms = []
+    for b in range(64):
+        n = nib[b // 4]
+        shift = 3 - (b % 4)
+        bit = f"(({n} >> {shift}) & 1)"
+        terms.append(f"sum({bit} * 2 - 1) AS s{b}")
+    # DuckDB raises on BIGINT shift overflow, so the sign bit (b=0,
+    # shift 63) contributes Long.MIN_VALUE directly — same two's
+    # complement value Spark's shiftleft wraps to.
+    val_terms = " + ".join(
+        (
+            f"(CASE WHEN s{b} > 0 THEN (-9223372036854775807 - 1) "
+            "ELSE 0::BIGINT END)"
+            if b == 0
+            else f"(CASE WHEN s{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END "
+            f"<< {63 - b})"
+        )
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h
+        FROM {table}
+    ),
+    agg AS (SELECT doc_id, {', '.join(terms)} FROM toks GROUP BY doc_id)
+    SELECT doc_id, ({val_terms}) AS simhash FROM agg
+    """
+
+
+def simhash_pairs(
+    df: DataFrame, content_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole candidate generation: split the 64-bit hash into 4
+    16-bit chunks; distance ≤ 3 ⇒ at least one chunk matches exactly,
+    so candidates come from 4 equi-joins on (chunk_idx, chunk_value) —
+    never a cross join. Verification is xor + bit_count.
+    """
+    sims = simhash64(df, content_col)
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "ci", "cv",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "ci", "cv",
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents", max_hamming: int = 3
+) -> str:
+    sims = simhash_oracle_sql(table)
+    return f"""
+    WITH sims AS ({sims}),
+    chunks AS (
+        SELECT doc_id, simhash, ci,
+               (simhash >> (16 * ci)) & 65535 AS cv
+        FROM sims, (SELECT unnest([0, 1, 2, 3]) AS ci)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM chunks a JOIN chunks b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """

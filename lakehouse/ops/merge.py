@@ -100,20 +100,34 @@ def merge_into(
         )
 
     # --- file-level pruning: which target files can contain source keys? -----
+    # Range comparison must happen in the key's NATIVE type: stats are
+    # shipped as strings (schema-stable broadcast table) and cast back,
+    # otherwise numeric keys compare lexicographically ("9" > "10") and
+    # pruning silently drops files that must be rewritten.
+    key_type = schema[key].dataType
     live = table.plan().files
     ranged = []
     for e in live:
         st = e.stats.get(key) or {}
-        ranged.append((e.file_path, st.get("min"), st.get("max")))
+        lo, hi = st.get("min"), st.get("max")
+        ranged.append(
+            (
+                e.file_path,
+                None if lo is None else str(lo),
+                None if hi is None else str(hi),
+            )
+        )
     files_df = spark.createDataFrame(
-        ranged, f"file_path string, kmin string, kmax string"
+        ranged, "file_path string, kmin string, kmax string"
     )
+    lo_t = F.col("kmin").cast(key_type)
+    hi_t = F.col("kmax").cast(key_type)
     touched_rows = (
-        src.select(F.col(key).cast("string").alias("__k"))
+        src.select(F.col(key).alias("__k"))
         .join(
             F.broadcast(files_df),
             (F.col("kmin").isNull())
-            | ((F.col("__k") >= F.col("kmin")) & (F.col("__k") <= F.col("kmax"))),
+            | ((F.col("__k") >= lo_t) & (F.col("__k") <= hi_t)),
             "inner",
         )
         .select("file_path")

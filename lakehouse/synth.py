@@ -138,12 +138,14 @@ def synth_clips_df(
     spark: SparkSession,
     n: int,
     *,
+    start: int = 0,
     seed: int = 42,
     n_days: int = 8,
     num_partitions: Optional[int] = None,
     codec: str = "pcm16",
 ) -> DataFrame:
-    """Distributed generator: executors synthesize their own slice."""
+    """Distributed generator: executors synthesize their own slice of
+    clip indices [start, start+n)."""
     parts = num_partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,6 +154,6 @@ def synth_clips_df(
                 yield synth_clips_pdf(pdf["id"].to_numpy(), seed, n_days, codec)
 
     return (
-        spark.range(0, n, numPartitions=parts)
+        spark.range(start, start + n, numPartitions=parts)
         .mapInPandas(gen, CLIPS_SCHEMA)
     )

@@ -201,6 +201,7 @@ class Table:
         *,
         target_file_count: Optional[int] = None,
         new_schema: Optional[T.StructType] = None,
+        extra_summary: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
         """ACID append: write partitioned Parquet + commit a new snapshot.
 
@@ -228,7 +229,8 @@ class Table:
             target_file_count=target_file_count,
         )
         return self._commit_files(
-            "append", entries, (), new_schema=new_schema
+            "append", entries, (), new_schema=new_schema,
+            summary=extra_summary,
         )
 
     # --- read path ------------------------------------------------------------

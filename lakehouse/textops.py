@@ -1,0 +1,203 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs in any hot path — so the expressions stay inside
+whole-stage codegen and are portable to a SQL oracle (DuckDB) for the
+driver's correctness gate. The reference repo has no text ops; these are
+the training-pipeline extensions the target engine adds on top of the
+reference's ingest surface (SURVEY.md §2, "beyond the reference").
+
+Scale notes (100 TB): every operator is a narrow per-row projection or
+an explode→groupBy whose shuffle key is (doc_id) — partial aggregation
+applies, no skew (doc_id is unique), and all string work is codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic language
+# identifier. Deterministic and mirrored verbatim in the SQL oracle.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast", "row"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "que", "de", "los"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+STOPWORDS: tuple[str, ...] = ("a", "the", "value", "key", "row")
+
+# BPE-ish tokenizer: runs of lowercase letters, runs of digits, or a
+# single non-alphanumeric non-space symbol. Same regex in the oracle.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (the corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_regex(text: Column) -> Column:
+    return F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: lengths, token stats, stopword and
+    distinct-token ratios, plus a blended quality score. All ratios are
+    rounded to 4 decimals so a double-precision SQL oracle hashes
+    identically."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_len = (F.length(t) - (n_tok - 1)) / n_tok  # chars excluding separators
+    stop_ratio = n_stop / n_tok
+    distinct_ratio = n_distinct / n_tok
+    # integer-points score (0..1000-ish): floor'd rationals are exactly
+    # reproducible across engines, unlike a 3-term float blend whose
+    # last-ulp can flip a round(., 4)
+    score_pts = (
+        F.least(n_tok, F.lit(64)) * 5
+        + F.floor(n_distinct * 400.0 / n_tok)
+        - F.floor(n_stop * 100.0 / n_tok)
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        score_pts.alias("quality_pts"),
+    )
+
+
+def quality_oracle_sql(table: str = "documents") -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round((length(text) - (len(string_split(text,' ')) - 1))
+                 * 1.0 / len(string_split(text,' ')), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text,' '),
+                                 w -> list_contains([{stop}], w)))
+                 * 1.0 / len(string_split(text,' ')), 4) AS stop_ratio,
+           round(len(list_distinct(string_split(text,' ')))
+                 * 1.0 / len(string_split(text,' ')), 4) AS distinct_ratio,
+           (least(len(string_split(text,' ')), 64) * 5
+            + CAST(floor(len(list_distinct(string_split(text,' '))) * 400.0
+                         / len(string_split(text,' '))) AS BIGINT)
+            - CAST(floor(len(list_filter(string_split(text,' '),
+                                         w -> list_contains([{stop}], w)))
+                         * 100.0
+                         / len(string_split(text,' '))) AS BIGINT))
+               AS quality_pts
+    FROM {table}
+    """
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = |profile ∩ tokens| per language,
+    predict the arg-max with alphabetical tie-break. On the synthetic
+    corpus every language shares one vocabulary, so the interesting
+    property is determinism, which the oracle cross-checks."""
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+                )
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_PROFILES)
+    ]
+    # arg-max with alphabetical tie-break: sort desc by score, asc by
+    # lang; array_sort on struct sorts ascending field-by-field, so
+    # negate the score.
+    neg = [
+        F.struct(
+            (-s.getField("score")).alias("nscore"), s.getField("lang").alias("lang")
+        )
+        for s in scores
+    ]
+    best = F.array_sort(F.array(*neg)).getItem(0)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.getField("lang").alias("pred_lang"),
+        (-best.getField("nscore")).alias("pred_score"),
+    )
+
+
+def lang_id_oracle_sql(table: str = "documents") -> str:
+    # DuckDB struct literal: {'nscore': ..., 'lang': ...}; list_sort sorts
+    # structs field-by-field ascending, same as Spark's array_sort.
+    items = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        items.append(
+            "{'nscore': -len(list_intersect(list_distinct(string_split(text,' ')),"
+            f" [{words}])), 'lang': '{lang}'}}"
+        )
+    arr = "[" + ", ".join(items) + "]"
+    return f"""
+    SELECT doc_id,
+           lang AS labeled_lang,
+           list_sort({arr})[1].lang AS pred_lang,
+           -list_sort({arr})[1].nscore AS pred_score
+    FROM {table}
+    """
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Rolling-window document fingerprint: the minimum md5 over all
+    character k-grams (a 1-min MinHash / winnowing-lite). Identical
+    fingerprint ⇒ near-certain shared k-gram; used for fast prefilter
+    dedup at scale. md5 is bit-identical across Spark and DuckDB."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(t) - k),
+        lambda i: t.substr(i + 1, F.lit(k)),
+    )
+    fp = F.array_min(F.transform(grams, F.md5))
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_fingerprint_oracle_sql(table: str = "documents", k: int = 8) -> str:
+    return f"""
+    SELECT doc_id,
+           list_min([md5(text[i+1 : i+{k}])
+                     for i in range(0, length(text) - {k} + 1)]) AS fingerprint
+    FROM {table}
+    """
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex)."""
+    return df.select(
+        "doc_id",
+        token_count_ws(F.col(text_col)).alias("n_ws_tokens"),
+        token_count_regex(F.col(text_col)).alias("n_regex_tokens"),
+    )
+
+
+def token_stats_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens
+    FROM {table}
+    """
