@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR   parquet dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N]     (default 32)
+    SPARK_GRAFT_BENCH_CLIPS  clips table size (default 8000 — FIXED
+        across parallelism levels so local[8] vs local[32] timings give
+        the north rule's two-cluster-size scaling efficiency)
+
+Headline = the north-rule maintenance suite on a deterministic synthetic
+audio clips table: synth+append (many small files) → bin-packing compact
+→ Z-order cluster → 10% MERGE with a hot key range → pruned scan →
+expire+GC. Extras: representative analytics/dedup/similarity queries
+from __spark_entry__ at the same scale factor.
+
+Derived metrics reported alongside: clips/s and GB/s through
+compact+cluster (the BASELINE.md target), with bytes measured from the
+table's own manifest stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "8000"))
+APPENDS = 8
+# keep generated files ~4-5 MB regardless of N_CLIPS so compaction always
+# has genuinely small files to pack (a 70 KB/clip payload → ~60 clips/MB)
+FILES_PER_APPEND = max(8, N_CLIPS // 1000)
+# Rewrite target sized so the job fans out to ≳4N tasks at bench scale —
+# the local[N] stand-in for a real cluster's task/core ratio (in prod
+# this is 128-512 MB; here the table is ~0.6 GB so 16 MB targets give
+# ~36 parallel rewrite tasks). FIXED across parallelism levels so
+# local[8] vs local[32] measures scaling, not different plans.
+TARGET_MB = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET_MB", "16"))
+
+
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.session import build_session
+    from lakehouse.synth import synth_clips_df
+
+    spark = build_session(
+        "lakehouse-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Optional codec override for the scaling study: at sandbox scale
+    # (~1 GB, page-cached, lz4) the rewrites have almost no CPU work per
+    # byte, so wall time is noise-dominated; zstd restores a prod-like
+    # CPU cost per byte and makes parallel efficiency measurable.
+    codec = os.environ.get("SPARK_GRAFT_BENCH_CODEC")
+    if codec:
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    work = tempfile.mkdtemp(prefix="lh_bench_")
+    root = os.path.join(work, "clips")
+    try:
+        # --- maintenance suite (north rule) ------------------------------
+        t = Table.create(
+            spark,
+            root,
+            CLIPS_SCHEMA,
+            partition_spec=[
+                {
+                    "name": "event_date",
+                    "transform": "identity",
+                    "source": "event_date",
+                }
+            ],
+        )
+        per = N_CLIPS // APPENDS
+
+        def synth_append():
+            files_per_day = max(1, FILES_PER_APPEND // 8)
+            for i in range(APPENDS):
+                t.append(
+                    synth_clips_df(
+                        spark, per, start=i * per, seed=42, n_days=8,
+                        num_partitions=CPUS,
+                    ),
+                    target_file_count=FILES_PER_APPEND,
+                    files_per_partition=files_per_day,
+                )
+
+        timed("synth_append", synth_append)
+        table_bytes = sum(e.file_size_bytes for e in t.live_files())
+        files_before = len(t.live_files())
+
+        timed(
+            "compact",
+            lambda: t.compact(
+                target_file_size=TARGET_MB * 1024 * 1024,
+                max_concurrency=CPUS,
+            ),
+        )
+        timed(
+            "cluster_zorder",
+            lambda: t.cluster(
+                ["clip_id", "ingest_ts"],
+                curve="zorder",
+                target_file_size=TARGET_MB * 1024 * 1024,
+                max_concurrency=CPUS,
+            ),
+        )
+
+        def scan_pruned():
+            return (
+                t.scan(
+                    filter=[("clip_id", ">=", "hot-"), ("clip_id", "<", "hot-~")]
+                )
+                .agg(F.count(F.lit(1)), F.sum("dur_ms"))
+                .collect()
+            )
+
+        timed("scan_pruned", scan_pruned)
+
+        def merge_10pct():
+            src = (
+                t.scan()
+                .filter(F.xxhash64("clip_id") % 10 == 0)
+                .withColumn(
+                    "transcript", F.concat(F.col("transcript"), F.lit(" [v2]"))
+                )
+            )
+            t.merge(src, key="clip_id")
+
+        timed("merge_10pct", merge_10pct)
+
+        def expire_gc():
+            t.expire_snapshots(keep_last=1)
+            t.remove_orphan_files(
+                older_than_ms=int(time.time() * 1000) + 60_000
+            )
+
+        timed("expire_gc", expire_gc)
+
+        maint_secs = timings["compact"] + timings["cluster_zorder"]
+        clips_per_sec = round(N_CLIPS / maint_secs, 1)
+        gb_per_sec = round(table_bytes * 2 / maint_secs / 1e9, 3)
+
+        # --- headline queries at SF_DIR ----------------------------------
+        skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        for name in () if skip_queries else (
+            "events_json_pipeline",
+            "hourly_rollup",
+            "q1_pricing_summary",
+            "segment_revenue",
+            "window_top_purchase",
+            "dedup_minhash_lsh",
+            "simhash64",
+            "text_quality",
+            "cosine_topk",
+        ):
+            timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "maintenance_suite_plus_headline_queries",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": _sf(SF_DIR),
+                    "cpus": CPUS,
+                    "bench_clips": N_CLIPS,
+                    "table_gb": round(table_bytes / 1e9, 3),
+                    "files_before_compact": files_before,
+                    "compact_zorder_clips_per_sec": clips_per_sec,
+                    "compact_zorder_gb_per_sec": gb_per_sec,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,15 +129,22 @@ def write_data_files(
     df: DataFrame,
     *,
     target_file_count: Optional[int] = None,
+    files_per_partition: Optional[int] = None,
     sort_order: str = "",
     stat_columns: Optional[Sequence[str]] = None,
     job_dir: Optional[str] = None,
 ) -> list[DataFileEntry]:
     """Write ``df`` as committed-later data files; returns manifest entries.
 
-    ``target_file_count``: shuffle-repartition before the write (round-robin
-    within partition keys) to bound output file count; ``None`` keeps the
-    incoming partitioning (no shuffle — streaming append path).
+    ``target_file_count``: shuffle-repartition before the write to bound
+    output file count — capped at one file per partition value (rows of a
+    value co-locate in one task). ``files_per_partition``: additionally
+    SPLIT each partition value into N files via a salt that rides as an
+    extra directory level (``__salt=k``) — this is how oversized
+    partitions (one hot day ≫ target file size) get bounded files; the
+    salt dir is opaque to readers, which always get explicit file lists.
+    ``None``/``None`` keeps the incoming partitioning (no shuffle — the
+    streaming append path).
     """
     from pyspark.sql import types as T
 
@@ -145,18 +152,37 @@ def write_data_files(
     out = conform(df, schema)
     out, part_cols = with_partition_columns(out, spec)
 
-    if target_file_count is not None:
-        if part_cols:
-            from pyspark.sql import functions as F
+    salt_col = None
+    if files_per_partition and files_per_partition > 1 and part_cols:
+        from pyspark.sql import functions as F
 
-            out = out.repartition(target_file_count, *[F.col(c) for c in part_cols])
+        salt_col = "__salt"
+        out = out.withColumn(
+            salt_col,
+            F.pmod(
+                F.xxhash64(F.col(out.columns[0]).cast("string")),
+                F.lit(files_per_partition),
+            ),
+        )
+
+    if target_file_count is not None or salt_col:
+        from pyspark.sql import functions as F
+
+        keys = [F.col(c) for c in part_cols]
+        if salt_col:
+            keys.append(F.col(salt_col))
+        n = target_file_count or 1
+        if salt_col:
+            n = max(n, files_per_partition)
+        if keys:
+            out = out.repartition(n, *keys)
         else:
-            out = out.repartition(target_file_count)
+            out = out.repartition(n)
 
     job_rel = job_dir or f"data/job-{uuid.uuid4().hex}"
     writer = out.write.mode("error").format("parquet")
     if part_cols:
-        writer = writer.partitionBy(*part_cols)
+        writer = writer.partitionBy(*(part_cols + ([salt_col] if salt_col else [])))
     writer.save(os.path.join(table_root, job_rel))
 
     files = list_job_files(table_root, job_rel, spec)

@@ -165,21 +165,65 @@ def cluster(
         n_out = max(1, round(bytes_in / target_file_size))
         paths = [os.path.join(table.root, p) for p in files_in]
         out_rel_dir = f"{job_data_rel}/{key}"
-        (
+        wide = (
             spark.read.schema(schema)
             .parquet(*paths)
             .withColumn(ZKEY_COL, zkey_udf(*[F.col(c) for c in columns]))
-            .repartitionByRange(n_out, F.col(ZKEY_COL))
-            .sortWithinPartitions(ZKEY_COL)
-            .write.mode("overwrite")
-            .parquet(os.path.join(table.root, out_rel_dir))
         )
+        if n_out > 1:
+            # Two-phase range placement. repartitionByRange would sample
+            # by EXECUTING THE CHILD TWICE — for audio rows that means
+            # reading every binary payload and running the key UDF twice.
+            # Instead: (A) a narrow pass over just the cluster columns
+            # (Parquet column pruning skips the bytes entirely) gets the
+            # zkey quantile cuts; (B) one wide pass assigns each row its
+            # range bucket with a codegen'd comparison chain, and
+            # ``write.partitionBy(bucket)`` splits files per bucket, so
+            # each output file covers one tight zkey range regardless of
+            # which task wrote it (hash collisions cost balance, never
+            # range purity).
+            narrow = (
+                spark.read.schema(schema)
+                .parquet(*paths)
+                .select(*columns)
+                .withColumn(
+                    ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+                )
+            )
+            cuts = narrow.approxQuantile(
+                ZKEY_COL,
+                [i / n_out for i in range(1, n_out)],
+                0.01,
+            )
+            cuts = sorted({int(c) for c in cuts})
+            bucket = F.lit(0)
+            for c in cuts:
+                bucket = bucket + (F.col(ZKEY_COL) > F.lit(c)).cast("int")
+            (
+                wide.withColumn("__bucket", bucket)
+                .repartition(len(cuts) + 1, F.col("__bucket"))
+                .sortWithinPartitions("__bucket", ZKEY_COL)
+                .write.partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(table.root, out_rel_dir))
+            )
+        else:
+            (
+                wide.coalesce(1)
+                .sortWithinPartitions(ZKEY_COL)
+                .write.mode("overwrite")
+                .parquet(os.path.join(table.root, out_rel_dir))
+            )
         base = os.path.join(table.root, out_rel_dir)
-        out_files = [
-            (f"{out_rel_dir}/{n}", members[0].partition)
-            for n in sorted(os.listdir(base))
-            if n.endswith(".parquet")
-        ]
+        out_files = []
+        for dirpath, _dn, fns in os.walk(base):
+            for n in sorted(fns):
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, n), table.root
+                    )
+                    out_files.append((rel, members[0].partition))
+        out_files.sort()
         entries = harvest_stats(
             spark,
             table.root,

@@ -51,6 +51,42 @@ def append_batch(table, *, target_file_count: Optional[int] = None):
     return _inner
 
 
+def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) split on vectorized audio validation.
+
+    The engine-side form of the reference's ingest validation (E2:
+    invalid JSON → 400 reject, missing field → warn,
+    /root/reference/etl/handlers/click_handler.py:140-147,157-158):
+    rows whose audio bytes fail batch decode, or whose declared
+    ``sr_hz`` contradicts the decoded header, go to a quarantine
+    DataFrame (with a ``reject_reason``) instead of the table.
+    """
+    from .audio import audio_info
+
+    checked = df.withColumn("__a", audio_info(F.col("bytes")))
+    bad_decode = ~F.coalesce(F.col("__a.ok"), F.lit(False))
+    sr_mismatch = F.col("__a.sr_hz") != F.col("sr_hz")
+    reason = (
+        F.when(bad_decode, F.coalesce(F.col("__a.error"), F.lit("decode failed")))
+        .when(sr_mismatch, F.lit("sr_hz mismatch vs decoded header"))
+        .otherwise(F.lit(None))
+    )
+    flagged = checked.withColumn("reject_reason", reason).drop("__a")
+    valid = flagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    quarantine = flagged.filter(F.col("reject_reason").isNotNull())
+    return valid, quarantine
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """Ingest enrichment (E1): add ``ingest_ts`` + ``request_id``, the
+    two fields the reference's Lambda stamps on every event
+    (/root/reference/etl/handlers/click_handler.py:150-154)."""
+    out = df
+    if "ingest_ts" not in df.columns:
+        out = out.withColumn("ingest_ts", F.current_timestamp())
+    return out.withColumn("request_id", F.expr("uuid()"))
+
+
 def rate_to_clips(stream_df: DataFrame, *, seed: int = 42, n_days: int = 8):
     """Map a rate-source stream (value: long) to synthetic clip rows —
     the stand-in for the reference's Kinesis JSON payloads, built with

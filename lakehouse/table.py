@@ -200,6 +200,7 @@ class Table:
         df: DataFrame,
         *,
         target_file_count: Optional[int] = None,
+        files_per_partition: Optional[int] = None,
         new_schema: Optional[T.StructType] = None,
         extra_summary: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
@@ -227,6 +228,7 @@ class Table:
             meta.partition_spec,
             df,
             target_file_count=target_file_count,
+            files_per_partition=files_per_partition,
         )
         return self._commit_files(
             "append", entries, (), new_schema=new_schema,
@@ -304,3 +306,33 @@ class Table:
         from .ops.rewrite_manifests import rewrite_manifests as _rw
 
         return _rw(self, **kw)
+
+    def verify(self, snapshot_id: Optional[int] = None) -> dict[str, Any]:
+        """Manifest-vs-filesystem consistency check (the engine-side
+        form of the reference's post-write S3 output verification,
+        /root/reference/etl/glue_stream.py:357-372): every live data
+        file must exist with the byte size its manifest recorded.
+        Returns a report; raises nothing — callers decide severity."""
+        missing: list[str] = []
+        size_drift: list[dict[str, Any]] = []
+        files = self.live_files(snapshot_id)
+        for e in files:
+            p = os.path.join(self.root, e.file_path)
+            if not os.path.exists(p):
+                missing.append(e.file_path)
+                continue
+            actual = os.path.getsize(p)
+            if actual != e.file_size_bytes:
+                size_drift.append(
+                    {
+                        "file": e.file_path,
+                        "manifest_bytes": e.file_size_bytes,
+                        "actual_bytes": actual,
+                    }
+                )
+        return {
+            "files_checked": len(files),
+            "missing": missing,
+            "size_drift": size_drift,
+            "consistent": not missing and not size_drift,
+        }

@@ -230,14 +230,15 @@ def _merge_source(spark, *, updates, inserts, deletes, seed=777):
     return spark.createDataFrame(src, schema=schema)
 
 
-def test_merge_matrix(spark, table_root):
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_merge_matrix(spark, table_root, strategy):
     t = make_small_file_table(spark, table_root, rows=100, appends=2)
     updates = range(0, 20)
     inserts = range(1000, 1015)
     deletes = range(20, 30)
     src = _merge_source(spark, updates=updates, inserts=inserts, deletes=deletes)
 
-    res = t.merge(src, key="clip_id")
+    res = t.merge(src, key="clip_id", strategy=strategy)
     assert res.snapshot_id is not None
 
     got = {

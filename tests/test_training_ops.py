@@ -1,0 +1,181 @@
+"""Training-data ops: Spark result == DuckDB oracle on the same parquet.
+
+This mirrors the driver's correctness gate (tools/check_entry.py) for
+the dedup / text-analysis / similarity modules at the smallest scale
+factor, so a parity regression fails fast in pytest rather than at
+driver verify time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(
+            ("%r" % (r[i],)) if isinstance(r[i], float) else str(r[i])
+            for i in order
+        )
+        for r in rows
+    )
+
+
+def assert_matches_oracle(spark_df, oracle_con, sql):
+    rows = [tuple(r) for r in spark_df.collect()]
+    res = oracle_con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(spark_df.columns) == sorted(ocols)
+    assert len(rows) == len(orows)
+    assert _norm(rows, spark_df.columns) == _norm(orows, ocols)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_dedup_exact(spark, oracle):
+    from lakehouse.dedup import dedup_exact, dedup_exact_oracle_sql
+
+    assert_matches_oracle(
+        dedup_exact(_docs(spark)), oracle, dedup_exact_oracle_sql()
+    )
+
+
+def test_ngram_jaccard(spark, oracle):
+    from lakehouse.dedup import ngram_jaccard_oracle_sql, ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.1)
+    assert_matches_oracle(
+        df, oracle, ngram_jaccard_oracle_sql(k=3, threshold=0.1)
+    )
+
+
+def test_minhash_lsh(spark, oracle):
+    from lakehouse.dedup import minhash_lsh_oracle_sql, minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        _docs(spark), k=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    assert_matches_oracle(
+        df,
+        oracle,
+        minhash_lsh_oracle_sql(k=3, num_hashes=16, bands=8, threshold=0.05),
+    )
+
+
+def test_simhash_and_pairs(spark, oracle):
+    from lakehouse.dedup import (
+        simhash64,
+        simhash_oracle_sql,
+        simhash_pairs,
+        simhash_pairs_oracle_sql,
+    )
+
+    assert_matches_oracle(simhash64(_docs(spark)), oracle, simhash_oracle_sql())
+    assert_matches_oracle(
+        simhash_pairs(_docs(spark), max_hamming=2),
+        oracle,
+        simhash_pairs_oracle_sql(max_hamming=2),
+    )
+
+
+def test_text_quality_langid_tokens_fingerprint(spark, oracle):
+    from lakehouse.textops import (
+        doc_fingerprint,
+        doc_fingerprint_oracle_sql,
+        lang_id,
+        lang_id_oracle_sql,
+        quality_features,
+        quality_oracle_sql,
+        token_stats,
+        token_stats_oracle_sql,
+    )
+
+    d = _docs(spark)
+    assert_matches_oracle(quality_features(d), oracle, quality_oracle_sql())
+    assert_matches_oracle(lang_id(d), oracle, lang_id_oracle_sql())
+    assert_matches_oracle(token_stats(d), oracle, token_stats_oracle_sql())
+    assert_matches_oracle(
+        doc_fingerprint(d, k=8), oracle, doc_fingerprint_oracle_sql(k=8)
+    )
+
+
+def test_cosine_topk_and_ann(spark, oracle):
+    from lakehouse.similarity import (
+        ann_lsh_oracle_sql,
+        ann_lsh_topk,
+        cosine_topk,
+        cosine_topk_oracle_sql,
+    )
+
+    ids = list(range(5))
+    assert_matches_oracle(
+        cosine_topk(_embs(spark), ids, k=3),
+        oracle,
+        cosine_topk_oracle_sql(ids, k=3),
+    )
+    assert_matches_oracle(
+        ann_lsh_topk(_embs(spark), ids, k=3, n_bits=4),
+        oracle,
+        ann_lsh_oracle_sql(ids, k=3, n_bits=4),
+    )
+
+
+def test_embedding_near_dup(spark, oracle):
+    from lakehouse.similarity import (
+        embedding_near_dup_oracle_sql,
+        embedding_near_dup_pairs,
+    )
+
+    assert_matches_oracle(
+        embedding_near_dup_pairs(_embs(spark), threshold=0.4, n_bits=4),
+        oracle,
+        embedding_near_dup_oracle_sql(threshold=0.4, n_bits=4),
+    )
+
+
+def test_ann_recall_vs_exact(spark):
+    """Sign-LSH ANN is approximate: its hits must be a subset of the
+    corpus and its top-1 similarity ≤ the exact top-1 (sanity, not
+    parity)."""
+    from lakehouse.similarity import ann_lsh_topk, cosine_topk
+
+    ids = [0, 1, 2]
+    exact = {
+        (r.query_id, r.rank): r.cosine
+        for r in cosine_topk(_embs(spark), ids, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.cosine
+        for r in ann_lsh_topk(_embs(spark), ids, k=1, n_bits=4).collect()
+    }
+    for key, cos in approx.items():
+        assert cos <= exact[key] + 1e-9
