@@ -114,18 +114,27 @@ def matches_partition(pred: Predicate, partition: Mapping[str, Any]) -> bool:
         return pv is not None
     if pv is None:
         return False
+    # lazy if-chain, NOT an eagerly-built dict: evaluating the "in" arm
+    # for a scalar predicate value raises TypeError, which the
+    # conservative fallback would turn into "never prune"
     try:
-        return {
-            "=": pv == v,
-            "!=": pv != v,
-            "<": pv < v,
-            "<=": pv <= v,
-            ">": pv > v,
-            ">=": pv >= v,
-            "in": pv in [_cmp_key(x) for x in (pred.value or [])],
-        }[pred.op]
+        if pred.op == "=":
+            return pv == v
+        if pred.op == "!=":
+            return pv != v
+        if pred.op == "<":
+            return pv < v
+        if pred.op == "<=":
+            return pv <= v
+        if pred.op == ">":
+            return pv > v
+        if pred.op == ">=":
+            return pv >= v
+        if pred.op == "in":
+            return pv in [_cmp_key(x) for x in (pred.value or [])]
     except TypeError:
         return True
+    return True
 
 
 def _sql_literal(value: Any) -> str:

@@ -1,24 +1,32 @@
 """Z-order / Hilbert clustering rewrite (the OPTIMIZE ZORDER counterpart).
 
-Pipeline per partition (partitions run as concurrent mini-jobs, same
-scheduling model as compaction):
+Exactly TWO Spark jobs for the whole table, regardless of partition
+count — parallelism comes from Spark tasks, never from driver threads
+(an earlier per-partition mini-job design serialized on the Python
+driver and got SLOWER with more cores):
 
 1. normalization bounds for each cluster column come from **manifest
    stats aggregation** — zero data passes over the table;
-2. read the partition's live files, compute the 64-bit curve key in one
-   vectorized pandas UDF (Arrow batch → numpy interleave, curves.py);
-3. ``repartitionByRange(n_out, zkey)`` — Spark samples the key to build
-   balanced range bounds (this shuffle *is* the clustering; skewed key
-   densities get balanced by the sampler) — then
-   ``sortWithinPartitions(zkey)`` so row groups inside each file are
-   key-local too;
-4. write one job-scoped Parquet set; the ``zkey`` column is persisted as
-   a *hidden physical* column: scans project the declared table schema
-   only (extra parquet columns are invisible), while stats harvest picks
-   up per-file zkey ranges for free, giving lineage metrics and
-   curve-range pruning;
+2. **narrow job**: read ONLY the cluster + partition-source columns
+   (Parquet column pruning skips the audio payload), compute the 64-bit
+   curve key in one vectorized pandas UDF (Arrow batch → numpy
+   interleave, curves.py), and take per-partition ``percentile_approx``
+   quantiles of the key in a single groupBy;
+3. **wide job**: read everything once, recompute the key, broadcast-join
+   each row to its partition's quantile cuts, assign a range bucket with
+   a codegen'd fold, hash-repartition on (partition, bucket), sort
+   within partitions by (partition, bucket, zkey), and write with
+   ``partitionBy(partition_cols, __bucket)`` — the writer splits one
+   file per bucket, so every output file covers one tight zkey range
+   regardless of task placement;
+4. the ``zkey`` column is persisted as a *hidden physical* column:
+   scans project the declared table schema only, while stats harvest
+   picks up per-file zkey ranges for free (lineage metrics +
+   curve-range pruning);
 5. one REPLACE commit; per-file min/max of the cluster columns are now
    tight, so range scans on them prune files (the effectiveness gate).
+   Lineage records one task per partition value (files-in/out, bytes,
+   zkey range) reconstructed from the output layout.
 """
 
 from __future__ import annotations
@@ -139,121 +147,164 @@ def cluster(
         log.finish_job({"partitions": 0})
         return ClusterResult(log.job_id, None, 0, 0, 0, 0)
 
+    meta = table.meta
+    spec = meta.partition_spec
     bounds = _column_bounds(live, columns)
     zkey_udf = _make_zkey_udf(columns, col_types, bounds, curve)
 
+    def pk_of(partition: dict) -> str:
+        return "\x01".join(str(partition.get(f["name"])) for f in spec)
+
     by_partition: dict[str, list[DataFileEntry]] = {}
     for e in live:
-        by_partition.setdefault(
-            str(sorted(e.partition.items())), []
-        ).append(e)
+        by_partition.setdefault(pk_of(e.partition), []).append(e)
+    n_out_by_pk = {
+        pk: max(
+            1,
+            round(sum(e.file_size_bytes for e in members) / target_file_size),
+        )
+        for pk, members in by_partition.items()
+    }
 
+    import hashlib
+
+    def task_key(pk: str) -> str:
+        return "part-" + hashlib.sha1(pk.encode()).hexdigest()[:16]
+
+    sort_order = f"{curve}({','.join(columns)})"
     existing = log.done_tasks()
     job_data_rel = f"data/{log.job_id}"
+    all_paths = [os.path.join(table.root, e.file_path) for e in live]
 
-    def run_partition(item) -> tuple[list[str], list[DataFileEntry], list]:
-        import hashlib
+    if {task_key(pk) for pk in by_partition} <= set(existing):
+        # coarse resume: the whole rewrite finished, only the commit is
+        # missing — reuse every task's recorded outputs
+        entries_by_pk = {
+            pk: existing[task_key(pk)].out_entries() for pk in by_partition
+        }
+    else:
+        from ..partitioning import with_partition_columns
 
-        pkey, members = item
-        key = "part-" + hashlib.sha1(pkey.encode()).hexdigest()[:16]
-        files_in = [e.file_path for e in members]
-        bytes_in = sum(e.file_size_bytes for e in members)
-        if key in existing:
-            rec = existing[key]
-            return rec.files_in, rec.out_entries(), rec.zkey_range
-        log.start_task(key, files_in, bytes_in)
-        n_out = max(1, round(bytes_in / target_file_size))
-        paths = [os.path.join(table.root, p) for p in files_in]
-        out_rel_dir = f"{job_data_rel}/{key}"
-        wide = (
-            spark.read.schema(schema)
-            .parquet(*paths)
-            .withColumn(ZKEY_COL, zkey_udf(*[F.col(c) for c in columns]))
-        )
-        if n_out > 1:
-            # Two-phase range placement. repartitionByRange would sample
-            # by EXECUTING THE CHILD TWICE — for audio rows that means
-            # reading every binary payload and running the key UDF twice.
-            # Instead: (A) a narrow pass over just the cluster columns
-            # (Parquet column pruning skips the bytes entirely) gets the
-            # zkey quantile cuts; (B) one wide pass assigns each row its
-            # range bucket with a codegen'd comparison chain, and
-            # ``write.partitionBy(bucket)`` splits files per bucket, so
-            # each output file covers one tight zkey range regardless of
-            # which task wrote it (hash collisions cost balance, never
-            # range purity).
-            narrow = (
-                spark.read.schema(schema)
-                .parquet(*paths)
-                .select(*columns)
-                .withColumn(
-                    ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+        GRID = 64
+        base = spark.read.schema(schema).parquet(*all_paths)
+
+        def with_pk(df):
+            df, part_cols = with_partition_columns(df, spec)
+            if part_cols:
+                pk = F.concat_ws(
+                    "\x01", *[F.col(c).cast("string") for c in part_cols]
                 )
+            else:
+                pk = F.lit("")
+            return df.withColumn("__pk", pk), part_cols
+
+        # --- narrow job: per-partition quantile grid of the curve key ----
+        narrow_cols = list(
+            dict.fromkeys(list(columns) + [f["source"] for f in spec])
+        )
+        narrow, _ = with_pk(base.select(*narrow_cols))
+        narrow = narrow.withColumn(
+            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+        )
+        probs = [j / GRID for j in range(1, GRID)]
+        qrows = (
+            narrow.groupBy("__pk")
+            .agg(F.percentile_approx(ZKEY_COL, probs, 10000).alias("__qs"))
+            .collect()
+        )
+        grid_by_pk = {r["__pk"]: [int(q) for q in (r["__qs"] or [])] for r in qrows}
+        cuts_by_pk = {}
+        for pk, n_out in n_out_by_pk.items():
+            grid = grid_by_pk.get(pk) or []
+            cuts = set()
+            for j in range(1, n_out):
+                idx = min(len(grid) - 1, max(0, j * GRID // n_out - 1))
+                if grid:
+                    cuts.add(grid[idx])
+            cuts_by_pk[pk] = sorted(cuts)
+        total_buckets = sum(len(c) + 1 for c in cuts_by_pk.values())
+        cuts_df = spark.createDataFrame(
+            [(pk, cuts) for pk, cuts in cuts_by_pk.items()],
+            "__pk string, __cuts array<bigint>",
+        )
+
+        # --- wide job: bucket assignment + partition/bucket-split write --
+        wide, part_cols = with_pk(base)
+        wide = wide.withColumn(
+            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+        ).join(F.broadcast(cuts_df), "__pk", "left")
+        bucket = F.aggregate(
+            F.coalesce(F.col("__cuts"), F.array().cast("array<bigint>")),
+            F.lit(0),
+            lambda acc, c: acc + (F.col(ZKEY_COL) > c).cast("int"),
+        )
+        out = (
+            wide.withColumn("__bucket", bucket)
+            .drop("__pk", "__cuts")
+            .repartition(
+                max(total_buckets, 1),
+                *[F.col(c) for c in part_cols],
+                F.col("__bucket"),
             )
-            cuts = narrow.approxQuantile(
-                ZKEY_COL,
-                [i / n_out for i in range(1, n_out)],
-                0.01,
-            )
-            cuts = sorted({int(c) for c in cuts})
-            bucket = F.lit(0)
-            for c in cuts:
-                bucket = bucket + (F.col(ZKEY_COL) > F.lit(c)).cast("int")
-            (
-                wide.withColumn("__bucket", bucket)
-                .repartition(len(cuts) + 1, F.col("__bucket"))
-                .sortWithinPartitions("__bucket", ZKEY_COL)
-                .write.partitionBy("__bucket")
-                .mode("overwrite")
-                .parquet(os.path.join(table.root, out_rel_dir))
-            )
+            .sortWithinPartitions(*part_cols, "__bucket", ZKEY_COL)
+        )
+        writer = out.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols, "__bucket")
         else:
-            (
-                wide.coalesce(1)
-                .sortWithinPartitions(ZKEY_COL)
-                .write.mode("overwrite")
-                .parquet(os.path.join(table.root, out_rel_dir))
+            writer = writer.partitionBy("__bucket")
+        writer.parquet(os.path.join(table.root, job_data_rel))
+
+        from ..ops.append import list_job_files
+
+        out_files = list_job_files(table.root, job_data_rel, spec)
+        all_entries = harvest_stats(
+            spark, table.root, out_files, sort_order=sort_order
+        )
+        entries_by_pk: dict[str, list[DataFileEntry]] = {}
+        for e in all_entries:
+            entries_by_pk.setdefault(pk_of(e.partition), []).append(e)
+        # per-partition lineage, reconstructed from the output layout
+        for pk, members in sorted(by_partition.items()):
+            files_in = [e.file_path for e in members]
+            bytes_in = sum(e.file_size_bytes for e in members)
+            outs = entries_by_pk.get(pk, [])
+            zvals = [
+                e.stats.get(ZKEY_COL, {})
+                for e in outs
+                if "min" in e.stats.get(ZKEY_COL, {})
+            ]
+            zr = (
+                [min(s["min"] for s in zvals), max(s["max"] for s in zvals)]
+                if zvals
+                else None
             )
-        base = os.path.join(table.root, out_rel_dir)
-        out_files = []
-        for dirpath, _dn, fns in os.walk(base):
-            for n in sorted(fns):
-                if n.endswith(".parquet"):
-                    rel = os.path.relpath(
-                        os.path.join(dirpath, n), table.root
-                    )
-                    out_files.append((rel, members[0].partition))
-        out_files.sort()
-        entries = harvest_stats(
-            spark,
-            table.root,
-            out_files,
-            sort_order=f"{curve}({','.join(columns)})",
-        )
-        zr = None
-        zstats = [e.stats.get(ZKEY_COL, {}) for e in entries]
-        zvals = [s for s in zstats if "min" in s]
-        if zvals:
-            zr = [min(s["min"] for s in zvals), max(s["max"] for s in zvals)]
-        if fault_injector is not None:
-            fault_injector(key)
-        log.finish_task(
-            key, entries, files_in=files_in, bytes_in=bytes_in, zkey_range=zr
-        )
-        return files_in, entries, zr
+            key = task_key(pk)
+            log.start_task(key, files_in, bytes_in)
+            log.finish_task(
+                key, outs, files_in=files_in, bytes_in=bytes_in, zkey_range=zr
+            )
+
+    if fault_injector is not None:
+        fault_injector("cluster")
 
     added: list[DataFileEntry] = []
     removed: list[str] = []
     zranges: dict[str, list] = {}
-    items = sorted(by_partition.items())
-    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-        for (pkey, _), (files_in, entries, zr) in zip(
-            items, pool.map(run_partition, items)
-        ):
-            removed.extend(files_in)
-            added.extend(entries)
-            if zr:
-                zranges[pkey] = zr
+    for pk, members in sorted(by_partition.items()):
+        removed.extend(e.file_path for e in members)
+        outs = entries_by_pk.get(pk, [])
+        added.extend(outs)
+        zvals = [
+            e.stats.get(ZKEY_COL, {})
+            for e in outs
+            if "min" in e.stats.get(ZKEY_COL, {})
+        ]
+        if zvals:
+            zranges[pk] = [
+                min(s["min"] for s in zvals),
+                max(s["max"] for s in zvals),
+            ]
 
     bytes_rewritten = sum(e.file_size_bytes for e in added)
     snap = table._commit_files(
