@@ -486,6 +486,142 @@ def _q_lh_audio_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# row-level DML, refs/WAP, rollback, incremental/CDC
+
+
+def _q_lh_delete(spark, sf_dir):
+    """Copy-on-write DELETE: drops error-rows for every 3rd user; the
+    post-delete scan must equal plain SQL with the negated predicate."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.delete("event_type = 'error' AND user_id % 3 = 0")
+    return _events_out(t.scan())
+
+
+def _q_lh_update(spark, sf_dir):
+    """Copy-on-write UPDATE: +1000 on purchase values (exact in FP)."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.update(
+        {"value": "value + 1000.0", "event_type": "'purchase_adj'"},
+        "event_type = 'purchase'",
+    )
+    return _events_out(t.scan())
+
+
+def _q_lh_wap_publish(spark, sf_dir):
+    """Write-audit-publish: stage odd events on an 'audit' branch (main
+    must still see only the evens), then fast-forward-publish."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_wap_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "wap"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    t.append(df.filter(F.col("event_id") % 2 == 0))
+    t.append(df.filter(F.col("event_id") % 2 == 1), branch="audit")
+    staged_hidden = t.scan().count()          # pre-publish: evens only
+    audit_total = t.scan(ref="audit").count() # branch: everything
+    assert audit_total > staged_hidden, "branch isolation broken"
+    t.fast_forward("audit", drop=True)
+    return _events_out(t.scan())
+
+
+def _q_lh_rollback(spark, sf_dir):
+    """Snapshot rollback: wipe the table with a DELETE, roll back to the
+    pre-delete snapshot — the scan must equal the raw events again."""
+    t = _events_table(spark, sf_dir, appends=2)
+    v = t.current_snapshot_id()
+    t.delete("TRUE")
+    assert t.scan().count() == 0, "wipe-delete left rows behind"
+    t.rollback(v)
+    return _events_out(t.scan())
+
+
+def _q_lh_incremental(spark, sf_dir):
+    """Incremental append-scan: only rows appended after the checkpoint
+    snapshot come back; a compaction in between is data-neutral."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_inc_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "inc"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    t.append(df.filter(F.col("event_id") % 2 == 0), target_file_count=3)
+    v0 = t.current_snapshot_id()
+    t.compact(target_file_size=64 * 1024 * 1024)  # skipped by the reader
+    t.append(df.filter(F.col("event_id") % 2 == 1))
+    return _events_out(t.incremental_scan(from_snapshot_id=v0))
+
+
+def _q_lh_cdc(spark, sf_dir):
+    """CDC row_changes across a delete + an append, tagged insert/delete.
+    Only the file-set symmetric difference is read (scale path)."""
+    t = _events_table(spark, sf_dir, appends=2)
+    v0 = t.current_snapshot_id()
+    t.delete("event_type = 'error' AND user_id % 11 = 0")
+    ev = _events(spark, sf_dir)
+    t.append(
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 9 == 0))
+        .withColumn("event_id", F.col("event_id") + 50_000_000)
+    )
+    cdc = t.row_changes(from_snapshot_id=v0)
+    return cdc.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.col("event_date").cast("string").alias("event_date_s"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+def _q_lh_files_metadata(spark, sf_dir):
+    """Metadata-table rollup: per-partition record counts from manifest
+    stats alone (no data read) must equal SQL GROUP BY over the data."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    return (
+        t.partitions_df()
+        .select(
+            F.get_json_object("partition", "$.event_date").alias("event_date_s"),
+            F.col("file_count"),
+            F.col("record_count"),
+        )
+        .orderBy("event_date_s")
+    )
+
+
+LH_CDC_ORACLE = """
+WITH ins AS (
+    SELECT event_id + 50000000 AS event_id, ts, user_id, event_type,
+           value, props, 'insert' AS change_type
+    FROM events WHERE event_type = 'signup' AND user_id % 9 = 0
+),
+dels AS (
+    SELECT event_id, ts, user_id, event_type, value, props,
+           'delete' AS change_type
+    FROM events WHERE event_type = 'error' AND user_id % 11 = 0
+)
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s, change_type
+FROM (SELECT * FROM ins UNION ALL SELECT * FROM dels)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -505,6 +641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
         "lh_expire_gc_scan_parity": _q_lh_expire_gc,
         "lh_merge_upsert": _q_lh_merge,
+        # row-level DML, refs, incremental
+        "lh_delete_cow": _q_lh_delete,
+        "lh_update_cow": _q_lh_update,
+        "lh_wap_publish": _q_lh_wap_publish,
+        "lh_rollback": _q_lh_rollback,
+        "lh_incremental_scan": _q_lh_incremental,
+        "lh_cdc_row_changes": _q_lh_cdc,
+        "lh_files_metadata": _q_lh_files_metadata,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -594,6 +738,26 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'",
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
+        "lh_delete_cow": EVENTS_OUT_SQL
+        + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
+        "lh_update_cow": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                   CASE WHEN event_type = 'purchase' THEN 'purchase_adj'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_type = 'purchase' THEN value + 1000.0
+                        ELSE value END AS value,
+                   props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+            FROM events
+        """,
+        "lh_wap_publish": EVENTS_OUT_SQL,
+        "lh_rollback": EVENTS_OUT_SQL,
+        "lh_incremental_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 1",
+        "lh_cdc_row_changes": LH_CDC_ORACLE,
+        "lh_files_metadata": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
+                   1 AS file_count, count(*) AS record_count
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(k=3, threshold=0.1),

@@ -75,11 +75,44 @@ def main() -> None:
         spark.conf.set("spark.sql.parquet.compression.codec", codec)
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
+
+    def _tree_cpu_s() -> float:
+        """CPU seconds consumed by this process + all descendants
+        (driver, JVM, pyspark daemon workers) via /proc. Contention-
+        immune evidence for the scaling study: if an op's total CPU is
+        flat across parallelism levels, the engine adds no serial work
+        and wall-clock scales with cores on an uncontended cluster."""
+        try:
+            tick = os.sysconf("SC_CLK_TCK")
+            children: dict[int, list[int]] = {}
+            cpu: dict[int, float] = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat") as f:
+                        parts = f.read().rsplit(")", 1)[1].split()
+                except OSError:
+                    continue
+                pid, ppid = int(d), int(parts[1])
+                cpu[pid] = (int(parts[11]) + int(parts[12])) / tick
+                children.setdefault(ppid, []).append(pid)
+            total, stack = 0.0, [os.getpid()]
+            while stack:
+                p = stack.pop()
+                total += cpu.get(p, 0.0)
+                stack.extend(children.get(p, []))
+            return total
+        except (OSError, ValueError, IndexError):
+            return 0.0
 
     def timed(name: str, fn):
+        c0 = _tree_cpu_s()
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        cpu_secs[name] = round(_tree_cpu_s() - c0, 3)
         return out
 
     work = tempfile.mkdtemp(prefix="lh_bench_")
@@ -194,6 +227,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "cpu_secs": cpu_secs,
                     "sf": _sf(SF_DIR),
                     "cpus": CPUS,
                     "bench_clips": N_CLIPS,

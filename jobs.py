@@ -205,6 +205,76 @@ def cmd_snapshots(args):
     )
 
 
+def cmd_delete(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.delete(args.where)
+    _emit(
+        {
+            "op": "delete",
+            "rows_deleted": res.rows_affected,
+            "files_dropped": res.files_dropped,
+            "files_rewritten": res.files_rewritten,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_update(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    col, _, expr = args.set.partition("=")
+    t0 = time.time()
+    res = t.update({col.strip(): expr.strip()}, args.where)
+    _emit(
+        {
+            "op": "update",
+            "rows_updated": res.rows_affected,
+            "files_rewritten": res.files_rewritten,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_rollback(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t.rollback(args.snapshot)
+    _emit({"op": "rollback", "current": t.current_snapshot_id()})
+
+
+def cmd_branch(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    if args.action == "create":
+        t.create_branch(args.name, snapshot_id=args.snapshot)
+    elif args.action == "tag":
+        t.create_tag(args.name, snapshot_id=args.snapshot)
+    elif args.action == "publish":
+        t.fast_forward(args.name, drop=args.drop)
+    elif args.action == "drop":
+        t.drop_ref(args.name)
+    _emit({"op": f"branch-{args.action}", "refs": t.refs()})
+
+
+def cmd_cdc(args):
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    cdc = t.row_changes(
+        from_snapshot_id=args.from_snapshot, to_snapshot_id=args.to_snapshot
+    )
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _emit({"op": "cdc", "changes": counts})
+
+
 def cmd_stream_demo(args):
     """Structured-streaming ingest demo: rate source → synth clips →
     foreachBatch append (the reference's W1/W2 sink pattern,
@@ -259,6 +329,26 @@ def main():
     t(s)
     s.add_argument("--batches", type=int, default=3)
     s.add_argument("--rate", type=int, default=500)
+    s = sub.add_parser("delete")
+    t(s)
+    s.add_argument("--where", required=True)
+    s = sub.add_parser("update")
+    t(s)
+    s.add_argument("--set", required=True, help="col = sql_expr")
+    s.add_argument("--where", required=True)
+    s = sub.add_parser("rollback")
+    t(s)
+    s.add_argument("--snapshot", type=int, required=True)
+    s = sub.add_parser("branch")
+    t(s)
+    s.add_argument("action", choices=["create", "tag", "publish", "drop"])
+    s.add_argument("name")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--drop", action="store_true")
+    s = sub.add_parser("cdc")
+    t(s)
+    s.add_argument("--from-snapshot", type=int, required=True)
+    s.add_argument("--to-snapshot", type=int, default=None)
 
     args = p.parse_args()
     {
@@ -271,6 +361,11 @@ def main():
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
         "stream-demo": cmd_stream_demo,
+        "delete": cmd_delete,
+        "update": cmd_update,
+        "rollback": cmd_rollback,
+        "branch": cmd_branch,
+        "cdc": cmd_cdc,
     }[args.cmd](args)
 
 

@@ -14,6 +14,7 @@ from .errors import (
     CommitConflictError,
     LakehouseError,
     MergeError,
+    RefError,
     SchemaEvolutionError,
     SnapshotNotFoundError,
     TableAlreadyExistsError,
@@ -33,6 +34,7 @@ __all__ = [
     "LakehouseError",
     "CommitConflictError",
     "MergeError",
+    "RefError",
     "SchemaEvolutionError",
     "SnapshotNotFoundError",
     "TableAlreadyExistsError",

@@ -35,3 +35,7 @@ class MergeError(LakehouseError):
 
 class ValidationError(LakehouseError):
     """Row-level payload validation failure (audio decode, schema conform)."""
+
+
+class RefError(LakehouseError):
+    """Branch/tag ref violation (unknown ref, tag write, bad fast-forward)."""

@@ -84,6 +84,11 @@ class TableMetadata:
     current_snapshot_id: Optional[int] = None
     snapshots: list[Snapshot] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    # named refs (Iceberg-style): {name: {"snapshot_id": int,
+    # "type": "branch"|"tag"}}. "main" is implicit — it IS
+    # current_snapshot_id — so refs holds only auxiliary branches/tags
+    # (audit/WAP staging, release tags).
+    refs: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def snapshot(self, snapshot_id: Optional[int] = None) -> Snapshot:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
@@ -112,6 +117,7 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "snapshots": [s.to_json() for s in self.snapshots],
             "properties": self.properties,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -127,6 +133,7 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
             properties=d.get("properties", {}),
+            refs=d.get("refs", {}),
         )
 
 

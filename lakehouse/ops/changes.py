@@ -1,0 +1,138 @@
+"""Incremental + CDC reads between snapshots.
+
+The reference's consumers re-scan the whole bronze table on every
+Athena query (/root/reference/README.md:104-114); a 10^12-row table
+needs *incremental* consumption instead. Two surfaces, both planned
+purely from manifest diffs so the data read is proportional to the
+change, never the table:
+
+- ``incremental_scan(from, to)`` — rows appended in ``(from, to]``.
+  Walks the snapshot chain and unions the data files added by
+  ``append`` snapshots. ``replace``-type snapshots (compact / cluster /
+  rewrite-manifests) are data-neutral and skipped; row-changing
+  operations (merge / delete / overwrite) in the range raise unless
+  ``allow_replays=True`` (Iceberg's incremental-append-scan contract).
+
+- ``row_changes(from, to)`` — full CDC diff tagged with
+  ``_change_type`` ('insert' | 'delete'; an update appears as both).
+  Key scale property: files live in BOTH snapshots contribute identical
+  rows to both sides of the multiset diff and cancel, so only the
+  **symmetric difference of the file sets** is ever read. A compaction
+  between the two snapshots rewrites bytes but not rows — the
+  ``exceptAll`` of just the swapped files returns empty, at the cost of
+  reading the swapped files only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import LakehouseError
+from ..meta import snapshots as S
+
+APPEND_OPS = {"append"}
+DATA_NEUTRAL_OPS = {"replace", "rewrite-manifests"}
+
+
+def _chain(meta: S.TableMetadata, from_id: Optional[int], to_id: int):
+    """Snapshots strictly after ``from_id`` up to ``to_id``, oldest
+    first, following parent pointers (branch-safe)."""
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    out = []
+    cur: Optional[int] = to_id
+    while cur is not None and cur != from_id:
+        snap = by_id.get(cur)
+        if snap is None:
+            raise LakehouseError(
+                f"snapshot {cur} missing from chain (expired?)"
+            )
+        out.append(snap)
+        cur = snap.parent_snapshot_id
+    if from_id is not None and cur != from_id:
+        raise LakehouseError(
+            f"snapshot {from_id} is not an ancestor of {to_id}"
+        )
+    return list(reversed(out))
+
+
+def _files_of(table, snapshot_id: Optional[int]) -> dict[str, int]:
+    """rel path -> record_count for a snapshot (empty for None)."""
+    if snapshot_id is None:
+        return {}
+    return {
+        e.file_path: e.record_count
+        for e in table.live_files(snapshot_id)
+    }
+
+
+def _read_files(table, rel_paths) -> DataFrame:
+    schema = table.schema
+    if not rel_paths:
+        return table.spark.createDataFrame([], schema)
+    paths = [os.path.join(table.root, p) for p in sorted(rel_paths)]
+    return table.spark.read.schema(schema).parquet(*paths)
+
+
+def incremental_scan(
+    table,
+    *,
+    from_snapshot_id: Optional[int] = None,
+    to_snapshot_id: Optional[int] = None,
+    allow_replays: bool = False,
+) -> DataFrame:
+    """Rows appended in ``(from, to]`` (exclusive-inclusive)."""
+    meta = table.meta
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.current_snapshot_id
+    )
+    if to_id is None:
+        return table.spark.createDataFrame([], table.schema)
+    added: list[str] = []
+    for snap in _chain(meta, from_snapshot_id, to_id):
+        if snap.operation in DATA_NEUTRAL_OPS:
+            continue
+        if snap.operation not in APPEND_OPS and not allow_replays:
+            raise LakehouseError(
+                f"snapshot {snap.snapshot_id} is a row-changing "
+                f"{snap.operation!r}; incremental append-scan cannot "
+                f"represent it — use row_changes() or allow_replays=True"
+            )
+        prev = _files_of(table, snap.parent_snapshot_id)
+        cur = _files_of(table, snap.snapshot_id)
+        added.extend(p for p in cur if p not in prev)
+    return _read_files(table, added)
+
+
+def row_changes(
+    table,
+    *,
+    from_snapshot_id: Optional[int],
+    to_snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """CDC multiset diff between two snapshots, reading only the
+    symmetric difference of their file sets. Adds ``_change_type``."""
+    meta = table.meta
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.current_snapshot_id
+    )
+    old = _files_of(table, from_snapshot_id)
+    new = _files_of(table, to_id)
+    only_old = [p for p in old if p not in new]
+    only_new = [p for p in new if p not in old]
+    old_df = _read_files(table, only_old)
+    new_df = _read_files(table, only_new)
+    inserts = new_df.exceptAll(old_df).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = old_df.exceptAll(new_df).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)

@@ -61,6 +61,10 @@ def expire_snapshots(
         keep = set()
         if base.current_snapshot_id is not None:
             keep.add(base.current_snapshot_id)
+        # named refs pin their snapshots: a branch head / tag target must
+        # stay readable until the ref is dropped (Iceberg ref retention)
+        for ref in base.refs.values():
+            keep.add(ref["snapshot_id"])
         if keep_last is not None:
             keep.update(s.snapshot_id for s in snaps[-keep_last:])
         if older_than_ms is not None:
@@ -82,6 +86,7 @@ def expire_snapshots(
             current_snapshot_id=base.current_snapshot_id,
             snapshots=surviving,
             properties=base.properties,
+            refs=base.refs,
         )
 
     meta = S.commit(table.root, apply)

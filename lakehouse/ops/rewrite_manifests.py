@@ -86,6 +86,7 @@ def rewrite_manifests(
             current_snapshot_id=sid,
             snapshots=base.snapshots + [new_snap],
             properties=base.properties,
+            refs=base.refs,
         )
 
     S.commit(table.root, apply)

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from .errors import (
     CommitConflictError,
+    RefError,
     SchemaEvolutionError,
     TableAlreadyExistsError,
 )
@@ -99,6 +100,7 @@ class Table:
         *,
         summary: Optional[dict[str, Any]] = None,
         new_schema: Optional[T.StructType] = None,
+        branch: Optional[str] = None,
     ) -> S.Snapshot:
         """Build snapshot N+1 = parent − removed + added, with manifest
         rewrite: any parent manifest touched by a removal is rewritten
@@ -109,17 +111,32 @@ class Table:
         be live in the parent we end up committing against — if a
         concurrent commit already replaced one, raise CommitConflictError
         so the maintenance job can replan (classic Iceberg validation).
+
+        ``branch``: commit onto a named branch ref instead of main — the
+        parent is the branch head and only the ref advances, leaving
+        ``current_snapshot_id`` (what plain scans see) untouched. The
+        write-audit-publish staging surface. A missing branch is created
+        at the current main head first.
         """
         removed = set(removed_paths)
         result_holder: dict[str, S.Snapshot] = {}
 
         def apply(base: S.TableMetadata) -> S.TableMetadata:
             sid = S.next_snapshot_id(base)
+            refs = dict(base.refs)
+            if branch is None:
+                head_id = base.current_snapshot_id
+            elif branch in refs:
+                if refs[branch].get("type") != "branch":
+                    raise RefError(f"ref {branch!r} is a tag, not a branch")
+                head_id = refs[branch]["snapshot_id"]
+            else:
+                head_id = base.current_snapshot_id  # implicit branch-create
             manifests_out: list[dict[str, Any]] = []
             still_to_remove = set(removed)
-            if base.current_snapshot_id is not None:
+            if head_id is not None:
                 parent_list = S.read_manifest_list(
-                    self.root, base.snapshot().manifest_list
+                    self.root, base.snapshot(head_id).manifest_list
                 )
                 for m in parent_list:
                     entries = read_manifest(self.root, m["path"])
@@ -163,7 +180,7 @@ class Table:
 
             snap = S.Snapshot(
                 snapshot_id=sid,
-                parent_snapshot_id=base.current_snapshot_id,
+                parent_snapshot_id=head_id,
                 timestamp_ms=S.now_ms(),
                 operation=operation,
                 manifest_list=manifest_list,
@@ -177,6 +194,8 @@ class Table:
                 },
             )
             result_holder["snap"] = snap
+            if branch is not None:
+                refs[branch] = {"snapshot_id": sid, "type": "branch"}
             return S.TableMetadata(
                 table_uuid=base.table_uuid,
                 location=base.location,
@@ -185,13 +204,125 @@ class Table:
                 schemas=schemas,
                 current_schema_id=schema_id,
                 partition_spec=base.partition_spec,
-                current_snapshot_id=sid,
+                current_snapshot_id=(
+                    sid if branch is None else base.current_snapshot_id
+                ),
                 snapshots=base.snapshots + [snap],
                 properties=base.properties,
+                refs=refs,
             )
 
         S.commit(self.root, apply)
         return result_holder["snap"]
+
+    # --- refs: branches, tags, rollback, write-audit-publish ------------------
+
+    def refs(self) -> dict[str, dict[str, Any]]:
+        """Named refs, with the implicit ``main`` branch materialized."""
+        meta = self.meta
+        out = dict(meta.refs)
+        if meta.current_snapshot_id is not None:
+            out["main"] = {
+                "snapshot_id": meta.current_snapshot_id,
+                "type": "branch",
+            }
+        return out
+
+    def _resolve_ref(self, meta: S.TableMetadata, name: str) -> int:
+        if name == "main":
+            if meta.current_snapshot_id is None:
+                raise RefError("table has no snapshots yet")
+            return meta.current_snapshot_id
+        if name not in meta.refs:
+            raise RefError(f"unknown ref: {name!r}")
+        return meta.refs[name]["snapshot_id"]
+
+    def _set_ref(self, name: str, ref_type: str, snapshot_id: Optional[int]):
+        if name == "main":
+            raise RefError("'main' is implicit; use rollback/fast_forward")
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else base.current_snapshot_id
+            )
+            if sid is None:
+                raise RefError("cannot create a ref on an empty table")
+            base.snapshot(sid)  # must exist (raises SnapshotNotFoundError)
+            refs = dict(base.refs)
+            refs[name] = {"snapshot_id": sid, "type": ref_type}
+            base.refs = refs
+            return base
+
+        S.commit(self.root, apply)
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None):
+        self._set_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None):
+        self._set_ref(name, "tag", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            if name not in base.refs:
+                raise RefError(f"unknown ref: {name!r}")
+            refs = dict(base.refs)
+            del refs[name]
+            base.refs = refs
+            return base
+
+        S.commit(self.root, apply)
+
+    def fast_forward(self, branch: str, *, drop: bool = False) -> int:
+        """Publish a branch: move main to the branch head (WAP publish).
+
+        Requires main's head to be an ancestor of the branch head —
+        otherwise the branch has diverged and a merge, not a
+        fast-forward, is needed (same contract as Iceberg's
+        ``fast_forward`` procedure). ``drop=True`` removes the branch
+        ref after publishing.
+        """
+        published: dict[str, int] = {}
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            head = self._resolve_ref(base, branch)
+            by_id = {s.snapshot_id: s for s in base.snapshots}
+            cur: Optional[int] = head
+            ancestors = set()
+            while cur is not None:
+                ancestors.add(cur)
+                cur = by_id[cur].parent_snapshot_id if cur in by_id else None
+            if (
+                base.current_snapshot_id is not None
+                and base.current_snapshot_id not in ancestors
+            ):
+                raise RefError(
+                    f"cannot fast-forward: main ({base.current_snapshot_id}) "
+                    f"is not an ancestor of {branch!r} head ({head})"
+                )
+            refs = dict(base.refs)
+            if drop and branch in refs:
+                del refs[branch]
+            base.current_snapshot_id = head
+            base.refs = refs
+            published["sid"] = head
+            return base
+
+        S.commit(self.root, apply)
+        return published["sid"]
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point main back at an earlier live snapshot (metadata-only —
+        the engine-side form of the reference's 'point-in-time recovery
+        via Delta Lake time travel', /root/reference/README.md:176)."""
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            base.snapshot(snapshot_id)  # raises if expired/unknown
+            base.current_snapshot_id = snapshot_id
+            return base
+
+        S.commit(self.root, apply)
 
     # --- write path -----------------------------------------------------------
 
@@ -203,6 +334,7 @@ class Table:
         files_per_partition: Optional[int] = None,
         new_schema: Optional[T.StructType] = None,
         extra_summary: Optional[dict[str, Any]] = None,
+        branch: Optional[str] = None,
     ) -> S.Snapshot:
         """ACID append: write partitioned Parquet + commit a new snapshot.
 
@@ -232,7 +364,7 @@ class Table:
         )
         return self._commit_files(
             "append", entries, (), new_schema=new_schema,
-            summary=extra_summary,
+            summary=extra_summary, branch=branch,
         )
 
     # --- read path ------------------------------------------------------------
@@ -242,9 +374,14 @@ class Table:
         *,
         filter=None,  # noqa: A002
         snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
         distributed: bool = False,
     ) -> ScanPlan:
         meta = self.meta
+        if ref is not None:
+            if snapshot_id is not None:
+                raise RefError("pass either snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(meta, ref)
         if distributed:
             return plan_scan_distributed(
                 self.spark, self.root, meta, filter=filter, snapshot_id=snapshot_id
@@ -258,14 +395,17 @@ class Table:
         *,
         filter=None,  # noqa: A002
         snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
         columns: Optional[Sequence[str]] = None,
         distributed_planning: bool = False,
     ) -> DataFrame:
-        """Pruned snapshot read; ``snapshot_id`` = time travel."""
+        """Pruned snapshot read; ``snapshot_id`` = time travel,
+        ``ref`` = read a named branch/tag head."""
         meta = self.meta
         plan = self.plan(
             filter=filter,
             snapshot_id=snapshot_id,
+            ref=ref,
             distributed=distributed_planning,
         )
         return read_plan(
@@ -302,10 +442,111 @@ class Table:
 
         return _merge(self, source, **kw)
 
+    def delete(self, predicate, **kw):
+        from .ops.row_filter import delete as _delete
+
+        return _delete(self, predicate, **kw)
+
+    def update(self, set_exprs: dict[str, str], predicate, **kw):
+        from .ops.row_filter import update as _update
+
+        return _update(self, set_exprs, predicate, **kw)
+
+    def incremental_scan(self, **kw) -> DataFrame:
+        from .ops.changes import incremental_scan as _inc
+
+        return _inc(self, **kw)
+
+    def row_changes(self, **kw) -> DataFrame:
+        from .ops.changes import row_changes as _cdc
+
+        return _cdc(self, **kw)
+
     def rewrite_manifests(self, **kw):
         from .ops.rewrite_manifests import rewrite_manifests as _rw
 
         return _rw(self, **kw)
+
+    # --- metadata tables (Iceberg files/snapshots/history counterpart) --------
+
+    def files_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Live data files as a DataFrame (one row per file, with stats).
+
+        Built from the manifest Parquet files with a distributed read, so
+        it works at millions-of-files scale without driver memory."""
+        meta = self.meta
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.current_snapshot_id
+        )
+        schema = (
+            "file_path string, partition_json string, record_count bigint, "
+            "file_size_bytes bigint, stats_json string, sort_order string"
+        )
+        if sid is None:
+            return self.spark.createDataFrame([], schema)
+        paths = [
+            os.path.join(self.root, m["path"])
+            for m in S.read_manifest_list(
+                self.root, meta.snapshot(sid).manifest_list
+            )
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*sorted(set(paths))).select(
+            "file_path",
+            "partition_json",
+            "record_count",
+            "file_size_bytes",
+            "stats_json",
+            "sort_order",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                int(s.summary.get("added_files", 0)),
+                int(s.summary.get("removed_files", 0)),
+                int(s.summary.get("added_records", 0)),
+                int(s.summary.get("added_bytes", 0)),
+            )
+            for s in self.meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_snapshot_id bigint, "
+            "timestamp_ms bigint, operation string, added_files bigint, "
+            "removed_files bigint, added_records bigint, added_bytes bigint",
+        )
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit history, oldest first (snapshot id, op, summary)."""
+        return [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_snapshot_id": s.parent_snapshot_id,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.operation,
+                "summary": dict(s.summary),
+            }
+            for s in sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
+        ]
+
+    def partitions_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Per-partition rollup: files, records, bytes."""
+        f = self.files_df(snapshot_id)
+        from pyspark.sql import functions as F
+
+        return f.groupBy(F.col("partition_json").alias("partition")).agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+        )
 
     def verify(self, snapshot_id: Optional[int] = None) -> dict[str, Any]:
         """Manifest-vs-filesystem consistency check (the engine-side

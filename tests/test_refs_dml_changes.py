@@ -1,0 +1,242 @@
+"""Branches/tags + WAP, rollback, DELETE/UPDATE, incremental + CDC reads.
+
+These extend the maintenance matrix with the remaining Delta/Iceberg
+surface the reference consumes as a black box (SURVEY.md §2 second
+table): row-level DML, point-in-time recovery, and incremental
+consumption of the bronze table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse import CLIPS_SCHEMA, Table
+from lakehouse.errors import LakehouseError, RefError
+
+from test_maintenance import make_small_file_table, scan_fingerprint
+
+
+def make_table(spark, root, **kw):
+    return make_small_file_table(spark, root, **kw)
+
+
+# --- refs: branches, tags, WAP, rollback -------------------------------------
+
+
+def test_branch_append_isolated_then_published(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    main_fp = scan_fingerprint(t)
+    main_rows = t.scan().count()
+
+    from lakehouse.synth import synth_clips_pdf
+
+    extra = spark.createDataFrame(
+        synth_clips_pdf(range(1000, 1010), seed=7, n_days=2),
+        schema=CLIPS_SCHEMA,
+    )
+    t.append(extra, branch="audit")
+
+    # main is untouched; the branch sees base + staged rows
+    assert scan_fingerprint(t) == main_fp
+    assert t.scan(ref="audit").count() == main_rows + 10
+
+    # audit passes → fast-forward publish
+    t.fast_forward("audit", drop=True)
+    assert t.scan().count() == main_rows + 10
+    assert "audit" not in t.refs()
+
+
+def test_tag_pins_snapshot_across_expiry(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    v1 = t.current_snapshot_id()
+    t.create_tag("release-1")
+    fp1 = scan_fingerprint(t)
+    t.compact(target_file_size=1 << 30)
+    t.expire_snapshots(keep_last=1)
+    # the tag kept its snapshot alive and readable
+    assert scan_fingerprint(t, ref="release-1") == fp1
+    assert t.refs()["release-1"]["snapshot_id"] == v1
+
+
+def test_fast_forward_rejects_diverged_main(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    from lakehouse.synth import synth_clips_pdf
+
+    t.append(
+        spark.createDataFrame(
+            synth_clips_pdf(range(2000, 2005), seed=1, n_days=2),
+            schema=CLIPS_SCHEMA,
+        ),
+        branch="wip",
+    )
+    # main moves past the branch point → fast-forward must refuse
+    t.compact(target_file_size=1 << 30)
+    with pytest.raises(RefError):
+        t.fast_forward("wip")
+
+
+def test_writing_to_tag_fails(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    t.create_tag("pin")
+    from lakehouse.synth import synth_clips_pdf
+
+    df = spark.createDataFrame(
+        synth_clips_pdf(range(5), seed=1, n_days=1), schema=CLIPS_SCHEMA
+    )
+    with pytest.raises(RefError):
+        t.append(df, branch="pin")
+
+
+def test_rollback_restores_prior_scan(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    v = t.current_snapshot_id()
+    fp = scan_fingerprint(t)
+    t.delete("dur_ms >= 0")  # wipe everything
+    assert t.scan().count() == 0
+    t.rollback(v)
+    assert scan_fingerprint(t) == fp
+
+
+# --- DELETE / UPDATE ---------------------------------------------------------
+
+
+def test_delete_partial_and_metadata_only(spark, table_root):
+    t = make_table(spark, table_root, rows=60, appends=3, n_days=2)
+    before = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    dates = sorted(
+        r.event_date for r in t.scan().select("event_date").distinct().collect()
+    )
+    gone_date = dates[0]
+
+    # partition-wide delete -> every touched file is a whole-file drop
+    res = t.delete([("event_date", "=", str(gone_date))])
+    assert res.files_dropped > 0 and res.files_rewritten == 0
+    left = t.scan()
+    assert left.filter(F.col("event_date") == gone_date).count() == 0
+
+    # row-level delete within files -> rewrite path
+    victim = sorted(
+        r.clip_id for r in left.select("clip_id").limit(3).collect()
+    )[0]
+    res2 = t.delete(f"clip_id = '{victim}'")
+    assert res2.rows_affected == 1 and res2.files_rewritten == 1
+    after = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    assert victim not in after
+    assert after < before
+
+
+def test_delete_noop_when_nothing_matches(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    v = t.current_snapshot_id()
+    res = t.delete("clip_id = 'no-such-clip'")
+    assert res.rows_affected == 0
+    assert res.snapshot_id is None
+    assert t.current_snapshot_id() == v
+
+
+def test_update_rewrites_only_matching_files(spark, table_root):
+    t = make_table(spark, table_root, rows=60, appends=3)
+    total = t.scan().count()
+    victim = sorted(
+        r.clip_id for r in t.scan().select("clip_id").limit(1).collect()
+    )[0]
+    files_before = {e.file_path for e in t.live_files()}
+    res = t.update(
+        {"transcript": "concat(transcript, ' [redacted]')"},
+        f"clip_id = '{victim}'",
+    )
+    assert res.rows_affected == 1
+    files_after = {e.file_path for e in t.live_files()}
+    # untouched files kept their identity (no full-table rewrite)
+    assert len(files_before & files_after) == len(files_before) - res.files_rewritten
+    assert t.scan().count() == total
+    got = (
+        t.scan()
+        .filter(F.col("clip_id") == victim)
+        .select("transcript")
+        .collect()[0][0]
+    )
+    assert got.endswith(" [redacted]")
+
+
+# --- incremental + CDC -------------------------------------------------------
+
+
+def test_incremental_scan_returns_only_new_appends(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    v0 = t.current_snapshot_id()
+    from lakehouse.synth import synth_clips_pdf
+
+    t.append(
+        spark.createDataFrame(
+            synth_clips_pdf(range(3000, 3010), seed=3, n_days=2),
+            schema=CLIPS_SCHEMA,
+        )
+    )
+    t.compact(target_file_size=1 << 30)  # data-neutral, must be skipped
+    inc = t.incremental_scan(from_snapshot_id=v0)
+    assert inc.count() == 10
+    ids = {r.clip_id for r in inc.select("clip_id").collect()}
+    assert all(i.split("-")[-1].isdigit() for i in ids)
+
+
+def test_incremental_scan_raises_on_row_changing_op(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    v0 = t.current_snapshot_id()
+    victim = t.scan().select("clip_id").limit(1).collect()[0][0]
+    t.delete(f"clip_id = '{victim}'")
+    with pytest.raises(LakehouseError):
+        t.incremental_scan(from_snapshot_id=v0)
+    # explicit opt-in replays the delete's surviving rows
+    assert t.incremental_scan(
+        from_snapshot_id=v0, allow_replays=True
+    ).count() >= 0
+
+
+def test_row_changes_tags_inserts_and_deletes(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    v0 = t.current_snapshot_id()
+    victim = t.scan().select("clip_id").limit(1).collect()[0][0]
+    t.delete(f"clip_id = '{victim}'")
+    from lakehouse.synth import synth_clips_pdf
+
+    t.append(
+        spark.createDataFrame(
+            synth_clips_pdf(range(4000, 4002), seed=4, n_days=1),
+            schema=CLIPS_SCHEMA,
+        )
+    )
+    cdc = t.row_changes(from_snapshot_id=v0)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"insert": 2, "delete": 1}
+    deleted = cdc.filter(F.col("_change_type") == "delete").collect()
+    assert deleted[0].clip_id == victim
+
+
+def test_row_changes_empty_across_compaction(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    v0 = t.current_snapshot_id()
+    t.compact(target_file_size=1 << 30)
+    t.cluster(["clip_id"], target_file_size=1 << 30)
+    assert t.row_changes(from_snapshot_id=v0).count() == 0
+
+
+# --- metadata tables ---------------------------------------------------------
+
+
+def test_metadata_tables_roundtrip(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2)
+    f = t.files_df()
+    assert f.count() == len(t.live_files())
+    agg = f.agg(
+        F.sum("record_count").alias("r"), F.sum("file_size_bytes").alias("b")
+    ).collect()[0]
+    assert agg.r == t.scan().count()
+    snaps = t.snapshots_df().collect()
+    assert [s.operation for s in snaps] == ["append", "append"]
+    parts = t.partitions_df().collect()
+    assert sum(p.record_count for p in parts) == agg.r
+    hist = t.history()
+    assert hist[-1]["snapshot_id"] == t.current_snapshot_id()
