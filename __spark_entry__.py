@@ -485,6 +485,23 @@ def _q_lh_audio_roundtrip(spark, sf_dir):
     )
 
 
+def _q_audio_resample_segment(spark, sf_dir):
+    """DSP transform surface (rows-only): resample to 8 kHz then trim to
+    [100,300) ms, all through vectorized struct-returning pandas UDFs;
+    features prove the payload stayed decodable audio."""
+    from lakehouse.audio import audio_features_ext, resample_clips, segment_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=42, n_days=2, num_partitions=4)
+    out = segment_clips(resample_clips(df, 8000), 100, 300)
+    return out.select(
+        "clip_id",
+        "sr_hz",
+        "dur_ms",
+        audio_features_ext(F.col("bytes")).alias("f"),
+    ).select("clip_id", "sr_hz", "dur_ms", "f.peak", "f.zcr", "f.silence_ratio")
+
+
 # ---------------------------------------------------------------------------
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
@@ -588,6 +605,21 @@ def _q_lh_cdc(spark, sf_dir):
     )
 
 
+def _q_lh_overwrite_partitions(spark, sf_dir):
+    """Dynamic INSERT OVERWRITE: backfill one day with adjusted rows —
+    only that partition is replaced, every other day is untouched."""
+    t = _events_table(spark, sf_dir, appends=2)
+    ev = _events(spark, sf_dir)
+    day = F.to_date(F.lit("2024-01-03"))
+    src = (
+        ev.filter(F.col("event_date") == day)
+        .withColumn("value", F.col("value") + 5000.0)
+        .withColumn("event_type", F.lit("backfilled"))
+    )
+    t.overwrite_partitions(src)
+    return _events_out(t.scan())
+
+
 def _q_lh_files_metadata(spark, sf_dir):
     """Metadata-table rollup: per-partition record counts from manifest
     stats alone (no data read) must equal SQL GROUP BY over the data."""
@@ -648,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_rollback": _q_lh_rollback,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
+        "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
@@ -665,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio payload (rows-only)
         "audio_decode_features": _q_audio_decode,
         "audio_snr_invariant": _q_audio_snr,
+        "audio_resample_segment": _q_audio_resample_segment,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
     }
 
@@ -753,6 +787,16 @@ def oracle_sql() -> dict[str, str]:
         "lh_rollback": EVENTS_OUT_SQL,
         "lh_incremental_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 1",
         "lh_cdc_row_changes": LH_CDC_ORACLE,
+        "lh_overwrite_partitions": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                   value, props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+            FROM events WHERE CAST(ts AS DATE) <> DATE '2024-01-03'
+            UNION ALL
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                   'backfilled' AS event_type, value + 5000.0 AS value,
+                   props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+            FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        """,
         "lh_files_metadata": """
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
                    1 AS file_count, count(*) AS record_count

@@ -42,6 +42,8 @@ FILES_PER_APPEND = max(8, N_CLIPS // 1000)
 # ~36 parallel rewrite tasks). FIXED across parallelism levels so
 # local[8] vs local[32] measures scaling, not different plans.
 TARGET_MB = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET_MB", "16"))
+# steady-state rounds for the scaling study (1 = driver quick mode)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "1"))
 
 
 def _sf(sf_dir: str) -> float:
@@ -60,10 +62,14 @@ def main() -> None:
     from lakehouse.session import build_session
     from lakehouse.synth import synth_clips_df
 
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DRIVER_MEM"):
+        extra["spark.driver.memory"] = os.environ["SPARK_GRAFT_BENCH_DRIVER_MEM"]
     spark = build_session(
         "lakehouse-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf=extra,
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Optional codec override for the scaling study: at sandbox scale
@@ -116,86 +122,117 @@ def main() -> None:
         return out
 
     work = tempfile.mkdtemp(prefix="lh_bench_")
-    root = os.path.join(work, "clips")
     try:
         # --- maintenance suite (north rule) ------------------------------
-        t = Table.create(
-            spark,
-            root,
-            CLIPS_SCHEMA,
-            partition_spec=[
-                {
-                    "name": "event_date",
-                    "transform": "identity",
-                    "source": "event_date",
-                }
-            ],
-        )
-        per = N_CLIPS // APPENDS
+        # ROUNDS > 1 = steady-state mode for the scaling study: the suite
+        # repeats on a fresh table per round inside ONE JVM and each op
+        # reports its post-warmup minimum, removing JIT/page-cache warmup
+        # and averaging out co-tenant noise (this host varies 2-4x between
+        # single-shot runs). The driver default (1 round) is unchanged.
+        meta_state = {}
 
-        def synth_append():
-            files_per_day = max(1, FILES_PER_APPEND // 8)
-            for i in range(APPENDS):
-                t.append(
-                    synth_clips_df(
-                        spark, per, start=i * per, seed=42, n_days=8,
-                        num_partitions=CPUS,
-                    ),
-                    target_file_count=FILES_PER_APPEND,
-                    files_per_partition=files_per_day,
-                )
+        def run_suite(round_i: int) -> None:
+            root = os.path.join(work, f"clips_r{round_i}")
+            t = Table.create(
+                spark,
+                root,
+                CLIPS_SCHEMA,
+                partition_spec=[
+                    {
+                        "name": "event_date",
+                        "transform": "identity",
+                        "source": "event_date",
+                    }
+                ],
+            )
+            per = N_CLIPS // APPENDS
 
-        timed("synth_append", synth_append)
-        table_bytes = sum(e.file_size_bytes for e in t.live_files())
-        files_before = len(t.live_files())
+            def synth_append():
+                files_per_day = max(1, FILES_PER_APPEND // 8)
+                for i in range(APPENDS):
+                    t.append(
+                        synth_clips_df(
+                            spark, per, start=i * per, seed=42, n_days=8,
+                            num_partitions=CPUS,
+                        ),
+                        target_file_count=FILES_PER_APPEND,
+                        files_per_partition=files_per_day,
+                    )
 
-        timed(
-            "compact",
-            lambda: t.compact(
-                target_file_size=TARGET_MB * 1024 * 1024,
-                max_concurrency=CPUS,
-            ),
-        )
-        timed(
-            "cluster_zorder",
-            lambda: t.cluster(
-                ["clip_id", "ingest_ts"],
-                curve="zorder",
-                target_file_size=TARGET_MB * 1024 * 1024,
-                max_concurrency=CPUS,
-            ),
-        )
+            timed("synth_append", synth_append)
+            meta_state["table_bytes"] = sum(
+                e.file_size_bytes for e in t.live_files()
+            )
+            meta_state["files_before"] = len(t.live_files())
 
-        def scan_pruned():
-            return (
-                t.scan(
-                    filter=[("clip_id", ">=", "hot-"), ("clip_id", "<", "hot-~")]
-                )
-                .agg(F.count(F.lit(1)), F.sum("dur_ms"))
-                .collect()
+            timed(
+                "compact",
+                lambda: t.compact(
+                    target_file_size=TARGET_MB * 1024 * 1024,
+                    max_concurrency=CPUS,
+                ),
+            )
+            timed(
+                "cluster_zorder",
+                lambda: t.cluster(
+                    ["clip_id", "ingest_ts"],
+                    curve="zorder",
+                    target_file_size=TARGET_MB * 1024 * 1024,
+                    max_concurrency=CPUS,
+                ),
             )
 
-        timed("scan_pruned", scan_pruned)
-
-        def merge_10pct():
-            src = (
-                t.scan()
-                .filter(F.xxhash64("clip_id") % 10 == 0)
-                .withColumn(
-                    "transcript", F.concat(F.col("transcript"), F.lit(" [v2]"))
+            def scan_pruned():
+                return (
+                    t.scan(
+                        filter=[
+                            ("clip_id", ">=", "hot-"),
+                            ("clip_id", "<", "hot-~"),
+                        ]
+                    )
+                    .agg(F.count(F.lit(1)), F.sum("dur_ms"))
+                    .collect()
                 )
-            )
-            t.merge(src, key="clip_id")
 
-        timed("merge_10pct", merge_10pct)
+            timed("scan_pruned", scan_pruned)
 
-        def expire_gc():
-            t.expire_snapshots(keep_last=1)
-            t.remove_orphan_files(
-                older_than_ms=int(time.time() * 1000) + 60_000
-            )
+            def merge_10pct():
+                src = (
+                    t.scan()
+                    .filter(F.xxhash64("clip_id") % 10 == 0)
+                    .withColumn(
+                        "transcript",
+                        F.concat(F.col("transcript"), F.lit(" [v2]")),
+                    )
+                )
+                t.merge(src, key="clip_id")
 
-        timed("expire_gc", expire_gc)
+            timed("merge_10pct", merge_10pct)
+
+            def expire_gc():
+                t.expire_snapshots(keep_last=1)
+                t.remove_orphan_files(
+                    older_than_ms=int(time.time() * 1000) + 60_000
+                )
+
+            timed("expire_gc", expire_gc)
+            import shutil as _sh
+
+            _sh.rmtree(root, ignore_errors=True)
+
+        per_round: list[dict[str, float]] = []
+        for r in range(ROUNDS):
+            timings.clear()
+            cpu_secs.clear()
+            run_suite(r)
+            per_round.append(dict(timings))
+        if ROUNDS > 1:
+            # post-warmup minimum per op (drop round 0 entirely)
+            steady = per_round[1:]
+            for op in per_round[0]:
+                timings[op] = min(rd[op] for rd in steady)
+        table_bytes = meta_state["table_bytes"]
+        files_before = meta_state["files_before"]
 
         maint_secs = timings["compact"] + timings["cluster_zorder"]
         clips_per_sec = round(N_CLIPS / maint_secs, 1)
@@ -231,6 +268,7 @@ def main() -> None:
                     "sf": _sf(SF_DIR),
                     "cpus": CPUS,
                     "bench_clips": N_CLIPS,
+                    "rounds": ROUNDS,
                     "table_gb": round(table_bytes / 1e9, 3),
                     "files_before_compact": files_before,
                     "compact_zorder_clips_per_sec": clips_per_sec,

@@ -148,14 +148,144 @@ def with_audio_features(df, bytes_col: str = "bytes"):
     return df.withColumn("audio", audio_info(F.col(bytes_col)))
 
 
-def resample_stub(df, target_sr: int):
-    """Placeholder for DSP transforms that need real audio libs.
+# --- DSP transforms (pure numpy; the multimodal transform surface) -----------
 
-    The container has no resampler (no scipy.signal guarantees, no
-    soundfile); the Spark-side plumbing (schema, batch shape) is real but
-    the kernel is intentionally not implemented.
-    """
-    raise NotImplementedError(
-        "resample requires an audio DSP library not present in this "
-        "environment; decode/validate/fingerprint paths are implemented"
+AUDIO_FEATURES_EXT_TYPE = T.StructType(
+    [
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),          # zero-crossing rate
+        T.StructField("silence_ratio", T.DoubleType()),  # |x| < 1% FS
+        T.StructField("clipping_ratio", T.DoubleType()),  # |x| > 99% FS
+    ]
+)
+
+
+@F.pandas_udf(AUDIO_FEATURES_EXT_TYPE)
+def audio_features_ext(raw: pd.Series) -> pd.DataFrame:
+    """Batch quality features for training-data curation: peak level,
+    zero-crossing rate, silence and clipping ratios — all numpy reductions
+    over the decoded batch, no per-row Python beyond the decode loop."""
+    out = {"peak": [], "zcr": [], "silence_ratio": [], "clipping_ratio": []}
+    for b in raw:
+        try:
+            _sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            for k in out:
+                out[k].append(None)
+            continue
+        n = len(x)
+        if n == 0:
+            for k in out:
+                out[k].append(0.0)
+            continue
+        out["peak"].append(float(np.max(np.abs(x))))
+        out["zcr"].append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+        out["silence_ratio"].append(float(np.mean(np.abs(x) < 0.01)))
+        out["clipping_ratio"].append(float(np.mean(np.abs(x) > 0.99)))
+    return pd.DataFrame(out)
+
+
+def _resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample (numpy-native; no scipy in env).
+
+    Adequate for speech-rate conversions; a windowed-sinc kernel would
+    drop cleanly into this same batch shape if the deps appear."""
+    if sr_in == sr_out or len(x) == 0:
+        return x
+    n_out = max(1, int(round(len(x) * sr_out / sr_in)))
+    src_pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(
+        src_pos, np.arange(len(x), dtype=np.float64), x
+    ).astype(np.float32)
+
+
+RESAMPLED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+    ]
+)
+
+
+def make_resample_udf(target_sr: int):
+    """Vectorized resample: decode batch → np.interp → re-encode PCM16
+    WAV. Returns a (bytes, sr_hz, dur_ms) struct so callers can swap the
+    payload columns in one projection."""
+
+    @F.pandas_udf(RESAMPLED_TYPE)
+    def resample_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out["bytes"].append(None)
+                out["sr_hz"].append(None)
+                out["dur_ms"].append(None)
+                continue
+            y = _resample_linear(x, sr, target_sr)
+            out["bytes"].append(wrap_wav(y, target_sr, "pcm16"))
+            out["sr_hz"].append(target_sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / target_sr)))
+        return pd.DataFrame(out)
+
+    return resample_udf
+
+
+def resample_clips(df, target_sr: int, bytes_col: str = "bytes"):
+    """Rewrite the audio payload at ``target_sr`` (bytes/sr_hz/dur_ms
+    swapped in a single projection; codec normalized to pcm16)."""
+    r = make_resample_udf(target_sr)(F.col(bytes_col)).alias("__r")
+    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    return df.select(*others, r).select(
+        *others,
+        F.col("__r.bytes").alias("bytes"),
+        F.col("__r.sr_hz").alias("sr_hz"),
+        F.col("__r.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )
+
+
+def make_segment_udf(start_ms: int, end_ms: int):
+    """Vectorized time-slice (the audio analog of image crop /
+    video frame-sample): keep samples in [start_ms, end_ms)."""
+
+    @F.pandas_udf(RESAMPLED_TYPE)
+    def segment_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out["bytes"].append(None)
+                out["sr_hz"].append(None)
+                out["dur_ms"].append(None)
+                continue
+            lo = min(len(x), int(start_ms * sr / 1000))
+            hi = min(len(x), int(end_ms * sr / 1000))
+            y = x[lo:hi]
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+        return pd.DataFrame(out)
+
+    return segment_udf
+
+
+def segment_clips(df, start_ms: int, end_ms: int, bytes_col: str = "bytes"):
+    """Trim every clip to [start_ms, end_ms); payload columns swap in one
+    projection, mirroring ``resample_clips``."""
+    s = make_segment_udf(start_ms, end_ms)(F.col(bytes_col)).alias("__s")
+    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    return df.select(*others, s).select(
+        *others,
+        F.col("__s.bytes").alias("bytes"),
+        F.col("__s.sr_hz").alias("sr_hz"),
+        F.col("__s.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
     )

@@ -102,9 +102,10 @@ def _make_zkey_udf(
         for name, series in zip(columns, cols):
             lo, hi = b[name]
             if name in temporal_cols:
-                series = pd.to_datetime(series).astype("int64")
-                lo = pd.Timestamp(lo).value if lo is not None else None
-                hi = pd.Timestamp(hi).value if hi is not None else None
+                # micros, to stay bit-compatible with the JVM Z path
+                series = pd.to_datetime(series).astype("int64") // 1000
+                lo = pd.Timestamp(lo).value // 1000 if lo is not None else None
+                hi = pd.Timestamp(hi).value // 1000 if hi is not None else None
             coords.append(
                 normalize_to_uint(
                     series, lo, hi, bits, is_string=name in string_cols
@@ -150,7 +151,21 @@ def cluster(
     meta = table.meta
     spec = meta.partition_spec
     bounds = _column_bounds(live, columns)
-    zkey_udf = _make_zkey_udf(columns, col_types, bounds, curve)
+    if curve == "zorder":
+        # pure-Catalyst key: whole-stage codegen, no Python workers in
+        # either pass (measured 2.8x on the wide job at 32 threads —
+        # module docstring of zexpr.py)
+        from ..zexpr import zorder_key_expr
+
+        zkey_col = zorder_key_expr(
+            columns, col_types, bounds, bits_per_dim(len(columns))
+        )
+        with_zkey = lambda df: df.withColumn(ZKEY_COL, zkey_col)  # noqa: E731
+    else:
+        zkey_udf = _make_zkey_udf(columns, col_types, bounds, curve)
+        with_zkey = lambda df: df.withColumn(  # noqa: E731
+            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+        )
 
     def pk_of(partition: dict) -> str:
         return "\x01".join(str(partition.get(f["name"])) for f in spec)
@@ -203,9 +218,7 @@ def cluster(
             dict.fromkeys(list(columns) + [f["source"] for f in spec])
         )
         narrow, _ = with_pk(base.select(*narrow_cols))
-        narrow = narrow.withColumn(
-            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
-        )
+        narrow = with_zkey(narrow)
         probs = [j / GRID for j in range(1, GRID)]
         qrows = (
             narrow.groupBy("__pk")
@@ -230,9 +243,7 @@ def cluster(
 
         # --- wide job: bucket assignment + partition/bucket-split write --
         wide, part_cols = with_pk(base)
-        wide = wide.withColumn(
-            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
-        ).join(F.broadcast(cuts_df), "__pk", "left")
+        wide = with_zkey(wide).join(F.broadcast(cuts_df), "__pk", "left")
         bucket = F.aggregate(
             F.coalesce(F.col("__cuts"), F.array().cast("array<bigint>")),
             F.lit(0),

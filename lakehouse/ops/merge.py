@@ -17,20 +17,31 @@ Execution, scale-first:
    is a broadcast range-join of source keys against the (small) file-
    range table — at 10^12-row scale this is what turns MERGE from a
    full-table rewrite into a touched-files rewrite.
-2. **The join — two strategies, picked by a measured source-size
-   estimate (one narrow pass that also does the duplicate-key check):**
+2. **The join — keys only, never payloads.** Copy-on-write MERGE with a
+   unique key has a closed form:
 
-   - *broadcast* (source ≤ threshold): the source is broadcast and the
+       result = (touched target  ⟕anti  source keys)  ∪  source rows
+                                                         (minus deletes)
+
+   A matched UPDATE and an unmatched INSERT both emit the source row
+   verbatim, and a matched DELETE emits nothing — so the only join the
+   operator needs is a **left-anti of the wide target side against the
+   source KEY column**. Audio payloads (the dominant bytes) never cross
+   a join build side. Two execution strategies, picked from a measured
+   key-volume estimate (one narrow pass that also does the
+   duplicate-key check):
+
+   - *broadcast* (key set ≤ threshold): source keys are broadcast; the
      wide target side NEVER shuffles — rows stream parquet-scan →
-     resolve → write. Inserts come from an anti-join whose target side
-     is a column-pruned key scan. This is the everyday 10^12-row MERGE
-     shape: a trickle of updates against huge files.
-   - *shuffle* (large source): both sides hash-repartitioned on
+     anti-filter → write. This is the everyday 10^12-row MERGE shape: a
+     trickle of updates against huge files, at network cost
+     O(keys × executors), not O(payload × executors).
+   - *shuffle* (large key set): both sides hash-repartitioned on
      ``xxhash64(key, seed)`` — a seeded rehash that breaks
      adversarial/hot lexicographic ranges (the reference's own
      partition-key skew bug,
      /root/reference/etl/handlers/click_handler.py:165, is this failure
-     mode) — FULL OUTER join, with AQE skew-join splitting for residual
+     mode) — left-anti join, with AQE skew-join splitting for residual
      imbalance (session.py turns it on).
 
 3. **Commit.** REPLACE touched files + APPEND result files in one
@@ -76,7 +87,7 @@ def merge_into(
     salt_seed: int = 0,
     job_id: Optional[str] = None,
     strategy: str = "auto",
-    broadcast_threshold: int = 256 * 1024 * 1024,
+    broadcast_threshold: int = 32 * 1024 * 1024,
 ) -> MergeResult:
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise MergeError(f"unknown merge strategy: {strategy!r}")
@@ -107,25 +118,22 @@ def merge_into(
 
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # --- one narrow pass: duplicate-key check + source size estimate ---------
-    # (row size = byte lengths of string/binary cells + 8/primitive; the
-    # estimate picks the join strategy below, so it only needs to be
-    # order-of-magnitude right)
-    row_sz = F.lit(0)
-    for f in schema.fields:
-        if isinstance(f.dataType, (T.BinaryType, T.StringType)):
-            row_sz = row_sz + F.coalesce(
-                F.length(F.col(f.name)), F.lit(0)
-            )
-        else:
-            row_sz = row_sz + F.lit(8)
+    # --- one narrow pass: duplicate-key check + KEY-volume estimate ----------
+    # (the join below only ever moves keys, so the strategy choice is
+    # keyed on key bytes — payload size is irrelevant to it)
+    key_type = schema[key].dataType
+    key_sz = (
+        F.coalesce(F.length(F.col(key).cast("string")), F.lit(0)) + 16
+        if isinstance(key_type, (T.StringType, T.BinaryType))
+        else F.lit(24)
+    )
     stats = (
-        src.select(F.col(key).alias("__k"), row_sz.alias("__sz"))
+        src.select(F.col(key).alias("__k"), key_sz.alias("__sz"))
         .groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__sz").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("__sz").alias("b"))
         .agg(
             F.max("n").alias("max_n"),
-            F.sum("b").alias("src_bytes"),
+            F.sum("b").alias("key_bytes"),
             F.count(F.lit(1)).alias("src_rows"),
         )
         .collect()[0]
@@ -142,14 +150,13 @@ def merge_into(
             f"duplicate source keys (e.g. {dup[0][key]!r}); MERGE requires "
             f"a unique {key} per source row"
         )
-    src_bytes = int(stats.src_bytes or 0)
+    key_bytes = int(stats.key_bytes or 0)
 
     # --- file-level pruning: which target files can contain source keys? -----
     # Range comparison must happen in the key's NATIVE type: stats are
     # shipped as strings (schema-stable broadcast table) and cast back,
     # otherwise numeric keys compare lexicographically ("9" > "10") and
     # pruning silently drops files that must be rewritten.
-    key_type = schema[key].dataType
     live = table.plan().files
     ranged = []
     for e in live:
@@ -189,22 +196,24 @@ def merge_into(
             "touched_files": len(touched),
             "salt_seed": salt_seed,
             "strategy": strategy,
-            "src_bytes_est": src_bytes,
+            "key_bytes_est": key_bytes,
         },
     )
 
     cols = [f.name for f in schema.fields]
     touched_set = set(touched)
-    bytes_touched = sum(
-        e.file_size_bytes for e in live if e.file_path in touched_set
-    )
+    touched_entries = [e for e in live if e.file_path in touched_set]
+    bytes_touched = sum(e.file_size_bytes for e in touched_entries)
+    rows_touched = sum(e.record_count for e in touched_entries)
     if target_file_count is None:
-        # without an explicit count the union of join branches would
-        # write (scan tasks × partition values) fragment files; size the
-        # output like an append instead (~128 MB targets, one task per
-        # partition value)
+        # without an explicit count the union branches would write
+        # (scan tasks × partition values) fragment files; size the
+        # output like an append instead (~128 MB targets). Source bytes
+        # are estimated from the touched files' average row size.
+        avg_row = bytes_touched / rows_touched if rows_touched else 1024
+        src_bytes_est = int(int(stats.src_rows or 0) * avg_row)
         target_file_count = max(
-            1, -(-(bytes_touched + src_bytes) // (128 * 1024 * 1024))
+            1, -(-(bytes_touched + src_bytes_est) // (128 * 1024 * 1024))
         )
     if touched:
         paths = [os.path.join(table.root, p) for p in touched]
@@ -212,53 +221,39 @@ def merge_into(
     else:
         target_sub = spark.createDataFrame([], schema)
 
-    # --- join strategy -------------------------------------------------------
-    # broadcast: small source → broadcast LEFT join against the touched
-    #   target rows. The wide target side never shuffles: rows stream
-    #   parquet-scan → resolve → write, so total IO is read-touched +
-    #   write-touched (at 10^12 rows this is the everyday MERGE shape —
+    # --- the keys-only anti-join ---------------------------------------------
+    # result = (touched target ⟕anti source keys) ∪ (source minus deletes):
+    # matched updates and unmatched inserts are both the source row
+    # verbatim, matched deletes vanish — no payload ever enters a join.
+    # broadcast: key set broadcast; the wide target side never shuffles —
+    #   rows stream parquet-scan → anti-filter → write, total IO =
+    #   read-touched + write-touched (the everyday 10^12-row MERGE shape:
     #   a trickle of updates against huge files).
-    # shuffle: large source → both sides hash-repartitioned on a SEEDED
+    # shuffle: large key set → both sides hash-repartitioned on a SEEDED
     #   rehash of the key (breaks adversarial/hot lexicographic ranges —
     #   the reference's own partition-key skew bug,
     #   /root/reference/etl/handlers/click_handler.py:165) + AQE skew
     #   splitting for residual imbalance.
     use_broadcast = strategy == "broadcast" or (
-        strategy == "auto" and src_bytes <= broadcast_threshold
+        strategy == "auto" and key_bytes <= broadcast_threshold
     )
     not_delete = (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
-    t = target_sub.select(
-        F.col(key).alias("__k"), F.struct(*cols).alias("__t")
-    )
-    s = src.select(
-        F.col(key).alias("__k"), F.struct(*cols).alias("__s"), "__op"
-    )
+    keys = src.select(F.col(key).alias("__k"))
+    t = target_sub
     if use_broadcast:
-        joined = t.join(F.broadcast(s), "__k", "left")
-        kept_target = joined.filter(F.col("__s").isNull()).select("__t.*")
-        updated = joined.filter(
-            F.col("__s").isNotNull() & not_delete
-        ).select("__s.*")
-        # inserts: source keys provably absent from the touched rows
-        # (pruning already proved untouched files cannot contain them);
-        # the anti-join's target side is a column-pruned key scan
-        inserts = (
-            s.join(t.select("__k"), "__k", "left_anti")
-            .filter(not_delete)
-            .select("__s.*")
+        kept_target = t.join(
+            F.broadcast(keys), t[key] == keys["__k"], "left_anti"
         )
-        result = kept_target.unionByName(updated).unionByName(inserts)
     else:
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        salt = lambda c: F.xxhash64(F.col(c), F.lit(salt_seed))  # noqa: E731
-        joined = t.repartition(n_shuffle, salt("__k")).join(
-            s.repartition(n_shuffle, salt("__k")), "__k", "full_outer"
+        salt = lambda c, d: F.xxhash64(d[c], F.lit(salt_seed))  # noqa: E731
+        kept_target = t.repartition(n_shuffle, salt(key, t)).join(
+            keys.repartition(n_shuffle, salt("__k", keys)),
+            t[key] == keys["__k"],
+            "left_anti",
         )
-        kept_target = joined.filter(F.col("__s").isNull()).select("__t.*")
-        from_source = joined.filter(
-            F.col("__s").isNotNull() & not_delete
-        ).select("__s.*")
-        result = kept_target.unionByName(from_source)
+    from_source = src.filter(not_delete).select(*cols)
+    result = kept_target.select(*cols).unionByName(from_source)
 
     entries = write_data_files(
         spark,

@@ -452,6 +452,11 @@ class Table:
 
         return _update(self, set_exprs, predicate, **kw)
 
+    def overwrite_partitions(self, df: DataFrame, **kw):
+        from .ops.overwrite import overwrite_partitions as _ow
+
+        return _ow(self, df, **kw)
+
     def incremental_scan(self, **kw) -> DataFrame:
         from .ops.changes import incremental_scan as _inc
 

