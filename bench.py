@@ -102,7 +102,17 @@ def main() -> None:
                 except OSError:
                     continue
                 pid, ppid = int(d), int(parts[1])
-                cpu[pid] = (int(parts[11]) + int(parts[12])) / tick
+                # utime+stime of the live process, plus cutime+cstime —
+                # CPU the kernel credits to it for already-reaped
+                # children (idle pyspark daemon workers get reaped
+                # mid-suite; without this the next op's delta goes
+                # negative as their CPU vanishes from the live tree)
+                cpu[pid] = (
+                    int(parts[11])
+                    + int(parts[12])
+                    + int(parts[13])
+                    + int(parts[14])
+                ) / tick
                 children.setdefault(ppid, []).append(pid)
             total, stack = 0.0, [os.getpid()]
             while stack:
@@ -118,7 +128,7 @@ def main() -> None:
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
-        cpu_secs[name] = round(_tree_cpu_s() - c0, 3)
+        cpu_secs[name] = round(max(0.0, _tree_cpu_s() - c0), 3)
         return out
 
     work = tempfile.mkdtemp(prefix="lh_bench_")

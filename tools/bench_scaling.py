@@ -54,6 +54,19 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
+    # Same rationale as bench.py's SPARK_GRAFT_BENCH_CODEC: at sandbox
+    # scale the lz4 default leaves the rewrite nearly free of CPU work
+    # per byte, so wall time is memory-bandwidth/noise-bound; zstd (and
+    # a raised level) restores a prod-like CPU cost per byte, which is
+    # the regime where core-count scaling is measurable on one box.
+    codec = os.environ.get("SPARK_GRAFT_SCALE_CODEC")
+    if codec:
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+    level = os.environ.get("SPARK_GRAFT_SCALE_ZSTD_LEVEL")
+    if level:
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.compression.codec.zstd.level", level
+        )
     work = tempfile.mkdtemp(prefix="lh_scale_")
     try:
         t = Table.create(
@@ -117,6 +130,8 @@ def main() -> None:
                     "unit": "sec",
                     "cpus": CPUS,
                     "clips": N_CLIPS,
+                    "codec": codec or "lz4",
+                    "zstd_level": int(level) if level else None,
                     "table_gb": round(table_bytes / 1e9, 3),
                     "synth_secs": synth_secs,
                     "compact_secs": compact_secs,
