@@ -1,0 +1,109 @@
+"""Physical-plan gates: the properties the 100 TB scale story depends on.
+
+Correctness tests elsewhere prove WHAT the operators return; these prove
+the plans are the ones a 1000-executor cluster needs (SURVEY.md §4):
+
+- narrow scans must never read the audio ``bytes`` column (column
+  pruning reaching the Parquet reader's ReadSchema);
+- residual scan filters must reach the Parquet reader as PushedFilters
+  (row-group skipping on top of the engine's own file-level pruning,
+  the pattern the reference enables via ``filterPushdown=true`` at
+  /root/reference/etl/glue_stream.py:301);
+- the Z-order key projection must stay inside whole-stage codegen —
+  no Python/Arrow eval node anywhere in the hot rewrite path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from lakehouse import Table
+from lakehouse.schema import CLIPS_SCHEMA
+from lakehouse.synth import synth_clips_df
+
+DATE_SPEC = [
+    {"name": "event_date", "transform": "identity", "source": "event_date"}
+]
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def small_table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plans") / "clips")
+    t = Table.create(spark, root, CLIPS_SCHEMA, partition_spec=DATE_SPEC)
+    t.append(
+        synth_clips_df(spark, 96, seed=11, n_days=4), target_file_count=8
+    )
+    return t
+
+
+def test_narrow_scan_never_reads_audio_bytes(small_table):
+    df = small_table.scan(columns=["clip_id", "dur_ms"])
+    plan = plan_str(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("bytes" not in ln for ln in read_schema), (
+        "projection must prune the binary payload out of the Parquet scan:\n"
+        + plan
+    )
+
+
+def test_catalyst_prunes_columns_through_scan(small_table):
+    # same guarantee when the user projects AFTER scan(): Catalyst must
+    # push the pruning down to the file source
+    df = small_table.scan().select("clip_id", "sr_hz")
+    read_schema = [
+        ln for ln in plan_str(df).splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and all("bytes" not in ln for ln in read_schema)
+
+
+def test_residual_filter_pushed_to_parquet_reader(small_table):
+    df = small_table.scan(filter=[("dur_ms", ">", 1000)])
+    plan = plan_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("dur_ms" in ln for ln in pushed), (
+        "residual predicate must reach the Parquet reader "
+        "(row-group skipping):\n" + plan
+    )
+
+
+def test_zorder_key_projection_stays_jvm_side(spark, small_table):
+    from pyspark.sql import types as T
+
+    from lakehouse.curves import bits_per_dim
+    from lakehouse.zexpr import zorder_key_expr
+
+    cols = ["clip_id", "dur_ms"]
+    col_types = {f.name: f.dataType for f in CLIPS_SCHEMA.fields}
+    bounds = {"clip_id": ("clip-0", "clip-~"), "dur_ms": (200, 3000)}
+    df = small_table.scan().withColumn(
+        "zkey", zorder_key_expr(cols, col_types, bounds, bits_per_dim(2))
+    )
+    plan = plan_str(df)
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan, (
+            f"Z-order key must not leave the JVM ({python_node} found):\n"
+            + plan
+        )
+    # formatted mode marks codegen stages with a "*" prefix
+    assert "* Project" in plan, "zkey Project must be whole-stage codegen"
+
+
+def test_entry_smoke_matches_driver_contract(spark):
+    # the driver's smoke check: entry() runs on sf0.001 and yields a
+    # stable-schema DataFrame
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.columns  # stable, non-empty schema
+    assert df.count() >= 0
