@@ -13,10 +13,16 @@ Semantics (Delta/Iceberg MERGE matrix, keyed on a unique ``clip_id``):
 Execution, scale-first:
 
 1. **File pruning.** Only target files whose manifest [min,max] range on
-   the merge key intersects the source key set are rewritten. The probe
-   is a broadcast range-join of source keys against the (small) file-
-   range table — at 10^12-row scale this is what turns MERGE from a
-   full-table rewrite into a touched-files rewrite.
+   the merge key contains at least one source key are rewritten — at
+   10^12-row scale this is what turns MERGE from a full-table rewrite
+   into a touched-files rewrite. The probe is a sorted-interval sweep,
+   not a join: file ranges are broadcast once as flat numpy arrays, and
+   every Arrow batch of source keys sorts itself and binary-searches
+   each file's min bound (``np.searchsorted``, vectorized across all
+   files at once) — a file is touched when the smallest key ≥ its min
+   is ≤ its max. O(files · log batch) per batch, versus the
+   O(keys · files) BroadcastNestedLoopJoin a non-equi range join
+   compiles to.
 2. **The join — keys only, never payloads.** Copy-on-write MERGE with a
    unique key has a closed form:
 
@@ -36,13 +42,18 @@ Execution, scale-first:
      anti-filter → write. This is the everyday 10^12-row MERGE shape: a
      trickle of updates against huge files, at network cost
      O(keys × executors), not O(payload × executors).
-   - *shuffle* (large key set): both sides hash-repartitioned on
-     ``xxhash64(key, seed)`` — a seeded rehash that breaks
-     adversarial/hot lexicographic ranges (the reference's own
-     partition-key skew bug,
-     /root/reference/etl/handlers/click_handler.py:165, is this failure
-     mode) — left-anti join, with AQE skew-join splitting for residual
-     imbalance (session.py turns it on).
+   - *shuffle* (large key set): a plain sort-merge/hash left-anti join —
+     exactly ONE hash exchange per side, inserted by Spark's own
+     ENSURE_REQUIREMENTS. No manual repartition: MERGE keys are unique
+     on both sides (duplicates are rejected above), so join-key skew
+     cannot exist by construction, and AQE handles residual partition
+     imbalance (session.py turns skew-join on). An earlier design
+     pre-repartitioned both sides on ``xxhash64(key, seed)``; Spark
+     does not recognize that as satisfying the join's required
+     distribution and re-shuffles on the raw key, so the wide side paid
+     TWO exchanges for zero skew protection (confirmed by explain-plan
+     probe; gated now by ``tests/test_plans.py``
+     ``test_merge_shuffle_single_exchange_per_side``).
 
 3. **Commit.** REPLACE touched files + APPEND result files in one
    snapshot (op="merge"); untouched files are never read or moved.
@@ -77,6 +88,175 @@ class MergeResult:
     rows_written: int
 
 
+def _range_arrays(spark, live, key, key_type):
+    """File [min,max] key ranges as numpy arrays for the interval sweep.
+
+    Stats ship as strings (schema-stable manifests); they are cast back
+    to the key's NATIVE type through Spark (one tiny local job over the
+    #files-row range table) so ordering matches the engine's own cast
+    semantics — a Python-side reparse would risk lexicographic numeric
+    comparison ("9" > "10") and silently drop files that must be
+    rewritten. Files missing either bound can't be pruned and are
+    returned separately as always-touched.
+
+    Returns (always_touched_paths, paths, lo_arr, hi_arr, kind) where
+    ``kind`` tells the executor-side sweep how to coerce key batches to
+    the same numpy dtype.
+    """
+    import numpy as np
+
+    ranged, always = [], []
+    for i, e in enumerate(live):
+        st = e.stats.get(key) or {}
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            always.append(e.file_path)
+        else:
+            ranged.append((i, str(lo), str(hi)))
+    if not ranged:
+        return always, [], None, None, None
+    cast = (
+        spark.createDataFrame(ranged, "i long, lo string, hi string")
+        .select(
+            "i",
+            F.col("lo").cast(key_type).alias("lo"),
+            F.col("hi").cast(key_type).alias("hi"),
+        )
+        .collect()
+    )
+    paths, los, his = [], [], []
+    by_idx = {i: e.file_path for i, e in enumerate(live)}
+    for r in cast:
+        if r.lo is None or r.hi is None:  # cast failure → can't prune
+            always.append(by_idx[r.i])
+            continue
+        paths.append(by_idx[r.i])
+        los.append(r.lo)
+        his.append(r.hi)
+    if not paths:
+        return always, [], None, None, None
+    if isinstance(key_type, (T.TimestampType, T.TimestampNTZType)):
+        kind = "ts"
+        conv = lambda vs: np.array(  # noqa: E731
+            [np.datetime64(v, "us") for v in vs]
+        ).astype("int64")
+    elif isinstance(key_type, T.DateType):
+        kind = "date"
+        conv = lambda vs: np.array(  # noqa: E731
+            [np.datetime64(v, "D") for v in vs]
+        ).astype("int64")
+    elif isinstance(key_type, T.StringType):
+        kind = "str"
+        conv = lambda vs: np.array(vs, dtype="U")  # noqa: E731
+    elif isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        kind = "int"
+        conv = lambda vs: np.array(vs, dtype="int64")  # noqa: E731
+    elif isinstance(key_type, (T.FloatType, T.DoubleType)):
+        kind = "float"
+        conv = lambda vs: np.array(vs, dtype="float64")  # noqa: E731
+    else:  # binary / decimal — object arrays, Python-compare searchsorted
+        kind = "obj"
+        conv = lambda vs: np.array(vs, dtype=object)  # noqa: E731
+    return always, paths, conv(los), conv(his), kind
+
+
+def _batch_keys_to_np(series, kind):
+    """Coerce one Arrow batch of source keys to the sweep's numpy dtype."""
+    import numpy as np
+    import pandas as pd
+
+    s = series.dropna()
+    if kind == "ts":
+        return pd.to_datetime(s).to_numpy("datetime64[us]").astype("int64")
+    if kind == "date":
+        return pd.to_datetime(s).to_numpy("datetime64[D]").astype("int64")
+    if kind == "str":
+        return s.to_numpy(dtype="U")
+    if kind == "int":
+        return s.to_numpy(dtype="int64")
+    if kind == "float":
+        return s.to_numpy(dtype="float64")
+    return np.array(list(s), dtype=object)
+
+
+def probe_touched_files(spark, src_keys, key, key_type, live) -> list[str]:
+    """Distributed sorted-interval sweep: which live files' [min,max]
+    range on ``key`` contains ≥1 source key?
+
+    No join in the plan at all (the previous non-equi broadcast range
+    join compiled to a BroadcastNestedLoopJoin — O(keys·files)): the
+    plan is scan(keys) → mapInPandas(sweep) → distinct-aggregate →
+    collect, with output bounded by the file count. Each batch emits
+    the file indices it touches, so the shuffle moves at most
+    O(batches · files-touched) longs.
+    """
+    always, paths, lo_arr, hi_arr, kind = _range_arrays(
+        spark, live, key, key_type
+    )
+    touched = set(always)
+    if not paths:
+        return sorted(touched)
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast((lo_arr, hi_arr, kind))
+
+    def sweep(batches):
+        import pandas as pd
+
+        lo_a, hi_a, knd = bc.value
+        n_files = len(lo_a)
+        for pdf in batches:
+            ks = _batch_keys_to_np(pdf["__k"], knd)
+            if not len(ks):
+                continue
+            ks = np.sort(ks)
+            pos = np.searchsorted(ks, lo_a, side="left")
+            inb = pos < len(ks)
+            hit = np.zeros(n_files, dtype=bool)
+            hit[inb] = ks[np.minimum(pos[inb], len(ks) - 1)] <= hi_a[inb]
+            idx = np.nonzero(hit)[0]
+            if len(idx):
+                yield pd.DataFrame({"fidx": idx.astype("int64")})
+
+    rows = (
+        src_keys.select(F.col(key).alias("__k"))
+        .mapInPandas(sweep, "fidx long")
+        .distinct()
+        .collect()
+    )
+    bc.unpersist()
+    touched.update(paths[r.fidx] for r in rows)
+    return sorted(touched)
+
+
+def anti_join_kept(
+    target: DataFrame,
+    keys: DataFrame,
+    key: str,
+    *,
+    strategy: str = "auto",
+    key_bytes: int = 0,
+    broadcast_threshold: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """``target ⟕anti keys`` — the only join MERGE ever runs.
+
+    broadcast: the wide target side never shuffles. shuffle: a plain
+    left-anti with one Spark-inserted exchange per side and nothing
+    else — exposed as a function so the plan gate in tests/test_plans.py
+    can assert the exchange count directly.
+    """
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and key_bytes <= broadcast_threshold
+    )
+    if use_broadcast:
+        return target.join(
+            F.broadcast(keys), target[key] == keys["__k"], "left_anti"
+        )
+    return target.join(keys, target[key] == keys["__k"], "left_anti")
+
+
 def merge_into(
     table,
     source: DataFrame,
@@ -84,7 +264,6 @@ def merge_into(
     key: str = "clip_id",
     op_col: str = "op",
     target_file_count: Optional[int] = None,
-    salt_seed: int = 0,
     job_id: Optional[str] = None,
     strategy: str = "auto",
     broadcast_threshold: int = 32 * 1024 * 1024,
@@ -153,40 +332,11 @@ def merge_into(
     key_bytes = int(stats.key_bytes or 0)
 
     # --- file-level pruning: which target files can contain source keys? -----
-    # Range comparison must happen in the key's NATIVE type: stats are
-    # shipped as strings (schema-stable broadcast table) and cast back,
-    # otherwise numeric keys compare lexicographically ("9" > "10") and
-    # pruning silently drops files that must be rewritten.
     live = table.plan().files
-    ranged = []
-    for e in live:
-        st = e.stats.get(key) or {}
-        lo, hi = st.get("min"), st.get("max")
-        ranged.append(
-            (
-                e.file_path,
-                None if lo is None else str(lo),
-                None if hi is None else str(hi),
-            )
-        )
-    files_df = spark.createDataFrame(
-        ranged, "file_path string, kmin string, kmax string"
-    )
-    lo_t = F.col("kmin").cast(key_type)
-    hi_t = F.col("kmax").cast(key_type)
-    touched_rows = (
-        src.select(F.col(key).alias("__k"))
-        .join(
-            F.broadcast(files_df),
-            (F.col("kmin").isNull())
-            | ((F.col("__k") >= lo_t) & (F.col("__k") <= hi_t)),
-            "inner",
-        )
-        .select("file_path")
-        .distinct()
-        .collect()
-    )
-    touched = sorted(r.file_path for r in touched_rows)
+    if int(stats.src_rows or 0) == 0:
+        touched = []
+    else:
+        touched = probe_touched_files(spark, src, key, key_type, live)
 
     log = LineageLog(table.root, job_id)
     log.start_job(
@@ -194,7 +344,6 @@ def merge_into(
         {
             "key": key,
             "touched_files": len(touched),
-            "salt_seed": salt_seed,
             "strategy": strategy,
             "key_bytes_est": key_bytes,
         },
@@ -229,29 +378,22 @@ def merge_into(
     #   rows stream parquet-scan → anti-filter → write, total IO =
     #   read-touched + write-touched (the everyday 10^12-row MERGE shape:
     #   a trickle of updates against huge files).
-    # shuffle: large key set → both sides hash-repartitioned on a SEEDED
-    #   rehash of the key (breaks adversarial/hot lexicographic ranges —
-    #   the reference's own partition-key skew bug,
-    #   /root/reference/etl/handlers/click_handler.py:165) + AQE skew
-    #   splitting for residual imbalance.
-    use_broadcast = strategy == "broadcast" or (
-        strategy == "auto" and key_bytes <= broadcast_threshold
-    )
+    # shuffle: large key set → plain left-anti join; Spark inserts
+    #   exactly ONE hash exchange per side (ENSURE_REQUIREMENTS). Keys
+    #   are unique on both sides (duplicates rejected above) so join-key
+    #   skew cannot exist; AQE balances residual partition imbalance.
+    #   Gated by tests/test_plans.py::
+    #   test_merge_shuffle_single_exchange_per_side.
     not_delete = (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
     keys = src.select(F.col(key).alias("__k"))
-    t = target_sub
-    if use_broadcast:
-        kept_target = t.join(
-            F.broadcast(keys), t[key] == keys["__k"], "left_anti"
-        )
-    else:
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        salt = lambda c, d: F.xxhash64(d[c], F.lit(salt_seed))  # noqa: E731
-        kept_target = t.repartition(n_shuffle, salt(key, t)).join(
-            keys.repartition(n_shuffle, salt("__k", keys)),
-            t[key] == keys["__k"],
-            "left_anti",
-        )
+    kept_target = anti_join_kept(
+        target_sub,
+        keys,
+        key,
+        strategy=strategy,
+        key_bytes=key_bytes,
+        broadcast_threshold=broadcast_threshold,
+    )
     from_source = src.filter(not_delete).select(*cols)
     result = kept_target.select(*cols).unionByName(from_source)
 

@@ -49,9 +49,15 @@ def small_table(spark, tmp_path_factory):
 def test_narrow_scan_never_reads_audio_bytes(small_table):
     df = small_table.scan(columns=["clip_id", "dur_ms"])
     plan = plan_str(df)
+    import re
+
     assert "ReadSchema" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert read_schema and all("bytes" not in ln for ln in read_schema), (
+    # match the field token exactly ([<,]bytes:) so a future column whose
+    # name merely contains "bytes" can't trip this (ADVICE r1)
+    assert read_schema and all(
+        not re.search(r"[<,]bytes:", ln) for ln in read_schema
+    ), (
         "projection must prune the binary payload out of the Parquet scan:\n"
         + plan
     )
@@ -60,11 +66,15 @@ def test_narrow_scan_never_reads_audio_bytes(small_table):
 def test_catalyst_prunes_columns_through_scan(small_table):
     # same guarantee when the user projects AFTER scan(): Catalyst must
     # push the pruning down to the file source
+    import re
+
     df = small_table.scan().select("clip_id", "sr_hz")
     read_schema = [
         ln for ln in plan_str(df).splitlines() if "ReadSchema" in ln
     ]
-    assert read_schema and all("bytes" not in ln for ln in read_schema)
+    assert read_schema and all(
+        not re.search(r"[<,]bytes:", ln) for ln in read_schema
+    )
 
 
 def test_residual_filter_pushed_to_parquet_reader(small_table):
@@ -99,11 +109,71 @@ def test_zorder_key_projection_stays_jvm_side(spark, small_table):
     assert "* Project" in plan, "zkey Project must be whole-stage codegen"
 
 
+def test_merge_shuffle_single_exchange_per_side(spark, small_table):
+    """The MERGE shuffle path must cost exactly ONE exchange per join
+    side. Round 1 pre-repartitioned both sides on xxhash64(key); Spark
+    re-shuffled on the raw key anyway (ENSURE_REQUIREMENTS), so the wide
+    side paid two exchanges for zero skew protection (VERDICT.md §wrong
+    1, confirmed by explain probe)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.ops.merge import anti_join_kept
+
+    import re
+
+    t = small_table.scan()
+    keys = (
+        small_table.scan(columns=["clip_id"])
+        .filter(F.col("clip_id") < "clip-000000000040")
+        .select(F.col("clip_id").alias("__k"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept = anti_join_kept(t, keys, "clip_id", strategy="shuffle")
+        plan = plan_str(kept)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted mode prints each node once in the tree and once in the
+    # details section — count unique node ids of Exchange details
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, (
+        f"shuffle MERGE must shuffle each side exactly once, "
+        f"saw {n_exchanges} exchanges:\n" + plan
+    )
+
+
+def test_merge_broadcast_never_shuffles_target(spark, small_table):
+    """Broadcast path: the wide target side streams scan → anti-filter
+    with ZERO exchanges on it (the everyday 10^12-row MERGE shape)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.ops.merge import anti_join_kept
+
+    t = small_table.scan()
+    keys = (
+        small_table.scan(columns=["clip_id"])
+        .filter(F.col("clip_id") < "clip-000000000010")
+        .select(F.col("clip_id").alias("__k"))
+    )
+    kept = anti_join_kept(t, keys, "clip_id", strategy="broadcast")
+    plan = plan_str(kept)
+    assert "BroadcastHashJoin" in plan
+    # the only exchange allowed is the broadcast of the key set
+    for ln in plan.splitlines():
+        body = ln.lstrip("*+- (0123456789)")
+        if body.startswith("Exchange"):
+            assert "broadcast" in ln.lower(), (
+                "target side of a broadcast MERGE must not shuffle:\n" + plan
+            )
+
+
 def test_entry_smoke_matches_driver_contract(spark):
     # the driver's smoke check: entry() runs on sf0.001 and yields a
-    # stable-schema DataFrame
+    # stable-schema DataFrame with the flagship query's key columns
     import __spark_entry__ as e
 
     df = e.entry(spark)
-    assert df.columns  # stable, non-empty schema
-    assert df.count() >= 0
+    assert set(df.columns) == {"event_type", "n", "total_value"}
+    assert df.count() > 0
