@@ -179,7 +179,6 @@ def main() -> None:
                 "compact",
                 lambda: t.compact(
                     target_file_size=TARGET_MB * 1024 * 1024,
-                    max_concurrency=CPUS,
                 ),
             )
             timed(
@@ -188,7 +187,6 @@ def main() -> None:
                     ["clip_id", "ingest_ts"],
                     curve="zorder",
                     target_file_size=TARGET_MB * 1024 * 1024,
-                    max_concurrency=CPUS,
                 ),
             )
 

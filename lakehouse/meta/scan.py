@@ -10,8 +10,11 @@ Parquet reader (row-group skipping), matching the reference's
 ``filterPushdown=true`` (/root/reference/etl/glue_stream.py:301).
 
 For manifest sets too large for the driver (10^12-row tables have
-millions of files), ``plan_scan_distributed`` runs the same pruning as a
-Spark job over the manifest Parquet files themselves.
+millions of files), ``plan_scan_lazy`` + ``read_lazy_plan`` run the same
+pruning as a Spark job over the manifest Parquet files themselves and
+keep the kept-file set as a DataFrame end-to-end; the driver only ever
+holds bounded chunks of bare paths. ``plan_scan_distributed`` is the
+driver-materialized variant for metadata APIs that need entry objects.
 """
 
 from __future__ import annotations
@@ -134,6 +137,139 @@ def read_plan(
     return df
 
 
+def prune_entries_df(mdf: DataFrame, preds: Sequence[Predicate]) -> DataFrame:
+    """Partition + stats pruning over a manifest-entry DataFrame, as a
+    DataFrame transformation — the output never touches the driver here.
+
+    Pruning runs inside an Arrow-batched ``mapInPandas`` (no per-row
+    Python at the JVM boundary); this is the reusable core of both the
+    distributed planner and the lazy scan path, and the unit under the
+    1M-virtual-file gate in tests/test_planner_scale.py.
+    """
+    if not preds:
+        return mdf
+    import pandas as pd
+
+    pred_payload = [(p.col, p.op, p.value) for p in preds]
+
+    def keep_batch(batches):
+        from ..expressions import Predicate as P
+        from ..expressions import matches_partition as mp
+        from ..expressions import matches_stats as ms
+
+        local_preds = [P(c, o, v) for c, o, v in pred_payload]
+        for pdf in batches:
+            mask = []
+            for part_j, stats_j in zip(
+                pdf["partition_json"], pdf["stats_json"]
+            ):
+                part = json.loads(part_j or "{}")
+                stats = json.loads(stats_j or "{}")
+                ok = all(mp(p, part) for p in local_preds) and all(
+                    ms(p, stats.get(p.col)) for p in local_preds
+                )
+                mask.append(ok)
+            yield pdf[pd.Series(mask, index=pdf.index)]
+
+    return mdf.mapInPandas(keep_batch, mdf.schema)
+
+
+@dataclass
+class LazyScanPlan:
+    """A scan plan whose kept-file set stays a DataFrame end-to-end.
+
+    The driver-side ``ScanPlan`` materializes one ``DataFileEntry`` per
+    surviving file — correct for metadata APIs, but a memory and
+    argument-list ceiling when a low-selectivity filter over millions of
+    files survives pruning (VERDICT.md §wrong 2). Here only bounded
+    chunks of bare file paths ever reach the driver, via
+    ``toLocalIterator`` in ``iter_path_chunks``.
+    """
+
+    files_df: DataFrame  # full manifest-entry schema, pruned
+    residual_sql: Optional[str]
+    snapshot_id: int
+    candidate_files: int
+
+    def iter_path_chunks(self, table_root: str, chunk_size: int = 100_000):
+        """Yield lists of ≤``chunk_size`` absolute paths; driver memory
+        is bounded by one chunk (toLocalIterator streams partitions)."""
+        chunk: list[str] = []
+        for row in (
+            self.files_df.select("file_path").toLocalIterator(
+                prefetchPartitions=True
+            )
+        ):
+            chunk.append(os.path.join(table_root, row.file_path))
+            if len(chunk) >= chunk_size:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
+
+def plan_scan_lazy(
+    spark: SparkSession,
+    table_root: str,
+    meta: TableMetadata,
+    *,
+    filter=None,  # noqa: A002
+    snapshot_id: Optional[int] = None,
+) -> LazyScanPlan:
+    """Distributed pruning with a DataFrame-valued result set — the
+    scale path when a snapshot tracks more files than the driver should
+    hold (millions of entries)."""
+    preds = normalize_filter(filter)
+    if snapshot_id is None and meta.current_snapshot_id is None:
+        empty = spark.createDataFrame(
+            [], "file_path string, partition_json string, stats_json string"
+        )
+        return LazyScanPlan(empty, to_sql(preds), 0, 0)
+    snap = meta.snapshot(snapshot_id)
+    manifests = read_manifest_list(table_root, snap.manifest_list)
+    paths = [os.path.join(table_root, m["path"]) for m in manifests]
+    candidates = sum(
+        m.get("summary", {}).get("entry_count", 0) for m in manifests
+    )
+    if not paths:
+        empty = spark.createDataFrame(
+            [], "file_path string, partition_json string, stats_json string"
+        )
+        return LazyScanPlan(empty, to_sql(preds), snap.snapshot_id, 0)
+    mdf = spark.read.parquet(*paths)
+    return LazyScanPlan(
+        files_df=prune_entries_df(mdf, preds),
+        residual_sql=to_sql(preds),
+        snapshot_id=snap.snapshot_id,
+        candidate_files=candidates,
+    )
+
+
+def read_lazy_plan(
+    spark: SparkSession,
+    table_root: str,
+    meta: TableMetadata,
+    plan: LazyScanPlan,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Materialize a LazyScanPlan without ever building the full path
+    list in one Python object: chunked multi-path reads, unioned lazily."""
+    schema = T.StructType.fromJson(meta.schema_json)
+    df = None
+    for chunk in plan.iter_path_chunks(table_root, chunk_size):
+        part = spark.read.schema(schema).parquet(*chunk)
+        df = part if df is None else df.unionByName(part)
+    if df is None:
+        df = spark.createDataFrame([], schema)
+    if plan.residual_sql:
+        df = df.filter(plan.residual_sql)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
 def plan_scan_distributed(
     spark: SparkSession,
     table_root: str,
@@ -142,16 +278,12 @@ def plan_scan_distributed(
     filter=None,  # noqa: A002
     snapshot_id: Optional[int] = None,
 ) -> ScanPlan:
-    """Same pruning semantics, but executed as a Spark job over the
-    manifest Parquet files — the scale path when a snapshot tracks more
-    files than the driver should hold (millions of entries).
-
-    Partition + stats pruning run inside an Arrow-batched ``mapInPandas``
-    (no per-row Python at the JVM boundary), and only surviving entries
-    are collected (the output is bounded by the files actually read).
+    """Distributed pruning, driver-materialized result — for metadata
+    APIs that need ``DataFileEntry`` objects (``plan()``/``live_files``).
+    Output size is bounded by the files that survive pruning; callers
+    that only need to READ the data should use ``plan_scan_lazy`` +
+    ``read_lazy_plan`` instead, which never materialize the entry list.
     """
-    import pandas as pd
-
     preds = normalize_filter(filter)
     if snapshot_id is None and meta.current_snapshot_id is None:
         return ScanPlan([], to_sql(preds), snapshot_id=0)  # empty table
@@ -163,36 +295,9 @@ def plan_scan_distributed(
 
     mdf = spark.read.parquet(*paths)
     total = mdf.count()
-    if not preds:
-        kept_rows = mdf.toPandas().to_dict("records")
-    else:
-        pred_payload = [(p.col, p.op, p.value) for p in preds]
-
-        def keep_batch(batches):
-            from ..expressions import Predicate as P
-            from ..expressions import matches_partition as mp
-            from ..expressions import matches_stats as ms
-
-            local_preds = [P(c, o, v) for c, o, v in pred_payload]
-            for pdf in batches:
-                mask = []
-                for part_j, stats_j in zip(
-                    pdf["partition_json"], pdf["stats_json"]
-                ):
-                    part = json.loads(part_j or "{}")
-                    stats = json.loads(stats_j or "{}")
-                    ok = all(mp(p, part) for p in local_preds) and all(
-                        ms(p, stats.get(p.col)) for p in local_preds
-                    )
-                    mask.append(ok)
-                yield pdf[pd.Series(mask, index=pdf.index)]
-
-        kept_rows = (
-            mdf.mapInPandas(keep_batch, mdf.schema).toPandas().to_dict("records")
-        )
-
+    kept_rows = prune_entries_df(mdf, preds).collect()
     return ScanPlan(
-        files=[DataFileEntry.from_row(r) for r in kept_rows],
+        files=[DataFileEntry.from_row(r.asDict()) for r in kept_rows],
         residual_sql=to_sql(preds),
         snapshot_id=snap.snapshot_id,
         candidate_files=total,

@@ -32,7 +32,6 @@ driver and got SLOWER with more cores):
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -126,7 +125,6 @@ def cluster(
     curve: str = "zorder",
     target_file_size: int = 128 * 1024 * 1024,
     partition_filter=None,
-    max_concurrency: int = 8,
     job_id: Optional[str] = None,
     fault_injector=None,
 ) -> ClusterResult:

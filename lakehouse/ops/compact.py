@@ -10,31 +10,40 @@ Strategy (matches Iceberg's binpack rewrite, built from DataFrame ops):
 1. **Plan** (driver, over manifest metadata only): group live files by
    partition, pick files below the small-file threshold, first-fit-
    decreasing pack them into bins of ``target_file_size`` input bytes.
-2. **Execute**: each bin is an independent mini-job — read exactly its
-   files, ``coalesce(1)`` (no shuffle: compaction is a concatenation,
-   not a re-hash), write one Parquet file into the job directory. Bins
-   run concurrently through the shared SparkSession (FAIR scheduler),
-   so cluster utilization scales with bin count, not with per-bin
-   parallelism — the same knob Iceberg exposes as
-   max-concurrent-file-group-rewrites.
+2. **Execute — exactly ONE Spark job for all bins** (same shape as
+   clustering, ops/cluster.py:1-30): read every pending input file
+   once, tag each row with its bin via a broadcast file→bin equi-join
+   on ``input_file_name()``, hash-repartition on the bin key (all rows
+   of a bin land in one task), and write with ``partitionBy(__bin)`` —
+   the writer splits exactly one output file per bin. Parallelism
+   scales with Spark tasks, never with driver threads: an earlier
+   job-per-bin ThreadPool design made driver job-submission the serial
+   term at 10⁴–10⁶ bins (VERDICT.md §wrong 3). The only data moved is
+   the small files being compacted (a sliver of the table), so the one
+   shuffle is bounded by compaction input, not table size.
 3. **Commit** once: REPLACE snapshot removing all inputs of DONE bins
    and adding their outputs. Scans before/after are row-set identical.
 
-Resumability: every bin writes a lineage task record (RUNNING → DONE
-with output manifest entries). Restarting with the same ``job_id``
-skips DONE bins and redoes interrupted ones; a crash between execute
-and commit is recovered by re-running the job (all bins DONE → commit
-straight away). Partial outputs are never referenced → GC sweeps them.
+Resumability: after the write job, every bin gets a lineage task record
+(DONE with output manifest entries), finalized in deterministic order.
+Restarting with the same ``job_id`` reuses DONE bins' outputs and
+reruns only pending bins — each attempt writes into its own
+``a<N>/`` subdirectory so a rerun never clobbers recorded outputs; a
+crash between execute and commit is recovered by re-running the job
+(all bins DONE → commit straight away). Partial outputs are never
+referenced → GC sweeps them.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
-from ..lineage import DONE, LineageLog
+from pyspark.sql import functions as F
+
+from ..lineage import LineageLog
 from ..meta.manifests import DataFileEntry
 from ..ops.append import harvest_stats
 
@@ -94,15 +103,15 @@ def compact(
     small_file_threshold: Optional[int] = None,
     min_input_files: int = 2,
     partition_filter=None,
-    max_concurrency: int = 8,
     job_id: Optional[str] = None,
     fault_injector: Optional[Callable[[str], None]] = None,
 ) -> CompactionResult:
     """Rewrite small files into ~``target_file_size`` files per partition.
 
-    ``fault_injector(bin_key)`` is a test hook called after a bin's data
-    is written but before its DONE record — raising there simulates a
-    mid-job crash for the resumability gate (SURVEY.md §5.6).
+    ``fault_injector(bin_key)`` is a test hook called as each bin is
+    finalized (outputs written + DONE lineage record) but before the
+    snapshot commit — raising there simulates a mid-job crash for the
+    resumability gate (SURVEY.md §5.6).
     """
     spark = table.spark
     threshold = small_file_threshold or int(target_file_size * 0.75)
@@ -131,46 +140,90 @@ def compact(
     existing = log.done_tasks()
 
     def bin_key(members: list[DataFileEntry]) -> str:
-        import hashlib
-
         h = hashlib.sha1(
             "|".join(sorted(e.file_path for e in members)).encode()
         ).hexdigest()[:16]
         return f"bin-{h}"
 
-    def run_bin(members: list[DataFileEntry]) -> tuple[str, list[DataFileEntry]]:
-        key = bin_key(members)
-        if key in existing:  # resume: reuse prior output
-            return key, existing[key].out_entries()
-        files_in = [e.file_path for e in members]
-        bytes_in = sum(e.file_size_bytes for e in members)
-        log.start_task(key, files_in, bytes_in)
-        paths = [os.path.join(table.root, p) for p in files_in]
-        out_rel_dir = f"{job_data_rel}/{key}"
+    keyed = [(bin_key(members), members) for members in bins]
+    entries_by_key: dict[str, list[DataFileEntry]] = {
+        k: existing[k].out_entries() for k, _m in keyed if k in existing
+    }
+    pending = [(k, m) for k, m in keyed if k not in existing]
+
+    if pending:
+        # each resume attempt gets its own subdir: a rerun never
+        # clobbers files a DONE record already points at
+        base_dir = os.path.join(table.root, job_data_rel)
+        n_prev = (
+            len([d for d in os.listdir(base_dir) if d.startswith("a")])
+            if os.path.isdir(base_dir)
+            else 0
+        )
+        attempt_rel = f"{job_data_rel}/a{n_prev + 1}"
+
+        # ONE job: broadcast file→bin map keyed on input_file_name(),
+        # repartition by bin (all rows of a bin in one task), one output
+        # file per bin via partitionBy
+        file_to_bin = []
+        for k, members in pending:
+            for e in members:
+                file_to_bin.append(
+                    (os.path.abspath(os.path.join(table.root, e.file_path)), k)
+                )
+        map_df = spark.createDataFrame(
+            file_to_bin, "__file string, __bin string"
+        )
+        paths = [p for p, _k in file_to_bin]
         (
             spark.read.schema(table.schema)
             .parquet(*paths)
-            .coalesce(1)  # concatenation, not a shuffle
-            .write.mode("overwrite")  # rerun of an interrupted bin
-            .parquet(os.path.join(table.root, out_rel_dir))
+            .withColumn(
+                "__file",
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            )
+            .join(F.broadcast(map_df), "__file", "inner")
+            .drop("__file")
+            .repartition(max(1, 2 * len(pending)), F.col("__bin"))
+            .write.partitionBy("__bin")
+            .parquet(os.path.join(table.root, attempt_rel))
         )
-        out_files = []
-        base = os.path.join(table.root, out_rel_dir)
-        for name in sorted(os.listdir(base)):
-            if name.endswith(".parquet"):
-                out_files.append((f"{out_rel_dir}/{name}", members[0].partition))
-        entries = harvest_stats(spark, table.root, out_files)
-        if fault_injector is not None:
-            fault_injector(key)
-        log.finish_task(key, entries, files_in=files_in, bytes_in=bytes_in)
-        return key, entries
+
+        # harvest every output footer in one pass, then finalize bins in
+        # deterministic order (lineage only; no further Spark jobs)
+        part_by_key = {k: members[0].partition for k, members in pending}
+        out_files: list[tuple[str, dict]] = []
+        for dirpath, _d, names in os.walk(os.path.join(table.root, attempt_rel)):
+            comp = os.path.basename(dirpath)
+            if not comp.startswith("__bin="):
+                continue
+            k = comp.split("=", 1)[1]
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, name), table.root
+                    )
+                    out_files.append((rel, part_by_key[k]))
+        all_entries = harvest_stats(spark, table.root, out_files)
+        by_key: dict[str, list[DataFileEntry]] = {}
+        for e in all_entries:
+            comp = e.file_path.split("/")[-2]
+            by_key.setdefault(comp.split("=", 1)[1], []).append(e)
+        for k, members in sorted(pending):
+            files_in = [e.file_path for e in members]
+            bytes_in = sum(e.file_size_bytes for e in members)
+            outs = by_key.get(k, [])
+            log.start_task(k, files_in, bytes_in)
+            log.finish_task(k, outs, files_in=files_in, bytes_in=bytes_in)
+            entries_by_key[k] = outs
+            if fault_injector is not None:
+                fault_injector(k)
 
     added: list[DataFileEntry] = []
     removed: list[str] = []
-    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-        for members, (_key, entries) in zip(bins, pool.map(run_bin, bins)):
-            added.extend(entries)
-            removed.extend(e.file_path for e in members)
+    for k, members in keyed:
+        added.extend(entries_by_key[k])
+        removed.extend(e.file_path for e in members)
 
     bytes_rewritten = sum(e.file_size_bytes for e in added)
     records = sum(e.record_count for e in added)

@@ -29,7 +29,14 @@ from .errors import (
 )
 from .meta import snapshots as S
 from .meta.manifests import DataFileEntry, read_manifest, write_manifest
-from .meta.scan import ScanPlan, plan_scan, plan_scan_distributed, read_plan
+from .meta.scan import (
+    ScanPlan,
+    plan_scan,
+    plan_scan_distributed,
+    plan_scan_lazy,
+    read_lazy_plan,
+    read_plan,
+)
 from .ops.append import write_data_files
 from .partitioning import spec_with_result_types
 from .schema import is_additive_evolution
@@ -400,14 +407,27 @@ class Table:
         distributed_planning: bool = False,
     ) -> DataFrame:
         """Pruned snapshot read; ``snapshot_id`` = time travel,
-        ``ref`` = read a named branch/tag head."""
+        ``ref`` = read a named branch/tag head.
+
+        ``distributed_planning=True`` takes the scale path end-to-end:
+        pruning runs as a Spark job over the manifests AND the kept-file
+        set stays a DataFrame — the driver only ever sees bounded chunks
+        of bare paths, never the full entry list (VERDICT.md §wrong 2).
+        """
         meta = self.meta
-        plan = self.plan(
-            filter=filter,
-            snapshot_id=snapshot_id,
-            ref=ref,
-            distributed=distributed_planning,
-        )
+        if distributed_planning:
+            if ref is not None:
+                if snapshot_id is not None:
+                    raise RefError("pass either snapshot_id or ref, not both")
+                snapshot_id = self._resolve_ref(meta, ref)
+            lplan = plan_scan_lazy(
+                self.spark, self.root, meta,
+                filter=filter, snapshot_id=snapshot_id,
+            )
+            return read_lazy_plan(
+                self.spark, self.root, meta, lplan, columns=columns
+            )
+        plan = self.plan(filter=filter, snapshot_id=snapshot_id, ref=ref)
         return read_plan(
             self.spark, self.root, meta, plan, columns=columns
         )

@@ -77,7 +77,6 @@ def test_compact_resume_after_crash(spark, table_root):
             target_file_size=64 * 1024 * 1024,
             job_id="resume-test",
             fault_injector=crash_after_first,
-            max_concurrency=1,
         )
     # nothing committed: table untouched mid-crash
     assert t.meta.version == version_before

@@ -104,6 +104,81 @@ def test_distributed_planning_matches_driver_at_scale(big_meta_table):
     assert a == b
 
 
+def test_lazy_planner_prunes_1m_virtual_files_off_driver(spark):
+    """The scale planner must keep the kept-file set as a DataFrame and
+    hand the driver only bounded path chunks — never the full entry list
+    (VERDICT.md §wrong 2). 1M virtual manifest entries are fabricated as
+    a Spark job (spark.range → entry rows), pruned with the same
+    prune_entries_df the lazy scan path uses, and consumed through
+    iter_path_chunks; the driver holds ≤ chunk_size paths at any time.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse.expressions import normalize_filter
+    from lakehouse.meta.scan import LazyScanPlan, prune_entries_df
+
+    n = 1_000_000
+    files_per_day = 2_000  # 500 virtual days
+    mdf = spark.range(n).select(
+        F.concat(F.lit("data/virtual/f"), F.col("id")).alias("file_path"),
+        F.to_json(
+            F.struct(
+                F.date_format(
+                    F.date_add(
+                        F.lit("2020-01-01"),
+                        (F.col("id") / files_per_day).cast("int"),
+                    ),
+                    "yyyy-MM-dd",
+                ).alias("event_date")
+            )
+        ).alias("partition_json"),
+        F.lit(20_000_000).alias("record_count"),
+        F.lit(512 * 1024 * 1024).alias("file_size_bytes"),
+        F.lit(_json.dumps({})).alias("stats_json"),
+        F.lit("").alias("sort_order"),
+    )
+    # low-selectivity filter: 100 of 500 days survive → 200k files
+    preds = normalize_filter(
+        [("event_date", ">=", "2020-01-01"), ("event_date", "<", "2020-04-10")]
+    )
+    pruned = prune_entries_df(mdf, preds)
+    lplan = LazyScanPlan(pruned, None, snapshot_id=1, candidate_files=n)
+
+    kept = 100 * files_per_day
+    chunk_size = 50_000
+    seen = 0
+    max_chunk = 0
+    for chunk in lplan.iter_path_chunks("/virtual", chunk_size=chunk_size):
+        assert chunk[0].startswith("/virtual/data/virtual/f")
+        max_chunk = max(max_chunk, len(chunk))
+        seen += len(chunk)
+    assert seen == kept
+    assert max_chunk <= chunk_size
+
+
+def test_distributed_scan_matches_driver_scan(spark, tmp_path):
+    """End-to-end equality of the lazy scan path on a real table."""
+    from lakehouse import Table
+    from lakehouse.synth import synth_clips_df
+
+    root = str(tmp_path / "t")
+    t = Table.create(spark, root, CLIPS_SCHEMA, partition_spec=DATE_SPEC)
+    t.append(synth_clips_df(spark, 80, seed=5, n_days=3), target_file_count=6)
+    f = [("dur_ms", ">", 800)]
+    a = sorted(
+        r.clip_id for r in t.scan(filter=f).select("clip_id").collect()
+    )
+    b = sorted(
+        r.clip_id
+        for r in t.scan(filter=f, distributed_planning=True)
+        .select("clip_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_time_travel_pins_virtual_snapshots(big_meta_table):
     t = big_meta_table
     snaps = t.snapshots()

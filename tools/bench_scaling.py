@@ -96,9 +96,7 @@ def main() -> None:
         table_bytes = sum(e.file_size_bytes for e in t.live_files())
 
         t0 = time.time()
-        t.compact(
-            target_file_size=TARGET_MB * 1024 * 1024, max_concurrency=CPUS
-        )
+        t.compact(target_file_size=TARGET_MB * 1024 * 1024)
         compact_secs = round(time.time() - t0, 2)
 
         cluster_secs = []
@@ -113,7 +111,6 @@ def main() -> None:
                 cols,
                 curve="zorder",
                 target_file_size=TARGET_MB * 1024 * 1024,
-                max_concurrency=CPUS,
             )
             cluster_secs.append(round(time.time() - t0, 2))
             t.expire_snapshots(keep_last=1)
