@@ -401,8 +401,15 @@ def _q_cosine_topk(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     from lakehouse.similarity import ann_lsh_topk
 
+    # 8 bits = 256 buckets (16x round 1's ceiling), multiprobe=2 probes
+    # Hamming-<=2 neighbors; bucket count is a corpus-size knob — at
+    # 10^12 rows the same mechanism runs at n_bits 20+ unchanged
     return ann_lsh_topk(
-        _read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5, n_bits=4
+        _read(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        k=5,
+        n_bits=8,
+        multiprobe=2,
     )
 
 
@@ -410,7 +417,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     from lakehouse.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4
+        _read(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=16, n_bands=4
     )
 
 
@@ -419,11 +426,16 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_audio_decode(spark, sf_dir):
+    """Self-verifying (no SQL oracle exists for WAV decode): the builder
+    itself asserts the decode invariants from tests/test_audio.py:65 —
+    every clip decodes, and n_samples == sr_hz * dur_ms // 1000 exactly
+    — so the driver's rows-only gate proves correctness, not liveness
+    (VERDICT.md next-round #2)."""
     from lakehouse.audio import with_audio_features
     from lakehouse.synth import synth_clips_df
 
     df = synth_clips_df(spark, 256, seed=42, n_days=4)
-    return with_audio_features(df).select(
+    out = with_audio_features(df).select(
         "clip_id",
         "sr_hz",
         "dur_ms",
@@ -433,16 +445,33 @@ def _q_audio_decode(spark, sf_dir):
         F.round(F.col("audio.rms"), 4).alias("rms"),
         F.size(F.split("transcript", " ")).alias("n_words"),
     )
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("decode_ok")).cast("int")).alias("n_bad"),
+        F.sum(
+            (
+                F.col("n_samples")
+                != F.expr("div(CAST(sr_hz AS BIGINT) * dur_ms, 1000)")
+            ).cast("int")
+        ).alias("n_len_mismatch"),
+    ).collect()[0]
+    assert chk.n == 256 and chk.n_bad == 0 and chk.n_len_mismatch == 0, (
+        f"audio decode invariant violated: {chk}"
+    )
+    return out
 
 
 def _q_audio_snr(spark, sf_dir):
+    """Self-verifying: asserts the SNR >= 30 dB invariant holds for ALL
+    pcm16/f32 clips (tests/test_audio.py:85 made distributed), so the
+    driver's rows-only gate fails loudly on any violation."""
     from lakehouse.audio import synth_snr_db
     from lakehouse.synth import synth_clips_df
 
     df = synth_clips_df(spark, 128, seed=42, n_days=4)
     idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
     snr = synth_snr_db(F.col("bytes"), idx, F.lit(42))
-    return (
+    out = (
         df.withColumn("snr_db", snr)
         .groupBy("codec")
         .agg(
@@ -450,6 +479,13 @@ def _q_audio_snr(spark, sf_dir):
             F.sum((F.col("snr_db") >= 30.0).cast("int")).alias("n_snr_ok"),
         )
     )
+    # pcm8's theoretical quantization floor sits below 30 dB (see
+    # tests/test_audio.py:26); the canonical invariant covers the rest
+    bad = out.filter(
+        (F.col("codec") != "pcm8") & (F.col("n_snr_ok") != F.col("n"))
+    ).collect()
+    assert not bad, f"SNR invariant violated for codecs: {bad}"
+    return out
 
 
 def _q_lh_audio_roundtrip(spark, sf_dir):
@@ -471,18 +507,36 @@ def _q_lh_audio_roundtrip(spark, sf_dir):
     )
     for i in range(3):
         t.append(
+            # pmod, not %: Spark's % keeps the dividend's sign, so a
+            # negative xxhash64 % 3 is in {0,-1,-2} and rows silently
+            # vanish from every split (caught by the self-verify below)
             synth_clips_df(spark, 64, seed=42, n_days=2).filter(
-                F.xxhash64("clip_id") % 3 == i
+                F.pmod(F.xxhash64("clip_id"), F.lit(3)) == i
             ),
             target_file_count=2,
         )
     t.compact()
     t.cluster(["clip_id"], curve="zorder")
-    return t.scan().select(
+    out = t.scan().select(
         "clip_id",
         "transcript",
         pcm_sha1(F.col("bytes")).alias("pcm_sha1"),
     )
+    # self-verifying: the post-maintenance scan must equal the
+    # independently regenerated synth reference bit-for-bit (PCM sha1 +
+    # transcript), making the rows-only gate a real correctness check
+    ref = synth_clips_df(spark, 64, seed=42, n_days=2).select(
+        "clip_id",
+        "transcript",
+        pcm_sha1(F.col("bytes")).alias("pcm_sha1"),
+    )
+    missing = ref.exceptAll(out).count()
+    extra = out.exceptAll(ref).count()
+    assert missing == 0 and extra == 0, (
+        f"audio roundtrip drifted from synth reference: "
+        f"missing={missing} extra={extra}"
+    )
+    return out
 
 
 def _q_audio_resample_segment(spark, sf_dir):
@@ -494,12 +548,32 @@ def _q_audio_resample_segment(spark, sf_dir):
 
     df = synth_clips_df(spark, 96, seed=42, n_days=2, num_partitions=4)
     out = segment_clips(resample_clips(df, 8000), 100, 300)
-    return out.select(
+    res = out.select(
         "clip_id",
         "sr_hz",
         "dur_ms",
         audio_features_ext(F.col("bytes")).alias("f"),
     ).select("clip_id", "sr_hz", "dur_ms", "f.peak", "f.zcr", "f.silence_ratio")
+    # self-verifying DSP invariants (tests/test_audio.py:121,136,148):
+    # resample pinned every clip to 8 kHz, the [100,300) ms segment is
+    # <= 200 ms, and the payload stayed decodable audio with in-range
+    # features — violations fail the driver gate loudly
+    chk = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("sr_hz") != 8000).cast("int")).alias("bad_sr"),
+        F.sum((F.col("dur_ms") > 200).cast("int")).alias("bad_dur"),
+        F.sum(
+            (
+                ~F.col("peak").between(0.0, 1.0)
+                | ~F.col("zcr").between(0.0, 1.0)
+                | ~F.col("silence_ratio").between(0.0, 1.0)
+            ).cast("int")
+        ).alias("bad_feat"),
+    ).collect()[0]
+    assert (
+        chk.n > 0 and chk.bad_sr == 0 and chk.bad_dur == 0 and chk.bad_feat == 0
+    ), f"resample/segment invariant violated: {chk}"
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +620,38 @@ def _q_lh_wap_publish(spark, sf_dir):
     assert audit_total > staged_hidden, "branch isolation broken"
     t.fast_forward("audit", drop=True)
     return _events_out(t.scan())
+
+
+def _q_lh_sql_view(spark, sf_dir):
+    """The analyst SQL path (reference: Athena over the Glue catalog,
+    README.md:104-114): register the post-compaction table as a
+    snapshot-pinned temp view and answer a rollup with spark.sql —
+    proving the engine is queryable with plain SQL, not only its API.
+    The view is registered BEFORE an extra append and must not see it
+    (snapshot isolation for SQL readers)."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    t.create_or_replace_view("events_lh")
+    # snapshot isolation probe: marker rows appended AFTER registration
+    # must be invisible to the pinned view — a leak shows up as a 'leak'
+    # event_type group and fails the oracle hash
+    marker = (
+        _events(spark, sf_dir)
+        .withColumn("event_id", -F.col("event_id") - 1)
+        .withColumn("event_type", F.lit("leak"))
+    )
+    t.append(marker, target_file_count=1)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(event_date AS STRING) AS event_date_s,
+               COUNT(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM events_lh
+        GROUP BY event_type, event_date
+        """
+    )
 
 
 def _q_lh_rollback(spark, sf_dir):
@@ -678,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_update_cow": _q_lh_update,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
+        "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
@@ -785,6 +892,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
         "lh_rollback": EVENTS_OUT_SQL,
+        "lh_sql_view_rollup": """
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1, 2
+        """,
         "lh_incremental_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 1",
         "lh_cdc_row_changes": LH_CDC_ORACLE,
         "lh_overwrite_partitions": """
@@ -815,9 +930,11 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": token_stats_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(k=8),
         "cosine_topk": cosine_topk_oracle_sql(QUERY_VEC_IDS, k=5),
-        "ann_lsh_topk": ann_lsh_oracle_sql(QUERY_VEC_IDS, k=5, n_bits=4),
+        "ann_lsh_topk": ann_lsh_oracle_sql(
+            QUERY_VEC_IDS, k=5, n_bits=8, multiprobe=2
+        ),
         "embedding_near_dup": embedding_near_dup_oracle_sql(
-            threshold=0.45, n_bits=4
+            threshold=0.45, n_bits=16, n_bands=4
         ),
         # audio queries intentionally omitted → rows-only check
     }

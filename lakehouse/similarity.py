@@ -108,39 +108,121 @@ def cosine_topk_oracle_sql(
     """
 
 
-def _bucket(vec, n_bits: int):
-    """Sign-LSH bucket id: bit i set iff vec[i] >= 0 (first n_bits dims)."""
-    bits = [
-        (F.element_at(vec, i + 1) >= 0).cast("long") * (1 << i)
-        for i in range(n_bits)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+LSH_SEED = 42
+LSH_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def lsh_hyperplanes(
+    dim: int = LSH_DIM, n_bits: int = 16, seed: int = LSH_SEED
+) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix for sign-LSH.
+
+    Gaussian rows (the standard SimHash/random-projection family),
+    rounded to 6 decimals so the same matrix embeds EXACTLY into both
+    the Spark plan and the DuckDB oracle as double literals — both
+    engines then evaluate the identical left-to-right double dot
+    product, so bucket ids agree bit-for-bit. Round 1 used the sign
+    bits of the first 4 raw dims (16 buckets — a real scale ceiling,
+    VERDICT.md next-round #6); proper seeded hyperplanes decorrelate
+    the bits from any one axis and scale to arbitrary n_bits.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    return [[float(round(v, 6)) for v in row] for row in h]
+
+
+def _proj(vec, row: list[float]):
+    """JVM-side dot(vec, row) — left-to-right fold, matching the
+    oracle's literal a1*v[1] + a2*v[2] + ... evaluation order."""
+    arr = F.array(*[F.lit(v) for v in row])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bucket(vec, hp: list[list[float]]):
+    """Sign-LSH bucket id: bit i set iff dot(vec, hp[i]) >= 0."""
+    out = F.lit(0).cast("long")
+    for i, row in enumerate(hp):
+        out = out + (_proj(vec, row) >= 0).cast("long") * F.lit(1 << i)
     return out
+
+
+def _bucket_sql(hp: list[list[float]], vec_sql: str = "embedding") -> str:
+    """The same bucket id as a SQL expression (DuckDB oracle twin)."""
+    bits = []
+    for i, row in enumerate(hp):
+        dot = " + ".join(
+            f"({v!r} * {vec_sql}[{j + 1}])" for j, v in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _probe_masks(n_bits: int, multiprobe: int) -> list[int]:
+    """Bucket-id XOR masks to probe: Hamming distance ≤ multiprobe.
+
+    multiprobe=1 (the default) probes the query's own bucket plus every
+    1-bit-flip neighbor — n_bits+1 buckets. Fan-out rides only on the
+    tiny broadcast query side; corpus rows are never duplicated.
+    """
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_bits)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    return masks
 
 
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int = 16,
+    multiprobe: int = 1,
+    dim: int = LSH_DIM,
+    seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket. One equi-join on bucket id instead of a cross product —
-    the join key is uniform (sign bits of float dims), so the shuffle
-    is balanced; bucket fan-out is corpus/2^n_bits."""
+    bucket plus its Hamming-≤``multiprobe`` neighbor buckets.
+
+    10^12-row shape: corpus rows are bucketed once (one JVM-side
+    projection pass, no shuffle), the query side (|queries| ×
+    |probe masks| rows) is broadcast, and the candidate search is one
+    equi-join on bucket id. With n_bits=16 there are 65,536 buckets —
+    each candidate set is ~corpus/2^16 per probe — and multiprobe
+    recovers the recall a single bucket loses. Buckets are disjoint, so
+    probing needs no dedup.
+    """
+    hp = lsh_hyperplanes(dim, n_bits, seed)
     with_b = emb.select(
         F.col(id_col).alias("neighbor_id"),
         _dbl(vec_col).alias("cv"),
-        _bucket(_dbl(vec_col), n_bits).alias("bucket"),
+        _bucket(_dbl(vec_col), hp).alias("bucket"),
     )
-    q = with_b.filter(F.col("neighbor_id").isin(query_ids)).select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("cv").alias("qv"),
-        "bucket",
+    masks = _probe_masks(n_bits, multiprobe)
+    q = (
+        with_b.filter(F.col("neighbor_id").isin(query_ids))
+        .select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("cv").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn(
+            "mask", F.explode(F.array(*[F.lit(m) for m in masks]))
+        )
+        .withColumn("bucket", F.col("mask").bitwiseXOR(F.col("qbucket")))
+        .drop("mask", "qbucket")
     )
     scored = (
         F.broadcast(q)
@@ -165,12 +247,18 @@ def ann_lsh_topk(
 
 
 def ann_lsh_oracle_sql(
-    query_ids: list[int], k: int = 5, n_bits: int = 4, table: str = "embeddings"
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 16,
+    multiprobe: int = 1,
+    dim: int = LSH_DIM,
+    seed: int = LSH_SEED,
+    table: str = "embeddings",
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(n_bits)
+    bucket = _bucket_sql(lsh_hyperplanes(dim, n_bits, seed))
+    masks = ", ".join(
+        f"({m})" for m in _probe_masks(n_bits, multiprobe)
     )
     return f"""
     WITH wb AS (
@@ -178,8 +266,10 @@ def ann_lsh_oracle_sql(
                ({bucket}) AS bucket
         FROM {table}
     ),
-    q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
-          FROM wb WHERE neighbor_id IN ({ids})),
+    q AS (SELECT neighbor_id AS query_id, cv AS qv,
+                 xor(bucket, probes.mask) AS bucket
+          FROM wb CROSS JOIN (VALUES {masks}) probes(mask)
+          WHERE neighbor_id IN ({ids})),
     scored AS (
         SELECT query_id, wb.neighbor_id,
                round(list_dot_product(qv, cv)
@@ -200,26 +290,55 @@ def ann_lsh_oracle_sql(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 4,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = LSH_DIM,
+    seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
-    sign-LSH so the pair search is an equi-join (near-identical vectors
-    agree on sign bits with overwhelming probability)."""
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Banded sign-LSH (the MinHash-LSH band trick applied to hyperplane
+    bits): the ``n_bits`` bucket id is split into ``n_bands`` bands and
+    a pair becomes a candidate when ANY band agrees — per-band
+    equi-joins only, unioned then de-duplicated. For near-dups at
+    cos ≥ 0.95, a single 16-bit bucket match has ~0.2 recall (each bit
+    flips with p ≈ angle/π); 4 bands of 4 bits push detection to ~0.99
+    while keeping every join an equi-join.
+    """
+    hp = lsh_hyperplanes(dim, n_bits, seed)
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    rbits = n_bits // n_bands
     with_b = emb.select(
         F.col(id_col).alias("vid"),
         _dbl(vec_col).alias("v"),
-        _bucket(_dbl(vec_col), n_bits).alias("bucket"),
+        _bucket(_dbl(vec_col), hp).alias("bucket"),
     )
-    a = with_b.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+    banded = (
+        with_b.select(
+            "vid",
+            "v",
+            "bucket",
+            F.explode(
+                F.array(*[F.lit(band) for band in range(n_bands)])
+            ).alias("band"),
+        )
+        .withColumn(
+            "bb",
+            F.expr(f"shiftright(bucket, band * {rbits}) & {(1 << rbits) - 1}"),
+        )
+        .drop("bucket")
     )
-    b = with_b.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    a = banded.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bb"
+    )
+    b = banded.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bb"
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -227,26 +346,39 @@ def embedding_near_dup_pairs(
             F.round(_cos(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()  # a pair may agree on several bands
     )
 
 
 def embedding_near_dup_oracle_sql(
-    threshold: float = 0.95, n_bits: int = 4, table: str = "embeddings"
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = LSH_DIM,
+    seed: int = LSH_SEED,
+    table: str = "embeddings",
 ) -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(n_bits)
-    )
+    bucket = _bucket_sql(lsh_hyperplanes(dim, n_bits, seed))
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    rbits = n_bits // n_bands
+    bands = ", ".join(f"({band})" for band in range(n_bands))
     return f"""
     WITH wb AS (
         SELECT vec_id AS vid, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
         FROM {table}
+    ),
+    banded AS (
+        SELECT vid, v, bands.band AS band,
+               (bucket >> (bands.band * {rbits})) & {(1 << rbits) - 1} AS bb
+        FROM wb CROSS JOIN (VALUES {bands}) bands(band)
     )
-    SELECT a.vid AS id_a, b.vid AS id_b,
+    SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vid < b.vid
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bb = b.bb AND a.vid < b.vid
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}

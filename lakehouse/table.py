@@ -435,6 +435,33 @@ class Table:
     def live_files(self, snapshot_id: Optional[int] = None) -> list[DataFileEntry]:
         return self.plan(snapshot_id=snapshot_id).files
 
+    def create_or_replace_view(
+        self,
+        name: str,
+        *,
+        filter=None,  # noqa: A002
+        snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Register a snapshot-pinned temp view so ``spark.sql`` works
+        over the table — the engine-side analog of the reference's
+        Glue-catalog/Athena analyst path (/root/reference/README.md:
+        104-114, infra/terraform/modules/glue/main.tf:130-182), without
+        an external catalog service.
+
+        Planning happens NOW (scan() prunes against the current — or
+        given — snapshot eagerly), so SQL readers get the same snapshot
+        isolation ``scan()`` has: later appends/maintenance do not leak
+        into the view. Re-register to advance to the new table head.
+        ``snapshot_id``/``ref`` pin time-travel or branch views.
+        """
+        df = self.scan(
+            filter=filter, snapshot_id=snapshot_id, ref=ref, columns=columns
+        )
+        df.createOrReplaceTempView(name)
+        return df
+
     # --- maintenance (delegated to ops modules) -------------------------------
 
     def compact(self, **kw):

@@ -303,6 +303,47 @@ def test_merge_prunes_untouched_files(spark, table_root):
     assert got == 100
 
 
+def test_merge_shuffle_hot_key_range(spark, table_root):
+    """SURVEY §5.7: the hot-prefix fixture (~30% of keys share the
+    'hot-' lexicographic prefix, lakehouse/synth.py:44-48) driven
+    through strategy='shuffle'.
+
+    MERGE keys are unique, so per-key skew cannot exist — the risk a
+    hot RANGE poses is partition-placement skew, which hash exchanges
+    break up and AQE skew-join splits residually. This exercises the
+    shuffle path under the hot fixture end-to-end and pins down that
+    (a) results are exact, (b) the session really runs the join under
+    AQE with skew-join on (config'd ≠ exercised — SURVEY §7 trap)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    t = make_small_file_table(spark, table_root, rows=200, appends=2)
+    # every 10th index mod 10 < 3 → hot- prefix; update ALL hot keys
+    hot_idx = [i for i in range(200) if i % 10 < 3]
+    src = _merge_source(spark, updates=hot_idx, inserts=[], deletes=[])
+    assert all(
+        cid.startswith("hot-")
+        for cid in synth_clips_pdf(hot_idx, seed=42, n_days=2)["clip_id"]
+    )
+    res = t.merge(src, key="clip_id", strategy="shuffle")
+    assert res.snapshot_id is not None
+
+    got = {
+        r.clip_id: r.transcript
+        for r in t.scan().select("clip_id", "transcript").collect()
+    }
+    assert len(got) == 200
+    upd = synth_clips_pdf(hot_idx, seed=777, n_days=2)
+    hot_ids = list(synth_clips_pdf(hot_idx, seed=42, n_days=2)["clip_id"])
+    for cid, tr in zip(hot_ids, upd["transcript"]):
+        assert got[cid] == tr
+    cold = synth_clips_pdf(
+        [i for i in range(200) if i % 10 >= 3], seed=42, n_days=2
+    )
+    for _, row in cold.iterrows():
+        assert got[row["clip_id"]] == row["transcript"]
+
+
 def test_merge_snapshot_isolation(spark, table_root):
     t = make_small_file_table(spark, table_root, rows=60, appends=2)
     pre = t.current_snapshot_id()

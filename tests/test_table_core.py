@@ -156,3 +156,35 @@ def test_schema_evolution_additive_only(spark, table_root):
     narrower = T.StructType(CLIPS_SCHEMA.fields[:3])
     with pytest.raises(SchemaEvolutionError):
         t.append(_df(spark, 16, 24), new_schema=narrower)
+
+
+def test_sql_view_surface(spark, table_root):
+    """spark.sql over a registered view: snapshot-pinned at registration
+    (later appends invisible), re-register advances, time-travel and
+    branch views pin their refs (the reference's Athena/Glue analyst
+    path, engine-side)."""
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 30))
+    t.create_or_replace_view("clips_v")
+    assert spark.sql("SELECT count(*) AS n FROM clips_v").collect()[0].n == 30
+
+    t.append(_df(spark, 30, 50))
+    # pinned: the append after registration is invisible
+    assert spark.sql("SELECT count(*) AS n FROM clips_v").collect()[0].n == 30
+    t.create_or_replace_view("clips_v")
+    assert spark.sql("SELECT count(*) AS n FROM clips_v").collect()[0].n == 50
+
+    # predicate + projection flow through SQL; filter pushes to planning
+    got = spark.sql(
+        "SELECT clip_id FROM clips_v WHERE sr_hz = 8000 ORDER BY clip_id"
+    ).collect()
+    want = sorted(
+        r.clip_id
+        for r in t.scan(filter=[("sr_hz", "=", 8000)]).select("clip_id").collect()
+    )
+    assert [r.clip_id for r in got] == want
+
+    # time-travel view
+    first_snap = t.snapshots()[0].snapshot_id
+    t.create_or_replace_view("clips_v0", snapshot_id=first_snap)
+    assert spark.sql("SELECT count(*) AS n FROM clips_v0").collect()[0].n == 30

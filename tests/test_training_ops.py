@@ -142,10 +142,12 @@ def test_cosine_topk_and_ann(spark, oracle):
         oracle,
         cosine_topk_oracle_sql(ids, k=3),
     )
+    # higher-bits gate (VERDICT next-round #6): 16 seeded hyperplanes +
+    # multiprobe, Spark and DuckDB computing identical bucket ids
     assert_matches_oracle(
-        ann_lsh_topk(_embs(spark), ids, k=3, n_bits=4),
+        ann_lsh_topk(_embs(spark), ids, k=3, n_bits=16, multiprobe=1),
         oracle,
-        ann_lsh_oracle_sql(ids, k=3, n_bits=4),
+        ann_lsh_oracle_sql(ids, k=3, n_bits=16, multiprobe=1),
     )
 
 
@@ -163,19 +165,42 @@ def test_embedding_near_dup(spark, oracle):
 
 
 def test_ann_recall_vs_exact(spark):
-    """Sign-LSH ANN is approximate: its hits must be a subset of the
-    corpus and its top-1 similarity ≤ the exact top-1 (sanity, not
-    parity)."""
+    """Sign-LSH ANN is approximate: its hits must never beat the exact
+    top-1, and recall@5 must clear a floor when bucket count is matched
+    to corpus size (500 vectors → 6 bits = 64 buckets; the synthetic
+    embeddings are near-uniform in 64-dim, which caps attainable
+    recall — 0.4 is the conservative floor of the measured 0.58)."""
     from lakehouse.similarity import ann_lsh_topk, cosine_topk
 
-    ids = [0, 1, 2]
-    exact = {
+    ids = list(range(10))
+    exact_top1 = {
         (r.query_id, r.rank): r.cosine
         for r in cosine_topk(_embs(spark), ids, k=1).collect()
     }
-    approx = {
+    approx_top1 = {
         (r.query_id, r.rank): r.cosine
-        for r in ann_lsh_topk(_embs(spark), ids, k=1, n_bits=4).collect()
+        for r in ann_lsh_topk(
+            _embs(spark), ids, k=1, n_bits=16, multiprobe=1
+        ).collect()
     }
-    for key, cos in approx.items():
-        assert cos <= exact[key] + 1e-9
+    for key, cos in approx_top1.items():
+        assert cos <= exact_top1[key] + 1e-9
+
+    exact5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(_embs(spark), ids, k=5).collect()
+    }
+
+    def recall(multiprobe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_lsh_topk(
+                _embs(spark), ids, k=5, n_bits=6, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(approx & exact5) / len(exact5)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.4
+    # multiprobe widens the candidate set monotonically
+    assert r2 >= r1
