@@ -82,6 +82,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
+    cpu_clamped: dict[str, float] = {}  # raw negative deltas, per op
 
     def _tree_cpu_s() -> float:
         """CPU seconds consumed by this process + all descendants
@@ -128,7 +129,14 @@ def main() -> None:
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
-        cpu_secs[name] = round(max(0.0, _tree_cpu_s() - c0), 3)
+        delta = _tree_cpu_s() - c0
+        # a negative delta means descendants were orphaned and reaped by
+        # init mid-op (their CPU vanished from the live tree) — record
+        # the clamp so a clamped op is distinguishable from a genuinely
+        # ~0-CPU op (ADVICE r1)
+        if delta < 0:
+            cpu_clamped[name] = round(delta, 3)
+        cpu_secs[name] = round(max(0.0, delta), 3)
         return out
 
     work = tempfile.mkdtemp(prefix="lh_bench_")
@@ -232,6 +240,7 @@ def main() -> None:
         for r in range(ROUNDS):
             timings.clear()
             cpu_secs.clear()
+            cpu_clamped.clear()
             run_suite(r)
             per_round.append(dict(timings))
         if ROUNDS > 1:
@@ -273,6 +282,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "cpu_secs": cpu_secs,
+                    "cpu_clamped": cpu_clamped,
                     "sf": _sf(SF_DIR),
                     "cpus": CPUS,
                     "bench_clips": N_CLIPS,

@@ -9,9 +9,10 @@ driver and got SLOWER with more cores):
    stats aggregation** — zero data passes over the table;
 2. **narrow job**: read ONLY the cluster + partition-source columns
    (Parquet column pruning skips the audio payload), compute the 64-bit
-   curve key in one vectorized pandas UDF (Arrow batch → numpy
-   interleave, curves.py), and take per-partition ``percentile_approx``
-   quantiles of the key in a single groupBy;
+   curve key entirely JVM-side — Z-order as one Catalyst expression,
+   Hilbert as staged Catalyst bit-ops (zexpr.py; no Python worker in
+   either curve since round 2) — and take per-partition
+   ``percentile_approx`` quantiles of the key in a single groupBy;
 3. **wide job**: read everything once, recompute the key, broadcast-join
    each row to its partition's quantile cuts, assign a range bucket with
    a codegen'd fold, hash-repartition on (partition, bucket), sort
@@ -35,10 +36,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
-import pandas as pd
-
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..curves import bits_per_dim
 from ..lineage import LineageLog
@@ -76,48 +74,6 @@ def _column_bounds(
     return bounds
 
 
-def _make_zkey_udf(
-    columns: Sequence[str],
-    col_types: dict[str, T.DataType],
-    bounds: dict[str, tuple],
-    curve: str,
-):
-    """Vectorized curve-key UDF closed over broadcastable bounds."""
-    bits = bits_per_dim(len(columns))
-    string_cols = {
-        c for c in columns if isinstance(col_types[c], T.StringType)
-    }
-    temporal = (T.TimestampType, T.DateType)
-    temporal_cols = {c for c in columns if isinstance(col_types[c], temporal)}
-    b = dict(bounds)
-
-    @F.pandas_udf(T.LongType())
-    def zkey_udf(*cols: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..curves import curve_index, normalize_to_uint
-
-        coords = []
-        for name, series in zip(columns, cols):
-            lo, hi = b[name]
-            if name in temporal_cols:
-                # micros, to stay bit-compatible with the JVM Z path
-                series = pd.to_datetime(series).astype("int64") // 1000
-                lo = pd.Timestamp(lo).value // 1000 if lo is not None else None
-                hi = pd.Timestamp(hi).value // 1000 if hi is not None else None
-            coords.append(
-                normalize_to_uint(
-                    series, lo, hi, bits, is_string=name in string_cols
-                )
-            )
-        idx = curve_index(coords, bits, curve)
-        # keys fit in int64: k*bits <= 64 with sign bit only hit when
-        # k*bits == 64; shift right 1 keeps order and avoids overflow
-        return pd.Series((idx >> np.uint64(1)).astype("int64"))
-
-    return zkey_udf
-
-
 def cluster(
     table,
     columns: Sequence[str],
@@ -149,20 +105,22 @@ def cluster(
     meta = table.meta
     spec = meta.partition_spec
     bounds = _column_bounds(live, columns)
+    bits = bits_per_dim(len(columns))
     if curve == "zorder":
         # pure-Catalyst key: whole-stage codegen, no Python workers in
         # either pass (measured 2.8x on the wide job at 32 threads —
         # module docstring of zexpr.py)
         from ..zexpr import zorder_key_expr
 
-        zkey_col = zorder_key_expr(
-            columns, col_types, bounds, bits_per_dim(len(columns))
-        )
+        zkey_col = zorder_key_expr(columns, col_types, bounds, bits)
         with_zkey = lambda df: df.withColumn(ZKEY_COL, zkey_col)  # noqa: E731
     else:
-        zkey_udf = _make_zkey_udf(columns, col_types, bounds, curve)
-        with_zkey = lambda df: df.withColumn(  # noqa: E731
-            ZKEY_COL, zkey_udf(*[F.col(c) for c in columns])
+        # also pure-Catalyst since round 2: Skilling's transform
+        # unrolled as staged bit-op projections (zexpr.with_hilbert_key)
+        from ..zexpr import with_hilbert_key
+
+        with_zkey = lambda df: with_hilbert_key(  # noqa: E731
+            df, columns, col_types, bounds, bits, ZKEY_COL
         )
 
     def pk_of(partition: dict) -> str:

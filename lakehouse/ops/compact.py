@@ -10,28 +10,34 @@ Strategy (matches Iceberg's binpack rewrite, built from DataFrame ops):
 1. **Plan** (driver, over manifest metadata only): group live files by
    partition, pick files below the small-file threshold, first-fit-
    decreasing pack them into bins of ``target_file_size`` input bytes.
-2. **Execute — exactly ONE Spark job for all bins** (same shape as
-   clustering, ops/cluster.py:1-30): read every pending input file
-   once, tag each row with its bin via a broadcast file→bin equi-join
-   on ``input_file_name()``, hash-repartition on the bin key (all rows
-   of a bin land in one task), and write with ``partitionBy(__bin)`` —
-   the writer splits exactly one output file per bin. Parallelism
-   scales with Spark tasks, never with driver threads: an earlier
-   job-per-bin ThreadPool design made driver job-submission the serial
-   term at 10⁴–10⁶ bins (VERDICT.md §wrong 3). The only data moved is
-   the small files being compacted (a sliver of the table), so the one
-   shuffle is bounded by compaction input, not table size.
+2. **Execute** — two paths, auto-selected on bin count (both measured,
+   see the crossover note below):
+
+   - ``direct`` (≤ ``DIRECT_MAX_BINS`` bins): one mini-job per bin —
+     read exactly its files, ``coalesce(1)`` (a concatenation: the
+     payload never crosses a shuffle), write one file. Bins run
+     concurrently through the shared session. Measured 3.8 s vs the
+     shuffle path's 14.4 s on the 0.57 GB / 64-file bench table: for
+     everyday maintenance the double IO of a shuffle is pure loss.
+   - ``shuffle`` (large bin counts): exactly ONE Spark job for all
+     bins — broadcast file→bin map equi-joined on
+     ``input_file_name()``, hash-repartition on the bin key (all rows
+     of a bin land in one task), ``partitionBy(__bin)`` write splitting
+     one output file per bin. Parallelism scales with Spark tasks, not
+     driver threads: at 10⁴–10⁶ bins the direct path's job-submission
+     loop becomes the serial term (VERDICT.md §wrong 3) while the one
+     shuffle — bounded by compaction input, a sliver of the table —
+     spreads across every executor.
 3. **Commit** once: REPLACE snapshot removing all inputs of DONE bins
    and adding their outputs. Scans before/after are row-set identical.
 
-Resumability: after the write job, every bin gets a lineage task record
-(DONE with output manifest entries), finalized in deterministic order.
-Restarting with the same ``job_id`` reuses DONE bins' outputs and
-reruns only pending bins — each attempt writes into its own
-``a<N>/`` subdirectory so a rerun never clobbers recorded outputs; a
-crash between execute and commit is recovered by re-running the job
-(all bins DONE → commit straight away). Partial outputs are never
-referenced → GC sweeps them.
+Resumability (both paths): every bin gets a lineage task record (DONE
+with output manifest entries). Restarting with the same ``job_id``
+reuses DONE bins' outputs and reruns only pending bins; shuffle-path
+attempts write into their own ``a<N>/`` subdirectory so a rerun never
+clobbers recorded outputs; a crash between execute and commit is
+recovered by re-running the job (all bins DONE → commit straight
+away). Partial outputs are never referenced → GC sweeps them.
 """
 
 from __future__ import annotations
@@ -48,6 +54,11 @@ from ..meta.manifests import DataFileEntry
 from ..ops.append import harvest_stats
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+# crossover between the no-shuffle job-per-bin path and the single-job
+# shuffle path: below this the driver submits a bounded handful of
+# concurrent jobs and the payload never shuffles; above it, driver
+# job-submission would serialize and one task-parallel job wins
+DIRECT_MAX_BINS = 64
 
 
 @dataclass
@@ -96,6 +107,118 @@ def plan_bins(
     return bins
 
 
+def _run_bins_direct(
+    table, log, pending, job_data_rel, entries_by_key, fault_injector
+) -> None:
+    """Job-per-bin concatenation: read a bin's files, ``coalesce(1)``
+    (no shuffle — the payload is streamed scan → write), one output
+    file. Bins run concurrently through the shared session's scheduler;
+    bounded driver cost because this path only runs ≤ DIRECT_MAX_BINS
+    bins (the auto crossover)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = table.spark
+
+    def run_bin(item):
+        k, members = item
+        files_in = [e.file_path for e in members]
+        bytes_in = sum(e.file_size_bytes for e in members)
+        log.start_task(k, files_in, bytes_in)
+        paths = [os.path.join(table.root, p) for p in files_in]
+        out_rel_dir = f"{job_data_rel}/{k}"
+        (
+            spark.read.schema(table.schema)
+            .parquet(*paths)
+            .coalesce(1)  # concatenation, not a shuffle
+            .write.mode("overwrite")  # rerun of an interrupted bin
+            .parquet(os.path.join(table.root, out_rel_dir))
+        )
+        out_files = []
+        base = os.path.join(table.root, out_rel_dir)
+        for name in sorted(os.listdir(base)):
+            if name.endswith(".parquet"):
+                out_files.append(
+                    (f"{out_rel_dir}/{name}", members[0].partition)
+                )
+        entries = harvest_stats(spark, table.root, out_files)
+        log.finish_task(k, entries, files_in=files_in, bytes_in=bytes_in)
+        if fault_injector is not None:
+            fault_injector(k)
+        return k, entries
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for k, entries in pool.map(run_bin, sorted(pending)):
+            entries_by_key[k] = entries
+
+
+def _run_bins_shuffle(
+    table, log, pending, job_data_rel, entries_by_key, fault_injector
+) -> None:
+    """One Spark job for every pending bin: broadcast file→bin map
+    joined on ``input_file_name()``, hash-repartition on the bin key,
+    ``partitionBy(__bin)`` write splitting one output file per bin.
+    Each resume attempt writes its own ``a<N>/`` subdir so a rerun
+    never clobbers files a DONE record already points at."""
+    spark = table.spark
+    base_dir = os.path.join(table.root, job_data_rel)
+    n_prev = (
+        len([d for d in os.listdir(base_dir) if d.startswith("a")])
+        if os.path.isdir(base_dir)
+        else 0
+    )
+    attempt_rel = f"{job_data_rel}/a{n_prev + 1}"
+
+    file_to_bin = []
+    for k, members in pending:
+        for e in members:
+            file_to_bin.append(
+                (os.path.abspath(os.path.join(table.root, e.file_path)), k)
+            )
+    map_df = spark.createDataFrame(file_to_bin, "__file string, __bin string")
+    paths = [p for p, _k in file_to_bin]
+    (
+        spark.read.schema(table.schema)
+        .parquet(*paths)
+        .withColumn(
+            "__file",
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        )
+        .join(F.broadcast(map_df), "__file", "inner")
+        .drop("__file")
+        .repartition(max(1, 2 * len(pending)), F.col("__bin"))
+        .write.partitionBy("__bin")
+        .parquet(os.path.join(table.root, attempt_rel))
+    )
+
+    # harvest every output footer in one pass, then finalize bins in
+    # deterministic order (lineage only; no further Spark jobs)
+    part_by_key = {k: members[0].partition for k, members in pending}
+    out_files: list[tuple[str, dict]] = []
+    for dirpath, _d, names in os.walk(os.path.join(table.root, attempt_rel)):
+        comp = os.path.basename(dirpath)
+        if not comp.startswith("__bin="):
+            continue
+        k = comp.split("=", 1)[1]
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, name), table.root)
+                out_files.append((rel, part_by_key[k]))
+    all_entries = harvest_stats(spark, table.root, out_files)
+    by_key: dict[str, list[DataFileEntry]] = {}
+    for e in all_entries:
+        comp = e.file_path.split("/")[-2]
+        by_key.setdefault(comp.split("=", 1)[1], []).append(e)
+    for k, members in sorted(pending):
+        files_in = [e.file_path for e in members]
+        bytes_in = sum(e.file_size_bytes for e in members)
+        outs = by_key.get(k, [])
+        log.start_task(k, files_in, bytes_in)
+        log.finish_task(k, outs, files_in=files_in, bytes_in=bytes_in)
+        entries_by_key[k] = outs
+        if fault_injector is not None:
+            fault_injector(k)
+
+
 def compact(
     table,
     *,
@@ -104,15 +227,22 @@ def compact(
     min_input_files: int = 2,
     partition_filter=None,
     job_id: Optional[str] = None,
+    execution: str = "auto",
     fault_injector: Optional[Callable[[str], None]] = None,
 ) -> CompactionResult:
     """Rewrite small files into ~``target_file_size`` files per partition.
+
+    ``execution``: "direct" (job-per-bin concatenation, no shuffle),
+    "shuffle" (one job for all bins), or "auto" (direct up to
+    ``DIRECT_MAX_BINS`` bins, shuffle beyond — see module docstring).
 
     ``fault_injector(bin_key)`` is a test hook called as each bin is
     finalized (outputs written + DONE lineage record) but before the
     snapshot commit — raising there simulates a mid-job crash for the
     resumability gate (SURVEY.md §5.6).
     """
+    if execution not in ("auto", "direct", "shuffle"):
+        raise ValueError(f"unknown compaction execution: {execution!r}")
     spark = table.spark
     threshold = small_file_threshold or int(target_file_size * 0.75)
     log = LineageLog(table.root, job_id)
@@ -150,74 +280,17 @@ def compact(
         k: existing[k].out_entries() for k, _m in keyed if k in existing
     }
     pending = [(k, m) for k, m in keyed if k not in existing]
+    if execution == "auto":
+        execution = "direct" if len(bins) <= DIRECT_MAX_BINS else "shuffle"
 
-    if pending:
-        # each resume attempt gets its own subdir: a rerun never
-        # clobbers files a DONE record already points at
-        base_dir = os.path.join(table.root, job_data_rel)
-        n_prev = (
-            len([d for d in os.listdir(base_dir) if d.startswith("a")])
-            if os.path.isdir(base_dir)
-            else 0
+    if pending and execution == "direct":
+        _run_bins_direct(
+            table, log, pending, job_data_rel, entries_by_key, fault_injector
         )
-        attempt_rel = f"{job_data_rel}/a{n_prev + 1}"
-
-        # ONE job: broadcast file→bin map keyed on input_file_name(),
-        # repartition by bin (all rows of a bin in one task), one output
-        # file per bin via partitionBy
-        file_to_bin = []
-        for k, members in pending:
-            for e in members:
-                file_to_bin.append(
-                    (os.path.abspath(os.path.join(table.root, e.file_path)), k)
-                )
-        map_df = spark.createDataFrame(
-            file_to_bin, "__file string, __bin string"
+    elif pending:
+        _run_bins_shuffle(
+            table, log, pending, job_data_rel, entries_by_key, fault_injector
         )
-        paths = [p for p, _k in file_to_bin]
-        (
-            spark.read.schema(table.schema)
-            .parquet(*paths)
-            .withColumn(
-                "__file",
-                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-            )
-            .join(F.broadcast(map_df), "__file", "inner")
-            .drop("__file")
-            .repartition(max(1, 2 * len(pending)), F.col("__bin"))
-            .write.partitionBy("__bin")
-            .parquet(os.path.join(table.root, attempt_rel))
-        )
-
-        # harvest every output footer in one pass, then finalize bins in
-        # deterministic order (lineage only; no further Spark jobs)
-        part_by_key = {k: members[0].partition for k, members in pending}
-        out_files: list[tuple[str, dict]] = []
-        for dirpath, _d, names in os.walk(os.path.join(table.root, attempt_rel)):
-            comp = os.path.basename(dirpath)
-            if not comp.startswith("__bin="):
-                continue
-            k = comp.split("=", 1)[1]
-            for name in sorted(names):
-                if name.endswith(".parquet"):
-                    rel = os.path.relpath(
-                        os.path.join(dirpath, name), table.root
-                    )
-                    out_files.append((rel, part_by_key[k]))
-        all_entries = harvest_stats(spark, table.root, out_files)
-        by_key: dict[str, list[DataFileEntry]] = {}
-        for e in all_entries:
-            comp = e.file_path.split("/")[-2]
-            by_key.setdefault(comp.split("=", 1)[1], []).append(e)
-        for k, members in sorted(pending):
-            files_in = [e.file_path for e in members]
-            bytes_in = sum(e.file_size_bytes for e in members)
-            outs = by_key.get(k, [])
-            log.start_task(k, files_in, bytes_in)
-            log.finish_task(k, outs, files_in=files_in, bytes_in=bytes_in)
-            entries_by_key[k] = outs
-            if fault_injector is not None:
-                fault_injector(k)
 
     added: list[DataFileEntry] = []
     removed: list[str] = []

@@ -1,20 +1,28 @@
-"""Z-order key as a pure Catalyst expression (whole-stage codegen).
+"""Z-order and Hilbert keys as pure Catalyst expressions (JVM-side).
 
 The pandas-UDF curve key (curves.py) is correct but pays the Python
 worker toll twice per clustering job; measured on this engine the toll
 DOMINATES at high parallelism (cluster op at local[32]: 23.6 s with the
 UDF vs 8.4 s with a JVM key — the Arrow exchange and 32-worker fan-out
-cost more than the actual bit-twiddling). Z-order needs only shifts,
-masks and ORs, all of which Catalyst codegens, so the Z path is built
-here as a single Column expression; Hilbert (iterative state rotation,
-Skilling 2004) stays on the vectorized numpy UDF.
+cost more than the actual bit-twiddling). Both curves need only shifts,
+masks, XORs and conditionals, all of which Catalyst codegens:
+
+- Z-order is a single Column expression (``zorder_key_expr``);
+- Hilbert (Skilling's transpose algorithm, AIP Conf. Proc. 707, 2004)
+  is an ITERATIVE state transform, so a single expression tree would
+  double in size every round (exponential blowup). ``with_hilbert_key``
+  instead unrolls the fixed ``bits``/``n`` loop as a staged chain of
+  ``withColumn`` Projects over named temp columns — Catalyst keeps
+  multiply-referenced non-cheap projections un-collapsed, so plan size
+  and codegen work stay LINEAR in bits×n, and no Python eval node ever
+  appears in the rewrite plan (gated in tests/test_plans.py).
 
 Semantics mirror ``curves.normalize_to_uint`` + ``curves.zorder_index``
-bit-for-bit for numeric, timestamp (micros) and ASCII-string columns:
-min/max linear scaling into ``bits``-wide codes (nulls → 0), big-endian
-8-byte prefix for strings, interleave with column 0 most significant,
-and a final logical right-shift by 1 so the 64-bit key fits a signed
-LongType without reordering.
+/ ``curves.hilbert_index`` bit-for-bit for numeric, timestamp (micros)
+and ASCII-string columns: min/max linear scaling into ``bits``-wide
+codes (nulls → 0), big-endian 8-byte prefix for strings, interleave
+with column 0 most significant, and a final logical right-shift by 1 so
+the 64-bit key fits a signed LongType without reordering.
 """
 
 from __future__ import annotations
@@ -124,3 +132,86 @@ def zorder_key_expr(
         for c in columns
     ]
     return interleave_expr(codes, bits)
+
+
+def with_hilbert_key(
+    df,
+    columns: Sequence[str],
+    col_types: dict[str, T.DataType],
+    bounds: dict[str, tuple],
+    bits: int,
+    out_col: str = "zkey",
+):
+    """Append the Hilbert curve key of ``columns`` as ``out_col`` —
+    Skilling's transpose algorithm unrolled into JVM bit-ops.
+
+    Mirrors ``curves.hilbert_index`` exactly (the parity gate in
+    tests/test_zexpr.py compares against the numpy UDF bit-for-bit),
+    including the final ``>> 1`` that fits the key into a signed long.
+    Staged temp columns (``__h<i>``, ``__ht``) carry the iterative
+    state; they are dropped before returning.
+    """
+    n = len(columns)
+    codes = [
+        norm_code_expr(c, col_types[c], *(bounds.get(c) or (None, None)), bits)
+        for c in columns
+    ]
+    if n == 1:
+        # 1-D Hilbert == identity (curves.hilbert_index short-circuit),
+        # shifted like every curve key
+        return df.withColumn(out_col, F.shiftrightunsigned(codes[0], 1))
+
+    hcols = [f"__h{i}" for i in range(n)]
+    for name, code in zip(hcols, codes):
+        df = df.withColumn(name, code)
+    X = [F.col(h) for h in hcols]
+
+    # axes -> transpose (inverse undo)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        # i == 0 degenerates: t = (X0 ^ X0) & P = 0, so only the
+        # conditional X0 ^= P remains
+        df = df.withColumn(
+            hcols[0],
+            F.when(
+                X[0].bitwiseAND(F.lit(q)) != 0, X[0].bitwiseXOR(F.lit(p))
+            ).otherwise(X[0]),
+        )
+        for i in range(1, n):
+            cond = X[i].bitwiseAND(F.lit(q)) != 0
+            df = df.withColumn(
+                "__ht",
+                F.when(cond, F.lit(0)).otherwise(
+                    X[0].bitwiseXOR(X[i]).bitwiseAND(F.lit(p))
+                ),
+            )
+            df = df.withColumn(
+                hcols[0],
+                F.when(cond, X[0].bitwiseXOR(F.lit(p))).otherwise(
+                    X[0].bitwiseXOR(F.col("__ht"))
+                ),
+            )
+            df = df.withColumn(hcols[i], X[i].bitwiseXOR(F.col("__ht")))
+        q >>= 1
+
+    # Gray encode (sequential: X[i] ^= X[i-1] with updated X[i-1])
+    for i in range(1, n):
+        df = df.withColumn(hcols[i], X[i].bitwiseXOR(X[i - 1]))
+    # undo excess work: t = XOR of (Q-1) for every set bit Q of X[n-1]
+    t_expr = F.lit(0).cast("long")
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_expr = t_expr.bitwiseXOR(
+            F.when(X[n - 1].bitwiseAND(F.lit(q)) != 0, F.lit(q - 1)).otherwise(
+                F.lit(0)
+            )
+        )
+        q >>= 1
+    df = df.withColumn("__ht", t_expr)
+    for i in range(n):
+        df = df.withColumn(hcols[i], X[i].bitwiseXOR(F.col("__ht")))
+
+    # transpose -> index: bit j of X[i] becomes bit (j*n + n-1-i)
+    df = df.withColumn(out_col, interleave_expr(X, bits))
+    return df.drop("__ht", *hcols)

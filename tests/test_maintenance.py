@@ -60,7 +60,22 @@ def test_compact_scan_parity_and_file_reduction(spark, table_root):
     assert res2.bins == 0
 
 
-def test_compact_resume_after_crash(spark, table_root):
+def test_compact_shuffle_path_parity(spark, table_root):
+    """The single-job shuffle path (the >DIRECT_MAX_BINS scale path)
+    must be row-set identical to direct concatenation."""
+    t = make_small_file_table(spark, table_root, rows=120, appends=4)
+    before_fp = scan_fingerprint(t)
+    files_before = len(t.live_files())
+    res = t.compact(target_file_size=64 * 1024 * 1024, execution="shuffle")
+    assert res.bins > 0 and res.files_created < files_before
+    assert len(t.live_files()) < files_before
+    assert scan_fingerprint(t) == before_fp
+    # exactly one output file per bin
+    assert res.files_created == res.bins
+
+
+@pytest.mark.parametrize("execution", ["direct", "shuffle"])
+def test_compact_resume_after_crash(spark, table_root, execution):
     t = make_small_file_table(spark, table_root, rows=160, appends=4)
     before_fp = scan_fingerprint(t)
     version_before = t.meta.version
@@ -76,6 +91,7 @@ def test_compact_resume_after_crash(spark, table_root):
         t.compact(
             target_file_size=64 * 1024 * 1024,
             job_id="resume-test",
+            execution=execution,
             fault_injector=crash_after_first,
         )
     # nothing committed: table untouched mid-crash
@@ -87,7 +103,11 @@ def test_compact_resume_after_crash(spark, table_root):
     done_before_resume = len(LineageLog(t.root, "resume-test").done_tasks())
     assert done_before_resume >= 1
 
-    res = t.compact(target_file_size=64 * 1024 * 1024, job_id="resume-test")
+    res = t.compact(
+        target_file_size=64 * 1024 * 1024,
+        job_id="resume-test",
+        execution=execution,
+    )
     assert res.snapshot_id is not None
     assert scan_fingerprint(t) == before_fp
     # the resumed run reused the DONE bin instead of redoing it

@@ -109,6 +109,28 @@ def test_zorder_key_projection_stays_jvm_side(spark, small_table):
     assert "* Project" in plan, "zkey Project must be whole-stage codegen"
 
 
+def test_hilbert_key_projection_stays_jvm_side(spark, small_table):
+    """Since round 2 the Hilbert key is staged Catalyst bit-ops
+    (zexpr.with_hilbert_key) — the rewrite plan must contain no Python
+    eval node (VERDICT.md next-round #9)."""
+    from lakehouse.curves import bits_per_dim
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.zexpr import with_hilbert_key
+
+    cols = ["clip_id", "dur_ms"]
+    col_types = {f.name: f.dataType for f in CLIPS_SCHEMA.fields}
+    bounds = {"clip_id": ("clip-0", "clip-~"), "dur_ms": (200, 3000)}
+    df = with_hilbert_key(
+        small_table.scan(), cols, col_types, bounds, bits_per_dim(2), "zkey"
+    )
+    plan = plan_str(df)
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_node not in plan, (
+            f"Hilbert key must not leave the JVM ({python_node} found):\n"
+            + plan
+        )
+
+
 def test_merge_shuffle_single_exchange_per_side(spark, small_table):
     """The MERGE shuffle path must cost exactly ONE exchange per join
     side. Round 1 pre-repartitioned both sides on xxhash64(key); Spark

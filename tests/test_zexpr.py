@@ -1,9 +1,9 @@
-"""JVM Z-order key expression vs the numpy reference — bit parity.
+"""JVM curve-key expressions vs the numpy reference — bit parity.
 
-The clustering op uses the Catalyst expression (zexpr.py) for Z-order
-and the pandas UDF (curves.py) for Hilbert; this pins the two Z-order
-implementations to identical keys so either path produces the same
-physical layout.
+The clustering op computes BOTH curves (Z-order and Hilbert) as pure
+Catalyst expressions since round 2; this pins each JVM implementation
+to the vectorized numpy reference (curves.py) bit-for-bit so either
+path produces the same physical layout.
 """
 
 import datetime as dt
@@ -12,11 +12,16 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from lakehouse.curves import bits_per_dim, normalize_to_uint, zorder_index
-from lakehouse.zexpr import zorder_key_expr
+from lakehouse.curves import (
+    bits_per_dim,
+    curve_index,
+    normalize_to_uint,
+    zorder_index,
+)
+from lakehouse.zexpr import with_hilbert_key, zorder_key_expr
 
 
-def _reference_keys(pdf, columns, col_types, bounds, bits):
+def _reference_keys(pdf, columns, col_types, bounds, bits, curve="zorder"):
     coords = []
     for c in columns:
         lo, hi = bounds[c]
@@ -30,7 +35,7 @@ def _reference_keys(pdf, columns, col_types, bounds, bits):
                 series, lo, hi, bits, is_string=col_types[c] == "str"
             )
         )
-    return (zorder_index(coords, bits) >> np.uint64(1)).astype("int64")
+    return (curve_index(coords, bits, curve) >> np.uint64(1)).astype("int64")
 
 
 def test_jvm_zkey_matches_numpy_reference(spark):
@@ -83,6 +88,57 @@ def test_jvm_zkey_matches_numpy_reference(spark):
         want = _reference_keys(
             pdf, columns, kinds, bounds, bits
         )
+        mismatches = [
+            (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+        ]
+        assert not mismatches, (columns, mismatches[:5])
+
+
+def test_jvm_hilbert_matches_numpy_reference(spark):
+    from pyspark.sql import types as T
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for i in range(257):
+        rows.append(
+            (
+                f"clip-{i:05d}" if i % 17 else None,
+                (i * 7919) % 100_000,
+                base + dt.timedelta(seconds=i * 3571, microseconds=i * 137),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    col_types = {f.name: f.dataType for f in schema.fields}
+    bounds = {
+        "s": ("clip-00000", "clip-00256"),
+        "x": (0, 99_999),
+        "ts": (
+            "2024-01-01 00:00:00",
+            (base + dt.timedelta(seconds=256 * 3571, microseconds=256 * 137))
+            .replace(tzinfo=None)
+            .isoformat(sep=" "),
+        ),
+    }
+    pdf = pd.DataFrame(
+        {
+            "s": [r[0] for r in rows],
+            "x": [r[1] for r in rows],
+            "ts": [r[2].replace(tzinfo=None) for r in rows],
+        }
+    )
+    kinds = {"s": "str", "x": "num", "ts": "ts"}
+    for columns in (["s", "x"], ["x", "ts"], ["s", "x", "ts"], ["x"]):
+        bits = bits_per_dim(len(columns))
+        out = with_hilbert_key(df, columns, col_types, bounds, bits, "hk")
+        got = [r.hk for r in out.select("hk").collect()]
+        want = _reference_keys(pdf, columns, kinds, bounds, bits, "hilbert")
         mismatches = [
             (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
         ]
