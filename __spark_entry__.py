@@ -588,6 +588,28 @@ def _q_lh_delete(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_delete_mor(spark, sf_dir):
+    """Merge-on-read DELETE: the delete commit writes only an equality
+    delete file (no data file rewritten — asserted), scans apply it as
+    a broadcast anti-join, and materialize_deletes() folds it in with
+    an identical row set (asserted). Oracle = plain SQL with the
+    negated predicate, same as the COW twin."""
+    t = _events_table(spark, sf_dir, appends=2)
+    files_before = {e.file_path for e in t.plan().files}
+    t.delete(
+        "event_type = 'error' AND user_id % 3 = 0", mode="mor", key="event_id"
+    )
+    assert {e.file_path for e in t.plan().files} == files_before, (
+        "MoR delete must not rewrite data files"
+    )
+    assert len(t.plan().delete_files) == 1
+    n_mor = t.scan().count()
+    t.materialize_deletes()
+    assert t.plan().delete_files == []
+    assert t.scan().count() == n_mor, "materialize changed the row set"
+    return _events_out(t.scan())
+
+
 def _q_lh_update(spark, sf_dir):
     """Copy-on-write UPDATE: +1000 on purchase values (exact in FP)."""
     t = _events_table(spark, sf_dir, appends=2)
@@ -781,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_upsert": _q_lh_merge,
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
+        "lh_delete_mor": _q_lh_delete_mor,
         "lh_update_cow": _q_lh_update,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
@@ -880,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_delete_cow": EVENTS_OUT_SQL
+        + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
+        "lh_delete_mor": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_update_cow": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id,

@@ -36,6 +36,8 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         ("file_size_bytes", pa.int64()),
         ("stats_json", pa.string()),       # {col: {min,max,nulls,rows}}
         ("sort_order", pa.string()),       # "" | "zorder(a,b)" | "hilbert(a,b)"
+        ("content", pa.string()),          # "data" | "deletes" (equality)
+        ("seq", pa.int64()),               # commit sequence (snapshot id)
     ]
 )
 
@@ -76,6 +78,12 @@ class DataFileEntry:
     file_size_bytes: int = 0
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     sort_order: str = ""
+    # merge-on-read support (round 2): "deletes" entries are equality
+    # delete files (one key column, named in sort_order="eqdelete(col)");
+    # seq is the committing snapshot id — an equality delete applies to
+    # data files with strictly smaller seq (Iceberg's sequence rule)
+    content: str = "data"
+    seq: int = 0
 
     def to_row(self) -> dict[str, Any]:
         return {
@@ -85,6 +93,8 @@ class DataFileEntry:
             "file_size_bytes": self.file_size_bytes,
             "stats_json": json.dumps(self.stats, sort_keys=True),
             "sort_order": self.sort_order,
+            "content": self.content,
+            "seq": self.seq,
         }
 
     @staticmethod
@@ -96,7 +106,21 @@ class DataFileEntry:
             file_size_bytes=row["file_size_bytes"],
             stats=json.loads(row["stats_json"] or "{}"),
             sort_order=row.get("sort_order") or "",
+            # pre-round-2 manifests lack these columns → data/0 defaults
+            content=row.get("content") or "data",
+            seq=row.get("seq") or 0,
         )
+
+    @property
+    def is_delete(self) -> bool:
+        return self.content == "deletes"
+
+    @property
+    def delete_key(self) -> Optional[str]:
+        """Key column of an equality delete file (from sort_order)."""
+        if self.is_delete and self.sort_order.startswith("eqdelete("):
+            return self.sort_order[len("eqdelete("):-1]
+        return None
 
 
 def collect_file_stats(
@@ -183,6 +207,8 @@ def write_manifest(
         "record_count": sum(r["record_count"] for r in rows),
         "total_bytes": sum(r["file_size_bytes"] for r in rows),
         "partitions": partitions[:1000],  # cap: coarse pruning only
+        # manifests holding equality deletes must never be summary-pruned
+        "delete_count": sum(1 for r in rows if r["content"] == "deletes"),
     }
     return rel, summary
 

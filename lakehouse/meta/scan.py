@@ -46,6 +46,9 @@ class ScanPlan:
     candidate_files: int = 0  # before pruning (for skip-ratio metrics)
     pruned_manifests: int = 0
     stats: dict = field(default_factory=dict)
+    # equality delete files (merge-on-read): applied at read time to
+    # data files with strictly smaller seq; never pruned (small set)
+    delete_files: list[DataFileEntry] = field(default_factory=list)
 
     @property
     def skipped_files(self) -> int:
@@ -82,14 +85,20 @@ def plan_scan(
     manifests = read_manifest_list(table_root, snap.manifest_list)
 
     kept: list[DataFileEntry] = []
+    deletes: list[DataFileEntry] = []
     candidates = 0
     pruned_manifests = 0
     for m in manifests:
-        if preds and not _manifest_may_match(m.get("summary", {}), preds):
+        summary = m.get("summary", {})
+        has_deletes = summary.get("delete_count", 0) > 0
+        if preds and not has_deletes and not _manifest_may_match(summary, preds):
             pruned_manifests += 1
-            candidates += m.get("summary", {}).get("entry_count", 0)
+            candidates += summary.get("entry_count", 0)
             continue
         for entry in read_manifest(table_root, m["path"]):
+            if entry.is_delete:
+                deletes.append(entry)  # never pruned: reads must see them
+                continue
             candidates += 1
             if preds:
                 if not all(matches_partition(p, entry.partition) for p in preds):
@@ -106,7 +115,57 @@ def plan_scan(
         snapshot_id=snap.snapshot_id,
         candidate_files=candidates,
         pruned_manifests=pruned_manifests,
+        delete_files=deletes,
     )
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table_root: str,
+    schema: T.StructType,
+    data_files: Sequence[DataFileEntry],
+    delete_files: Sequence[DataFileEntry],
+) -> DataFrame:
+    """Merge-on-read: read data files grouped by commit seq (each group
+    gets its seq as a literal — no per-row path join), then left-anti
+    join the broadcast union of equality delete keys where
+    ``delete.seq > data.seq`` (Iceberg's sequence rule: a delete applies
+    only to files committed strictly before it). Distinct seqs are
+    bounded by commit count, so the union stays small; the anti-join is
+    an equi-join on the key with a residual seq comparison.
+    """
+    from pyspark.sql import functions as F
+
+    by_seq: dict[int, list[str]] = {}
+    for e in data_files:
+        by_seq.setdefault(e.seq, []).append(
+            os.path.join(table_root, e.file_path)
+        )
+    df = None
+    for seq in sorted(by_seq):
+        part = (
+            spark.read.schema(schema)
+            .parquet(*by_seq[seq])
+            .withColumn("__seq", F.lit(seq))
+        )
+        df = part if df is None else df.unionByName(part)
+
+    by_key: dict[str, list[DataFileEntry]] = {}
+    for d in delete_files:
+        by_key.setdefault(d.delete_key, []).append(d)
+    for key, dels in sorted(by_key.items()):
+        ddf = None
+        for d in dels:
+            one = spark.read.parquet(
+                os.path.join(table_root, d.file_path)
+            ).select(F.col(key).alias("__dk"), F.lit(d.seq).alias("__dseq"))
+            ddf = one if ddf is None else ddf.unionByName(one)
+        df = df.join(
+            F.broadcast(ddf),
+            (df[key] == ddf["__dk"]) & (ddf["__dseq"] > df["__seq"]),
+            "left_anti",
+        )
+    return df.drop("__seq")
 
 
 def read_plan(
@@ -123,10 +182,16 @@ def read_plan(
     in the files, see ops/append.py), so the read is a plain multi-path
     Parquet scan with the declared schema — no inference, mirroring the
     reference's ``inferSchema="false"`` stance (etl/glue_stream.py:133).
+    Pending equality deletes (merge-on-read) are applied as a broadcast
+    anti-join before projection.
     """
     schema = T.StructType.fromJson(meta.schema_json)
     if not plan.files:
         df = spark.createDataFrame([], schema)
+    elif plan.delete_files:
+        df = _apply_eq_deletes(
+            spark, table_root, schema, plan.files, plan.delete_files
+        )
     else:
         paths = [os.path.join(table_root, e.file_path) for e in plan.files]
         df = spark.read.schema(schema).parquet(*paths)
@@ -186,21 +251,29 @@ class LazyScanPlan:
     ``toLocalIterator`` in ``iter_path_chunks``.
     """
 
-    files_df: DataFrame  # full manifest-entry schema, pruned
+    files_df: DataFrame  # full manifest-entry schema, pruned, data only
     residual_sql: Optional[str]
     snapshot_id: int
     candidate_files: int
+    # equality delete entries are collected driver-side (bounded small
+    # set) even on the lazy path; applied per chunk in read_lazy_plan
+    delete_files: list[DataFileEntry] = field(default_factory=list)
 
     def iter_path_chunks(self, table_root: str, chunk_size: int = 100_000):
-        """Yield lists of ≤``chunk_size`` absolute paths; driver memory
-        is bounded by one chunk (toLocalIterator streams partitions)."""
-        chunk: list[str] = []
+        """Yield lists of ≤``chunk_size`` (absolute path, seq) pairs;
+        driver memory is bounded by one chunk (toLocalIterator streams
+        partitions)."""
+        cols = ["file_path"] + (
+            ["seq"] if "seq" in self.files_df.columns else []
+        )
+        chunk: list[tuple[str, int]] = []
         for row in (
-            self.files_df.select("file_path").toLocalIterator(
+            self.files_df.select(*cols).toLocalIterator(
                 prefetchPartitions=True
             )
         ):
-            chunk.append(os.path.join(table_root, row.file_path))
+            seq = row.seq if "seq" in cols and row.seq is not None else 0
+            chunk.append((os.path.join(table_root, row.file_path), seq))
             if len(chunk) >= chunk_size:
                 yield chunk
                 chunk = []
@@ -236,12 +309,25 @@ def plan_scan_lazy(
             [], "file_path string, partition_json string, stats_json string"
         )
         return LazyScanPlan(empty, to_sql(preds), snap.snapshot_id, 0)
-    mdf = spark.read.parquet(*paths)
+    # mergeSchema: pre-round-2 manifests lack the content/seq columns
+    mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
+    deletes: list[DataFileEntry] = []
+    if "content" in mdf.columns:
+        from pyspark.sql import functions as F
+
+        deletes = [
+            DataFileEntry.from_row(r.asDict())
+            for r in mdf.filter(F.col("content") == "deletes").collect()
+        ]
+        mdf = mdf.filter(
+            F.coalesce(F.col("content"), F.lit("data")) != "deletes"
+        )
     return LazyScanPlan(
         files_df=prune_entries_df(mdf, preds),
         residual_sql=to_sql(preds),
         snapshot_id=snap.snapshot_id,
         candidate_files=candidates,
+        delete_files=deletes,
     )
 
 
@@ -255,14 +341,51 @@ def read_lazy_plan(
     chunk_size: int = 100_000,
 ) -> DataFrame:
     """Materialize a LazyScanPlan without ever building the full path
-    list in one Python object: chunked multi-path reads, unioned lazily."""
+    list in one Python object: chunked multi-path reads, unioned lazily.
+    Pending equality deletes are applied the same way as read_plan —
+    chunks are further grouped by seq so no per-row path join is needed.
+    """
+    from pyspark.sql import functions as F
+
     schema = T.StructType.fromJson(meta.schema_json)
+    mor = bool(plan.delete_files)
     df = None
     for chunk in plan.iter_path_chunks(table_root, chunk_size):
-        part = spark.read.schema(schema).parquet(*chunk)
-        df = part if df is None else df.unionByName(part)
+        if mor:
+            by_seq: dict[int, list[str]] = {}
+            for p, seq in chunk:
+                by_seq.setdefault(seq, []).append(p)
+            for seq in sorted(by_seq):
+                part = (
+                    spark.read.schema(schema)
+                    .parquet(*by_seq[seq])
+                    .withColumn("__seq", F.lit(seq))
+                )
+                df = part if df is None else df.unionByName(part)
+        else:
+            part = spark.read.schema(schema).parquet(*[p for p, _s in chunk])
+            df = part if df is None else df.unionByName(part)
     if df is None:
         df = spark.createDataFrame([], schema)
+    elif mor:
+        by_key: dict[str, list[DataFileEntry]] = {}
+        for d in plan.delete_files:
+            by_key.setdefault(d.delete_key, []).append(d)
+        for key, dels in sorted(by_key.items()):
+            ddf = None
+            for d in dels:
+                one = spark.read.parquet(
+                    os.path.join(table_root, d.file_path)
+                ).select(
+                    F.col(key).alias("__dk"), F.lit(d.seq).alias("__dseq")
+                )
+                ddf = one if ddf is None else ddf.unionByName(one)
+            df = df.join(
+                F.broadcast(ddf),
+                (df[key] == ddf["__dk"]) & (ddf["__dseq"] > df["__seq"]),
+                "left_anti",
+            )
+        df = df.drop("__seq")
     if plan.residual_sql:
         df = df.filter(plan.residual_sql)
     if columns:
@@ -293,7 +416,18 @@ def plan_scan_distributed(
     if not paths:
         return ScanPlan([], to_sql(preds), snap.snapshot_id)
 
-    mdf = spark.read.parquet(*paths)
+    mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
+    deletes: list[DataFileEntry] = []
+    if "content" in mdf.columns:
+        from pyspark.sql import functions as F
+
+        deletes = [
+            DataFileEntry.from_row(r.asDict())
+            for r in mdf.filter(F.col("content") == "deletes").collect()
+        ]
+        mdf = mdf.filter(
+            F.coalesce(F.col("content"), F.lit("data")) != "deletes"
+        )
     total = mdf.count()
     kept_rows = prune_entries_df(mdf, preds).collect()
     return ScanPlan(
@@ -301,4 +435,5 @@ def plan_scan_distributed(
         residual_sql=to_sql(preds),
         snapshot_id=snap.snapshot_id,
         candidate_files=total,
+        delete_files=deletes,
     )

@@ -116,19 +116,70 @@ def row_changes(
     to_snapshot_id: Optional[int] = None,
 ) -> DataFrame:
     """CDC multiset diff between two snapshots, reading only the
-    symmetric difference of their file sets. Adds ``_change_type``."""
+    symmetric difference of their file sets. Adds ``_change_type``.
+
+    Merge-on-read aware: if either endpoint carries equality delete
+    files, the diff compares logical VIEWS — each side reads its
+    (symmetric-diff ∪ delete-affected) data files with that endpoint's
+    deletes applied. Files untouched by any delete and common to both
+    snapshots still cancel without being read.
+    """
     meta = table.meta
     to_id = (
         to_snapshot_id
         if to_snapshot_id is not None
         else meta.current_snapshot_id
     )
-    old = _files_of(table, from_snapshot_id)
-    new = _files_of(table, to_id)
-    only_old = [p for p in old if p not in new]
-    only_new = [p for p in new if p not in old]
-    old_df = _read_files(table, only_old)
-    new_df = _read_files(table, only_new)
+
+    def _plan_of(sid):
+        if sid is None:
+            return None
+        return table.plan(snapshot_id=sid)
+
+    old_plan, new_plan = _plan_of(from_snapshot_id), _plan_of(to_id)
+    old_entries = {e.file_path: e for e in (old_plan.files if old_plan else [])}
+    new_entries = {e.file_path: e for e in (new_plan.files if new_plan else [])}
+    only_old = [p for p in old_entries if p not in new_entries]
+    only_new = [p for p in new_entries if p not in old_entries]
+    old_dels = old_plan.delete_files if old_plan else []
+    new_dels = new_plan.delete_files if new_plan else []
+
+    if not old_dels and not new_dels:
+        old_df = _read_files(table, only_old)
+        new_df = _read_files(table, only_new)
+    else:
+        from ..meta.scan import _apply_eq_deletes
+        from ..ops.mor import _range_intersects
+
+        all_dels = {d.file_path: d for d in old_dels + new_dels}.values()
+
+        def _affected(e) -> bool:
+            return any(
+                e.seq < d.seq
+                and _range_intersects(
+                    e.stats.get(d.delete_key) or {},
+                    d.stats.get(d.delete_key) or {},
+                )
+                for d in all_dels
+            )
+
+        def _side(entries, only, dels) -> DataFrame:
+            read = [
+                e
+                for p, e in sorted(entries.items())
+                if p in only or _affected(e)
+            ]
+            if not read:
+                return table.spark.createDataFrame([], table.schema)
+            if not dels:
+                return _read_files(table, [e.file_path for e in read])
+            return _apply_eq_deletes(
+                table.spark, table.root, table.schema, read, dels
+            )
+
+        old_df = _side(old_entries, set(only_old), old_dels)
+        new_df = _side(new_entries, set(only_new), new_dels)
+
     inserts = new_df.exceptAll(old_df).withColumn(
         "_change_type", F.lit("insert")
     )

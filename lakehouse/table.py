@@ -167,6 +167,11 @@ class Table:
                     f"{sorted(still_to_remove)[:3]}..."
                 )
             if added:
+                # commit sequence: newly added files (data or deletes)
+                # carry this snapshot's id; equality deletes later apply
+                # only to data files with strictly smaller seq
+                for e in added:
+                    e.seq = sid
                 rel, summ = write_manifest(self.root, added)
                 manifests_out.append({"path": rel, "summary": summ})
 
@@ -464,14 +469,27 @@ class Table:
 
     # --- maintenance (delegated to ops modules) -------------------------------
 
+    def _materialize_pending_deletes(self) -> None:
+        """Ops that rewrite raw data files must not run with pending
+        merge-on-read deletes: a rewritten row gets a fresh seq, so an
+        older equality delete would silently stop applying to it.
+        Materializing first keeps every rewrite path (compact, cluster,
+        MERGE, COW DML, overwrite) oblivious to MoR state."""
+        if self.plan().delete_files:
+            from .ops.mor import materialize_deletes as _mat
+
+            _mat(self)
+
     def compact(self, **kw):
         from .ops.compact import compact as _compact
 
+        self._materialize_pending_deletes()
         return _compact(self, **kw)
 
     def cluster(self, columns: Sequence[str], **kw):
         from .ops.cluster import cluster as _cluster
 
+        self._materialize_pending_deletes()
         return _cluster(self, columns, **kw)
 
     def expire_snapshots(self, **kw):
@@ -487,24 +505,46 @@ class Table:
     def merge(self, source: DataFrame, **kw):
         from .ops.merge import merge_into as _merge
 
+        self._materialize_pending_deletes()
         return _merge(self, source, **kw)
 
-    def delete(self, predicate, **kw):
+    def delete(self, predicate, *, mode: str = "cow", **kw):
+        """Row-level DELETE. ``mode="cow"`` rewrites touched files;
+        ``mode="mor"`` writes an equality delete file (merge-on-read)
+        and defers the rewrite to ``materialize_deletes``/maintenance."""
+        if mode == "mor":
+            from .ops.mor import delete_mor as _delete_mor
+
+            return _delete_mor(self, predicate, **kw)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode: {mode!r}")
         from .ops.row_filter import delete as _delete
 
+        self._materialize_pending_deletes()
         return _delete(self, predicate, **kw)
+
+    def materialize_deletes(self, **kw):
+        from .ops.mor import materialize_deletes as _mat
+
+        return _mat(self, **kw)
 
     def update(self, set_exprs: dict[str, str], predicate, **kw):
         from .ops.row_filter import update as _update
 
+        self._materialize_pending_deletes()
         return _update(self, set_exprs, predicate, **kw)
 
     def overwrite_partitions(self, df: DataFrame, **kw):
         from .ops.overwrite import overwrite_partitions as _ow
 
+        self._materialize_pending_deletes()
         return _ow(self, df, **kw)
 
     def incremental_scan(self, **kw) -> DataFrame:
+        # MoR-safe as-is: a pending equality delete only applies to data
+        # files with smaller seq, never to files appended in the scanned
+        # range, and a MoR delete commit inside the range is op="delete"
+        # which the append-scan contract already rejects.
         from .ops.changes import incremental_scan as _inc
 
         return _inc(self, **kw)

@@ -1,0 +1,144 @@
+"""Merge-on-read equality deletes: write path, read path, seq rule,
+materialization, and the maintenance auto-materialize guard.
+
+The capability VERDICT.md r1 flagged as the standard 10^12-row lever
+the engine lacked: a 1-row COW delete rewrites a whole file; MoR makes
+the delete commit O(deleted keys) and defers the rewrite.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse import CLIPS_SCHEMA, Table
+from lakehouse.synth import synth_clips_pdf
+
+DATE_SPEC = [
+    {"name": "event_date", "transform": "identity", "source": "event_date"}
+]
+
+
+def _table(spark, root, *, rows=60, appends=2):
+    t = Table.create(spark, root, CLIPS_SCHEMA, partition_spec=DATE_SPEC)
+    per = rows // appends
+    for i in range(appends):
+        pdf = synth_clips_pdf(range(i * per, (i + 1) * per), seed=42, n_days=2)
+        t.append(
+            spark.createDataFrame(pdf, schema=CLIPS_SCHEMA),
+            target_file_count=2,
+        )
+    return t
+
+
+def _ids(t, **kw):
+    return sorted(r.clip_id for r in t.scan(**kw).select("clip_id").collect())
+
+
+def test_mor_delete_no_rewrite_and_scan_hides_rows(spark, table_root):
+    t = _table(spark, table_root)
+    all_ids = _ids(t)
+    data_files_before = {e.file_path for e in t.live_files()}
+    victim = all_ids[0]
+
+    res = t.delete(f"clip_id = '{victim}'", mode="mor", key="clip_id")
+    assert res.snapshot_id is not None and res.keys_deleted == 1
+    # no data file was rewritten — that's the whole point
+    assert {e.file_path for e in t.live_files()} == data_files_before
+    assert len(t.plan().delete_files) == 1
+    got = _ids(t)
+    assert victim not in got and len(got) == len(all_ids) - 1
+    # lazy/distributed scan agrees with the driver scan under MoR
+    lazy = sorted(
+        r.clip_id
+        for r in t.scan(distributed_planning=True)
+        .select("clip_id")
+        .collect()
+    )
+    assert lazy == got
+
+
+def test_mor_seq_rule_reinsert_survives(spark, table_root):
+    """A row re-inserted AFTER the delete must survive (delete applies
+    only to data files with strictly smaller seq)."""
+    t = _table(spark, table_root)
+    victim_pdf = synth_clips_pdf(range(0, 1), seed=42, n_days=2)
+    victim = victim_pdf["clip_id"].iloc[0]
+    t.delete(f"clip_id = '{victim}'", mode="mor", key="clip_id")
+    assert victim not in _ids(t)
+
+    t.append(spark.createDataFrame(victim_pdf, schema=CLIPS_SCHEMA))
+    got = _ids(t)
+    assert victim in got  # reborn row has larger seq than the delete
+
+
+def test_mor_time_travel_sees_pre_delete_state(spark, table_root):
+    t = _table(spark, table_root)
+    pre = t.current_snapshot_id()
+    n = len(_ids(t))
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    assert len(_ids(t)) < n
+    assert len(_ids(t, snapshot_id=pre)) == n
+
+
+def test_materialize_deletes_drops_delete_files(spark, table_root):
+    t = _table(spark, table_root)
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    t.delete("dur_ms > 2500", mode="mor", key="clip_id")
+    view_before = _ids(t)
+    assert len(t.plan().delete_files) == 2
+
+    res = t.materialize_deletes()
+    assert res.snapshot_id is not None and res.delete_files_removed == 2
+    assert t.plan().delete_files == []
+    assert _ids(t) == view_before  # row set identical, now COW-clean
+    # the delete parquet files are no longer referenced
+    live = {e.file_path for e in t.live_files()}
+    assert all("delete" not in p for p in live)
+
+
+def test_maintenance_auto_materializes(spark, table_root):
+    """compact() on a table with pending MoR deletes must not resurrect
+    deleted rows (rewrites bump seq past the delete)."""
+    t = _table(spark, table_root, rows=80, appends=4)
+    files_before = len(t.live_files())
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    view = _ids(t)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    assert t.plan().delete_files == []  # materialized en route
+    assert _ids(t) == view
+    # materialize+compact consolidated the small files either way
+    assert len(t.live_files()) < files_before
+
+
+def test_row_changes_sees_mor_delete(spark, table_root):
+    """CDC across a merge-on-read delete commit must emit exactly the
+    deleted rows as _change_type='delete' (view diff, not file diff)."""
+    from lakehouse.errors import LakehouseError
+
+    t = _table(spark, table_root)
+    base = t.current_snapshot_id()
+    victims = set(
+        r.clip_id
+        for r in t.scan().filter("sr_hz = 8000").select("clip_id").collect()
+    )
+    assert victims
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+
+    changes = t.row_changes(from_snapshot_id=base).collect()
+    assert {r._change_type for r in changes} == {"delete"}
+    assert {r.clip_id for r in changes} == victims
+
+    # the append-scan contract still rejects the row-changing commit
+    with pytest.raises(LakehouseError, match="row-changing"):
+        t.incremental_scan(from_snapshot_id=base)
+
+
+def test_mor_delete_gc_keeps_delete_files(spark, table_root):
+    """GC must treat live delete files as reachable."""
+    t = _table(spark, table_root)
+    res = t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    assert res.delete_file is not None
+    gc = t.remove_orphan_files(older_than_ms=int(1e18), dry_run=True)
+    assert res.delete_file not in gc.deleted_files
+    assert os.path.exists(os.path.join(t.root, res.delete_file))

@@ -151,7 +151,7 @@ def test_lazy_planner_prunes_1m_virtual_files_off_driver(spark):
     seen = 0
     max_chunk = 0
     for chunk in lplan.iter_path_chunks("/virtual", chunk_size=chunk_size):
-        assert chunk[0].startswith("/virtual/data/virtual/f")
+        assert chunk[0][0].startswith("/virtual/data/virtual/f")
         max_chunk = max(max_chunk, len(chunk))
         seen += len(chunk)
     assert seen == kept
