@@ -81,28 +81,57 @@ def plan_bins(
     small_file_threshold: int,
     min_input_files: int,
 ) -> list[list[DataFileEntry]]:
-    """FFD bin-packing per partition. Only bins that actually reduce the
-    file count (≥2 inputs) are returned."""
-    by_partition: dict[str, list[DataFileEntry]] = {}
+    """FFD bin-packing per (partition, sort_order). Only bins that
+    actually reduce the file count (≥2 inputs) are returned. Grouping by
+    sort_order keeps clustered (zkey-carrying) files out of unsorted
+    bins, so compaction can preserve — not destroy — a clustering
+    rewrite's physical order (see _run_bins_direct)."""
+    by_partition: dict[tuple, list[DataFileEntry]] = {}
     for e in files:
-        key = str(sorted(e.partition.items()))
+        key = (str(sorted(e.partition.items())), e.sort_order)
         by_partition.setdefault(key, []).append(e)
 
     bins: list[list[DataFileEntry]] = []
-    for group in by_partition.values():
+    for (_pk, sort_order), group in by_partition.items():
         small = [e for e in group if e.file_size_bytes < small_file_threshold]
         if len(small) < min_input_files:
             continue
         open_bins: list[tuple[int, list[DataFileEntry]]] = []
-        for e in sorted(small, key=lambda x: -x.file_size_bytes):
-            placed = False
-            for i, (size, members) in enumerate(open_bins):
-                if size + e.file_size_bytes <= target_file_size:
-                    open_bins[i] = (size + e.file_size_bytes, members + [e])
-                    placed = True
-                    break
-            if not placed:
-                open_bins.append((e.file_size_bytes, [e]))
+        if sort_order.startswith(("zorder(", "hilbert(")):
+            # clustered files: pack ADJACENT zkey ranges sequentially so
+            # each output file covers one contiguous, pairwise-disjoint
+            # key range — FFD by size would merge far-apart ranges and
+            # produce overlapping (pruning-hostile) outputs
+            ordered = sorted(
+                small,
+                key=lambda e: (
+                    (e.stats.get("zkey") or {}).get("min", 0),
+                    e.file_path,
+                ),
+            )
+            for e in ordered:
+                if (
+                    open_bins
+                    and open_bins[-1][0] + e.file_size_bytes
+                    <= target_file_size
+                ):
+                    size, members = open_bins[-1]
+                    open_bins[-1] = (size + e.file_size_bytes, members + [e])
+                else:
+                    open_bins.append((e.file_size_bytes, [e]))
+        else:
+            for e in sorted(small, key=lambda x: -x.file_size_bytes):
+                placed = False
+                for i, (size, members) in enumerate(open_bins):
+                    if size + e.file_size_bytes <= target_file_size:
+                        open_bins[i] = (
+                            size + e.file_size_bytes,
+                            members + [e],
+                        )
+                        placed = True
+                        break
+                if not placed:
+                    open_bins.append((e.file_size_bytes, [e]))
         bins.extend(members for _size, members in open_bins if len(members) >= 2)
     return bins
 
@@ -119,6 +148,8 @@ def _run_bins_direct(
 
     spark = table.spark
 
+    from pyspark.sql import types as T
+
     def run_bin(item):
         k, members = item
         files_in = [e.file_path for e in members]
@@ -126,11 +157,32 @@ def _run_bins_direct(
         log.start_task(k, files_in, bytes_in)
         paths = [os.path.join(table.root, p) for p in files_in]
         out_rel_dir = f"{job_data_rel}/{k}"
+        sort_order = members[0].sort_order
+        clustered = sort_order.startswith(("zorder(", "hilbert("))
+        if clustered:
+            # clustered files carry the hidden physical zkey column;
+            # read it along, re-sort the concatenation (merge of sorted
+            # runs), and keep it in the output so per-file zkey/cluster
+            # -column stats stay tight — compaction must not undo a
+            # clustering rewrite
+            schema = T.StructType(
+                list(table.schema.fields)
+                + [T.StructField("zkey", T.LongType(), True)]
+            )
+            df = (
+                spark.read.schema(schema)
+                .parquet(*paths)
+                .coalesce(1)
+                .sortWithinPartitions("zkey")
+            )
+        else:
+            df = (
+                spark.read.schema(table.schema)
+                .parquet(*paths)
+                .coalesce(1)  # concatenation, not a shuffle
+            )
         (
-            spark.read.schema(table.schema)
-            .parquet(*paths)
-            .coalesce(1)  # concatenation, not a shuffle
-            .write.mode("overwrite")  # rerun of an interrupted bin
+            df.write.mode("overwrite")  # rerun of an interrupted bin
             .parquet(os.path.join(table.root, out_rel_dir))
         )
         out_files = []
@@ -140,7 +192,12 @@ def _run_bins_direct(
                 out_files.append(
                     (f"{out_rel_dir}/{name}", members[0].partition)
                 )
-        entries = harvest_stats(spark, table.root, out_files)
+        entries = harvest_stats(
+            spark,
+            table.root,
+            out_files,
+            sort_order=sort_order if clustered else "",
+        )
         log.finish_task(k, entries, files_in=files_in, bytes_in=bytes_in)
         if fault_injector is not None:
             fault_injector(k)
@@ -283,13 +340,42 @@ def compact(
     if execution == "auto":
         execution = "direct" if len(bins) <= DIRECT_MAX_BINS else "shuffle"
 
-    if pending and execution == "direct":
+    # clustered bins always take the direct path: they must re-sort on
+    # the carried zkey column to preserve clustering, and they are
+    # bounded in count (products of a clustering rewrite, ~table_bytes /
+    # target_file_size per partition)
+    clustered_pending = [
+        (k, m)
+        for k, m in pending
+        if m[0].sort_order.startswith(("zorder(", "hilbert("))
+    ]
+    plain_pending = [p for p in pending if p not in clustered_pending]
+    if clustered_pending:
         _run_bins_direct(
-            table, log, pending, job_data_rel, entries_by_key, fault_injector
+            table,
+            log,
+            clustered_pending,
+            job_data_rel,
+            entries_by_key,
+            fault_injector,
         )
-    elif pending:
+    if plain_pending and execution == "direct":
+        _run_bins_direct(
+            table,
+            log,
+            plain_pending,
+            job_data_rel,
+            entries_by_key,
+            fault_injector,
+        )
+    elif plain_pending:
         _run_bins_shuffle(
-            table, log, pending, job_data_rel, entries_by_key, fault_injector
+            table,
+            log,
+            plain_pending,
+            job_data_rel,
+            entries_by_key,
+            fault_injector,
         )
 
     added: list[DataFileEntry] = []

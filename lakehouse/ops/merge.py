@@ -267,6 +267,7 @@ def merge_into(
     job_id: Optional[str] = None,
     strategy: str = "auto",
     broadcast_threshold: int = 32 * 1024 * 1024,
+    extra_summary: Optional[dict] = None,
 ) -> MergeResult:
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise MergeError(f"unknown merge strategy: {strategy!r}")
@@ -415,6 +416,7 @@ def merge_into(
             "job_id": log.job_id,
             "files_touched": len(touched),
             "rows_written": rows_written,
+            **(extra_summary or {}),
         },
     )
     log.finish_task(

@@ -51,6 +51,54 @@ def append_batch(table, *, target_file_count: Optional[int] = None):
     return _inner
 
 
+def upsert_batch(
+    table,
+    *,
+    key: str = "clip_id",
+    order_col: Optional[str] = None,
+    strategy: str = "auto",
+    target_file_count: Optional[int] = None,
+):
+    """foreachBatch callback: idempotent MERGE of one micro-batch — the
+    streaming upsert sink (Delta's ``foreachBatch`` + ``MERGE`` recipe,
+    the published upsert pattern for streaming sinks, engine-side).
+
+    A micro-batch may carry several versions of the same key; MERGE
+    requires a unique key per source row, so the batch is deduplicated
+    first — keep the row with the greatest ``order_col`` when given
+    (event-time/processing-time ordering), otherwise an arbitrary one
+    per key. Batch-id idempotency works exactly like ``append_batch``:
+    the id commits atomically in the merge snapshot's summary, so a
+    replayed batch after restart is skipped.
+    """
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(table):
+            return
+        if batch_df.isEmpty():
+            return
+        if order_col is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            src = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            src = batch_df.dropDuplicates([key])
+        table.merge(
+            src,
+            key=key,
+            strategy=strategy,
+            target_file_count=target_file_count,
+            extra_summary={"stream_batch_id": int(batch_id)},
+        )
+
+    return _inner
+
+
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split on vectorized audio validation.
 

@@ -60,6 +60,39 @@ def test_compact_scan_parity_and_file_reduction(spark, table_root):
     assert res2.bins == 0
 
 
+def test_compact_preserves_clustering(spark, table_root):
+    """Compacting small CLUSTERED files must not undo the clustering:
+    zkey-adjacent bins, outputs keeping the sort_order + zkey column,
+    and pairwise-DISJOINT zkey ranges per partition (FFD by size would
+    merge far-apart ranges into overlapping, pruning-hostile files)."""
+    t = make_small_file_table(spark, table_root, rows=200, appends=5)
+    t.cluster(["sr_hz", "dur_ms"], target_file_size=256 * 1024)
+    fp = scan_fingerprint(t)
+    clustered_before = [e for e in t.live_files() if e.sort_order]
+    assert len(clustered_before) > 2
+
+    res = t.compact(target_file_size=2 * 1024 * 1024, min_input_files=2)
+    assert res.bins > 0
+    assert scan_fingerprint(t) == fp
+    out = [e for e in t.live_files() if e.sort_order]
+    assert out, "compacted clustered files must keep their sort_order"
+    assert all("zkey" in e.stats for e in out)
+    by_pk: dict[str, list] = {}
+    for e in out:
+        by_pk.setdefault(str(sorted(e.partition.items())), []).append(e)
+    for members in by_pk.values():
+        ranges = sorted(
+            (e.stats["zkey"]["min"], e.stats["zkey"]["max"])
+            for e in members
+        )
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping zkey ranges: {ranges}"
+    # pruning on the cluster columns still bites after compaction
+    pred = [("sr_hz", "=", 8000)]
+    plan_after = t.plan(filter=pred)
+    assert len(plan_after.files) < plan_after.candidate_files
+
+
 def test_compact_shuffle_path_parity(spark, table_root):
     """The single-job shuffle path (the >DIRECT_MAX_BINS scale path)
     must be row-set identical to direct concatenation."""

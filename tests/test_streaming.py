@@ -57,3 +57,47 @@ def test_rate_stream_end_to_end(spark, clips_table):
     # every committed snapshot carries its stream batch id
     ids = committed_batch_ids(clips_table)
     assert len(ids) == result["batches_committed"]
+
+
+def test_upsert_batch_sink(spark, clips_table):
+    """Streaming upsert sink: per-batch MERGE with in-batch dedup and
+    batch-id idempotency (the foreachBatch+MERGE recipe engine-side)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.streaming import upsert_batch
+    from lakehouse.synth import synth_clips_pdf
+
+    cb = upsert_batch(clips_table, key="clip_id", order_col="ingest_ts")
+    base = synth_clips_df(spark, 24, seed=7, n_days=2)
+    cb(base, 0)
+    assert clips_table.scan().count() == 24
+
+    # batch 1: update 6 rows — two versions of each key; the later
+    # ingest_ts must win
+    pdf_old = synth_clips_pdf(range(0, 6), seed=99, n_days=2)
+    pdf_new = synth_clips_pdf(range(0, 6), seed=123, n_days=2)
+    keys = list(synth_clips_pdf(range(0, 6), seed=7, n_days=2)["clip_id"])
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    for pdf, ts in ((pdf_old, t0), (pdf_new, t0 + pd.Timedelta(hours=1))):
+        pdf["clip_id"] = keys
+        pdf["ingest_ts"] = ts
+    both = pd.concat([pdf_old, pdf_new], ignore_index=True)
+    cb(spark.createDataFrame(both, schema=CLIPS_SCHEMA), 1)
+
+    assert clips_table.scan().count() == 24  # upsert, not append
+    got = {
+        r.clip_id: r.transcript
+        for r in clips_table.scan()
+        .filter(F.col("clip_id").isin(keys))
+        .select("clip_id", "transcript")
+        .collect()
+    }
+    for cid, tr in zip(keys, pdf_new["transcript"]):
+        assert got[cid] == tr  # the later version won
+
+    # replay of batch 1 is a no-op (idempotent)
+    snap = clips_table.current_snapshot_id()
+    cb(spark.createDataFrame(both, schema=CLIPS_SCHEMA), 1)
+    assert clips_table.current_snapshot_id() == snap
