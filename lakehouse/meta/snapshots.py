@@ -78,17 +78,30 @@ class TableMetadata:
     location: str
     version: int
     schema_json: dict[str, Any]  # Spark StructType.jsonValue()
-    partition_spec: list[dict[str, Any]]  # [{name, transform, source, n?}]
+    partition_spec: list[dict[str, Any]]  # CURRENT spec [{name, transform, source, n?}]
     schemas: list[dict[str, Any]] = field(default_factory=list)  # by schema_id
     current_schema_id: int = 0
     current_snapshot_id: Optional[int] = None
     snapshots: list[Snapshot] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    # partition-spec evolution (Iceberg-style): every spec this table
+    # ever had, by spec id; entries written under an old spec keep their
+    # old partition values (self-describing dicts), and planning prunes
+    # each entry against whatever keys IT has (matches_partition is
+    # conservative on missing keys). Rewrites migrate files to the
+    # current spec because partition values derive from source columns.
+    partition_specs: list[list[dict[str, Any]]] = field(default_factory=list)
+    default_spec_id: int = 0
     # named refs (Iceberg-style): {name: {"snapshot_id": int,
     # "type": "branch"|"tag"}}. "main" is implicit — it IS
     # current_snapshot_id — so refs holds only auxiliary branches/tags
     # (audit/WAP staging, release tags).
     refs: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not self.partition_specs:
+            self.partition_specs = [list(self.partition_spec)]
+            self.default_spec_id = 0
 
     def snapshot(self, snapshot_id: Optional[int] = None) -> Snapshot:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
@@ -114,6 +127,8 @@ class TableMetadata:
             "schemas": self.schemas,
             "current_schema_id": self.current_schema_id,
             "partition_spec": self.partition_spec,
+            "partition_specs": self.partition_specs,
+            "default_spec_id": self.default_spec_id,
             "current_snapshot_id": self.current_snapshot_id,
             "snapshots": [s.to_json() for s in self.snapshots],
             "properties": self.properties,
@@ -134,6 +149,8 @@ class TableMetadata:
             snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
             properties=d.get("properties", {}),
             refs=d.get("refs", {}),
+            partition_specs=d.get("partition_specs", []),
+            default_spec_id=d.get("default_spec_id", 0),
         )
 
 

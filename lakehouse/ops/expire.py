@@ -83,6 +83,8 @@ def expire_snapshots(
             schemas=base.schemas,
             current_schema_id=base.current_schema_id,
             partition_spec=base.partition_spec,
+            partition_specs=base.partition_specs,
+            default_spec_id=base.default_spec_id,
             current_snapshot_id=base.current_snapshot_id,
             snapshots=surviving,
             properties=base.properties,

@@ -62,6 +62,23 @@ def overwrite_partitions(
             "overwrite_partitions requires a partitioned table; "
             "use delete('TRUE') + append for full replacement"
         )
+    # partition replacement is only well-defined when every live file
+    # uses the CURRENT spec: old-spec files don't carry the keys the
+    # drop-set is computed over, so dynamic mode would silently leave
+    # their rows behind and static mode would drop files whose rows may
+    # fall outside the filter
+    spec_names = {f["name"] for f in spec}
+    stale = [
+        e
+        for e in table.plan().files
+        if set(e.partition.keys()) != spec_names
+    ]
+    if stale:
+        raise ValueError(
+            f"{len(stale)} live files were written under an older "
+            f"partition spec; rewrite them first (cluster() migrates "
+            f"files to the current spec) before overwrite_partitions"
+        )
     log = LineageLog(table.root, job_id)
 
     if partition_filter is not None:

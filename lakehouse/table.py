@@ -216,6 +216,8 @@ class Table:
                 schemas=schemas,
                 current_schema_id=schema_id,
                 partition_spec=base.partition_spec,
+                partition_specs=base.partition_specs,
+                default_spec_id=base.default_spec_id,
                 current_snapshot_id=(
                     sid if branch is None else base.current_snapshot_id
                 ),
@@ -468,6 +470,43 @@ class Table:
         return df
 
     # --- maintenance (delegated to ops modules) -------------------------------
+
+    def update_partition_spec(
+        self, new_spec: Sequence[dict[str, Any]]
+    ) -> int:
+        """Partition-spec evolution (Iceberg-style): future writes use
+        the new spec; files written under old specs stay as they are —
+        their partition values are self-describing, and planning prunes
+        each file against whatever keys it has (conservative on
+        missing keys). Rewriting ops (cluster, COW DML, MERGE) migrate
+        files to the current spec as a side effect, since partition
+        values are derived from source columns at write time.
+        Returns the new spec id.
+        """
+        annotated = spec_with_result_types(new_spec or [], self.schema)
+        holder: dict[str, int] = {}
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            specs = [list(s) for s in base.partition_specs] + [annotated]
+            holder["spec_id"] = len(specs) - 1
+            return S.TableMetadata(
+                table_uuid=base.table_uuid,
+                location=base.location,
+                version=base.version,
+                schema_json=base.schema_json,
+                schemas=base.schemas,
+                current_schema_id=base.current_schema_id,
+                partition_spec=annotated,
+                partition_specs=specs,
+                default_spec_id=len(specs) - 1,
+                current_snapshot_id=base.current_snapshot_id,
+                snapshots=base.snapshots,
+                properties=base.properties,
+                refs=base.refs,
+            )
+
+        S.commit(self.root, apply)
+        return holder["spec_id"]
 
     def _materialize_pending_deletes(self) -> None:
         """Ops that rewrite raw data files must not run with pending

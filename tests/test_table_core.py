@@ -188,3 +188,65 @@ def test_sql_view_surface(spark, table_root):
     first_snap = t.snapshots()[0].snapshot_id
     t.create_or_replace_view("clips_v0", snapshot_id=first_snap)
     assert spark.sql("SELECT count(*) AS n FROM clips_v0").collect()[0].n == 30
+
+
+def test_partition_spec_evolution(spark, table_root):
+    """Iceberg-style spec evolution: future writes use the new spec, old
+    files keep their self-describing partition values, planning prunes
+    both generations safely, and a clustering rewrite migrates old files
+    to the current spec."""
+    t = _make_table(spark, table_root)  # spec: identity(event_date)
+    t.append(_df(spark, 0, 30, n_days=4))
+    old_files = {e.file_path for e in t.live_files()}
+    assert all(
+        set(e.partition) == {"event_date"} for e in t.live_files()
+    )
+
+    spec_id = t.update_partition_spec(
+        [
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"},
+            {"name": "sr_bucket", "transform": "bucket", "source": "sr_hz",
+             "n": 4},
+        ]
+    )
+    assert spec_id == 1
+    meta = t.meta
+    assert len(meta.partition_specs) == 2
+    assert meta.default_spec_id == 1
+
+    t.append(_df(spark, 30, 60, n_days=4))
+    new_files = [
+        e for e in t.live_files() if e.file_path not in old_files
+    ]
+    assert new_files and all(
+        set(e.partition) == {"event_date", "sr_bucket"} for e in new_files
+    )
+    assert t.scan().count() == 60
+
+    # pruning is exact on new-spec files and conservative on old ones
+    day = t.live_files()[0].partition["event_date"]
+    plan = t.plan(filter=[("event_date", "=", dt.date.fromisoformat(day))])
+    assert 0 < len(plan.files) < plan.candidate_files
+    got = t.scan(
+        filter=[("event_date", "=", dt.date.fromisoformat(day))]
+    ).count()
+    want = t.scan().filter(f"event_date = DATE'{day}'").count()
+    assert got == want
+
+    # overwrite refuses mixed specs, naming the migration path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="older partition spec"):
+        t.overwrite_partitions(_df(spark, 0, 5, n_days=4))
+
+    # a clustering rewrite migrates everything to the current spec
+    t.cluster(["clip_id"], target_file_size=4 * 1024 * 1024)
+    assert all(
+        set(e.partition) == {"event_date", "sr_bucket"}
+        for e in t.live_files()
+    )
+    assert t.scan().count() == 60
+    # and overwrite works again
+    res = t.overwrite_partitions(_df(spark, 0, 5, n_days=4))
+    assert res.snapshot_id is not None
