@@ -676,6 +676,44 @@ def _q_lh_sql_view(spark, sf_dir):
     )
 
 
+def _q_lh_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution: half the events land under
+    identity(event_date), the spec evolves to add bucket(user_id, 8),
+    the other half lands under the new spec — and the scan over the
+    mixed-spec table must equal plain SQL over all events. Also asserts
+    both generations of partition values coexist in the manifests."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_pevo_")
+    base_spec = [
+        {"name": "event_date", "transform": "identity", "source": "event_date"}
+    ]
+    t = Table.create(
+        spark, os.path.join(root, "events"), df.schema,
+        partition_spec=base_spec,
+    )
+    t.append(df.filter(F.col("event_id") % 2 == 0))
+    t.update_partition_spec(
+        base_spec
+        + [
+            {
+                "name": "user_bucket",
+                "transform": "bucket",
+                "source": "user_id",
+                "n": 8,
+            }
+        ]
+    )
+    t.append(df.filter(F.col("event_id") % 2 == 1))
+    key_sets = {frozenset(e.partition) for e in t.live_files()}
+    assert key_sets == {
+        frozenset({"event_date"}),
+        frozenset({"event_date", "user_bucket"}),
+    }, f"expected mixed-spec manifests, got {key_sets}"
+    return _events_out(t.scan())
+
+
 def _q_lh_rollback(spark, sf_dir):
     """Snapshot rollback: wipe the table with a DELETE, roll back to the
     pre-delete snapshot — the scan must equal the raw events again."""
@@ -808,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
+        "lh_partition_evolution": _q_lh_partition_evolution,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
@@ -917,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
         "lh_rollback": EVENTS_OUT_SQL,
+        "lh_partition_evolution": EVENTS_OUT_SQL,
         "lh_sql_view_rollup": """
             SELECT event_type,
                    CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,

@@ -209,16 +209,68 @@ def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
     t0 = time.time()
+    if args.mode == "mor":
+        res = t.delete(args.where, mode="mor", key=args.key)
+        _emit(
+            {
+                "op": "delete",
+                "mode": "mor",
+                "keys_deleted": res.keys_deleted,
+                "delete_file": res.delete_file,
+                "secs": round(time.time() - t0, 2),
+            }
+        )
+        return
     res = t.delete(args.where)
     _emit(
         {
             "op": "delete",
+            "mode": "cow",
             "rows_deleted": res.rows_affected,
             "files_dropped": res.files_dropped,
             "files_rewritten": res.files_rewritten,
             "secs": round(time.time() - t0, 2),
         }
     )
+
+
+def cmd_materialize_deletes(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.materialize_deletes()
+    _emit(
+        {
+            "op": "materialize-deletes",
+            "delete_files_removed": res.delete_files_removed,
+            "data_files_rewritten": res.data_files_rewritten,
+            "files_written": res.files_written,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_sql(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t.create_or_replace_view(args.view, snapshot_id=args.snapshot)
+    rows = spark.sql(args.query).limit(args.limit).collect()
+    _emit(
+        {
+            "op": "sql",
+            "view": args.view,
+            "rows": [r.asDict(recursive=True) for r in rows],
+        }
+    )
+
+
+def cmd_evolve_spec(args):
+    import json as _json
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    spec_id = t.update_partition_spec(_json.loads(args.spec))
+    _emit({"op": "evolve-spec", "spec_id": spec_id})
 
 
 def cmd_update(args):
@@ -332,6 +384,21 @@ def main():
     s = sub.add_parser("delete")
     t(s)
     s.add_argument("--where", required=True)
+    s.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    s.add_argument("--key", default="clip_id")
+    t(sub.add_parser("materialize-deletes"))
+    s = sub.add_parser("sql")
+    t(s)
+    s.add_argument("--view", default="t")
+    s.add_argument("--query", required=True)
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--limit", type=int, default=100)
+    s = sub.add_parser("evolve-spec")
+    t(s)
+    s.add_argument(
+        "--spec", required=True,
+        help='JSON list, e.g. \'[{"name":"event_date","transform":"identity","source":"event_date"}]\'',
+    )
     s = sub.add_parser("update")
     t(s)
     s.add_argument("--set", required=True, help="col = sql_expr")
@@ -362,6 +429,9 @@ def main():
         "snapshots": cmd_snapshots,
         "stream-demo": cmd_stream_demo,
         "delete": cmd_delete,
+        "materialize-deletes": cmd_materialize_deletes,
+        "sql": cmd_sql,
+        "evolve-spec": cmd_evolve_spec,
         "update": cmd_update,
         "rollback": cmd_rollback,
         "branch": cmd_branch,
