@@ -38,6 +38,7 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         ("sort_order", pa.string()),       # "" | "zorder(a,b)" | "hilbert(a,b)"
         ("content", pa.string()),          # "data" | "deletes" (equality)
         ("seq", pa.int64()),               # commit sequence (snapshot id)
+        ("spec_id", pa.int64()),           # partition spec the file was written under
     ]
 )
 
@@ -84,6 +85,13 @@ class DataFileEntry:
     # data files with strictly smaller seq (Iceberg's sequence rule)
     content: str = "data"
     seq: int = 0
+    # partition-spec evolution: which spec this file's partition values
+    # were computed under (pre-evolution manifests default to 0, which
+    # is exact — only spec 0 existed before the feature). Name sets
+    # alone can't distinguish specs that differ only in transform
+    # parameters (bucket n=4 vs n=8), so overwrite's mixed-spec guard
+    # keys on this id.
+    spec_id: int = 0
 
     def to_row(self) -> dict[str, Any]:
         return {
@@ -95,6 +103,7 @@ class DataFileEntry:
             "sort_order": self.sort_order,
             "content": self.content,
             "seq": self.seq,
+            "spec_id": self.spec_id,
         }
 
     @staticmethod
@@ -109,6 +118,7 @@ class DataFileEntry:
             # pre-round-2 manifests lack these columns → data/0 defaults
             content=row.get("content") or "data",
             seq=row.get("seq") or 0,
+            spec_id=row.get("spec_id") or 0,
         )
 
     @property

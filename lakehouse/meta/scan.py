@@ -119,36 +119,20 @@ def plan_scan(
     )
 
 
-def _apply_eq_deletes(
+def _anti_join_eq_deletes(
     spark: SparkSession,
     table_root: str,
-    schema: T.StructType,
-    data_files: Sequence[DataFileEntry],
+    df: DataFrame,
     delete_files: Sequence[DataFileEntry],
 ) -> DataFrame:
-    """Merge-on-read: read data files grouped by commit seq (each group
-    gets its seq as a literal — no per-row path join), then left-anti
-    join the broadcast union of equality delete keys where
-    ``delete.seq > data.seq`` (Iceberg's sequence rule: a delete applies
-    only to files committed strictly before it). Distinct seqs are
-    bounded by commit count, so the union stays small; the anti-join is
-    an equi-join on the key with a residual seq comparison.
-    """
+    """Apply Iceberg's sequence rule to a DataFrame that carries a
+    ``__seq`` column: left-anti join the broadcast union of equality
+    delete keys where ``delete.seq > data.seq`` (a delete applies only
+    to files committed strictly before it), one join per delete-key
+    column. The single implementation shared by the driver scan, the
+    lazy/distributed scan, and CDC — the seq rule lives in exactly one
+    place."""
     from pyspark.sql import functions as F
-
-    by_seq: dict[int, list[str]] = {}
-    for e in data_files:
-        by_seq.setdefault(e.seq, []).append(
-            os.path.join(table_root, e.file_path)
-        )
-    df = None
-    for seq in sorted(by_seq):
-        part = (
-            spark.read.schema(schema)
-            .parquet(*by_seq[seq])
-            .withColumn("__seq", F.lit(seq))
-        )
-        df = part if df is None else df.unionByName(part)
 
     by_key: dict[str, list[DataFileEntry]] = {}
     for d in delete_files:
@@ -166,6 +150,35 @@ def _apply_eq_deletes(
             "left_anti",
         )
     return df.drop("__seq")
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table_root: str,
+    schema: T.StructType,
+    data_files: Sequence[DataFileEntry],
+    delete_files: Sequence[DataFileEntry],
+) -> DataFrame:
+    """Merge-on-read: read data files grouped by commit seq (each group
+    gets its seq as a literal — no per-row path join), then apply the
+    shared sequence-rule anti-join. Distinct seqs are bounded by commit
+    count, so the union stays small."""
+    from pyspark.sql import functions as F
+
+    by_seq: dict[int, list[str]] = {}
+    for e in data_files:
+        by_seq.setdefault(e.seq, []).append(
+            os.path.join(table_root, e.file_path)
+        )
+    df = None
+    for seq in sorted(by_seq):
+        part = (
+            spark.read.schema(schema)
+            .parquet(*by_seq[seq])
+            .withColumn("__seq", F.lit(seq))
+        )
+        df = part if df is None else df.unionByName(part)
+    return _anti_join_eq_deletes(spark, table_root, df, delete_files)
 
 
 def read_plan(
@@ -368,24 +381,7 @@ def read_lazy_plan(
     if df is None:
         df = spark.createDataFrame([], schema)
     elif mor:
-        by_key: dict[str, list[DataFileEntry]] = {}
-        for d in plan.delete_files:
-            by_key.setdefault(d.delete_key, []).append(d)
-        for key, dels in sorted(by_key.items()):
-            ddf = None
-            for d in dels:
-                one = spark.read.parquet(
-                    os.path.join(table_root, d.file_path)
-                ).select(
-                    F.col(key).alias("__dk"), F.lit(d.seq).alias("__dseq")
-                )
-                ddf = one if ddf is None else ddf.unionByName(one)
-            df = df.join(
-                F.broadcast(ddf),
-                (df[key] == ddf["__dk"]) & (ddf["__dseq"] > df["__seq"]),
-                "left_anti",
-            )
-        df = df.drop("__seq")
+        df = _anti_join_eq_deletes(spark, table_root, df, plan.delete_files)
     if plan.residual_sql:
         df = df.filter(plan.residual_sql)
     if columns:

@@ -238,7 +238,15 @@ def _run_bins_shuffle(
         .parquet(*paths)
         .withColumn(
             "__file",
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            # input_file_name() is a percent-encoded URI; decode it back
+            # to the filesystem path the map was built from (a table
+            # root with a space/%/non-ASCII char would otherwise match
+            # nothing in the inner join). The per-bin row-count
+            # invariant below backstops any residual mismatch loudly.
+            F.expr(
+                "url_decode(regexp_replace(input_file_name(), "
+                "'^file:/+', '/'))"
+            ),
         )
         .join(F.broadcast(map_df), "__file", "inner")
         .drop("__file")
@@ -269,6 +277,16 @@ def _run_bins_shuffle(
         files_in = [e.file_path for e in members]
         bytes_in = sum(e.file_size_bytes for e in members)
         outs = by_key.get(k, [])
+        # row-conservation invariant BEFORE any DONE record: an
+        # inner-join path mismatch (or partial write) must fail the job
+        # loudly, never commit a REPLACE that drops rows
+        rows_in = sum(e.record_count for e in members)
+        rows_out = sum(e.record_count for e in outs)
+        if rows_out != rows_in:
+            raise RuntimeError(
+                f"compaction bin {k} lost rows: {rows_in} in, "
+                f"{rows_out} out — aborting before commit"
+            )
         log.start_task(k, files_in, bytes_in)
         log.finish_task(k, outs, files_in=files_in, bytes_in=bytes_in)
         entries_by_key[k] = outs
@@ -344,12 +362,12 @@ def compact(
     # the carried zkey column to preserve clustering, and they are
     # bounded in count (products of a clustering rewrite, ~table_bytes /
     # target_file_size per partition)
-    clustered_pending = [
-        (k, m)
-        for k, m in pending
-        if m[0].sort_order.startswith(("zorder(", "hilbert("))
-    ]
-    plain_pending = [p for p in pending if p not in clustered_pending]
+    clustered_pending, plain_pending = [], []
+    for k, m in pending:
+        if m[0].sort_order.startswith(("zorder(", "hilbert(")):
+            clustered_pending.append((k, m))
+        else:
+            plain_pending.append((k, m))
     if clustered_pending:
         _run_bins_direct(
             table,

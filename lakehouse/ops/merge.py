@@ -220,8 +220,12 @@ def probe_touched_files(spark, src_keys, key, key_type, live) -> list[str]:
             if len(idx):
                 yield pd.DataFrame({"fidx": idx.astype("int64")})
 
+    # drop null keys IN SPARK, before Arrow→pandas: a long column that
+    # reaches pandas with a null becomes float64 and loses exactness
+    # above 2^53, which would misplace searchsorted near file bounds
     rows = (
         src_keys.select(F.col(key).alias("__k"))
+        .filter(F.col("__k").isNotNull())
         .mapInPandas(sweep, "fidx long")
         .distinct()
         .collect()

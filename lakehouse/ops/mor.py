@@ -116,14 +116,22 @@ def delete_mor(
 
 
 def _range_intersects(fstats: dict, dstats: dict) -> bool:
-    """Conservative [min,max] overlap on the delete key (string-encoded
-    manifest stats compare consistently because both sides use the same
-    encoding); missing stats on either side → assume intersecting."""
+    """Conservative [min,max] overlap on the delete key. Manifest stats
+    keep NUMERIC values as numbers and temporal values as ISO strings
+    (manifests._encode_stat), so compare in the native type — an earlier
+    str() coercion compared ints lexicographically ('19999' < '2') and
+    could mark genuinely intersecting ranges disjoint, silently
+    resurrecting deleted rows at materialization. Missing stats or
+    incomparable types → assume intersecting (must rewrite).
+    """
     flo, fhi = fstats.get("min"), fstats.get("max")
     dlo, dhi = dstats.get("min"), dstats.get("max")
     if flo is None or fhi is None or dlo is None or dhi is None:
         return True
-    return not (str(fhi) < str(dlo) or str(dhi) < str(flo))
+    try:
+        return not (fhi < dlo or dhi < flo)
+    except TypeError:
+        return True
 
 
 def materialize_deletes(

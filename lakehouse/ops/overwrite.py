@@ -63,15 +63,14 @@ def overwrite_partitions(
             "use delete('TRUE') + append for full replacement"
         )
     # partition replacement is only well-defined when every live file
-    # uses the CURRENT spec: old-spec files don't carry the keys the
-    # drop-set is computed over, so dynamic mode would silently leave
-    # their rows behind and static mode would drop files whose rows may
-    # fall outside the filter
-    spec_names = {f["name"] for f in spec}
+    # uses the CURRENT spec: old-spec files' partition values were
+    # computed under a different definition (possibly with the SAME
+    # field names — e.g. bucket n=4 vs n=8), so dynamic mode would
+    # silently leave their rows behind and static mode would drop files
+    # whose rows may fall outside the filter. Files record their
+    # spec_id at commit, so the guard is exact.
     stale = [
-        e
-        for e in table.plan().files
-        if set(e.partition.keys()) != spec_names
+        e for e in table.plan().files if e.spec_id != meta.default_spec_id
     ]
     if stale:
         raise ValueError(

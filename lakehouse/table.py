@@ -169,9 +169,12 @@ class Table:
             if added:
                 # commit sequence: newly added files (data or deletes)
                 # carry this snapshot's id; equality deletes later apply
-                # only to data files with strictly smaller seq
+                # only to data files with strictly smaller seq. Files
+                # also record the partition spec they were written
+                # under (overwrite's mixed-spec guard keys on it).
                 for e in added:
                     e.seq = sid
+                    e.spec_id = base.default_spec_id
                 rel, summ = write_manifest(self.root, added)
                 manifests_out.append({"path": rel, "summary": summ})
 

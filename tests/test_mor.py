@@ -142,3 +142,78 @@ def test_mor_delete_gc_keeps_delete_files(spark, table_root):
     gc = t.remove_orphan_files(older_than_ms=int(1e18), dry_run=True)
     assert res.delete_file not in gc.deleted_files
     assert os.path.exists(os.path.join(t.root, res.delete_file))
+
+
+def test_range_intersects_numeric_not_lexicographic():
+    """Regression (round-2 review): manifest stats keep numbers as
+    numbers; an earlier str() coercion compared ints lexicographically
+    ('19999' < '2') and marked intersecting ranges disjoint — which made
+    materialize_deletes skip affected files while dropping the delete
+    files, permanently resurrecting deleted rows."""
+    from lakehouse.ops.mor import _range_intersects
+
+    assert _range_intersects({"min": 0, "max": 19999}, {"min": 2, "max": 50000})
+    assert not _range_intersects({"min": 0, "max": 1}, {"min": 2, "max": 3})
+    assert not _range_intersects({"min": 10, "max": 20}, {"min": 0, "max": 9})
+    assert _range_intersects({"min": "a", "max": "c"}, {"min": "b", "max": "z"})
+    assert _range_intersects({}, {"min": 1, "max": 2})  # missing → rewrite
+    # incomparable types → conservative
+    assert _range_intersects({"min": 1, "max": 2}, {"min": "x", "max": "y"})
+
+
+def test_mor_numeric_key_materialize_no_resurrection(spark, tmp_path):
+    """End-to-end form of the regression: numeric key whose string order
+    inverts numeric order (1999 vs '2'); materialization must rewrite
+    the affected file, not resurrect the deleted rows."""
+    from pyspark.sql import types as T
+    from lakehouse import Table
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = Table.create(spark, str(tmp_path / "num"), schema)
+    df = spark.range(2000).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.append(df, target_file_count=1)
+    t.delete("id >= 2 AND id < 100", mode="mor", key="id")
+    assert t.scan().count() == 2000 - 98
+    res = t.materialize_deletes()
+    assert res.data_files_rewritten >= 1, (
+        "numeric range intersection must mark the file affected"
+    )
+    assert t.scan().count() == 2000 - 98, "deleted rows resurrected"
+    assert t.plan().delete_files == []
+
+
+def test_overwrite_guard_same_names_different_transform(spark, tmp_path):
+    """Regression (round-2 review): spec evolution that keeps field
+    NAMES but changes transform parameters (bucket n=4 → n=8) must
+    still trip the mixed-spec overwrite guard — files record their
+    spec_id, so a name-set comparison can't be fooled."""
+    import pytest as _pytest
+
+    t = _table(spark, str(tmp_path / "t"), rows=40, appends=1)
+    spec_v2 = [
+        {"name": "event_date", "transform": "identity",
+         "source": "event_date"},
+    ]
+    # same field NAME as identity spec? use bucket under a fresh name
+    # twice with different n: evolve to bucket n=4, append, evolve to
+    # bucket n=8 — name sets identical, definitions differ
+    b4 = spec_v2 + [
+        {"name": "srb", "transform": "bucket", "source": "sr_hz", "n": 4}
+    ]
+    b8 = spec_v2 + [
+        {"name": "srb", "transform": "bucket", "source": "sr_hz", "n": 8}
+    ]
+    t.update_partition_spec(b4)
+    pdf = synth_clips_pdf(range(40, 60), seed=42, n_days=2)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA))
+    t.update_partition_spec(b8)
+    pdf2 = synth_clips_pdf(range(60, 70), seed=42, n_days=2)
+    with _pytest.raises(ValueError, match="older partition spec"):
+        t.overwrite_partitions(
+            spark.createDataFrame(pdf2, schema=CLIPS_SCHEMA)
+        )
