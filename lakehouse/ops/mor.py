@@ -2,6 +2,12 @@
 "What's missing" #3: copy-on-write was the only DML path, so a 1-row
 delete rewrote a whole ~128 MB file).
 
+The reference delegates all row-level DML to its lakehouse layer (ADR:
+/root/reference/README.md:194); the Delta 1.2 jar it pins is COW-only,
+so this module goes beyond reference parity with the standard
+10^12-row write-amplification lever (Iceberg v2's published equality
+delete design, re-expressed Spark-first).
+
 Shape (Iceberg v2 equality deletes, re-expressed Spark-first):
 
 - ``delete_mor`` writes a tiny Parquet **delete file** holding the key
