@@ -90,8 +90,13 @@ class DataFileEntry:
     # is exact — only spec 0 existed before the feature). Name sets
     # alone can't distinguish specs that differ only in transform
     # parameters (bucket n=4 vs n=8), so overwrite's mixed-spec guard
-    # keys on this id.
-    spec_id: int = 0
+    # keys on this id. None = "stamp the table's current spec at
+    # commit" (the write path derived partition values under it); ops
+    # that CARRY old partition values forward (compaction concatenates,
+    # it never re-derives) must set it to the input files' spec_id,
+    # otherwise old-spec rows would masquerade as current-spec and
+    # disarm the guard.
+    spec_id: Optional[int] = None
 
     def to_row(self) -> dict[str, Any]:
         return {

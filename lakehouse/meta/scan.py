@@ -93,7 +93,11 @@ def plan_scan(
         has_deletes = summary.get("delete_count", 0) > 0
         if preds and not has_deletes and not _manifest_may_match(summary, preds):
             pruned_manifests += 1
-            candidates += summary.get("entry_count", 0)
+            # count DATA entries only, like the scanned branch below —
+            # else skip-ratio metrics over-report by the delete count
+            candidates += summary.get("entry_count", 0) - summary.get(
+                "delete_count", 0
+            )
             continue
         for entry in read_manifest(table_root, m["path"]):
             if entry.is_delete:
@@ -152,24 +156,17 @@ def _anti_join_eq_deletes(
     return df.drop("__seq")
 
 
-def _apply_eq_deletes(
+def _union_seq_groups(
     spark: SparkSession,
-    table_root: str,
     schema: T.StructType,
-    data_files: Sequence[DataFileEntry],
-    delete_files: Sequence[DataFileEntry],
-) -> DataFrame:
-    """Merge-on-read: read data files grouped by commit seq (each group
-    gets its seq as a literal — no per-row path join), then apply the
-    shared sequence-rule anti-join. Distinct seqs are bounded by commit
-    count, so the union stays small."""
+    by_seq: dict[int, list[str]],
+) -> Optional[DataFrame]:
+    """Union of per-commit-seq parquet reads, each group carrying its
+    seq as a literal ``__seq`` column (no per-row path join; distinct
+    seqs are bounded by commit count). Single implementation behind
+    every merge-on-read reader."""
     from pyspark.sql import functions as F
 
-    by_seq: dict[int, list[str]] = {}
-    for e in data_files:
-        by_seq.setdefault(e.seq, []).append(
-            os.path.join(table_root, e.file_path)
-        )
     df = None
     for seq in sorted(by_seq):
         part = (
@@ -178,6 +175,42 @@ def _apply_eq_deletes(
             .withColumn("__seq", F.lit(seq))
         )
         df = part if df is None else df.unionByName(part)
+    return df
+
+
+def _split_deletes(mdf: DataFrame) -> tuple[DataFrame, list[DataFileEntry]]:
+    """Split a manifest-entry DataFrame into (data rows, collected
+    equality-delete entries). Delete entries are a bounded small set, so
+    collecting them driver-side is safe even on the lazy path."""
+    from pyspark.sql import functions as F
+
+    if "content" not in mdf.columns:
+        return mdf, []
+    deletes = [
+        DataFileEntry.from_row(r.asDict())
+        for r in mdf.filter(F.col("content") == "deletes").collect()
+    ]
+    return (
+        mdf.filter(F.coalesce(F.col("content"), F.lit("data")) != "deletes"),
+        deletes,
+    )
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table_root: str,
+    schema: T.StructType,
+    data_files: Sequence[DataFileEntry],
+    delete_files: Sequence[DataFileEntry],
+) -> DataFrame:
+    """Merge-on-read: seq-grouped reads + the shared sequence-rule
+    anti-join."""
+    by_seq: dict[int, list[str]] = {}
+    for e in data_files:
+        by_seq.setdefault(e.seq, []).append(
+            os.path.join(table_root, e.file_path)
+        )
+    df = _union_seq_groups(spark, schema, by_seq)
     return _anti_join_eq_deletes(spark, table_root, df, delete_files)
 
 
@@ -323,18 +356,9 @@ def plan_scan_lazy(
         )
         return LazyScanPlan(empty, to_sql(preds), snap.snapshot_id, 0)
     # mergeSchema: pre-round-2 manifests lack the content/seq columns
-    mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
-    deletes: list[DataFileEntry] = []
-    if "content" in mdf.columns:
-        from pyspark.sql import functions as F
-
-        deletes = [
-            DataFileEntry.from_row(r.asDict())
-            for r in mdf.filter(F.col("content") == "deletes").collect()
-        ]
-        mdf = mdf.filter(
-            F.coalesce(F.col("content"), F.lit("data")) != "deletes"
-        )
+    mdf, deletes = _split_deletes(
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
     return LazyScanPlan(
         files_df=prune_entries_df(mdf, preds),
         residual_sql=to_sql(preds),
@@ -368,16 +392,10 @@ def read_lazy_plan(
             by_seq: dict[int, list[str]] = {}
             for p, seq in chunk:
                 by_seq.setdefault(seq, []).append(p)
-            for seq in sorted(by_seq):
-                part = (
-                    spark.read.schema(schema)
-                    .parquet(*by_seq[seq])
-                    .withColumn("__seq", F.lit(seq))
-                )
-                df = part if df is None else df.unionByName(part)
+            part = _union_seq_groups(spark, schema, by_seq)
         else:
             part = spark.read.schema(schema).parquet(*[p for p, _s in chunk])
-            df = part if df is None else df.unionByName(part)
+        df = part if df is None else df.unionByName(part)
     if df is None:
         df = spark.createDataFrame([], schema)
     elif mor:
@@ -412,18 +430,9 @@ def plan_scan_distributed(
     if not paths:
         return ScanPlan([], to_sql(preds), snap.snapshot_id)
 
-    mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
-    deletes: list[DataFileEntry] = []
-    if "content" in mdf.columns:
-        from pyspark.sql import functions as F
-
-        deletes = [
-            DataFileEntry.from_row(r.asDict())
-            for r in mdf.filter(F.col("content") == "deletes").collect()
-        ]
-        mdf = mdf.filter(
-            F.coalesce(F.col("content"), F.lit("data")) != "deletes"
-        )
+    mdf, deletes = _split_deletes(
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
     total = mdf.count()
     kept_rows = prune_entries_df(mdf, preds).collect()
     return ScanPlan(

@@ -126,16 +126,16 @@ def cluster(
     def pk_of(partition: dict) -> str:
         return "\x01".join(str(partition.get(f["name"])) for f in spec)
 
+    # input grouping is bookkeeping ONLY (lineage pairing, removal set):
+    # under partition-spec evolution old entries lack current-spec keys,
+    # so input pk strings may match nothing the rewrite produces —
+    # output sizing and the commit NEVER key on these (round-2 review)
     by_partition: dict[str, list[DataFileEntry]] = {}
     for e in live:
         by_partition.setdefault(pk_of(e.partition), []).append(e)
-    n_out_by_pk = {
-        pk: max(
-            1,
-            round(sum(e.file_size_bytes for e in members) / target_file_size),
-        )
-        for pk, members in by_partition.items()
-    }
+    total_bytes = sum(e.file_size_bytes for e in live)
+    total_rows = sum(e.record_count for e in live)
+    avg_row = total_bytes / max(1, total_rows)
 
     import hashlib
 
@@ -147,12 +147,15 @@ def cluster(
     job_data_rel = f"data/{log.job_id}"
     all_paths = [os.path.join(table.root, e.file_path) for e in live]
 
-    if {task_key(pk) for pk in by_partition} <= set(existing):
-        # coarse resume: the whole rewrite finished, only the commit is
-        # missing — reuse every task's recorded outputs
-        entries_by_pk = {
-            pk: existing[task_key(pk)].out_entries() for pk in by_partition
-        }
+    if "rewrite-complete" in existing:
+        # coarse resume: the whole rewrite finished (sentinel task), only
+        # the commit is missing — reuse every DONE task's recorded outputs
+        entries_by_pk = {}
+        for key, rec in existing.items():
+            if key == "rewrite-complete":
+                continue
+            for e in rec.out_entries():
+                entries_by_pk.setdefault(pk_of(e.partition), []).append(e)
     else:
         from ..partitioning import with_partition_columns
 
@@ -176,12 +179,27 @@ def cluster(
         narrow, _ = with_pk(base.select(*narrow_cols))
         narrow = with_zkey(narrow)
         probs = [j / GRID for j in range(1, GRID)]
+        # per-__pk quantiles AND row counts in one pass: output sizing
+        # derives from the RECOMPUTED partition values (row count ×
+        # manifest-average row bytes), never from old partition dicts —
+        # under spec evolution the input dicts don't match the rewrite's
+        # __pk strings, and keying n_out on them collapsed migrated
+        # partitions to a single bucket (round-2 review)
         qrows = (
             narrow.groupBy("__pk")
-            .agg(F.percentile_approx(ZKEY_COL, probs, 10000).alias("__qs"))
+            .agg(
+                F.percentile_approx(ZKEY_COL, probs, 10000).alias("__qs"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
         )
         grid_by_pk = {r["__pk"]: [int(q) for q in (r["__qs"] or [])] for r in qrows}
+        n_out_by_pk = {
+            r["__pk"]: max(
+                1, round(r["__n"] * avg_row / target_file_size)
+            )
+            for r in qrows
+        }
         cuts_by_pk = {}
         for pk, n_out in n_out_by_pk.items():
             grid = grid_by_pk.get(pk) or []
@@ -231,11 +249,14 @@ def cluster(
         entries_by_pk: dict[str, list[DataFileEntry]] = {}
         for e in all_entries:
             entries_by_pk.setdefault(pk_of(e.partition), []).append(e)
-        # per-partition lineage, reconstructed from the output layout
-        for pk, members in sorted(by_partition.items()):
+        # per-partition lineage, keyed by OUTPUT partition (under spec
+        # evolution the input grouping may not correspond); inputs whose
+        # pk matches an output pk are paired, the rest are recorded once
+        # as the migrated-input set
+        for pk, outs in sorted(entries_by_pk.items()):
+            members = by_partition.get(pk, [])
             files_in = [e.file_path for e in members]
             bytes_in = sum(e.file_size_bytes for e in members)
-            outs = entries_by_pk.get(pk, [])
             zvals = [
                 e.stats.get(ZKEY_COL, {})
                 for e in outs
@@ -251,17 +272,33 @@ def cluster(
             log.finish_task(
                 key, outs, files_in=files_in, bytes_in=bytes_in, zkey_range=zr
             )
+        migrated = [
+            e.file_path
+            for pk, members in by_partition.items()
+            if pk not in entries_by_pk
+            for e in members
+        ]
+        if migrated:
+            log.start_task("migrated-inputs", migrated, 0)
+            log.finish_task("migrated-inputs", [], files_in=migrated, bytes_in=0)
+        # sentinel: the rewrite is fully recorded — a resumed run can
+        # reuse every task's outputs and go straight to the commit
+        log.start_task("rewrite-complete", [], 0)
+        log.finish_task("rewrite-complete", [], files_in=[], bytes_in=0)
 
     if fault_injector is not None:
         fault_injector("cluster")
 
-    added: list[DataFileEntry] = []
-    removed: list[str] = []
+    # the commit adds ALL outputs and removes ALL inputs — never
+    # reassembled through input partition keys (which under spec
+    # evolution may not match any output pk and would silently drop
+    # output files from the commit)
+    removed: list[str] = [e.file_path for e in live]
+    added: list[DataFileEntry] = [
+        e for outs in entries_by_pk.values() for e in outs
+    ]
     zranges: dict[str, list] = {}
-    for pk, members in sorted(by_partition.items()):
-        removed.extend(e.file_path for e in members)
-        outs = entries_by_pk.get(pk, [])
-        added.extend(outs)
+    for pk, outs in sorted(entries_by_pk.items()):
         zvals = [
             e.stats.get(ZKEY_COL, {})
             for e in outs
@@ -287,7 +324,7 @@ def cluster(
     )
     log.finish_job(
         {
-            "partitions": len(by_partition),
+            "partitions": len(entries_by_pk),
             "files_created": len(added),
             "snapshot_id": snap.snapshot_id,
         }
@@ -295,7 +332,7 @@ def cluster(
     return ClusterResult(
         job_id=log.job_id,
         snapshot_id=snap.snapshot_id,
-        partitions=len(by_partition),
+        partitions=len(entries_by_pk),
         files_rewritten=len(removed),
         files_created=len(added),
         bytes_rewritten=bytes_rewritten,

@@ -88,11 +88,14 @@ def plan_bins(
     rewrite's physical order (see _run_bins_direct)."""
     by_partition: dict[tuple, list[DataFileEntry]] = {}
     for e in files:
-        key = (str(sorted(e.partition.items())), e.sort_order)
+        # spec_id in the key: two spec generations can share identical
+        # partition-value dicts (bucket n=4 vs n=8) yet mean different
+        # things — never concatenate across them
+        key = (str(sorted(e.partition.items())), e.sort_order, e.spec_id)
         by_partition.setdefault(key, []).append(e)
 
     bins: list[list[DataFileEntry]] = []
-    for (_pk, sort_order), group in by_partition.items():
+    for (_pk, sort_order, _spec_id), group in by_partition.items():
         small = [e for e in group if e.file_size_bytes < small_file_threshold]
         if len(small) < min_input_files:
             continue
@@ -198,6 +201,11 @@ def _run_bins_direct(
             out_files,
             sort_order=sort_order if clustered else "",
         )
+        # concatenation carries the INPUT files' partition values, so
+        # outputs inherit the input spec_id — stamping the current spec
+        # would disarm overwrite's mixed-spec guard (round-2 review)
+        for e in entries:
+            e.spec_id = members[0].spec_id
         log.finish_task(k, entries, files_in=files_in, bytes_in=bytes_in)
         if fault_injector is not None:
             fault_injector(k)
@@ -241,11 +249,14 @@ def _run_bins_shuffle(
             # input_file_name() is a percent-encoded URI; decode it back
             # to the filesystem path the map was built from (a table
             # root with a space/%/non-ASCII char would otherwise match
-            # nothing in the inner join). The per-bin row-count
-            # invariant below backstops any residual mismatch loudly.
+            # nothing in the inner join). url_decode is
+            # x-www-form-urlencoded and would turn a literal '+' into a
+            # space, so literal '+' is protected as %2B first. The
+            # per-bin row-count invariant below backstops any residual
+            # mismatch loudly.
             F.expr(
-                "url_decode(regexp_replace(input_file_name(), "
-                "'^file:/+', '/'))"
+                "url_decode(replace(regexp_replace(input_file_name(), "
+                "'^file:/+', '/'), '+', '%2B'))"
             ),
         )
         .join(F.broadcast(map_df), "__file", "inner")
@@ -287,6 +298,8 @@ def _run_bins_shuffle(
                 f"compaction bin {k} lost rows: {rows_in} in, "
                 f"{rows_out} out — aborting before commit"
             )
+        for e in outs:  # outputs inherit the inputs' spec (see direct path)
+            e.spec_id = members[0].spec_id
         log.start_task(k, files_in, bytes_in)
         log.finish_task(k, outs, files_in=files_in, bytes_in=bytes_in)
         entries_by_key[k] = outs

@@ -89,6 +89,31 @@ def delete_mor(
         .distinct()
     )
 
+    # equality deletes remove EVERY row carrying a matched key — if the
+    # key is not unique (or a matched row has a null key), the delete
+    # would not equal "DELETE WHERE predicate". Validate coverage:
+    # rows-matching-predicate must equal rows-carrying-a-matched-key.
+    # Both passes are key/predicate-column-pruned scans.
+    n_matched = table.scan().filter(F.expr(pred_sql)).count()
+    n_covered = (
+        table.scan()
+        .select(F.col(key))
+        .join(
+            F.broadcast(keys_df.withColumnRenamed(key, "__k")),
+            F.col(key) == F.col("__k"),
+            "left_semi",
+        )
+        .count()
+    )
+    if n_covered != n_matched:
+        raise ValueError(
+            f"merge-on-read delete on key {key!r} would remove "
+            f"{n_covered} rows but the predicate matches {n_matched}: "
+            f"the key is not unique across matched/unmatched rows (or a "
+            f"matched row has a null key). Use mode='cow', or a key "
+            f"whose rows the predicate covers exactly."
+        )
+
     out_rel_dir = f"data/{log.job_id}"
     out_abs = os.path.join(table.root, out_rel_dir)
     keys_df.repartition(1).write.parquet(out_abs)
@@ -166,12 +191,24 @@ def materialize_deletes(
                 affected.append(e)
                 break
 
+    # clustered files (they carry the hidden zkey column) are rewritten
+    # separately so the delete application does not strip the column,
+    # the sort_order, or the tight per-file zkey stats that compaction
+    # and range pruning depend on (round-2 review finding)
+    plain: list[DataFileEntry] = []
+    clustered: dict[str, list[DataFileEntry]] = {}
+    for e in affected:
+        if e.sort_order.startswith(("zorder(", "hilbert(")):
+            clustered.setdefault(e.sort_order, []).append(e)
+        else:
+            plain.append(e)
+
     entries: list[DataFileEntry] = []
-    if affected:
+    if plain:
         rewrite_df = _apply_eq_deletes(
-            table.spark, table.root, table.schema, affected, dels
+            table.spark, table.root, table.schema, plain, dels
         )
-        bytes_in = sum(e.file_size_bytes for e in affected)
+        bytes_in = sum(e.file_size_bytes for e in plain)
         if target_file_count is None:
             target_file_count = max(1, -(-bytes_in // (128 * 1024 * 1024)))
         entries = write_data_files(
@@ -182,6 +219,40 @@ def materialize_deletes(
             rewrite_df,
             target_file_count=target_file_count,
             job_dir=f"data/{log.job_id}",
+        )
+    for i, (so, files) in enumerate(sorted(clustered.items())):
+        from pyspark.sql import types as T
+
+        from ..meta.scan import _anti_join_eq_deletes, _union_seq_groups
+        from ..ops.append import list_job_files
+        from ..partitioning import with_partition_columns
+
+        schema_z = T.StructType(
+            list(table.schema.fields)
+            + [T.StructField("zkey", T.LongType(), True)]
+        )
+        by_seq: dict[int, list[str]] = {}
+        for e in files:
+            by_seq.setdefault(e.seq, []).append(
+                os.path.join(table.root, e.file_path)
+            )
+        df = _union_seq_groups(table.spark, schema_z, by_seq)
+        df = _anti_join_eq_deletes(table.spark, table.root, df, dels)
+        df, part_cols = with_partition_columns(
+            df, table.meta.partition_spec
+        )
+        out_rel = f"data/{log.job_id}/sorted{i}"
+        writer = df.write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(os.path.join(table.root, out_rel))
+        out_files = list_job_files(
+            table.root, out_rel, table.meta.partition_spec
+        )
+        from ..ops.append import harvest_stats
+
+        entries += harvest_stats(
+            table.spark, table.root, out_files, sort_order=so
         )
     removed = [e.file_path for e in affected] + [d.file_path for d in dels]
     snap = table._commit_files(

@@ -170,11 +170,14 @@ class Table:
                 # commit sequence: newly added files (data or deletes)
                 # carry this snapshot's id; equality deletes later apply
                 # only to data files with strictly smaller seq. Files
-                # also record the partition spec they were written
-                # under (overwrite's mixed-spec guard keys on it).
+                # also record the partition spec their partition VALUES
+                # were derived under (overwrite's mixed-spec guard keys
+                # on it) — ops that carry old-spec values forward
+                # (compaction) pre-set spec_id and must keep it.
                 for e in added:
                     e.seq = sid
-                    e.spec_id = base.default_spec_id
+                    if e.spec_id is None:
+                        e.spec_id = base.default_spec_id
                 rel, summ = write_manifest(self.root, added)
                 manifests_out.append({"path": rel, "summary": summ})
 

@@ -191,6 +191,40 @@ def test_merge_broadcast_never_shuffles_target(spark, small_table):
             )
 
 
+def test_mor_scan_plan_shape(spark, tmp_path):
+    """A merge-on-read scan must apply equality deletes as a broadcast
+    left-anti hash join: the wide data side never shuffles for the
+    delete application, and no nested-loop join appears (the seq-rule
+    residual constant-folds per seq group)."""
+    import re
+
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_pdf
+
+    t = Table.create(
+        spark, str(tmp_path / "mor"), CLIPS_SCHEMA, partition_spec=DATE_SPEC
+    )
+    t.append(
+        spark.createDataFrame(
+            synth_clips_pdf(range(40), seed=1, n_days=2),
+            schema=CLIPS_SCHEMA,
+        )
+    )
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    plan = plan_str(t.scan())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
+    # the only exchange is the broadcast of the delete-key set
+    for ln in plan.splitlines():
+        body = ln.lstrip("*+- (0123456789)")
+        if body.startswith("Exchange"):
+            assert "broadcast" in ln.lower(), (
+                "MoR delete application must not shuffle the data side:\n"
+                + plan
+            )
+
+
 def test_entry_smoke_matches_driver_contract(spark):
     # the driver's smoke check: entry() runs on sf0.001 and yields a
     # stable-schema DataFrame with the flagship query's key columns

@@ -250,3 +250,53 @@ def test_partition_spec_evolution(spark, table_root):
     # and overwrite works again
     res = t.overwrite_partitions(_df(spark, 0, 5, n_days=4))
     assert res.snapshot_id is not None
+
+
+def test_pure_migration_cluster_keeps_all_rows(spark, table_root):
+    """Regression (round-2 review): when EVERY live file predates a spec
+    evolution, cluster()'s commit must still add all outputs — an
+    earlier version reassembled outputs through INPUT partition keys,
+    which match nothing after migration and silently emptied the table."""
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 40, n_days=2))
+    t.update_partition_spec(
+        [
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"},
+            {"name": "srb", "transform": "bucket", "source": "sr_hz",
+             "n": 4},
+        ]
+    )
+    res = t.cluster(["clip_id"], target_file_size=4 * 1024 * 1024)
+    assert res.files_created > 0
+    assert t.scan().count() == 40
+    assert all(
+        set(e.partition) == {"event_date", "srb"} for e in t.live_files()
+    )
+
+
+def test_compact_preserves_spec_id_for_overwrite_guard(spark, table_root):
+    """Regression (round-2 review): compaction concatenates old-spec
+    partition values, so its outputs must INHERIT the old spec_id —
+    stamping the current spec would disarm overwrite's mixed-spec guard
+    and silently leave stale rows behind."""
+    import pytest as _pytest
+
+    t = _make_table(spark, table_root)
+    for lo in (0, 20, 40):
+        t.append(_df(spark, lo, lo + 20, n_days=2), target_file_count=2)
+    t.update_partition_spec(
+        [
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"},
+            {"name": "srb", "transform": "bucket", "source": "sr_hz",
+             "n": 4},
+        ]
+    )
+    res = t.compact(target_file_size=64 * 1024 * 1024)
+    assert res.bins > 0
+    assert t.scan().count() == 60
+    # compacted outputs still carry the OLD spec id
+    assert all(e.spec_id == 0 for e in t.live_files())
+    with _pytest.raises(ValueError, match="older partition spec"):
+        t.overwrite_partitions(_df(spark, 0, 5, n_days=2))
