@@ -120,10 +120,15 @@ class DataFileEntry:
             file_size_bytes=row["file_size_bytes"],
             stats=json.loads(row["stats_json"] or "{}"),
             sort_order=row.get("sort_order") or "",
-            # pre-round-2 manifests lack these columns → data/0 defaults
+            # pre-round-2 manifests lack these columns → data/0 defaults.
+            # spec_id: an ABSENT key means a pre-evolution manifest
+            # (spec 0 was the only spec), but a PRESENT None must stay
+            # None — lineage records round-trip entries through to_row/
+            # from_row before the commit stamps them, and collapsing the
+            # sentinel to 0 would mis-stamp resumed rewrites (review r2)
             content=row.get("content") or "data",
             seq=row.get("seq") or 0,
-            spec_id=row.get("spec_id") or 0,
+            spec_id=row["spec_id"] if "spec_id" in row else 0,
         )
 
     @property

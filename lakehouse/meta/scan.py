@@ -93,11 +93,9 @@ def plan_scan(
         has_deletes = summary.get("delete_count", 0) > 0
         if preds and not has_deletes and not _manifest_may_match(summary, preds):
             pruned_manifests += 1
-            # count DATA entries only, like the scanned branch below —
-            # else skip-ratio metrics over-report by the delete count
-            candidates += summary.get("entry_count", 0) - summary.get(
-                "delete_count", 0
-            )
+            # entry_count here is data-only by construction: the guard
+            # above never summary-prunes a manifest holding deletes
+            candidates += summary.get("entry_count", 0)
             continue
         for entry in read_manifest(table_root, m["path"]):
             if entry.is_delete:

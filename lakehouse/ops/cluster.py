@@ -46,6 +46,17 @@ from ..ops.append import harvest_stats
 ZKEY_COL = "zkey"
 
 
+def schema_with_zkey(schema):
+    """Table schema + the hidden physical curve-key column — the ONE
+    place the hidden-column contract is encoded (compaction and MoR
+    materialization read clustered files through this)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields) + [T.StructField(ZKEY_COL, T.LongType(), True)]
+    )
+
+
 @dataclass
 class ClusterResult:
     job_id: str
@@ -136,6 +147,16 @@ def cluster(
     total_bytes = sum(e.file_size_bytes for e in live)
     total_rows = sum(e.record_count for e in live)
     avg_row = total_bytes / max(1, total_rows)
+    # per-input-partition row width: exact whenever the input pk equals
+    # the recomputed one (every non-migration run); heterogeneous
+    # partitions (short 8 kHz days vs long 44.1 kHz days) would be
+    # mis-sized by the table-wide average alone. Migrated pks fall back
+    # to the global average — best available without a data pass.
+    avg_row_by_pk = {
+        pk: sum(e.file_size_bytes for e in members)
+        / max(1, sum(e.record_count for e in members))
+        for pk, members in by_partition.items()
+    }
 
     import hashlib
 
@@ -196,7 +217,12 @@ def cluster(
         grid_by_pk = {r["__pk"]: [int(q) for q in (r["__qs"] or [])] for r in qrows}
         n_out_by_pk = {
             r["__pk"]: max(
-                1, round(r["__n"] * avg_row / target_file_size)
+                1,
+                round(
+                    r["__n"]
+                    * avg_row_by_pk.get(r["__pk"], avg_row)
+                    / target_file_size
+                ),
             )
             for r in qrows
         }

@@ -151,8 +151,6 @@ def _run_bins_direct(
 
     spark = table.spark
 
-    from pyspark.sql import types as T
-
     def run_bin(item):
         k, members = item
         files_in = [e.file_path for e in members]
@@ -168,12 +166,10 @@ def _run_bins_direct(
             # runs), and keep it in the output so per-file zkey/cluster
             # -column stats stay tight — compaction must not undo a
             # clustering rewrite
-            schema = T.StructType(
-                list(table.schema.fields)
-                + [T.StructField("zkey", T.LongType(), True)]
-            )
+            from ..ops.cluster import schema_with_zkey
+
             df = (
-                spark.read.schema(schema)
+                spark.read.schema(schema_with_zkey(table.schema))
                 .parquet(*paths)
                 .coalesce(1)
                 .sortWithinPartitions("zkey")

@@ -69,9 +69,19 @@ def delete_mor(
     predicate,
     *,
     key: str = "clip_id",
+    validate: bool = True,
     job_id: Optional[str] = None,
 ) -> MorDeleteResult:
-    """DELETE FROM table WHERE predicate — merge-on-read."""
+    """DELETE FROM table WHERE predicate — merge-on-read.
+
+    ``validate=True`` (default) checks that the equality delete equals
+    "DELETE WHERE predicate": no matched row has a null key, and no
+    UNMATCHED row shares a key with a matched one. The checks cost two
+    extra column-pruned passes over the table; callers that know the
+    key is unique and non-null (the audio tables' ``clip_id``) can pass
+    ``validate=False`` to keep the trickle-delete hot path at
+    O(deleted keys) + one key-collection pass.
+    """
     if key not in [f.name for f in table.schema.fields]:
         raise ValueError(f"delete key {key!r} not in table schema")
     pred_sql, _tuples = _predicate_sql(predicate)
@@ -89,30 +99,42 @@ def delete_mor(
         .distinct()
     )
 
-    # equality deletes remove EVERY row carrying a matched key — if the
-    # key is not unique (or a matched row has a null key), the delete
-    # would not equal "DELETE WHERE predicate". Validate coverage:
-    # rows-matching-predicate must equal rows-carrying-a-matched-key.
-    # Both passes are key/predicate-column-pruned scans.
-    n_matched = table.scan().filter(F.expr(pred_sql)).count()
-    n_covered = (
-        table.scan()
-        .select(F.col(key))
-        .join(
-            F.broadcast(keys_df.withColumnRenamed(key, "__k")),
-            F.col(key) == F.col("__k"),
-            "left_semi",
+    if validate:
+        # equality deletes remove EVERY row carrying a matched key — two
+        # DIRECTIONAL checks (a count equality would let a null-key
+        # matched row and an unmatched duplicate-key row cancel out):
+        # 1. no matched row may have a null key (it could never be
+        #    deleted by key — silent under-delete);
+        # 2. no UNMATCHED row may share a key with a matched one (it
+        #    would be deleted too — silent over-delete).
+        pred_col = F.expr(pred_sql)
+        n_null_matched = (
+            table.scan().filter(pred_col & F.col(key).isNull()).count()
         )
-        .count()
-    )
-    if n_covered != n_matched:
-        raise ValueError(
-            f"merge-on-read delete on key {key!r} would remove "
-            f"{n_covered} rows but the predicate matches {n_matched}: "
-            f"the key is not unique across matched/unmatched rows (or a "
-            f"matched row has a null key). Use mode='cow', or a key "
-            f"whose rows the predicate covers exactly."
+        if n_null_matched:
+            raise ValueError(
+                f"merge-on-read delete: {n_null_matched} rows match the "
+                f"predicate but have a NULL {key!r} — they cannot be "
+                f"deleted by key. Use mode='cow'."
+            )
+        n_over = (
+            table.scan()
+            .filter(~F.coalesce(pred_col, F.lit(False)))
+            .select(F.col(key))
+            .join(
+                F.broadcast(keys_df.withColumnRenamed(key, "__k")),
+                F.col(key) == F.col("__k"),
+                "left_semi",
+            )
+            .count()
         )
+        if n_over:
+            raise ValueError(
+                f"merge-on-read delete on key {key!r} would also remove "
+                f"{n_over} rows that do NOT match the predicate (the key "
+                f"is not unique across matched/unmatched rows). Use "
+                f"mode='cow', or a key the predicate covers exactly."
+            )
 
     out_rel_dir = f"data/{log.job_id}"
     out_abs = os.path.join(table.root, out_rel_dir)
@@ -221,26 +243,37 @@ def materialize_deletes(
             job_dir=f"data/{log.job_id}",
         )
     for i, (so, files) in enumerate(sorted(clustered.items())):
-        from pyspark.sql import types as T
+        from pyspark.sql import functions as _F
 
         from ..meta.scan import _anti_join_eq_deletes, _union_seq_groups
-        from ..ops.append import list_job_files
+        from ..ops.append import harvest_stats, list_job_files
+        from ..ops.cluster import ZKEY_COL, schema_with_zkey
         from ..partitioning import with_partition_columns
 
-        schema_z = T.StructType(
-            list(table.schema.fields)
-            + [T.StructField("zkey", T.LongType(), True)]
-        )
         by_seq: dict[int, list[str]] = {}
         for e in files:
             by_seq.setdefault(e.seq, []).append(
                 os.path.join(table.root, e.file_path)
             )
-        df = _union_seq_groups(table.spark, schema_z, by_seq)
+        df = _union_seq_groups(
+            table.spark, schema_with_zkey(table.schema), by_seq
+        )
         df = _anti_join_eq_deletes(table.spark, table.root, df, dels)
         df, part_cols = with_partition_columns(
             df, table.meta.partition_spec
         )
+        # range-repartition on (partition, zkey) + in-task sort: output
+        # files per partition value carry DISJOINT zkey ranges, so the
+        # sort_order label and the zkey-adjacent compaction packing stay
+        # truthful (Spark's size-ordered file packing would otherwise
+        # concatenate far-apart sorted runs into one wide-range file)
+        group_bytes = sum(e.file_size_bytes for e in files)
+        n_files = max(1, round(group_bytes / (128 * 1024 * 1024)))
+        df = df.repartitionByRange(
+            max(n_files, len(by_seq)),
+            *[_F.col(c) for c in part_cols],
+            _F.col(ZKEY_COL),
+        ).sortWithinPartitions(*part_cols, ZKEY_COL)
         out_rel = f"data/{log.job_id}/sorted{i}"
         writer = df.write
         if part_cols:
@@ -249,8 +282,6 @@ def materialize_deletes(
         out_files = list_job_files(
             table.root, out_rel, table.meta.partition_spec
         )
-        from ..ops.append import harvest_stats
-
         entries += harvest_stats(
             table.spark, table.root, out_files, sort_order=so
         )

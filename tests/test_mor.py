@@ -217,3 +217,44 @@ def test_overwrite_guard_same_names_different_transform(spark, tmp_path):
         t.overwrite_partitions(
             spark.createDataFrame(pdf2, schema=CLIPS_SCHEMA)
         )
+
+
+def test_mor_validation_is_directional(spark, tmp_path):
+    """Regression (round-2 review): a count-equality check let a
+    null-key matched row and an unmatched duplicate-key row cancel out.
+    The two failure modes must each raise on their own AND together."""
+    from pyspark.sql import types as T
+    from lakehouse import Table
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("flag", T.LongType(), True),
+        ]
+    )
+
+    def fresh(name, rows):
+        t = Table.create(spark, str(tmp_path / name), schema)
+        t.append(spark.createDataFrame(rows, schema), target_file_count=1)
+        return t
+
+    # cancel-out scenario: r1(k=5, match), r2(k=5, no match), r3(null, match)
+    t = fresh("both", [(5, 1), (5, 0), (None, 1)])
+    with pytest.raises(ValueError, match="NULL"):
+        t.delete("flag = 1", mode="mor", key="k")
+
+    # over-delete alone
+    t = fresh("over", [(5, 1), (5, 0)])
+    with pytest.raises(ValueError, match="not unique"):
+        t.delete("flag = 1", mode="mor", key="k")
+
+    # under-delete alone (null key matched)
+    t = fresh("under", [(None, 1), (7, 0)])
+    with pytest.raises(ValueError, match="NULL"):
+        t.delete("flag = 1", mode="mor", key="k")
+
+    # clean case passes, and validate=False skips the extra passes
+    t = fresh("ok", [(1, 1), (2, 0)])
+    res = t.delete("flag = 1", mode="mor", key="k", validate=False)
+    assert res.keys_deleted == 1
+    assert t.scan().count() == 1
