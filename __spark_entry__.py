@@ -610,6 +610,33 @@ def _q_lh_delete_mor(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_datasource_scan(spark, sf_dir):
+    """Registered-format read surface: ``spark.read.format("lakehouse")``
+    over a table with a pending merge-on-read delete. The WHERE clause is
+    pushed into manifest-level file pruning (pushFilters), the equality
+    delete is applied inside the Arrow read tasks — the third analyst
+    surface after Table.scan() and SQL temp views, mirroring the
+    reference's any-engine catalog path (README.md:104-114)."""
+    import datetime as dt
+
+    from lakehouse.datasource import register
+
+    t = _events_table(spark, sf_dir, appends=2)
+    t.delete(
+        "event_type = 'error' AND user_id % 3 = 0", mode="mor", key="event_id"
+    )
+    register(spark)
+    df = (
+        spark.read.format("lakehouse")
+        .load(t.root)
+        .filter(
+            (F.col("event_date") >= F.lit(dt.date(2024, 1, 5)))
+            & (F.col("event_date") <= F.lit(dt.date(2024, 1, 9)))
+        )
+    )
+    return _events_out(df)
+
+
 def _q_lh_update(spark, sf_dir):
     """Copy-on-write UPDATE: +1000 on purchase values (exact in FP)."""
     t = _events_table(spark, sf_dir, appends=2)
@@ -842,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
         "lh_delete_mor": _q_lh_delete_mor,
+        "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_update_cow": _q_lh_update,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
@@ -945,6 +973,10 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_delete_mor": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
+        "lh_datasource_scan": EVENTS_OUT_SQL
+        + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"
+        + " AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'"
+        + " AND DATE '2024-01-09'",
         "lh_update_cow": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id,
                    CASE WHEN event_type = 'purchase' THEN 'purchase_adj'

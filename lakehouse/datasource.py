@@ -1,0 +1,721 @@
+"""PySpark Python DataSource surface: ``spark.read.format("lakehouse")``.
+
+The reference exposes its bronze table to analysts through the Glue
+catalog so any engine can ``SELECT`` from it by name
+(/root/reference/README.md:104-114,
+/root/reference/infra/terraform/modules/glue/main.tf:130-182). Our
+engine's native path is ``Table.scan()`` (JVM parquet scan, fastest) and
+snapshot-pinned temp views; this module adds the third integration
+surface — a registered Spark *data source* — so the table participates
+in the standard ``spark.read.format(...)`` / ``spark.readStream``
+machinery without importing the library at call sites beyond
+registration.
+
+Two readers:
+
+- **batch** — plans against table metadata on the driver (the same
+  spark-free ``plan_scan`` the native path uses: partition pruning,
+  min/max file skipping, manifest summary pruning), bin-packs surviving
+  files into input partitions, and reads them as Arrow record batches in
+  executors via pyarrow. Merge-on-read equality deletes are applied
+  in-task with the Iceberg sequence rule (data ``seq`` < delete ``seq``).
+  ``pushFilters`` feeds Spark's own WHERE clause into file pruning but
+  reports every filter as unsupported, so Spark still applies them
+  row-level — file skipping is a superset optimization and can never
+  change results.
+
+Two writers (the write-side twins, same registered format):
+
+- **batch** — ``df.write.format("lakehouse").mode("append"|"overwrite")``:
+  tasks conform Arrow batches to the table schema, split rows by the
+  partition spec's derived values, and stream each group into parquet
+  files inside an immutable job dir; the driver harvests footer stats
+  for exactly the task-reported files and publishes one atomic snapshot
+  through the same commit core as ``Table.append()`` (overwrite removes
+  every previously-live file in the same commit).
+
+- **stream** — ``df.writeStream.format("lakehouse")``: idempotent
+  micro-batch appends keyed by ``stream_batch_id`` in the snapshot
+  summary, so a checkpoint replay after restart drops its duplicate
+  files instead of double-committing — the standard-API twin of
+  ``streaming.append_batch``.
+
+- **stream** — ``spark.readStream.format("lakehouse")``: offsets are
+  snapshot ids, each micro-batch reads exactly the data files appended
+  in ``(start, end]`` following the incremental-append-scan contract of
+  ``ops/changes.py`` (data-neutral replace/rewrite snapshots are
+  skipped; row-changing snapshots raise unless ``allow_replays``).
+  Offsets live in the query checkpoint, so restart resumes exactly-once
+  as long as the referenced snapshots have not been expired.
+
+Scale note: the Arrow-in-Python read path moves data through executor
+Python workers, so it deliberately targets *integration* (federated
+engines, streaming tails, moderate scans), not the 100 TB maintenance
+hot path — compaction/clustering/MERGE keep the JVM-native
+``Table.scan()``. Planning itself is identical metadata work either way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+
+from .errors import LakehouseError
+from .expressions import Predicate
+from .meta.scan import plan_scan
+from .meta.snapshots import TableMetadata, load_metadata
+
+FORMAT_NAME = "lakehouse"
+DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def register(spark) -> None:
+    """Register the ``lakehouse`` format on a SparkSession (idempotent)."""
+    spark.dataSource.register(LakehouseDataSource)
+
+
+# --- option handling ----------------------------------------------------------
+
+
+def _table_root(options) -> str:
+    root = options.get("path")
+    if not root:
+        raise LakehouseError(
+            "lakehouse data source needs a table root: "
+            ".load('/path/to/table') or .option('path', ...)"
+        )
+    return root
+
+
+def _resolve_snapshot(meta: TableMetadata, options) -> Optional[int]:
+    """snapshot_id / ref options → pinned snapshot id (None = current)."""
+    sid = options.get("snapshot_id")
+    ref = options.get("ref")
+    if sid is not None and ref is not None:
+        raise LakehouseError("pass snapshot_id OR ref, not both")
+    if sid is not None:
+        return int(sid)
+    if ref is None or ref == "main":
+        return None
+    info = meta.refs.get(ref)
+    if info is None:
+        raise LakehouseError(
+            f"unknown ref {ref!r}; available: {sorted(meta.refs)}"
+        )
+    return info["snapshot_id"]
+
+
+def _snapshot_schema(meta: TableMetadata, sid: Optional[int]) -> T.StructType:
+    """Schema as of a snapshot (time travel reads old shapes)."""
+    if sid is None or not meta.snapshots:
+        return T.StructType.fromJson(meta.schema_json)
+    snap = meta.snapshot(sid)
+    if snap.schema_id < len(meta.schemas):
+        return T.StructType.fromJson(meta.schemas[snap.schema_id])
+    return T.StructType.fromJson(meta.schema_json)
+
+
+# --- partitions ---------------------------------------------------------------
+
+
+class FilesPartition(InputPartition):
+    """One read task: a bin of data files (+ the delete files that may
+    mask their rows). Plain dicts/ints only — shipped by pickle."""
+
+    def __init__(self, files, deletes):
+        self.files = files  # [{"path", "seq"}]
+        self.deletes = deletes  # [{"path", "key", "seq"}]
+
+
+def _bin_pack(entries, target_bytes: int):
+    """FFD bin-pack manifest entries into ~target-sized read tasks."""
+    bins: list[tuple[int, list]] = []
+    for e in sorted(entries, key=lambda e: -e.file_size_bytes):
+        placed = False
+        for i, (size, members) in enumerate(bins):
+            if size + e.file_size_bytes <= target_bytes:
+                bins[i] = (size + e.file_size_bytes, members + [e])
+                placed = True
+                break
+        if not placed:
+            bins.append((e.file_size_bytes, [e]))
+    return [members for _, members in bins]
+
+
+def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
+    deletes = [
+        {
+            "path": os.path.join(root, d.file_path),
+            "key": d.delete_key,
+            "seq": d.seq,
+        }
+        for d in plan.delete_files
+    ]
+    out = []
+    for members in _bin_pack(plan.files, target_bytes):
+        files = [
+            {"path": os.path.join(root, e.file_path), "seq": e.seq}
+            for e in members
+        ]
+        out.append(FilesPartition(files, deletes))
+    return out
+
+
+# --- Arrow read path (runs in executor Python workers) ------------------------
+
+
+def _read_partition(part: FilesPartition, spark_schema: T.StructType):
+    """Yield Arrow record batches for one partition, deletes applied.
+
+    Missing columns (files written before an additive schema evolution)
+    are null-filled; extra physical columns (the clustering ``zkey``)
+    are dropped by column selection; everything is cast to the exact
+    Arrow schema Spark expects for this source.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    names = list(target.names)
+
+    # delete files are tiny (one key column) relative to data; each task
+    # reads the ones overlapping its bin rather than shipping key sets
+    # through the driver
+    del_keys: list[tuple[int, pa.ChunkedArray]] = []
+    for d in part.deletes:
+        keys = pq.read_table(d["path"], columns=[d["key"]]).column(0)
+        del_keys.append((d["seq"], keys))
+
+    for f in part.files:
+        pf = pq.ParquetFile(f["path"])
+        have = set(pf.schema_arrow.names)
+        cols = [c for c in names if c in have]
+        masks = [keys for dseq, keys in del_keys if f["seq"] < dseq]
+        key_name = part.deletes[0]["key"] if masks else None
+        for batch in pf.iter_batches(columns=cols):
+            tbl = pa.Table.from_batches([batch])
+            if masks and key_name in tbl.column_names:
+                dead = pa.chunked_array(
+                    [c for m in masks for c in m.chunks]
+                ).combine_chunks()
+                keep = pc.invert(
+                    pc.is_in(tbl.column(key_name), value_set=dead)
+                )
+                # is_in returns null (not false) for null probe values;
+                # a null key can never match an equality delete -> keep
+                tbl = tbl.filter(pc.fill_null(keep, True))
+            for i, name in enumerate(names):
+                if name not in tbl.column_names:
+                    tbl = tbl.add_column(
+                        i,
+                        target.field(name),
+                        pa.nulls(len(tbl), target.field(name).type),
+                    )
+            tbl = tbl.select(names).cast(target)
+            yield from tbl.to_batches()
+
+
+# --- batch reader -------------------------------------------------------------
+
+_FILTER_OPS = {
+    EqualTo: "=",
+    EqualNullSafe: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+    IsNull: "is_null",
+    IsNotNull: "not_null",
+}
+
+
+def _to_predicate(flt) -> Optional[Predicate]:
+    """Map a Spark v2 Filter onto the engine's pruning Predicate (None =
+    not expressible; the filter still runs row-level in Spark)."""
+    if isinstance(flt, Not) and isinstance(flt.child, EqualTo):
+        attr = flt.child.attribute
+        if len(attr) == 1:
+            return Predicate(attr[0], "!=", flt.child.value)
+        return None
+    op = _FILTER_OPS.get(type(flt))
+    if op is None or len(flt.attribute) != 1:
+        return None
+    col = flt.attribute[0]
+    if op in ("is_null", "not_null"):
+        return Predicate(col, op)
+    value = list(flt.value) if op == "in" else flt.value
+    # EqualNullSafe(col, null) is "col IS NULL", not "= null"
+    if isinstance(flt, EqualNullSafe) and value is None:
+        return Predicate(col, "is_null")
+    return Predicate(col, op, value)
+
+
+class LakehouseBatchReader(DataSourceReader):
+    def __init__(self, root: str, options):
+        self._root = root
+        meta = load_metadata(root)
+        self._snapshot_id = _resolve_snapshot(meta, options)
+        self._schema = _snapshot_schema(meta, self._snapshot_id)
+        self._target_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        self._preds: list[Predicate] = []
+
+    def pushFilters(self, filters):
+        for flt in filters:
+            pred = _to_predicate(flt)
+            if pred is not None:
+                self._preds.append(pred)
+        # report everything unsupported: our pushdown prunes FILES
+        # (superset semantics); Spark keeps row-level responsibility
+        return filters
+
+    def partitions(self):
+        meta = load_metadata(self._root)
+        plan = plan_scan(
+            self._root,
+            meta,
+            filter=self._preds or None,
+            snapshot_id=self._snapshot_id,
+        )
+        parts = _partitions_for(self._root, plan, self._target_bytes)
+        # Spark requires >= 1 partition; empty table -> one empty task
+        return parts or [FilesPartition([], [])]
+
+    def read(self, partition: FilesPartition):
+        yield from _read_partition(partition, self._schema)
+
+
+# --- stream reader ------------------------------------------------------------
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    """Snapshot-id offsets over the append chain (exactly-once replay
+    from the checkpoint while snapshots remain unexpired)."""
+
+    def __init__(self, root: str, options):
+        self._root = root
+        self._start_mode = options.get("start", "latest")
+        start_sid = options.get("starting_snapshot_id")
+        self._starting_sid = None if start_sid is None else int(start_sid)
+        self._allow_replays = (
+            str(options.get("allow_replays", "false")).lower() == "true"
+        )
+        self._target_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        meta = load_metadata(root)
+        self._schema = T.StructType.fromJson(meta.schema_json)
+
+    # offsets are {"snapshot_id": int|None}: "everything up to and
+    # including this snapshot has been (or is considered) consumed"
+
+    def initialOffset(self) -> dict:
+        if self._starting_sid is not None:
+            return {"snapshot_id": self._starting_sid}
+        if self._start_mode == "beginning":
+            return {"snapshot_id": None}
+        meta = load_metadata(self._root)
+        return {"snapshot_id": meta.current_snapshot_id}
+
+    def latestOffset(self) -> dict:
+        meta = load_metadata(self._root)
+        return {"snapshot_id": meta.current_snapshot_id}
+
+    def _added_files(self, meta, from_id, to_id):
+        """Data files appended in (from, to] — spark-free twin of
+        ops/changes.incremental_scan (same contract, cited there)."""
+        from .ops.changes import APPEND_OPS, DATA_NEUTRAL_OPS, _chain
+
+        def live(sid):
+            if sid is None:
+                return {}
+            return {
+                e.file_path: e
+                for e in plan_scan(self._root, meta, snapshot_id=sid).files
+            }
+
+        added = []
+        for snap in _chain(meta, from_id, to_id):
+            if snap.operation in DATA_NEUTRAL_OPS:
+                continue
+            if snap.operation not in APPEND_OPS and not self._allow_replays:
+                raise LakehouseError(
+                    f"stream read hit row-changing snapshot "
+                    f"{snap.snapshot_id} ({snap.operation!r}); restart "
+                    f"from a later offset or set allow_replays=true"
+                )
+            prev = live(snap.parent_snapshot_id)
+            cur = live(snap.snapshot_id)
+            added.extend(e for p, e in cur.items() if p not in prev)
+        return added
+
+    def partitions(self, start: dict, end: dict):
+        from_id, to_id = start.get("snapshot_id"), end.get("snapshot_id")
+        if to_id is None or from_id == to_id:
+            return [FilesPartition([], [])]
+        meta = load_metadata(self._root)
+        added = self._added_files(meta, from_id, to_id)
+        plan = _Plan(added)
+        parts = _partitions_for(self._root, plan, self._target_bytes)
+        return parts or [FilesPartition([], [])]
+
+    def read(self, partition: FilesPartition):
+        yield from _read_partition(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class _Plan:
+    """Duck-typed ScanPlan carrier for _partitions_for."""
+
+    def __init__(self, files):
+        self.files = files
+        self.delete_files = []
+
+
+# --- Arrow write path (tasks write parquet; driver commits the snapshot) ------
+
+
+class FilesCommitMessage(WriterCommitMessage):
+    """Per-task result: (relative_path) of every file the task wrote."""
+
+    def __init__(self, rel_paths):
+        self.rel_paths = rel_paths
+
+
+def _derive_partition_array(tbl, field):
+    """Arrow twin of partitioning.partition_field_expr (vectorized).
+
+    ``bucket`` is deliberately unsupported here: its value is Spark's
+    ``xxhash64`` and a Python reimplementation risks silently diverging
+    from the JVM hash — bucket-partitioned tables keep Table.append().
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    transform = field.get("transform", "identity")
+    col = tbl.column(field["source"])
+    if transform == "identity":
+        return col
+    if transform == "day":
+        return pc.cast(col, pa.date32())
+    if transform == "month":
+        return pc.strftime(col, format="%Y-%m")
+    if transform == "hour":
+        return pc.strftime(col, format="%Y-%m-%d-%H")
+    if transform == "truncate":
+        n = int(field["n"])
+        return pc.utf8_slice_codeunits(pc.cast(col, pa.string()), 0, n)
+    raise LakehouseError(
+        f"partition transform {transform!r} is not supported by the "
+        f"lakehouse format writer; use Table.append() for this table"
+    )
+
+
+def _encode_dir_value(value) -> str:
+    """Hive-style directory value, inverse of partitioning.decode_dir_value."""
+    import datetime as dt
+    import urllib.parse
+
+    from .partitioning import HIVE_NULL
+
+    if value is None:
+        return HIVE_NULL
+    if isinstance(value, dt.datetime):
+        s = value.isoformat(sep=" ")
+    elif isinstance(value, dt.date):
+        s = value.isoformat()
+    else:
+        s = str(value)
+    return urllib.parse.quote(s, safe="")
+
+
+def _write_task_batches(batch_iter, root, job_rel, schema_json, spec):
+    """Executor half of the write: conform Arrow batches to the table
+    schema, split rows by derived partition value, stream each group into
+    one parquet file per (task, partition). Returns the relative paths.
+
+    Mirrors the no-rename discipline of ops/append.py: files land
+    directly in an immutable job dir; only paths reported by successful
+    tasks are committed, so zombie-task leftovers stay invisible and are
+    swept by orphan GC.
+    """
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .partitioning import PART_PREFIX
+
+    target = to_arrow_schema(T.StructType.fromJson(schema_json))
+    names = list(target.names)
+    task_id = _uuid.uuid4().hex
+    writers: dict[str, pq.ParquetWriter] = {}
+    rel_paths: dict[str, str] = {}
+    n_files = 0
+
+    try:
+        for batch in batch_iter:
+            tbl = pa.Table.from_batches([batch])
+            for i, name in enumerate(names):
+                if name not in tbl.column_names:
+                    tbl = tbl.add_column(
+                        i,
+                        target.field(name),
+                        pa.nulls(len(tbl), target.field(name).type),
+                    )
+            extra = [c for c in tbl.column_names if c not in names]
+            if extra:
+                raise LakehouseError(
+                    f"dataframe has columns not in the table schema: "
+                    f"{extra}; evolve the schema via Table.append("
+                    f"new_schema=...) first"
+                )
+            tbl = tbl.select(names).cast(target)
+            if len(tbl) == 0:
+                continue
+
+            parts = [_derive_partition_array(tbl, f) for f in spec]
+            if parts:
+                key = pc.binary_join_element_wise(
+                    *[
+                        pc.fill_null(pc.cast(p, pa.string()), "\x00")
+                        for p in parts
+                    ],
+                    "\x1f",
+                )
+                enc = pc.dictionary_encode(key.combine_chunks())
+                codes = set()
+                for chunk in (
+                    enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
+                ):
+                    codes.update(pc.unique(chunk.indices).to_pylist())
+                indices = (
+                    pa.chunked_array([c.indices for c in enc.chunks])
+                    if isinstance(enc, pa.ChunkedArray)
+                    else enc.indices
+                )
+                groups = []
+                for code in sorted(codes):
+                    mask = pc.equal(indices, code)
+                    sub = tbl.filter(mask)
+                    row = pc.index(mask, True).as_py()
+                    vals = [p[row].as_py() for p in parts]
+                    groups.append((vals, sub))
+            else:
+                groups = [([], tbl)]
+
+            for vals, sub in groups:
+                comps = [
+                    f"{PART_PREFIX}{f['name']}={_encode_dir_value(v)}"
+                    for f, v in zip(spec, vals)
+                ]
+                dir_key = "/".join(comps)
+                w = writers.get(dir_key)
+                if w is None:
+                    rel = "/".join(
+                        [job_rel, *comps, f"part-{task_id}-{n_files}.parquet"]
+                    )
+                    n_files += 1
+                    abs_path = os.path.join(root, rel)
+                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                    w = pq.ParquetWriter(abs_path, target, compression="lz4")
+                    writers[dir_key] = w
+                    rel_paths[dir_key] = rel
+                w.write_table(sub)
+    finally:
+        for w in writers.values():
+            w.close()
+    return sorted(rel_paths.values())
+
+
+def _harvest_entries(root, rel_paths, spec):
+    """Driver half: footer-stats harvest for the committed file set —
+    same collect_file_stats the native path uses, so manifests are
+    indistinguishable from Table.append()'s."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .meta.manifests import collect_file_stats
+    from .ops.append import _parse_partition_dirs
+
+    def one(rel):
+        return collect_file_stats(
+            os.path.join(root, rel), rel, _parse_partition_dirs(rel, spec)
+        )
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(one, rel_paths))
+
+
+def _collect_rel_paths(messages) -> list[str]:
+    return sorted(
+        p for m in messages if m is not None for p in m.rel_paths
+    )
+
+
+def _drop_files(root, rel_paths) -> None:
+    for rel in rel_paths:
+        try:
+            os.remove(os.path.join(root, rel))
+        except OSError:
+            pass
+
+
+class LakehouseBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("lakehouse").mode("append"|"overwrite")``.
+
+    Tasks write conformed parquet straight into an immutable job dir;
+    ``commit`` harvests footer stats for exactly the task-reported files
+    and publishes ONE atomic snapshot ("append", or "overwrite" removing
+    every previously-live file). Uncommitted files are never visible.
+    """
+
+    def __init__(self, root: str, overwrite: bool):
+        import uuid as _uuid
+
+        self._root = root
+        self._overwrite = overwrite
+        meta = load_metadata(root)
+        self._schema_json = meta.schema_json
+        self._spec = meta.partition_spec
+        # fail fast (planning time) on transforms the Arrow path can't
+        # reproduce bit-for-bit
+        for f in self._spec:
+            if f.get("transform", "identity") == "bucket":
+                raise LakehouseError(
+                    "bucket-partitioned tables are not writable through "
+                    "the lakehouse format (JVM xxhash64 has no exact "
+                    "Arrow twin); use Table.append()"
+                )
+        self._job_rel = f"data/job-ds-{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        rels = _write_task_batches(
+            iterator, self._root, self._job_rel, self._schema_json, self._spec
+        )
+        return FilesCommitMessage(rels)
+
+    def commit(self, messages):
+        from .table import Table
+
+        rels = _collect_rel_paths(messages)
+        entries = _harvest_entries(self._root, rels, self._spec)
+        t = Table(None, self._root)
+        if self._overwrite:
+            plan = t.plan()
+            removed = [e.file_path for e in plan.files] + [
+                e.file_path for e in plan.delete_files
+            ]
+            t._commit_files("overwrite", entries, removed)
+        else:
+            t._commit_files("append", entries)
+
+    def abort(self, messages):
+        _drop_files(self._root, _collect_rel_paths(messages))
+
+
+class LakehouseStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lakehouse")`` — idempotent micro-batch
+    appends, the standard-API twin of streaming.append_batch (which the
+    reference expresses as ``writeStream.format("delta")``,
+    /root/reference/etl/glue_stream.py:339-349). Replayed batch ids
+    (restart from checkpoint) drop their files instead of re-committing.
+    """
+
+    def __init__(self, root: str):
+        import uuid as _uuid
+
+        self._root = root
+        meta = load_metadata(root)
+        self._schema_json = meta.schema_json
+        self._spec = meta.partition_spec
+        for f in self._spec:
+            if f.get("transform", "identity") == "bucket":
+                raise LakehouseError(
+                    "bucket-partitioned tables are not writable through "
+                    "the lakehouse format; use streaming.append_batch()"
+                )
+        self._job_rel = f"data/job-stream-{_uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        rels = _write_task_batches(
+            iterator, self._root, self._job_rel, self._schema_json, self._spec
+        )
+        return FilesCommitMessage(rels)
+
+    def commit(self, messages, batchId: int) -> None:
+        from .streaming import committed_batch_ids
+        from .table import Table
+
+        t = Table(None, self._root)
+        rels = _collect_rel_paths(messages)
+        if int(batchId) in committed_batch_ids(t):
+            _drop_files(self._root, rels)  # checkpoint replay
+            return
+        entries = _harvest_entries(self._root, rels, self._spec)
+        t._commit_files(
+            "append", entries, summary={"stream_batch_id": int(batchId)}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_files(self._root, _collect_rel_paths(messages))
+
+
+# --- the data source ----------------------------------------------------------
+
+
+class LakehouseDataSource(DataSource):
+    """``spark.read.format("lakehouse").load(root)`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        root = _table_root(self.options)
+        meta = load_metadata(root)
+        sid = _resolve_snapshot(meta, self.options)
+        return _snapshot_schema(meta, sid)
+
+    def reader(self, schema: T.StructType) -> LakehouseBatchReader:
+        return LakehouseBatchReader(_table_root(self.options), self.options)
+
+    def streamReader(self, schema: T.StructType) -> LakehouseStreamReader:
+        return LakehouseStreamReader(_table_root(self.options), self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> LakehouseBatchWriter:
+        return LakehouseBatchWriter(_table_root(self.options), overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakehouseStreamWriter:
+        return LakehouseStreamWriter(_table_root(self.options))

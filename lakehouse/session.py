@@ -43,8 +43,15 @@ def build_session(
         # 3-4x write time for 0% size win (measured: 19.3s vs 4.7s for the
         # same 280 MB). lz4 keeps the cheap-codec behavior for the text
         # columns without taxing the binary payload.
-        .config("spark.sql.parquet.compression.codec", "lz4")
+        # lz4_raw, not lz4: same speed class, but the legacy lz4 codec
+        # uses Hadoop frame wrapping that Arrow/pyarrow (and most
+        # non-JVM engines) cannot decode — the datasource.py read path
+        # and any external Arrow consumer need LZ4_RAW pages
+        .config("spark.sql.parquet.compression.codec", "lz4_raw")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let the registered Python data source (datasource.py) receive
+        # WHERE clauses for manifest-level file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # audio payloads are ~10-100 KB binary cells; the default

@@ -127,7 +127,7 @@ def main() -> None:
                     "unit": "sec",
                     "cpus": CPUS,
                     "clips": N_CLIPS,
-                    "codec": codec or "lz4",
+                    "codec": codec or "lz4_raw",
                     "zstd_level": int(level) if level else None,
                     "table_gb": round(table_bytes / 1e9, 3),
                     "synth_secs": synth_secs,
