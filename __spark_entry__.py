@@ -637,6 +637,42 @@ def _q_lh_datasource_scan(spark, sf_dir):
     return _events_out(df)
 
 
+def _q_lh_bloom_point_lookup(spark, sf_dir):
+    """Bloom-sidecar file skipping (lakehouse/bloom.py): point lookups
+    on an UNSORTED key whose per-file min/max ranges all overlap — only
+    the blooms can prune. Self-verifying: asserts the plan kept fewer
+    files than live, which min/max alone cannot do here. Oracle = plain
+    IN-list SQL (skipping is a superset optimization; rows identical).
+    """
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_bloom_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "ev"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+        properties={"bloom_columns": ["event_id"]},
+    )
+    # interleave event_ids across appends: every file's id range spans
+    # the table, so stats-based skipping keeps everything
+    for i in range(4):
+        t.append(
+            df.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(4)) == i),
+            target_file_count=2,
+        )
+    ids = [11, 503, 2011, 3517, 9001]
+    plan = t.plan(filter=[("event_id", "in", ids)])
+    n_live = len(t.plan().files)
+    assert 0 < len(plan.files) < n_live, (
+        f"bloom skipping ineffective: kept {len(plan.files)}/{n_live}"
+    )
+    return _events_out(t.scan(filter=[("event_id", "in", ids)]))
+
+
 def _q_lh_update(spark, sf_dir):
     """Copy-on-write UPDATE: +1000 on purchase values (exact in FP)."""
     t = _events_table(spark, sf_dir, appends=2)
@@ -870,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_cow": _q_lh_delete,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_datasource_scan": _q_lh_datasource_scan,
+        "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
@@ -977,6 +1014,8 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"
         + " AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'"
         + " AND DATE '2024-01-09'",
+        "lh_bloom_point_lookup": EVENTS_OUT_SQL
+        + " WHERE event_id IN (11, 503, 2011, 3517, 9001)",
         "lh_update_cow": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id,
                    CASE WHEN event_type = 'purchase' THEN 'purchase_adj'

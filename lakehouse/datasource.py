@@ -562,17 +562,23 @@ def _write_task_batches(batch_iter, root, job_rel, schema_json, spec):
 
 def _harvest_entries(root, rel_paths, spec):
     """Driver half: footer-stats harvest for the committed file set —
-    same collect_file_stats the native path uses, so manifests are
+    same collect_file_stats (+ bloom sidecars for tables opted in via
+    ``bloom_columns``) the native path uses, so manifests are
     indistinguishable from Table.append()'s."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from .bloom import bloom_columns_property, harvest_file_blooms
     from .meta.manifests import collect_file_stats
     from .ops.append import _parse_partition_dirs
 
+    bloom_cols = bloom_columns_property(load_metadata(root).properties)
+
     def one(rel):
-        return collect_file_stats(
+        entry = collect_file_stats(
             os.path.join(root, rel), rel, _parse_partition_dirs(rel, spec)
         )
+        harvest_file_blooms(entry, root, bloom_cols)
+        return entry
 
     with ThreadPoolExecutor(max_workers=16) as pool:
         return list(pool.map(one, rel_paths))

@@ -55,6 +55,35 @@ class ScanPlan:
         return self.candidate_files - len(self.files)
 
 
+def _bloom_refine(table_root, kept, preds):
+    """Point-lookup refinement: after partition + min/max pruning, test
+    ``=``/``in`` predicates against per-file Bloom sidecars (opt-in via
+    the ``bloom_columns`` table property). Driver IO is bounded: only
+    runs while the surviving set is ≤ BLOOM_PROBE_CAP files — a point
+    lookup post-pruning has few candidates, a broad scan skips this
+    step entirely. A bloom "no" is definite; results never change.
+    """
+    from ..bloom import (
+        BLOOM_PROBE_CAP,
+        entry_passes_blooms,
+        eq_probes,
+        read_sidecar,
+    )
+
+    probes = eq_probes(preds) if preds else []
+    if not probes or not kept or len(kept) > BLOOM_PROBE_CAP:
+        return kept
+    probe_cols = {c for c, _v in probes}
+    out = []
+    for entry in kept:
+        if any((entry.stats.get(c) or {}).get("bloom") for c in probe_cols):
+            sidecar = read_sidecar(os.path.join(table_root, entry.file_path))
+            if not entry_passes_blooms(entry.stats, sidecar, probes):
+                continue
+        out.append(entry)
+    return out
+
+
 def _manifest_may_match(
     manifest_summary: dict, preds: Sequence[Predicate]
 ) -> bool:
@@ -110,6 +139,8 @@ def plan_scan(
                 ):
                     continue
             kept.append(entry)
+
+    kept = _bloom_refine(table_root, kept, preds)
 
     return ScanPlan(
         files=kept,
@@ -246,14 +277,22 @@ def read_plan(
     return df
 
 
-def prune_entries_df(mdf: DataFrame, preds: Sequence[Predicate]) -> DataFrame:
+def prune_entries_df(
+    mdf: DataFrame,
+    preds: Sequence[Predicate],
+    table_root: Optional[str] = None,
+) -> DataFrame:
     """Partition + stats pruning over a manifest-entry DataFrame, as a
     DataFrame transformation — the output never touches the driver here.
 
     Pruning runs inside an Arrow-batched ``mapInPandas`` (no per-row
     Python at the JVM boundary); this is the reusable core of both the
     distributed planner and the lazy scan path, and the unit under the
-    1M-virtual-file gate in tests/test_planner_scale.py.
+    1M-virtual-file gate in tests/test_planner_scale.py. When
+    ``table_root`` is given, ``=``/``in`` predicates are additionally
+    tested against per-file Bloom sidecars executor-side (shared
+    storage) — no driver cap needed on this path, and sidecar IO only
+    happens for entries whose stats carry the ``bloom`` marker.
     """
     if not preds:
         return mdf
@@ -262,21 +301,29 @@ def prune_entries_df(mdf: DataFrame, preds: Sequence[Predicate]) -> DataFrame:
     pred_payload = [(p.col, p.op, p.value) for p in preds]
 
     def keep_batch(batches):
+        from ..bloom import entry_passes_blooms, eq_probes, read_sidecar
         from ..expressions import Predicate as P
         from ..expressions import matches_partition as mp
         from ..expressions import matches_stats as ms
 
         local_preds = [P(c, o, v) for c, o, v in pred_payload]
+        probes = eq_probes(local_preds) if table_root else []
+        probe_cols = {c for c, _v in probes}
         for pdf in batches:
             mask = []
-            for part_j, stats_j in zip(
-                pdf["partition_json"], pdf["stats_json"]
+            for part_j, stats_j, rel in zip(
+                pdf["partition_json"], pdf["stats_json"], pdf["file_path"]
             ):
                 part = json.loads(part_j or "{}")
                 stats = json.loads(stats_j or "{}")
                 ok = all(mp(p, part) for p in local_preds) and all(
                     ms(p, stats.get(p.col)) for p in local_preds
                 )
+                if ok and probes and any(
+                    (stats.get(c) or {}).get("bloom") for c in probe_cols
+                ):
+                    sidecar = read_sidecar(os.path.join(table_root, rel))
+                    ok = entry_passes_blooms(stats, sidecar, probes)
                 mask.append(ok)
             yield pdf[pd.Series(mask, index=pdf.index)]
 
@@ -358,7 +405,7 @@ def plan_scan_lazy(
         spark.read.option("mergeSchema", "true").parquet(*paths)
     )
     return LazyScanPlan(
-        files_df=prune_entries_df(mdf, preds),
+        files_df=prune_entries_df(mdf, preds, table_root),
         residual_sql=to_sql(preds),
         snapshot_id=snap.snapshot_id,
         candidate_files=candidates,
@@ -432,7 +479,7 @@ def plan_scan_distributed(
         spark.read.option("mergeSchema", "true").parquet(*paths)
     )
     total = mdf.count()
-    kept_rows = prune_entries_df(mdf, preds).collect()
+    kept_rows = prune_entries_df(mdf, preds, table_root).collect()
     return ScanPlan(
         files=[DataFileEntry.from_row(r.asDict()) for r in kept_rows],
         residual_sql=to_sql(preds),

@@ -77,21 +77,34 @@ def harvest_stats(
     sort_order: str = "",
 ) -> list[DataFileEntry]:
     """Footer-only stats harvest; distributed over executors when the file
-    count is too large for the driver to chew through serially."""
+    count is too large for the driver to chew through serially.
+
+    Tables with the ``bloom_columns`` property additionally get a
+    Bloom-filter sidecar per file (lakehouse/bloom.py) built here — the
+    single choke point every write/rewrite path (append, compact,
+    cluster, MoR materialize, format writer) funnels through, so blooms
+    stay consistent across ops without per-op wiring.
+    """
+    from ..bloom import bloom_columns_property, harvest_file_blooms
+    from ..meta.snapshots import load_metadata
+
     stat_cols = list(stat_columns) if stat_columns else None
+    bloom_cols = bloom_columns_property(load_metadata(table_root).properties)
 
     if len(files) <= DISTRIBUTE_STATS_THRESHOLD:
         from concurrent.futures import ThreadPoolExecutor
 
         def one(item):
             rel, part = item
-            return collect_file_stats(
+            entry = collect_file_stats(
                 os.path.join(table_root, rel),
                 rel,
                 part,
                 stat_columns=stat_cols,
                 sort_order=sort_order,
             )
+            harvest_file_blooms(entry, table_root, bloom_cols)
+            return entry
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             return list(pool.map(one, files))
@@ -102,16 +115,19 @@ def harvest_stats(
     payload = [(rel, part) for rel, part in files]
 
     def part_stats(items):
+        from ..bloom import harvest_file_blooms as hfb
         from ..meta.manifests import collect_file_stats as cfs
 
         for rel, part in items:
-            yield cfs(
+            entry = cfs(
                 os.path.join(table_root, rel),
                 rel,
                 part,
                 stat_columns=stat_cols,
                 sort_order=sort_order,
-            ).to_row()
+            )
+            hfb(entry, table_root, bloom_cols)
+            yield entry.to_row()
 
     rows = (
         sc.parallelize(payload, max(1, len(payload) // 64))

@@ -23,6 +23,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+from pyspark.sql import functions as F
+
 from ..errors import LakehouseError
 from ..meta import snapshots as S
 from ..meta.manifests import read_manifest
@@ -99,16 +101,24 @@ def expire_snapshots(
 
 
 def _storage_files(table_root: str) -> list[str]:
-    """Every data file currently on storage (relative paths)."""
+    """Every data file (and bloom sidecar) on storage (relative paths)."""
     out = []
     data_dir = os.path.join(table_root, "data")
     for dirpath, _dirs, files in os.walk(data_dir):
         for name in files:
-            if name.endswith(".parquet"):
+            if name.endswith(".parquet") or name.endswith(".parquet.bloom"):
                 out.append(
                     os.path.relpath(os.path.join(dirpath, name), table_root)
                 )
     return out
+
+
+def _liveness_key(rel_path: str) -> str:
+    """A bloom sidecar lives and dies with its data file: reachability
+    is decided on the data-file path (lakehouse/bloom.py sidecars)."""
+    if rel_path.endswith(".bloom"):
+        return rel_path[: -len(".bloom")]
+    return rel_path
 
 
 def _live_manifest_paths(meta: S.TableMetadata, table_root: str) -> set[str]:
@@ -155,7 +165,7 @@ def remove_orphan_files(
             for m in S.read_manifest_list(table.root, snap.manifest_list):
                 for e in read_manifest(table.root, m["path"]):
                     live.add(e.file_path)
-        orphans = [p for p in on_disk if p not in live]
+        orphans = [p for p in on_disk if _liveness_key(p) not in live]
         live_count = len(live)
 
     deleted = []
@@ -185,8 +195,11 @@ def remove_orphan_files(
 def _orphans_spark(table, meta: S.TableMetadata, on_disk: list[str]) -> list[str]:
     """Left-anti join: storage listing minus manifest-referenced files."""
     spark = table.spark
+    # join on the liveness key so a bloom sidecar is orphaned exactly
+    # when its data file is
     disk_df = spark.createDataFrame(
-        [(p,) for p in on_disk], "file_path string"
+        [(p, _liveness_key(p)) for p in on_disk],
+        "file_path string, live_key string",
     )
     manifest_paths = []
     for snap in meta.snapshots:
@@ -196,12 +209,12 @@ def _orphans_spark(table, meta: S.TableMetadata, on_disk: list[str]) -> list[str
         return on_disk
     live_df = (
         spark.read.parquet(*sorted(set(manifest_paths)))
-        .select("file_path")
+        .select(F.col("file_path").alias("live_key"))
         .distinct()
     )
     return [
         r.file_path
-        for r in disk_df.join(live_df, "file_path", "left_anti").collect()
+        for r in disk_df.join(live_df, "live_key", "left_anti").collect()
     ]
 
 

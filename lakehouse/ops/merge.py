@@ -181,7 +181,9 @@ def _batch_keys_to_np(series, kind):
     return np.array(list(s), dtype=object)
 
 
-def probe_touched_files(spark, src_keys, key, key_type, live) -> list[str]:
+def probe_touched_files(
+    spark, src_keys, key, key_type, live, table_root=None
+) -> list[str]:
     """Distributed sorted-interval sweep: which live files' [min,max]
     range on ``key`` contains ≥1 source key?
 
@@ -191,6 +193,13 @@ def probe_touched_files(spark, src_keys, key, key_type, live) -> list[str]:
     collect, with output bounded by the file count. Each batch emits
     the file indices it touches, so the shuffle moves at most
     O(batches · files-touched) longs.
+
+    When ``table_root`` is given and the merge key has Bloom sidecars
+    (lakehouse/bloom.py, ``bloom_columns`` table property), a second
+    vectorized pass re-tests the range-touched files against their
+    blooms: on an UNSORTED key every file's range overlaps every key,
+    so the interval sweep touches everything — the blooms are what keep
+    a sparse upsert from rewriting the whole table on the COW path.
     """
     always, paths, lo_arr, hi_arr, kind = _range_arrays(
         spark, live, key, key_type
@@ -232,7 +241,75 @@ def probe_touched_files(spark, src_keys, key, key_type, live) -> list[str]:
     )
     bc.unpersist()
     touched.update(paths[r.fidx] for r in rows)
+    if table_root is not None:
+        touched = _bloom_refine_touched(
+            spark, src_keys, key, live, touched, table_root
+        )
     return sorted(touched)
+
+
+BLOOM_REFINE_CAP = 1024  # max candidate sidecars per task worth loading
+
+
+def _bloom_refine_touched(
+    spark, src_keys, key, live, touched, table_root
+) -> set[str]:
+    """Drop range-touched files whose Bloom filter proves no source key
+    is present. One extra vectorized pass over the source keys; each
+    task loads candidate sidecars once from shared storage (no driver
+    broadcast of bitsets — they can be ~1 MB per file). Superset
+    semantics: a missing/absent bloom keeps the file."""
+    by_path = {e.file_path: e for e in live}
+    cands = sorted(
+        p
+        for p in touched
+        if (by_path[p].stats.get(key) or {}).get("bloom")
+    )
+    if not cands or len(cands) > BLOOM_REFINE_CAP:
+        return touched
+
+    cand_abs = [os.path.join(table_root, p) for p in cands]
+    bcp = spark.sparkContext.broadcast(cand_abs)
+
+    def bloom_sweep(batches):
+        import pandas as pd
+
+        from ..bloom import probe_hashes, read_sidecar, unpack_bloom
+
+        unpacked = []
+        missing = []
+        for i, ap in enumerate(bcp.value):
+            b = (read_sidecar(ap) or {}).get(key)
+            if b is None:
+                missing.append(i)  # lost sidecar → conservative keep
+            else:
+                unpacked.append((i, unpack_bloom(b)))
+        hit: set = set(missing)
+        for pdf in batches:
+            remaining = [(i, u) for i, u in unpacked if i not in hit]
+            if not remaining:
+                continue  # all candidates already confirmed; drain input
+            hashes = probe_hashes(pdf["__k"].dropna().tolist())
+            if hashes is None:
+                continue
+            from ..bloom import unpacked_contains_any
+
+            for i, u in remaining:
+                if unpacked_contains_any(u, hashes):
+                    hit.add(i)
+        if hit:
+            yield pd.DataFrame({"fidx": sorted(hit)})
+
+    rows = (
+        src_keys.select(F.col(key).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .mapInPandas(bloom_sweep, "fidx long")
+        .distinct()
+        .collect()
+    )
+    bcp.unpersist()
+    bloom_hit = {cands[r.fidx] for r in rows}
+    return (touched - set(cands)) | bloom_hit
 
 
 def anti_join_kept(
@@ -341,7 +418,9 @@ def merge_into(
     if int(stats.src_rows or 0) == 0:
         touched = []
     else:
-        touched = probe_touched_files(spark, src, key, key_type, live)
+        touched = probe_touched_files(
+            spark, src, key, key_type, live, table_root=table.root
+        )
 
     log = LineageLog(table.root, job_id)
     log.start_job(
