@@ -398,6 +398,21 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(_read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from lakehouse.similarity import ann_ivf_topk
+
+    # 16 coarse lists, probe the 4 nearest — candidates ~ corpus/4; at
+    # 10^12 rows the same plan runs with n_centroids in the thousands
+    # (assignment stays ONE projection pass; probe side stays broadcast)
+    return ann_ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from lakehouse.similarity import ann_lsh_topk
 
@@ -928,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         # audio payload (rows-only)
         "audio_decode_features": _q_audio_decode,
@@ -946,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_pairs_oracle_sql,
     )
     from lakehouse.similarity import (
+        ann_ivf_oracle_sql,
         ann_lsh_oracle_sql,
         cosine_topk_oracle_sql,
         embedding_near_dup_oracle_sql,
@@ -1068,6 +1085,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": cosine_topk_oracle_sql(QUERY_VEC_IDS, k=5),
         "ann_lsh_topk": ann_lsh_oracle_sql(
             QUERY_VEC_IDS, k=5, n_bits=8, multiprobe=2
+        ),
+        "ann_ivf_topk": ann_ivf_oracle_sql(
+            QUERY_VEC_IDS, k=5, n_centroids=16, nprobe=4
         ),
         "embedding_near_dup": embedding_near_dup_oracle_sql(
             threshold=0.45, n_bits=16, n_bands=4

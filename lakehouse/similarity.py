@@ -1,17 +1,24 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, mirroring what a 100 TB training-data pipeline needs:
+Three paths, mirroring what a 100 TB training-data pipeline needs:
 
 - **brute-force cosine top-k** — the exact baseline: broadcast the
   (small) query set against the corpus, dot products via ``zip_with`` +
   ``aggregate`` (JVM-side, codegen'd — no Python), rank per query.
-- **sign-LSH bucketed ANN** — the scale path: bucket = sign bits of the
-  first ``n_bits`` dimensions (axis-aligned random-hyperplane LSH with
-  a deterministic, SQL-portable choice of hyperplanes). Candidates only
-  compare within their bucket, turning the n×m cross product into an
-  equi-join on bucket id. Recall < 1 by construction; the oracle runs
-  the identical bucketed algorithm so correctness-of-implementation is
-  still exactly checkable.
+- **sign-LSH bucketed ANN** — a scale path: bucket = seeded
+  random-hyperplane sign bits (deterministic, SQL-portable).
+  Candidates only compare within their bucket (+ Hamming multiprobe),
+  turning the n×m cross product into an equi-join on bucket id.
+- **IVF (inverted-file) ANN** — the other scale path: corpus vectors
+  are inverted-listed under their nearest coarse centroid (one
+  JVM-side projection pass); queries probe only their ``nprobe``
+  nearest lists. Seeded unit-vector centroids keep the oracle twin
+  exact; ``train_ivf_centroids`` refines them with sample-based
+  spherical k-means when index quality matters (the FAISS recipe).
+
+Recall < 1 by construction for both ANN paths; the oracle runs the
+identical bucketed algorithm so correctness-of-implementation is still
+exactly checkable.
 
 All cosine math is done in double precision (embeddings cast up from
 float32) and rounded to 4 decimals before ranking, with doc-id
@@ -19,6 +26,8 @@ tie-breaks, so Spark and the DuckDB oracle produce identical rankings.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -277,6 +286,237 @@ def ann_lsh_oracle_sql(
                         * sqrt(list_dot_product(cv, cv))), 4) AS cosine
         FROM q JOIN wb USING (bucket)
         WHERE query_id <> wb.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+IVF_SEED = 77
+
+
+def ivf_centroids(
+    dim: int = LSH_DIM, n_centroids: int = 16, seed: int = IVF_SEED
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: seeded Gaussian unit
+    vectors rounded to 6 decimals, embedding EXACTLY into both the
+    Spark plan and the DuckDB oracle as double literals (the
+    lsh_hyperplanes discipline). Random directions are spherical
+    k-means at iteration 0 — ``train_ivf_centroids`` refines them on a
+    driver-bounded sample when index quality matters more than a
+    SQL-checkable twin (FAISS trains IVF quantizers on samples the same
+    way)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(round(v, 6)) for v in row] for row in c]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = IVF_SEED,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) on a bounded driver sample — the
+    standard IVF training recipe: assignment over the full corpus is
+    the only full-data pass; training never needs one. Deterministic:
+    seeded init, fixed iteration count, fixed sample (ordered limit)."""
+    import numpy as np
+
+    rows = (
+        emb.select(_dbl(vec_col).alias("v"))
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = np.array(ivf_centroids(x.shape[1], n_centroids, seed))
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return [[float(round(v, 6)) for v in row] for row in c]
+
+
+def _ivf_dots(vec, cents: list[list[float]]):
+    """One exact literal-fold dot product per centroid (JVM-side)."""
+    return [_proj(vec, row) for row in cents]
+
+
+def _ivf_assign(vec, cents: list[list[float]]):
+    """argmax-by-dot centroid id, ties to the LOWEST cid via a
+    first-match CASE — the identical exact-double evaluation the oracle
+    runs, so assignments agree bit-for-bit (no rounding knife-edge)."""
+    dots = _ivf_dots(vec, cents)
+    g = F.greatest(*dots)
+    expr = None
+    for cid, d in enumerate(dots):
+        cond = d == g
+        expr = F.when(cond, cid) if expr is None else expr.when(cond, cid)
+    return expr
+
+
+def _ivf_dot_sql(row: list[float], vec_sql: str = "embedding") -> str:
+    return " + ".join(
+        f"({v!r} * {vec_sql}[{j + 1}])" for j, v in enumerate(row)
+    )
+
+
+def _ivf_assign_sql(cents: list[list[float]], vec_sql: str = "embedding") -> str:
+    dots = [_ivf_dot_sql(row, vec_sql) for row in cents]
+    g = "greatest(" + ", ".join(f"({d})" for d in dots) + ")"
+    whens = " ".join(
+        f"WHEN ({d}) = {g} THEN {cid}" for cid, d in enumerate(dots)
+    )
+    return f"(CASE {whens} END)"
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    centroids: Optional[list[list[float]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest coarse centroid; each query probes only its
+    ``nprobe`` nearest lists.
+
+    10^12-row shape: assignment is ONE projection pass over the corpus
+    (n_centroids literal dot products, JVM codegen, no shuffle, no
+    Python); the probe side is |queries|·nprobe broadcast rows; the
+    candidate search is an equi-join on centroid id, so each query
+    scores ~corpus·nprobe/n_centroids rows instead of the full corpus.
+    Complements sign-LSH (ann_lsh_topk): IVF lists adapt to the data
+    distribution when trained (train_ivf_centroids), where hyperplane
+    buckets are data-oblivious.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_centroids, seed
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(vec_col).alias("cv"),
+        _ivf_assign(_dbl(vec_col), cents).alias("cid"),
+    )
+    # query side: rank ALL centroid dots, probe the top-nprobe lists
+    qdots = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), d.alias("dot"))
+            for i, d in enumerate(_ivf_dots(_dbl(vec_col), cents))
+        ]
+    )
+    from pyspark.sql.window import Window
+
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _dbl(vec_col).alias("qv"),
+            F.explode(qdots).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("cid"),
+                F.col("p.dot").alias("dot"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("prank") <= nprobe)
+        .drop("dot", "prank")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    table: str = "embeddings",
+) -> str:
+    cents = ivf_centroids(dim, n_centroids, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    # index the RAW float column for dot products (float→double element
+    # promotion is exact, the lsh _bucket_sql discipline); the DOUBLE[]
+    # cast is only for the cosine math downstream
+    assign = _ivf_assign_sql(cents, "embedding")
+    cid_rows = ", ".join(f"({i})" for i in range(n_centroids))
+    qdot_case = " ".join(
+        f"WHEN {i} THEN ({_ivf_dot_sql(row, 'e')})"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               {assign} AS cid
+        FROM {table}
+    ),
+    qraw AS (SELECT vec_id AS query_id, embedding AS e,
+                    embedding::DOUBLE[] AS qv
+             FROM {table} WHERE vec_id IN ({ids})),
+    qdots AS (
+        SELECT query_id, qv, c.cid AS cid,
+               (CASE c.cid {qdot_case} END) AS dot
+        FROM qraw CROSS JOIN (VALUES {cid_rows}) c(cid)
+    ),
+    probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, cid) AS prank
+            FROM qdots
+        ) WHERE prank <= {nprobe}
+    ),
+    scored AS (
+        SELECT query_id, corpus.neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+        FROM probes JOIN corpus USING (cid)
+        WHERE query_id <> corpus.neighbor_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id

@@ -204,3 +204,60 @@ def test_ann_recall_vs_exact(spark):
     assert r2 >= 0.4
     # multiprobe widens the candidate set monotonically
     assert r2 >= r1
+
+
+def test_ann_ivf_matches_oracle(spark, oracle):
+    from lakehouse.similarity import ann_ivf_oracle_sql, ann_ivf_topk
+
+    ids = list(range(8))
+    assert_matches_oracle(
+        ann_ivf_topk(_embs(spark), ids, k=3, n_centroids=8, nprobe=3),
+        oracle,
+        ann_ivf_oracle_sql(ids, k=3, n_centroids=8, nprobe=3),
+    )
+
+
+def test_ann_ivf_recall_and_training(spark):
+    """IVF hits never beat the exact top-1; probing every list IS the
+    exact search; sample-trained centroids are valid drop-ins (same
+    plan, data-adapted lists)."""
+    from lakehouse.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    ids = list(range(10))
+    emb = _embs(spark)
+    exact5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, ids, k=5).collect()
+    }
+    exact_top1 = {
+        (r.query_id, r.rank): r.cosine
+        for r in cosine_topk(emb, ids, k=1).collect()
+    }
+
+    def recall(**kw):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(emb, ids, k=5, **kw).collect()
+        }
+        return len(approx & exact5) / len(exact5)
+
+    for (key, cos) in (
+        (key, r.cosine)
+        for r in ann_ivf_topk(emb, ids, k=1, n_centroids=8, nprobe=2).collect()
+        for key in [(r.query_id, r.rank)]
+    ):
+        assert cos <= exact_top1[key] + 1e-9
+
+    # nprobe == n_centroids probes everything -> recall 1.0 exactly
+    assert recall(n_centroids=8, nprobe=8) == 1.0
+    # partial probing keeps a usable floor and grows monotonically
+    r2, r4 = recall(n_centroids=8, nprobe=2), recall(n_centroids=8, nprobe=4)
+    assert r4 >= r2 >= 0.25
+    # sample-trained spherical-k-means centroids slot into the same plan
+    trained = train_ivf_centroids(emb, n_centroids=8, iters=3, sample=500)
+    rt = recall(n_centroids=8, nprobe=2, centroids=trained)
+    assert 0.25 <= rt <= 1.0
