@@ -591,6 +591,54 @@ def _q_audio_resample_segment(spark, sf_dir):
     return res
 
 
+def _q_audio_normalize_trim(spark, sf_dir):
+    """Levelling + silence-strip surface (rows-only): peak-normalize to
+    0.9 then trim sub-threshold head/tail frames, both vectorized
+    struct-returning pandas UDFs. Self-verifying (the in-builder assert
+    pattern): every surviving clip's decoded peak must sit at the
+    target within 2 PCM16 quantization steps, trim accounting must be
+    non-negative and bounded by the original duration."""
+    from lakehouse.audio import audio_features_ext, normalize_clips, trim_silence_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=43, n_days=2, num_partitions=4)
+    out = trim_silence_clips(
+        normalize_clips(df, mode="peak", target=0.9), threshold_db=-40.0
+    )
+    res = out.select(
+        "clip_id",
+        "dur_ms",
+        "gain_db",
+        "trimmed_head_ms",
+        "trimmed_tail_ms",
+        audio_features_ext(F.col("bytes")).alias("f"),
+    ).select(
+        "clip_id", "dur_ms", "gain_db",
+        "trimmed_head_ms", "trimmed_tail_ms", "f.peak",
+    )
+    q16 = 2.0 / 32767
+    chk = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.abs(F.col("peak") - 0.9) > q16).cast("int")
+        ).alias("bad_peak"),
+        F.sum(
+            (
+                (F.col("trimmed_head_ms") < 0)
+                | (F.col("trimmed_tail_ms") < 0)
+            ).cast("int")
+        ).alias("bad_trim"),
+        F.sum(F.col("gain_db").isNull().cast("int")).alias("bad_gain"),
+    ).collect()[0]
+    assert (
+        chk.n > 0
+        and chk.bad_peak == 0
+        and chk.bad_trim == 0
+        and chk.bad_gain == 0
+    ), f"normalize/trim invariant violated: {chk}"
+    return res
+
+
 # ---------------------------------------------------------------------------
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
@@ -949,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": _q_audio_decode,
         "audio_snr_invariant": _q_audio_snr,
         "audio_resample_segment": _q_audio_resample_segment,
+        "audio_normalize_trim": _q_audio_normalize_trim,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
     }
 

@@ -249,6 +249,159 @@ def resample_clips(df, target_sr: int, bytes_col: str = "bytes"):
     )
 
 
+NORMALIZED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("gain_db", T.DoubleType()),
+    ]
+)
+
+
+def make_normalize_udf(mode: str = "peak", target: float = 0.9):
+    """Vectorized loudness normalization (the standard pre-training
+    levelling pass): decode batch → scalar gain → re-encode PCM16.
+
+    ``mode="peak"``: scale so max|sample| == target (clipping-safe by
+    construction). ``mode="rms"``: scale so RMS == target, then
+    hard-limit into [-1, 1) (documented loudness-over-peak tradeoff).
+    Returns (bytes, sr_hz, dur_ms, gain_db) so callers can both swap
+    the payload and keep the applied gain as lineage.
+    """
+    if mode not in ("peak", "rms"):
+        raise ValueError(f"unknown normalize mode: {mode!r}")
+
+    @F.pandas_udf(NORMALIZED_TYPE)
+    def normalize_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": [], "gain_db": []}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                for k in out:
+                    out[k].append(None)
+                continue
+            ref = (
+                float(np.max(np.abs(x)))
+                if mode == "peak"
+                else float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+            ) if len(x) else 0.0
+            gain = target / ref if ref > 0 else 1.0
+            y = np.clip(x * gain, -0.99997, 0.99997).astype(np.float32)
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+            out["gain_db"].append(
+                float(20.0 * np.log10(gain)) if gain > 0 else None
+            )
+        return pd.DataFrame(out)
+
+    return normalize_udf
+
+
+def normalize_clips(
+    df, mode: str = "peak", target: float = 0.9, bytes_col: str = "bytes"
+):
+    """Level every clip (payload swap in one projection + gain_db kept)."""
+    n = make_normalize_udf(mode, target)(F.col(bytes_col)).alias("__n")
+    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    return df.select(*others, n).select(
+        *others,
+        F.col("__n.bytes").alias("bytes"),
+        F.col("__n.sr_hz").alias("sr_hz"),
+        F.col("__n.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.col("__n.gain_db").alias("gain_db"),
+    )
+
+
+TRIMMED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("trimmed_head_ms", T.IntegerType()),
+        T.StructField("trimmed_tail_ms", T.IntegerType()),
+    ]
+)
+
+
+def make_trim_silence_udf(threshold_db: float = -40.0, frame_ms: int = 20):
+    """Vectorized leading/trailing silence removal: frame the signal
+    (``frame_ms`` windows), compute per-frame RMS in dBFS via one
+    reshape (no Python inner loop), and keep [first, last] frame above
+    ``threshold_db``. An all-silent clip collapses to zero samples
+    (dur_ms=0) rather than nulling out — the row stays joinable."""
+
+    @F.pandas_udf(TRIMMED_TYPE)
+    def trim_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {
+            "bytes": [],
+            "sr_hz": [],
+            "dur_ms": [],
+            "trimmed_head_ms": [],
+            "trimmed_tail_ms": [],
+        }
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                for k in out:
+                    out[k].append(None)
+                continue
+            hop = max(1, int(sr * frame_ms / 1000))
+            n_frames = (len(x) + hop - 1) // hop
+            padded = np.zeros(n_frames * hop, dtype=np.float64)
+            padded[: len(x)] = x
+            frame_rms = np.sqrt((padded.reshape(n_frames, hop) ** 2).mean(axis=1))
+            with np.errstate(divide="ignore"):
+                frame_db = 20.0 * np.log10(frame_rms)
+            loud = np.nonzero(frame_db >= threshold_db)[0]
+            if len(loud):
+                lo, hi = int(loud[0]) * hop, min(len(x), (int(loud[-1]) + 1) * hop)
+            else:
+                lo = hi = 0
+            y = x[lo:hi]
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+            out["trimmed_head_ms"].append(int(round(1000 * lo / sr)))
+            out["trimmed_tail_ms"].append(
+                int(round(1000 * (len(x) - hi) / sr))
+            )
+        return pd.DataFrame(out)
+
+    return trim_udf
+
+
+def trim_silence_clips(
+    df,
+    threshold_db: float = -40.0,
+    frame_ms: int = 20,
+    bytes_col: str = "bytes",
+):
+    """Strip head/tail silence from every clip; keeps trim amounts as
+    lineage columns (payload swap in one projection)."""
+    s = make_trim_silence_udf(threshold_db, frame_ms)(
+        F.col(bytes_col)
+    ).alias("__t")
+    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    return df.select(*others, s).select(
+        *others,
+        F.col("__t.bytes").alias("bytes"),
+        F.col("__t.sr_hz").alias("sr_hz"),
+        F.col("__t.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.col("__t.trimmed_head_ms").alias("trimmed_head_ms"),
+        F.col("__t.trimmed_tail_ms").alias("trimmed_tail_ms"),
+    )
+
+
 def make_segment_udf(start_ms: int, end_ms: int):
     """Vectorized time-slice (the audio analog of image crop /
     video frame-sample): keep samples in [start_ms, end_ms)."""

@@ -160,3 +160,69 @@ def test_spark_audio_features_ext(spark, clips_pdf_small):
         assert 0.0 <= r.zcr <= 1.0
         assert 0.0 <= r.silence_ratio <= 1.0
         assert r.clipping_ratio <= 0.5
+
+
+def test_spark_normalize_clips(spark, clips_pdf_small):
+    from lakehouse.audio import normalize_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    df = spark.createDataFrame(clips_pdf_small, schema=CLIPS_SCHEMA)
+    rows = normalize_clips(df, mode="peak", target=0.9).collect()
+    q = 1.0 / 32767  # PCM16 quantization step bounds the re-encode error
+    for r in rows:
+        sr, x = decode_wav(bytes(r.bytes))
+        assert abs(float(np.max(np.abs(x))) - 0.9) <= 2 * q
+        assert r.gain_db is not None
+    # RMS mode: levels match target within quantization + limiter slack
+    rows = normalize_clips(df, mode="rms", target=0.1).collect()
+    for r in rows:
+        _sr, x = decode_wav(bytes(r.bytes))
+        rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+        assert abs(rms - 0.1) <= 0.01
+
+
+def test_spark_trim_silence(spark):
+    """Clips padded with synthetic head/tail silence come back stripped
+    to (almost) exactly the loud span; untouched audio survives."""
+    import pandas as pd
+
+    from lakehouse.audio import trim_silence_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import make_clip_row, synth_pcm, wrap_wav
+
+    sr = 16000
+    rows = []
+    for i in range(6):
+        row = make_clip_row(i, seed=42)
+        x = synth_pcm(42, i, sr, sr)  # 1 s of tones
+        head, tail = np.zeros(sr // 2), np.zeros(sr // 4)  # 500/250 ms
+        padded = np.concatenate([head, x, tail]).astype(np.float32)
+        row["bytes"] = wrap_wav(padded, sr, "pcm16")
+        row["sr_hz"], row["dur_ms"] = sr, int(1000 * len(padded) / sr)
+        rows.append(row)
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=CLIPS_SCHEMA)
+    out = trim_silence_clips(df, threshold_db=-40.0, frame_ms=20).collect()
+    for r in out:
+        # trimmed to the 1 s loud span within one 20 ms frame each side
+        assert abs(r.trimmed_head_ms - 500) <= 20
+        assert abs(r.trimmed_tail_ms - 250) <= 20
+        assert abs(r.dur_ms - 1000) <= 40
+        _sr, y = decode_wav(bytes(r.bytes))
+        assert float(np.max(np.abs(y))) > 0.05  # kept the signal
+
+
+def test_trim_silence_all_silent_collapses(spark):
+    import pandas as pd
+
+    from lakehouse.audio import trim_silence_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import make_clip_row, wrap_wav
+
+    sr = 8000
+    row = make_clip_row(0, seed=42)
+    row["bytes"] = wrap_wav(np.zeros(sr, dtype=np.float32), sr, "pcm16")
+    row["sr_hz"], row["dur_ms"] = sr, 1000
+    df = spark.createDataFrame(pd.DataFrame([row]), schema=CLIPS_SCHEMA)
+    r = trim_silence_clips(df).collect()[0]
+    assert r.dur_ms == 0
+    assert r.trimmed_head_ms + r.trimmed_tail_ms == 1000
