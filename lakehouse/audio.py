@@ -307,7 +307,13 @@ def normalize_clips(
 ):
     """Level every clip (payload swap in one projection + gain_db kept)."""
     n = make_normalize_udf(mode, target)(F.col(bytes_col)).alias("__n")
-    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    # exclude our own output columns too, so re-levelling a frame that
+    # already carries gain_db can't produce an ambiguous duplicate
+    others = [
+        c
+        for c in df.columns
+        if c not in ("bytes", "sr_hz", "dur_ms", "codec", "gain_db")
+    ]
     return df.select(*others, n).select(
         *others,
         F.col("__n.bytes").alias("bytes"),
@@ -390,7 +396,19 @@ def trim_silence_clips(
     s = make_trim_silence_udf(threshold_db, frame_ms)(
         F.col(bytes_col)
     ).alias("__t")
-    others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
+    others = [
+        c
+        for c in df.columns
+        if c
+        not in (
+            "bytes",
+            "sr_hz",
+            "dur_ms",
+            "codec",
+            "trimmed_head_ms",
+            "trimmed_tail_ms",
+        )
+    ]
     return df.select(*others, s).select(
         *others,
         F.col("__t.bytes").alias("bytes"),

@@ -80,22 +80,46 @@ _KEY1 = "lakehouse-bloom1"
 _KEY2 = "lakehouse-bloom2"
 
 
+def _canon(v: Any) -> str:
+    """One canonical string per LOGICAL value, whatever Python/Arrow
+    type it arrives as. A bloom "no" is a definite skip, so build-side
+    and probe-side must agree even across types: ``5`` (int),
+    ``np.int64(5)`` and ``5.0`` (a double column probed with an int
+    literal) must hash identically, and tz-aware timestamps (Arrow
+    read-back) must match the naive literals predicates carry."""
+    import datetime as dt
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return str(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return str(int(f)) if f.is_integer() else repr(f)
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return str(v)
+
+
 def _hash64(values: Iterable[Any], key: str = _KEY1) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of canonicalized values.
 
-    Values are stringified first so ``5`` (Python int), ``np.int64(5)``
-    and an Arrow scalar all hash identically; None maps to a reserved
-    token that equality predicates never probe (``= NULL`` matches
-    nothing, and IS NULL pruning uses null counts, not blooms).
+    None maps to a reserved token that equality predicates never probe
+    (``= NULL`` matches nothing, and IS NULL pruning uses null counts,
+    not blooms).
     """
     import pandas as pd
     from pandas.util import hash_array
 
-    s = pd.Series(list(values), dtype=object)
-    canon = s.where(s.isna(), s.astype(str)).fillna("\x00null")
-    return hash_array(
-        canon.to_numpy(dtype=object), categorize=False, hash_key=key
+    canon = np.array(
+        ["\x00null" if v is None else _canon(v) for v in values],
+        dtype=object,
     )
+    return hash_array(canon, categorize=False, hash_key=key)
 
 
 def build_bloom(values: Iterable[Any]) -> dict[str, Any]:

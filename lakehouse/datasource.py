@@ -185,13 +185,40 @@ def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
 # --- Arrow read path (runs in executor Python workers) ------------------------
 
 
+def _conform_arrow_table(tbl, target, *, reject_extras: bool = False):
+    """Cast an Arrow table to the exact target schema: null-fill missing
+    (nullable-add schema evolution), drop — or reject, on the write
+    path — extra physical columns, reorder, cast. The single conform
+    shared by the read and write halves of this module."""
+    import pyarrow as pa
+
+    names = list(target.names)
+    if reject_extras:
+        extra = [c for c in tbl.column_names if c not in names]
+        if extra:
+            raise LakehouseError(
+                f"dataframe has columns not in the table schema: "
+                f"{extra}; evolve the schema via Table.append("
+                f"new_schema=...) first"
+            )
+    for i, name in enumerate(names):
+        if name not in tbl.column_names:
+            tbl = tbl.add_column(
+                i, target.field(name), pa.nulls(len(tbl), target.field(name).type)
+            )
+    return tbl.select(names).cast(target)
+
+
 def _read_partition(part: FilesPartition, spark_schema: T.StructType):
     """Yield Arrow record batches for one partition, deletes applied.
 
     Missing columns (files written before an additive schema evolution)
     are null-filled; extra physical columns (the clustering ``zkey``)
     are dropped by column selection; everything is cast to the exact
-    Arrow schema Spark expects for this source.
+    Arrow schema Spark expects for this source. Equality deletes follow
+    the Iceberg sequence rule per delete-KEY column (grouped exactly
+    like the native reader's _anti_join_eq_deletes, meta/scan.py) so
+    deletes on different keys never cross-contaminate.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -203,39 +230,41 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
 
     # delete files are tiny (one key column) relative to data; each task
     # reads the ones overlapping its bin rather than shipping key sets
-    # through the driver
-    del_keys: list[tuple[int, pa.ChunkedArray]] = []
+    # through the driver. Grouped by key column; each group keeps its
+    # per-file commit seq for the sequence rule.
+    del_keys: dict[str, list[tuple[int, pa.ChunkedArray]]] = {}
     for d in part.deletes:
         keys = pq.read_table(d["path"], columns=[d["key"]]).column(0)
-        del_keys.append((d["seq"], keys))
+        del_keys.setdefault(d["key"], []).append((d["seq"], keys))
 
     for f in part.files:
         pf = pq.ParquetFile(f["path"])
         have = set(pf.schema_arrow.names)
         cols = [c for c in names if c in have]
-        masks = [keys for dseq, keys in del_keys if f["seq"] < dseq]
-        key_name = part.deletes[0]["key"] if masks else None
+        # dead-key sets are constant per FILE (they depend only on the
+        # file's seq) — build once here, not per record batch
+        dead_by_key: list[tuple[str, pa.Array]] = []
+        for key_name, groups in del_keys.items():
+            chunks = [
+                c
+                for dseq, keys in groups
+                if f["seq"] < dseq
+                for c in keys.chunks
+            ]
+            if chunks and key_name in have:
+                dead_by_key.append(
+                    (key_name, pa.chunked_array(chunks).combine_chunks())
+                )
         for batch in pf.iter_batches(columns=cols):
             tbl = pa.Table.from_batches([batch])
-            if masks and key_name in tbl.column_names:
-                dead = pa.chunked_array(
-                    [c for m in masks for c in m.chunks]
-                ).combine_chunks()
+            for key_name, dead in dead_by_key:
                 keep = pc.invert(
                     pc.is_in(tbl.column(key_name), value_set=dead)
                 )
                 # is_in returns null (not false) for null probe values;
                 # a null key can never match an equality delete -> keep
                 tbl = tbl.filter(pc.fill_null(keep, True))
-            for i, name in enumerate(names):
-                if name not in tbl.column_names:
-                    tbl = tbl.add_column(
-                        i,
-                        target.field(name),
-                        pa.nulls(len(tbl), target.field(name).type),
-                    )
-            tbl = tbl.select(names).cast(target)
-            yield from tbl.to_batches()
+            yield from _conform_arrow_table(tbl, target).to_batches()
 
 
 # --- batch reader -------------------------------------------------------------
@@ -278,7 +307,13 @@ class LakehouseBatchReader(DataSourceReader):
     def __init__(self, root: str, options):
         self._root = root
         meta = load_metadata(root)
-        self._snapshot_id = _resolve_snapshot(meta, options)
+        sid = _resolve_snapshot(meta, options)
+        # pin NOW even when no snapshot was asked for: schema and plan
+        # must come from the same snapshot, and partitions() runs later
+        # (a concurrent commit in between must not shift the read)
+        self._snapshot_id = (
+            sid if sid is not None else meta.current_snapshot_id
+        )
         self._schema = _snapshot_schema(meta, self._snapshot_id)
         self._target_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
@@ -451,6 +486,12 @@ def _encode_dir_value(value) -> str:
     if value is None:
         return HIVE_NULL
     if isinstance(value, dt.datetime):
+        # Arrow hands back tz-aware values (the session is UTC-pinned);
+        # the native Spark partitionBy path and the planner's compare
+        # keys are tz-naive — normalize to UTC and drop the offset so
+        # the same logical timestamp lands in the same partition dir
+        if value.tzinfo is not None:
+            value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
         s = value.isoformat(sep=" ")
     elif isinstance(value, dt.date):
         s = value.isoformat()
@@ -487,33 +528,29 @@ def _write_task_batches(batch_iter, root, job_rel, schema_json, spec):
 
     try:
         for batch in batch_iter:
-            tbl = pa.Table.from_batches([batch])
-            for i, name in enumerate(names):
-                if name not in tbl.column_names:
-                    tbl = tbl.add_column(
-                        i,
-                        target.field(name),
-                        pa.nulls(len(tbl), target.field(name).type),
-                    )
-            extra = [c for c in tbl.column_names if c not in names]
-            if extra:
-                raise LakehouseError(
-                    f"dataframe has columns not in the table schema: "
-                    f"{extra}; evolve the schema via Table.append("
-                    f"new_schema=...) first"
-                )
-            tbl = tbl.select(names).cast(target)
+            tbl = _conform_arrow_table(
+                pa.Table.from_batches([batch]), target, reject_extras=True
+            )
             if len(tbl) == 0:
                 continue
 
             parts = [_derive_partition_array(tbl, f) for f in spec]
             if parts:
-                key = pc.binary_join_element_wise(
-                    *[
-                        pc.fill_null(pc.cast(p, pa.string()), "\x00")
-                        for p in parts
-                    ],
-                    "\x1f",
+                # group key: length-prefixed field tokens ("<len>:<str>",
+                # null -> "-") concatenated — unambiguous for ANY value
+                # content (an in-band separator/sentinel would collide
+                # with values containing it)
+                tokens = []
+                for p in parts:
+                    s = pc.cast(p, pa.string())
+                    tok = pc.binary_join_element_wise(
+                        pc.cast(pc.utf8_length(s), pa.string()), s, ":"
+                    )
+                    tokens.append(pc.coalesce(tok, pa.scalar("-")))
+                key = (
+                    tokens[0]
+                    if len(tokens) == 1
+                    else pc.binary_join_element_wise(*tokens, "")
                 )
                 enc = pc.dictionary_encode(key.combine_chunks())
                 codes = set()
@@ -724,4 +761,11 @@ class LakehouseDataSource(DataSource):
         return LakehouseBatchWriter(_table_root(self.options), overwrite)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakehouseStreamWriter:
+        if overwrite:
+            raise LakehouseError(
+                "outputMode('complete'/'update') is not supported by the "
+                "lakehouse stream sink (append-only micro-batches); use "
+                "outputMode('append'), or foreachBatch + "
+                "streaming.upsert_batch for update semantics"
+            )
         return LakehouseStreamWriter(_table_root(self.options))

@@ -326,16 +326,20 @@ def train_ivf_centroids(
     iters: int = 5,
     seed: int = IVF_SEED,
     sample: int = 4096,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) on a bounded driver sample — the
     standard IVF training recipe: assignment over the full corpus is
     the only full-data pass; training never needs one. Deterministic:
-    seeded init, fixed iteration count, fixed sample (ordered limit)."""
+    seeded init, fixed iteration count, and the sample is the ``sample``
+    LOWEST ids (a bare ``limit`` takes whichever partitions answer
+    first and would break run-to-run reproducibility)."""
     import numpy as np
 
     rows = (
-        emb.select(_dbl(vec_col).alias("v"))
+        emb.select(F.col(id_col).alias("i"), _dbl(vec_col).alias("v"))
+        .orderBy("i")
         .limit(int(sample))
         .collect()
     )

@@ -46,6 +46,31 @@ def test_bloom_mixed_types_canonicalized():
     assert might_contain_any(b, [None])
 
 
+def test_bloom_cross_type_numeric_and_tz_no_false_negative():
+    """A bloom 'no' is a DEFINITE skip, so numerically-equal values of
+    different arrival types must never miss: a double column probed
+    with an int literal, int columns probed with whole floats, tz-aware
+    Arrow timestamps probed with naive predicate literals."""
+    import datetime as dt
+
+    import numpy as np
+
+    b = build_bloom([5.0, 6.5, np.float64(7.0)])  # double column values
+    assert might_contain_any(b, [5])  # int literal probe
+    assert might_contain_any(b, [7])
+    assert might_contain_any(b, [6.5])
+    assert not might_contain_any(b, [8])
+
+    bi = build_bloom([5, 7])
+    assert might_contain_any(bi, [5.0])  # float probe on int column
+
+    aware = dt.datetime(2024, 1, 5, 12, 0, 0, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2024, 1, 5, 12, 0, 0)
+    bt = build_bloom([aware])
+    assert might_contain_any(bt, [naive])
+    assert might_contain_any(build_bloom([naive]), [aware])
+
+
 @pytest.fixture()
 def bloom_table(spark, table_root):
     t = Table.create(

@@ -54,6 +54,20 @@ def test_batch_read_applies_mor_deletes(spark, clips_table):
     assert df.filter("dur_ms < 1500").count() == 0
 
 
+def test_batch_read_mixed_key_mor_deletes(spark, clips_table):
+    """Two pending MoR deletes on DIFFERENT key columns: each must be
+    applied against its own column (the sequence rule is per delete
+    key, like the native reader) — not pooled into one value set."""
+    r1 = clips_table.delete("dur_ms < 1500", mode="mor", key="clip_id")
+    r2 = clips_table.delete("dur_ms >= 2800", mode="mor", key="dur_ms")
+    assert r1.keys_deleted > 0 and r2.keys_deleted > 0
+    assert len(clips_table.plan().delete_files) == 2
+    df = spark.read.format("lakehouse").load(clips_table.root)
+    _assert_same_rows(df, clips_table.scan())
+    assert df.filter("dur_ms < 1500 or dur_ms >= 2800").count() == 0
+    assert df.count() > 0
+
+
 def test_batch_read_after_cluster_drops_zkey(spark, clips_table):
     """Clustered files carry the hidden physical zkey column; the
     datasource must project it away like the native scan does."""
