@@ -21,12 +21,15 @@ from .errors import (
     TableNotFoundError,
     ValidationError,
 )
+from .catalog import Catalog, CatalogError
 from .expressions import Predicate
 from .schema import CLICK_EVENT_SCHEMA, CLIPS_SCHEMA, conform
 from .table import Table
 
 __all__ = [
     "Table",
+    "Catalog",
+    "CatalogError",
     "Predicate",
     "conform",
     "CLIPS_SCHEMA",

@@ -1,0 +1,229 @@
+"""Named multi-table catalog: the engine-side Glue-catalog analog.
+
+The reference's analyst path is catalog-first: tables are REGISTERED
+under names (Glue database "clickstream", table "clicks" —
+/root/reference/infra/terraform/modules/glue/main.tf:130-182) and every
+engine resolves the physical location through the catalog
+(/root/reference/README.md:104-114). Round 2 added snapshot-pinned temp
+views (table.py:create_or_replace_view); this module adds the missing
+naming layer so a user manages MANY tables by name:
+
+    cat = Catalog.create("/warehouse")
+    t = cat.create_table(spark, "clicks", schema, partition_spec=[...])
+    cat.load_table(spark, "clicks").scan()
+    cat.register_views(spark)           # spark.sql("SELECT .. FROM clicks")
+    spark.read.format("lakehouse").option("catalog", "/warehouse")
+         .option("table", "clicks").load()
+
+State is a versioned JSON name→root mapping committed with the same
+``os.link`` compare-and-swap the table metadata layer uses
+(meta/snapshots.py:_try_publish): concurrent registrations race on the
+next version file and the loser rebases — no lock service, works on any
+POSIX-complete store. The catalog holds only POINTERS; dropping a name
+never deletes table data (mirroring Glue's external-table semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from typing import Any, Optional
+
+from .errors import LakehouseError
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
+_VERSION_RE = re.compile(r"^cat-v(\d+)\.json$")
+
+
+class CatalogError(LakehouseError):
+    pass
+
+
+def _catalog_dir(path: str) -> str:
+    return os.path.join(path, "_catalog")
+
+
+def _version_path(path: str, version: int) -> str:
+    return os.path.join(_catalog_dir(path), f"cat-v{version}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    cdir = _catalog_dir(path)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in os.listdir(cdir):
+        m = _VERSION_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _try_publish(path: str, version: int, payload: dict[str, Any]) -> bool:
+    """CAS-publish one catalog version (os.link fails on EEXIST when a
+    concurrent writer claimed it — same discipline as table commits)."""
+    target = _version_path(path, version)
+    tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+    return True
+
+
+class Catalog:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+
+    # --- lifecycle ------------------------------------------------------------
+
+    @staticmethod
+    def create(path: str) -> "Catalog":
+        path = os.path.abspath(path)
+        if _list_versions(path):
+            raise CatalogError(f"catalog already exists at {path}")
+        os.makedirs(_catalog_dir(path), exist_ok=True)
+        if not _try_publish(path, 1, {"tables": {}}):
+            raise CatalogError(f"catalog already exists at {path}")
+        return Catalog(path)
+
+    @staticmethod
+    def load(path: str) -> "Catalog":
+        path = os.path.abspath(path)
+        if not _list_versions(path):
+            raise CatalogError(f"no catalog at {path}")
+        return Catalog(path)
+
+    @staticmethod
+    def create_or_load(path: str) -> "Catalog":
+        try:
+            return Catalog.create(path)
+        except CatalogError:
+            return Catalog.load(path)
+
+    # --- state ----------------------------------------------------------------
+
+    def _state(self) -> tuple[int, dict[str, str]]:
+        versions = _list_versions(self.path)
+        if not versions:
+            raise CatalogError(f"no catalog at {self.path}")
+        v = versions[-1]
+        with open(_version_path(self.path, v)) as f:
+            return v, json.load(f)["tables"]
+
+    def tables(self) -> dict[str, str]:
+        """name → absolute table root."""
+        return self._state()[1]
+
+    def _commit(self, apply, *, max_retries: int = 10) -> dict[str, str]:
+        for attempt in range(max_retries):
+            version, tables = self._state()
+            new_tables = apply(dict(tables))
+            if _try_publish(
+                self.path, version + 1, {"tables": new_tables}
+            ):
+                return new_tables
+            time.sleep(0.05 * (attempt + 1))
+        raise CatalogError(
+            f"catalog commit failed after {max_retries} CAS attempts"
+        )
+
+    # --- table management -----------------------------------------------------
+
+    def resolve(self, name: str) -> str:
+        tables = self.tables()
+        if name not in tables:
+            raise CatalogError(
+                f"unknown table {name!r}; available: {sorted(tables)}"
+            )
+        return tables[name]
+
+    def register(
+        self, name: str, table_root: str, *, replace: bool = False
+    ) -> None:
+        """Point ``name`` at an EXISTING table's root."""
+        from .meta.snapshots import current_version
+
+        if not _NAME_RE.match(name):
+            raise CatalogError(f"invalid table name: {name!r}")
+        table_root = os.path.abspath(table_root)
+        current_version(table_root)  # raises TableNotFoundError if absent
+
+        def apply(tables):
+            if name in tables and not replace:
+                raise CatalogError(
+                    f"table {name!r} already registered "
+                    f"(at {tables[name]}); pass replace=True"
+                )
+            tables[name] = table_root
+            return tables
+
+        self._commit(apply)
+
+    def unregister(self, name: str) -> None:
+        """Drop the NAME only — table data stays (external-table
+        semantics; remove data via the table's own expiry/GC)."""
+
+        def apply(tables):
+            if name not in tables:
+                raise CatalogError(f"unknown table {name!r}")
+            del tables[name]
+            return tables
+
+        self._commit(apply)
+
+    def create_table(
+        self,
+        spark,
+        name: str,
+        schema,
+        *,
+        partition_spec=None,
+        properties: Optional[dict[str, Any]] = None,
+    ):
+        """Create a managed table under ``<catalog>/tables/<name>`` and
+        register it in one step."""
+        from .table import Table
+
+        if not _NAME_RE.match(name):
+            raise CatalogError(f"invalid table name: {name!r}")
+        root = os.path.join(self.path, "tables", name)
+        t = Table.create(
+            spark,
+            root,
+            schema,
+            partition_spec=partition_spec,
+            properties=properties,
+        )
+        self.register(name, root)
+        return t
+
+    def load_table(self, spark, name: str):
+        from .table import Table
+
+        return Table.load(spark, self.resolve(name))
+
+    # --- SQL surface ----------------------------------------------------------
+
+    def register_views(
+        self, spark, names: Optional[list[str]] = None, prefix: str = ""
+    ) -> list[str]:
+        """Snapshot-pinned temp view per catalog table, so
+        ``spark.sql("SELECT ... FROM <name>")`` works across the whole
+        catalog (re-run to advance views to each table's new head)."""
+        out = []
+        for name in sorted(names or self.tables()):
+            self.load_table(spark, name).create_or_replace_view(
+                prefix + name
+            )
+            out.append(prefix + name)
+        return out

@@ -99,11 +99,23 @@ def register(spark) -> None:
 
 
 def _table_root(options) -> str:
+    cat = options.get("catalog")
+    name = options.get("table")
+    if cat and name:
+        from .catalog import Catalog
+
+        return Catalog.load(cat).resolve(name)
+    if cat or name:
+        raise LakehouseError(
+            "catalog reads need BOTH .option('catalog', <path>) and "
+            ".option('table', <name>)"
+        )
     root = options.get("path")
     if not root:
         raise LakehouseError(
             "lakehouse data source needs a table root: "
-            ".load('/path/to/table') or .option('path', ...)"
+            ".load('/path/to/table') or .option('path', ...), or a "
+            "catalog+table option pair"
         )
     return root
 

@@ -1,0 +1,142 @@
+"""Named catalog: the engine-side Glue-catalog analog.
+
+The reference's analysts resolve tables by NAME through a catalog
+(infra/terraform/modules/glue/main.tf:130-182); these tests pin our
+naming layer: CAS-versioned registration, managed create, external
+register/unregister (pointer-only), SQL views across the catalog, and
+format reads via catalog+table options.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse import Catalog, CatalogError, Table
+from lakehouse.schema import CLIPS_SCHEMA
+from lakehouse.synth import synth_clips_df
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return Catalog.create(str(tmp_path / "wh"))
+
+
+def test_create_load_and_managed_table(spark, warehouse):
+    t = warehouse.create_table(
+        spark,
+        "clips",
+        CLIPS_SCHEMA,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"}
+        ],
+    )
+    t.append(synth_clips_df(spark, 60, seed=71, n_days=2),
+             target_file_count=2)
+    again = Catalog.load(warehouse.path)
+    assert again.tables() == {"clips": t.root}
+    assert again.load_table(spark, "clips").scan().count() == 60
+    # managed tables live under the warehouse
+    assert t.root.startswith(warehouse.path)
+
+
+def test_register_external_and_unregister_keeps_data(spark, warehouse,
+                                                     tmp_path):
+    ext_root = str(tmp_path / "elsewhere" / "ext")
+    t = Table.create(spark, ext_root, CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 20, seed=72, n_days=1),
+             target_file_count=1)
+    warehouse.register("ext", ext_root)
+    assert warehouse.load_table(spark, "ext").scan().count() == 20
+    with pytest.raises(CatalogError, match="already registered"):
+        warehouse.register("ext", ext_root)
+    warehouse.register("ext", ext_root, replace=True)
+    warehouse.unregister("ext")
+    assert "ext" not in warehouse.tables()
+    # pointer-only drop: data intact, re-registerable
+    assert Table.load(spark, t.root).scan().count() == 20
+    with pytest.raises(CatalogError, match="unknown table"):
+        warehouse.resolve("ext")
+
+
+def test_register_rejects_bad_names_and_missing_tables(warehouse, tmp_path):
+    with pytest.raises(CatalogError, match="invalid table name"):
+        warehouse.register("../escape", str(tmp_path))
+    from lakehouse.errors import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        warehouse.register("ghost", str(tmp_path / "nope"))
+
+
+def test_sql_views_across_catalog(spark, warehouse):
+    a = warehouse.create_table(spark, "bronze", CLIPS_SCHEMA)
+    a.append(synth_clips_df(spark, 30, seed=73, n_days=1),
+             target_file_count=1)
+    b = warehouse.create_table(spark, "gold", CLIPS_SCHEMA)
+    b.append(synth_clips_df(spark, 10, start=500, seed=74, n_days=1),
+             target_file_count=1)
+    names = warehouse.register_views(spark)
+    assert names == ["bronze", "gold"]
+    got = spark.sql(
+        "SELECT (SELECT count(*) FROM bronze) AS nb, "
+        "(SELECT count(*) FROM gold) AS ng"
+    ).first()
+    assert (got.nb, got.ng) == (30, 10)
+    # views are snapshot-pinned: a later append is invisible until
+    # re-registration (the documented create_or_replace_view contract)
+    a.append(synth_clips_df(spark, 5, start=900, seed=75, n_days=1),
+             target_file_count=1)
+    assert spark.sql("SELECT count(*) n FROM bronze").first().n == 30
+    warehouse.register_views(spark, names=["bronze"])
+    assert spark.sql("SELECT count(*) n FROM bronze").first().n == 35
+
+
+def test_format_reads_by_catalog_name(spark, warehouse):
+    from lakehouse.datasource import register
+
+    register(spark)
+    t = warehouse.create_table(spark, "clips", CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 40, seed=76, n_days=1),
+             target_file_count=2)
+    df = (
+        spark.read.format("lakehouse")
+        .option("catalog", warehouse.path)
+        .option("table", "clips")
+        .load()
+    )
+    assert df.count() == 40
+    assert df.exceptAll(t.scan()).count() == 0
+    with pytest.raises(Exception, match="BOTH"):
+        spark.read.format("lakehouse").option(
+            "catalog", warehouse.path
+        ).load().count()
+
+
+def test_concurrent_registration_cas(warehouse, spark, tmp_path):
+    """Racing registrations both land (optimistic rebase), never
+    overwrite each other."""
+    import threading
+
+    roots = []
+    for i in range(2):
+        r = str(tmp_path / f"t{i}")
+        Table.create(spark, r, CLIPS_SCHEMA)
+        roots.append(r)
+    errs = []
+
+    def reg(i):
+        try:
+            warehouse.register(f"t{i}", roots[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert set(warehouse.tables()) == {"t0", "t1"}
