@@ -342,6 +342,36 @@ def cmd_stream_demo(args):
     _emit({"op": "stream-demo", **result})
 
 
+def cmd_catalog(args):
+    """Catalog verbs: create / register / unregister / tables / sql —
+    the Glue-catalog analog as a launch-surface command
+    (/root/reference/infra/terraform/modules/glue/main.tf:130-182)."""
+    from lakehouse import Catalog
+
+    if args.action == "create":
+        Catalog.create(args.catalog)
+        _emit({"op": "catalog", "action": "create", "path": args.catalog})
+        return
+    cat = Catalog.load(args.catalog)
+    if args.action == "register":
+        cat.register(args.name, args.table_root, replace=args.replace)
+        _emit({"op": "catalog", "action": "register", "name": args.name})
+    elif args.action == "unregister":
+        cat.unregister(args.name)
+        _emit({"op": "catalog", "action": "unregister", "name": args.name})
+    elif args.action == "tables":
+        _emit({"op": "catalog", "action": "tables", "tables": cat.tables()})
+    elif args.action == "sql":
+        spark = _spark(args)
+        cat.register_views(spark)
+        rows = spark.sql(args.query).limit(args.limit).collect()
+        _emit({
+            "op": "catalog",
+            "action": "sql",
+            "rows": [r.asDict(recursive=True) for r in rows],
+        })
+
+
 def main():
     p = argparse.ArgumentParser(prog="jobs.py")
     p.add_argument("--master", default=None)
@@ -416,6 +446,15 @@ def main():
     t(s)
     s.add_argument("--from-snapshot", type=int, required=True)
     s.add_argument("--to-snapshot", type=int, default=None)
+    s = sub.add_parser("catalog")
+    s.add_argument("action",
+                   choices=["create", "register", "unregister", "tables", "sql"])
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--name", default=None)
+    s.add_argument("--table-root", default=None)
+    s.add_argument("--replace", action="store_true")
+    s.add_argument("--query", default=None)
+    s.add_argument("--limit", type=int, default=100)
 
     args = p.parse_args()
     {
@@ -436,6 +475,7 @@ def main():
         "rollback": cmd_rollback,
         "branch": cmd_branch,
         "cdc": cmd_cdc,
+        "catalog": cmd_catalog,
     }[args.cmd](args)
 
 
