@@ -673,6 +673,33 @@ def _q_lh_delete_mor(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_delete_mor_pos(spark, sf_dir):
+    """Merge-on-read POSITIONAL delete (Iceberg v2 position deletes,
+    the round-2 complement to equality deletes): the commit writes one
+    (file_path, row_pos) file naming exact rows — no key column, no
+    uniqueness requirement, no data file rewritten (asserted). Scans
+    apply it as a broadcast anti-join on the Parquet reader's
+    _metadata (file_path, row_index) columns; materialize_deletes()
+    folds it in with an identical row set (asserted). Oracle = plain
+    SQL with the negated predicate."""
+    t = _events_table(spark, sf_dir, appends=2)
+    files_before = {e.file_path for e in t.plan().files}
+    res = t.delete(
+        "event_type = 'click' AND user_id % 5 = 0", mode="mor-pos"
+    )
+    assert res.keys_deleted > 0
+    assert {e.file_path for e in t.plan().files} == files_before, (
+        "positional MoR delete must not rewrite data files"
+    )
+    dels = t.plan().delete_files
+    assert len(dels) == 1 and dels[0].is_pos_delete
+    n_mor = t.scan().count()
+    t.materialize_deletes()
+    assert t.plan().delete_files == []
+    assert t.scan().count() == n_mor, "materialize changed the row set"
+    return _events_out(t.scan())
+
+
 def _q_lh_datasource_scan(spark, sf_dir):
     """Registered-format read surface: ``spark.read.format("lakehouse")``
     over a table with a pending merge-on-read delete. The WHERE clause is
@@ -968,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
         "lh_delete_mor": _q_lh_delete_mor,
+        "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
@@ -1076,6 +1104,8 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_delete_mor": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
+        "lh_delete_mor_pos": EVENTS_OUT_SQL
+        + " WHERE NOT (event_type = 'click' AND user_id % 5 = 0)",
         "lh_datasource_scan": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"
         + " AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'"

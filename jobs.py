@@ -209,12 +209,16 @@ def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
     t0 = time.time()
-    if args.mode == "mor":
-        res = t.delete(args.where, mode="mor", key=args.key)
+    if args.mode in ("mor", "mor-pos"):
+        res = (
+            t.delete(args.where, mode="mor", key=args.key)
+            if args.mode == "mor"
+            else t.delete(args.where, mode="mor-pos")
+        )
         _emit(
             {
                 "op": "delete",
-                "mode": "mor",
+                "mode": args.mode,
                 "keys_deleted": res.keys_deleted,
                 "delete_file": res.delete_file,
                 "secs": round(time.time() - t0, 2),
@@ -414,7 +418,9 @@ def main():
     s = sub.add_parser("delete")
     t(s)
     s.add_argument("--where", required=True)
-    s.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    s.add_argument(
+        "--mode", default="cow", choices=["cow", "mor", "mor-pos"]
+    )
     s.add_argument("--key", default="clip_id")
     t(sub.add_parser("materialize-deletes"))
     s = sub.add_parser("sql")

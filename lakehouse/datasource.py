@@ -17,8 +17,9 @@ Two readers:
   spark-free ``plan_scan`` the native path uses: partition pruning,
   min/max file skipping, manifest summary pruning), bin-packs surviving
   files into input partitions, and reads them as Arrow record batches in
-  executors via pyarrow. Merge-on-read equality deletes are applied
-  in-task with the Iceberg sequence rule (data ``seq`` < delete ``seq``).
+  executors via pyarrow. Merge-on-read deletes — equality (key values)
+  and positional ((file_path, row_pos) rows) — are applied in-task with
+  the Iceberg sequence rule (data ``seq`` < delete ``seq``).
   ``pushFilters`` feeds Spark's own WHERE clause into file pruning but
   reports every filter as unsupported, so Spark still applies them
   row-level — file skipping is a superset optimization and can never
@@ -156,7 +157,8 @@ class FilesPartition(InputPartition):
     mask their rows). Plain dicts/ints only — shipped by pickle."""
 
     def __init__(self, files, deletes):
-        self.files = files  # [{"path", "seq"}]
+        self.files = files  # [{"path", "rel", "seq"}]
+        # key=None marks a positional delete file (file_path, row_pos)
         self.deletes = deletes  # [{"path", "key", "seq"}]
 
 
@@ -187,7 +189,11 @@ def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
     out = []
     for members in _bin_pack(plan.files, target_bytes):
         files = [
-            {"path": os.path.join(root, e.file_path), "seq": e.seq}
+            {
+                "path": os.path.join(root, e.file_path),
+                "rel": e.file_path,
+                "seq": e.seq,
+            }
             for e in members
         ]
         out.append(FilesPartition(files, deletes))
@@ -243,9 +249,14 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
     # delete files are tiny (one key column) relative to data; each task
     # reads the ones overlapping its bin rather than shipping key sets
     # through the driver. Grouped by key column; each group keeps its
-    # per-file commit seq for the sequence rule.
+    # per-file commit seq for the sequence rule. key=None entries are
+    # positional delete files: (file_path, row_pos) rows kept whole.
     del_keys: dict[str, list[tuple[int, pa.ChunkedArray]]] = {}
+    pos_dels: list[tuple[int, "pa.Table"]] = []
     for d in part.deletes:
+        if d["key"] is None:
+            pos_dels.append((d["seq"], pq.read_table(d["path"])))
+            continue
         keys = pq.read_table(d["path"], columns=[d["key"]]).column(0)
         del_keys.setdefault(d["key"], []).append((d["seq"], keys))
 
@@ -267,8 +278,36 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
                 dead_by_key.append(
                     (key_name, pa.chunked_array(chunks).combine_chunks())
                 )
+        # dead row positions for THIS file (positional deletes name the
+        # file by its table-relative path); sorted, so each batch slices
+        # its window with searchsorted — no per-row Python
+        dead_pos = None
+        if pos_dels:
+            import numpy as np
+
+            chunks = []
+            for dseq, dtbl in pos_dels:
+                if f["seq"] >= dseq:
+                    continue
+                m = pc.equal(dtbl.column("file_path"), f.get("rel") or "")
+                hit = dtbl.filter(pc.fill_null(m, False))
+                if hit.num_rows:
+                    chunks.append(hit.column("row_pos").to_numpy())
+            if chunks:
+                dead_pos = np.unique(np.concatenate(chunks))
+        offset = 0
         for batch in pf.iter_batches(columns=cols):
             tbl = pa.Table.from_batches([batch])
+            n = tbl.num_rows
+            if dead_pos is not None:
+                import numpy as np
+
+                lo, hi = np.searchsorted(dead_pos, [offset, offset + n])
+                if hi > lo:
+                    keep = np.ones(n, dtype=bool)
+                    keep[dead_pos[lo:hi] - offset] = False
+                    tbl = tbl.filter(pa.array(keep))
+            offset += n
             for key_name, dead in dead_by_key:
                 keep = pc.invert(
                     pc.is_in(tbl.column(key_name), value_set=dead)

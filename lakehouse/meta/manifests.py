@@ -142,6 +142,19 @@ class DataFileEntry:
             return self.sort_order[len("eqdelete("):-1]
         return None
 
+    @property
+    def is_pos_delete(self) -> bool:
+        """Positional delete file: rows of (file_path, row_pos) naming
+        exact rows of exact data files (Iceberg v2 position deletes).
+        Rides under content="deletes" so every never-prune /
+        delete_count invariant applies unchanged; the sort_order tag is
+        what distinguishes the two delete kinds."""
+        return self.is_delete and self.sort_order == POS_DELETE_ORDER
+
+
+# sort_order tag for positional delete files (content stays "deletes")
+POS_DELETE_ORDER = "posdelete"
+
 
 def collect_file_stats(
     abs_path: str,

@@ -46,8 +46,8 @@ class ScanPlan:
     candidate_files: int = 0  # before pruning (for skip-ratio metrics)
     pruned_manifests: int = 0
     stats: dict = field(default_factory=dict)
-    # equality delete files (merge-on-read): applied at read time to
-    # data files with strictly smaller seq; never pruned (small set)
+    # delete files (merge-on-read; equality or positional): applied at
+    # read time to data files with strictly smaller seq; never pruned
     delete_files: list[DataFileEntry] = field(default_factory=list)
 
     @property
@@ -152,6 +152,15 @@ def plan_scan(
     )
 
 
+def _split_delete_kinds(
+    delete_files: Sequence[DataFileEntry],
+) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """(equality deletes, positional deletes)."""
+    eq = [d for d in delete_files if not d.is_pos_delete]
+    pos = [d for d in delete_files if d.is_pos_delete]
+    return eq, pos
+
+
 def _anti_join_eq_deletes(
     spark: SparkSession,
     table_root: str,
@@ -164,12 +173,15 @@ def _anti_join_eq_deletes(
     to files committed strictly before it), one join per delete-key
     column. The single implementation shared by the driver scan, the
     lazy/distributed scan, and CDC — the seq rule lives in exactly one
-    place."""
+    place. Positional entries in ``delete_files`` are ignored (apply
+    them with :func:`_anti_join_pos_deletes`); ``__seq`` is preserved
+    so both kinds can chain."""
     from pyspark.sql import functions as F
 
     by_key: dict[str, list[DataFileEntry]] = {}
     for d in delete_files:
-        by_key.setdefault(d.delete_key, []).append(d)
+        if d.delete_key:
+            by_key.setdefault(d.delete_key, []).append(d)
     for key, dels in sorted(by_key.items()):
         ddf = None
         for d in dels:
@@ -182,26 +194,87 @@ def _anti_join_eq_deletes(
             (df[key] == ddf["__dk"]) & (ddf["__dseq"] > df["__seq"]),
             "left_anti",
         )
-    return df.drop("__seq")
+    return df
+
+
+def _anti_join_pos_deletes(
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    pos_deletes: Sequence[DataFileEntry],
+) -> DataFrame:
+    """Apply positional deletes to a DataFrame carrying ``__seq``,
+    ``__path`` (table-relative file path) and ``__pos`` (row index
+    within the file) columns: one broadcast left-anti join against the
+    union of (file_path, row_pos) delete rows, same strict sequence
+    rule as equality deletes. The delete set is tiny relative to data
+    (trickle deletes), so broadcast is the right shape at any scale —
+    the wide side never shuffles. ``__seq`` is preserved for chaining.
+    """
+    from pyspark.sql import functions as F
+
+    ddf = None
+    for d in pos_deletes:
+        one = spark.read.parquet(
+            os.path.join(table_root, d.file_path)
+        ).select(
+            F.col("file_path").alias("__dp"),
+            F.col("row_pos").alias("__dpos"),
+            F.lit(d.seq).alias("__dseq"),
+        )
+        ddf = one if ddf is None else ddf.unionByName(one)
+    if ddf is None:
+        return df
+    return df.join(
+        F.broadcast(ddf),
+        (df["__path"] == ddf["__dp"])
+        & (df["__pos"] == ddf["__dpos"])
+        & (ddf["__dseq"] > df["__seq"]),
+        "left_anti",
+    )
+
+
+# helper columns carried by merge-on-read reads (dropped before the
+# caller sees the DataFrame)
+_MOR_COLS = ("__seq", "__path", "__pos")
 
 
 def _union_seq_groups(
     spark: SparkSession,
     schema: T.StructType,
     by_seq: dict[int, list[str]],
+    *,
+    rel_prefix: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Union of per-commit-seq parquet reads, each group carrying its
     seq as a literal ``__seq`` column (no per-row path join; distinct
     seqs are bounded by commit count). Single implementation behind
-    every merge-on-read reader."""
+    every merge-on-read reader.
+
+    With ``rel_prefix`` (the table root), each row additionally carries
+    ``__path`` (file path relative to the root, via the Parquet
+    ``_metadata.file_path`` column — computed by the reader, no join)
+    and ``__pos`` (``_metadata.row_index``), the join keys positional
+    deletes need."""
     from pyspark.sql import functions as F
 
+    pos_cols = []
+    if rel_prefix is not None:
+        # the reader reports "file:" + absolute path; manifests store
+        # root-relative paths — strip the constant-length prefix
+        plen = len("file:" + os.path.abspath(rel_prefix) + "/")
+        pos_cols = [
+            F.expr(
+                f"substring(_metadata.file_path, {plen + 1})"
+            ).alias("__path"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
     df = None
     for seq in sorted(by_seq):
         part = (
             spark.read.schema(schema)
             .parquet(*by_seq[seq])
-            .withColumn("__seq", F.lit(seq))
+            .select("*", F.lit(seq).alias("__seq"), *pos_cols)
         )
         df = part if df is None else df.unionByName(part)
     return df
@@ -225,7 +298,7 @@ def _split_deletes(mdf: DataFrame) -> tuple[DataFrame, list[DataFileEntry]]:
     )
 
 
-def _apply_eq_deletes(
+def _apply_mor_deletes(
     spark: SparkSession,
     table_root: str,
     schema: T.StructType,
@@ -233,14 +306,24 @@ def _apply_eq_deletes(
     delete_files: Sequence[DataFileEntry],
 ) -> DataFrame:
     """Merge-on-read: seq-grouped reads + the shared sequence-rule
-    anti-join."""
+    anti-joins (equality deletes by key, positional deletes by
+    (file_path, row_pos)). The per-row path/pos columns are only read
+    when positional deletes are actually pending — the equality-only
+    path is byte-identical to round 2."""
+    eq, pos = _split_delete_kinds(delete_files)
     by_seq: dict[int, list[str]] = {}
     for e in data_files:
         by_seq.setdefault(e.seq, []).append(
             os.path.join(table_root, e.file_path)
         )
-    df = _union_seq_groups(spark, schema, by_seq)
-    return _anti_join_eq_deletes(spark, table_root, df, delete_files)
+    df = _union_seq_groups(
+        spark, schema, by_seq, rel_prefix=table_root if pos else None
+    )
+    if pos:
+        df = _anti_join_pos_deletes(spark, table_root, df, pos)
+    if eq:
+        df = _anti_join_eq_deletes(spark, table_root, df, eq)
+    return df.drop(*_MOR_COLS)
 
 
 def read_plan(
@@ -257,14 +340,14 @@ def read_plan(
     in the files, see ops/append.py), so the read is a plain multi-path
     Parquet scan with the declared schema — no inference, mirroring the
     reference's ``inferSchema="false"`` stance (etl/glue_stream.py:133).
-    Pending equality deletes (merge-on-read) are applied as a broadcast
-    anti-join before projection.
+    Pending merge-on-read deletes (equality and positional) are applied
+    as broadcast anti-joins before projection.
     """
     schema = T.StructType.fromJson(meta.schema_json)
     if not plan.files:
         df = spark.createDataFrame([], schema)
     elif plan.delete_files:
-        df = _apply_eq_deletes(
+        df = _apply_mor_deletes(
             spark, table_root, schema, plan.files, plan.delete_files
         )
     else:
@@ -431,20 +514,28 @@ def read_lazy_plan(
 
     schema = T.StructType.fromJson(meta.schema_json)
     mor = bool(plan.delete_files)
+    eq, pos = _split_delete_kinds(plan.delete_files)
     df = None
     for chunk in plan.iter_path_chunks(table_root, chunk_size):
         if mor:
             by_seq: dict[int, list[str]] = {}
             for p, seq in chunk:
                 by_seq.setdefault(seq, []).append(p)
-            part = _union_seq_groups(spark, schema, by_seq)
+            part = _union_seq_groups(
+                spark, schema, by_seq,
+                rel_prefix=table_root if pos else None,
+            )
         else:
             part = spark.read.schema(schema).parquet(*[p for p, _s in chunk])
         df = part if df is None else df.unionByName(part)
     if df is None:
         df = spark.createDataFrame([], schema)
     elif mor:
-        df = _anti_join_eq_deletes(spark, table_root, df, plan.delete_files)
+        if pos:
+            df = _anti_join_pos_deletes(spark, table_root, df, pos)
+        if eq:
+            df = _anti_join_eq_deletes(spark, table_root, df, eq)
+        df = df.drop(*_MOR_COLS)
     if plan.residual_sql:
         df = df.filter(plan.residual_sql)
     if columns:

@@ -118,8 +118,8 @@ def row_changes(
     """CDC multiset diff between two snapshots, reading only the
     symmetric difference of their file sets. Adds ``_change_type``.
 
-    Merge-on-read aware: if either endpoint carries equality delete
-    files, the diff compares logical VIEWS — each side reads its
+    Merge-on-read aware: if either endpoint carries delete files
+    (equality or positional), the diff compares logical VIEWS — each side reads its
     (symmetric-diff ∪ delete-affected) data files with that endpoint's
     deletes applied. Files untouched by any delete and common to both
     snapshots still cancel without being read.
@@ -148,17 +148,21 @@ def row_changes(
         old_df = _read_files(table, only_old)
         new_df = _read_files(table, only_new)
     else:
-        from ..meta.scan import _apply_eq_deletes
-        from ..ops.mor import _range_intersects
+        from ..meta.scan import _apply_mor_deletes
+        from ..ops.mor import _pos_delete_touches, _range_intersects
 
         all_dels = {d.file_path: d for d in old_dels + new_dels}.values()
 
         def _affected(e) -> bool:
             return any(
                 e.seq < d.seq
-                and _range_intersects(
-                    e.stats.get(d.delete_key) or {},
-                    d.stats.get(d.delete_key) or {},
+                and (
+                    _pos_delete_touches(e, d)
+                    if d.is_pos_delete
+                    else _range_intersects(
+                        e.stats.get(d.delete_key) or {},
+                        d.stats.get(d.delete_key) or {},
+                    )
                 )
                 for d in all_dels
             )
@@ -173,7 +177,7 @@ def row_changes(
                 return table.spark.createDataFrame([], table.schema)
             if not dels:
                 return _read_files(table, [e.file_path for e in read])
-            return _apply_eq_deletes(
+            return _apply_mor_deletes(
                 table.spark, table.root, table.schema, read, dels
             )
 

@@ -168,6 +168,112 @@ def delete_mor(
     return MorDeleteResult(log.job_id, snap.snapshot_id, n_keys, rel)
 
 
+def delete_mor_positional(
+    table,
+    predicate,
+    *,
+    prune_filter=None,
+    job_id: Optional[str] = None,
+) -> MorDeleteResult:
+    """DELETE FROM table WHERE predicate — merge-on-read, positional.
+
+    The other half of Iceberg v2's delete design (equality deletes are
+    ``delete_mor``): the delete file holds (file_path, row_pos) rows
+    naming the exact rows to drop, built from one pruned, column-pruned
+    pass over the candidate files using the Parquet reader's
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns — no key
+    column needed, no uniqueness requirement, no validation passes.
+    This is the path for predicates over non-key columns (equality
+    deletes would over-delete when the key is not unique) and for
+    sampled/row-id deletes in training-data curation.
+
+    Readers apply it as a broadcast anti-join on (path, pos) under the
+    same strict sequence rule as equality deletes (meta/scan.py). A row
+    re-inserted after the delete lands in a NEW file (fresh path), so
+    it survives trivially. Cost: O(matched rows) write, no data file
+    rewritten; the rewrite is deferred to ``materialize_deletes``,
+    which prunes by the delete entry's min/max ``file_path`` stats.
+    """
+    from ..meta.manifests import POS_DELETE_ORDER
+
+    pred_sql, tuples = _predicate_sql(predicate)
+    log = LineageLog(table.root, job_id)
+    log.start_job("delete_mor_pos", {"predicate": pred_sql})
+
+    # tuple predicates prune the candidate file set through the manifest
+    # stats; SQL-string predicates scan all files unless the caller
+    # passes an explicit prune_filter (same contract as the COW path)
+    plan = table.plan(filter=prune_filter or tuples)
+    if not plan.files:
+        log.finish_job({"snapshot_id": None, "keys_deleted": 0})
+        return MorDeleteResult(log.job_id, None, 0, None)
+    by_seq: dict[int, list[str]] = {}
+    for e in plan.files:
+        by_seq.setdefault(e.seq, []).append(
+            os.path.join(table.root, e.file_path)
+        )
+    from ..meta.scan import _union_seq_groups
+
+    # rows already hidden by PENDING deletes may match again here —
+    # harmless: their (path, pos) is invisible either way, and
+    # materialize rewrites those files to new paths, orphaning the
+    # stale positions together with the delete files themselves.
+    pos_df = (
+        _union_seq_groups(
+            table.spark, table.schema, by_seq, rel_prefix=table.root
+        )
+        .filter(F.expr(pred_sql))
+        .select(
+            F.col("__path").alias("file_path"),
+            F.col("__pos").alias("row_pos"),
+        )
+    )
+
+    out_rel_dir = f"data/{log.job_id}"
+    out_abs = os.path.join(table.root, out_rel_dir)
+    pos_df.repartition(1).sortWithinPartitions(
+        "file_path", "row_pos"
+    ).write.parquet(out_abs)
+    names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
+    rel = f"{out_rel_dir}/{names[0]}"
+    entry = collect_file_stats(
+        os.path.join(table.root, rel),
+        rel,
+        {},
+        sort_order=POS_DELETE_ORDER,
+    )
+    entry.content = "deletes"
+    n_rows = entry.record_count
+    if n_rows == 0:
+        log.finish_job({"snapshot_id": None, "keys_deleted": 0})
+        return MorDeleteResult(log.job_id, None, 0, None)
+    snap = table._commit_files(
+        "delete",
+        [entry],
+        (),
+        summary={
+            "job_id": log.job_id,
+            "mode": "merge-on-read-positional",
+            "positions_deleted": n_rows,
+        },
+    )
+    log.finish_task("delete_mor_pos", [entry], files_in=[], bytes_in=0)
+    log.finish_job({"snapshot_id": snap.snapshot_id, "keys_deleted": n_rows})
+    return MorDeleteResult(log.job_id, snap.snapshot_id, n_rows, rel)
+
+
+def _pos_delete_touches(e, d) -> bool:
+    """Can positional delete ``d`` name rows of data file ``e``? The
+    delete file is sorted by file_path, so its manifest min/max on that
+    column bound exactly which data files it references — a tight prune
+    with no extra read. Missing stats → assume touched."""
+    st = d.stats.get("file_path") or {}
+    lo, hi = st.get("min"), st.get("max")
+    if lo is None or hi is None:
+        return True
+    return lo <= e.file_path <= hi
+
+
 def _range_intersects(fstats: dict, dstats: dict) -> bool:
     """Conservative [min,max] overlap on the delete key. Manifest stats
     keep NUMERIC values as numbers and temporal values as ISO strings
@@ -193,9 +299,9 @@ def materialize_deletes(
     target_file_count: Optional[int] = None,
     job_id: Optional[str] = None,
 ) -> MaterializeResult:
-    """Apply every pending equality delete to the data files it can
-    touch and drop the delete files (one REPLACE commit)."""
-    from ..meta.scan import _apply_eq_deletes
+    """Apply every pending delete (equality AND positional) to the data
+    files it can touch and drop the delete files (one REPLACE commit)."""
+    from ..meta.scan import _apply_mor_deletes
 
     plan = table.plan()
     dels = plan.delete_files
@@ -207,9 +313,17 @@ def materialize_deletes(
     affected: list[DataFileEntry] = []
     for e in plan.files:
         for d in dels:
-            if e.seq < d.seq and _range_intersects(
-                e.stats.get(d.delete_key) or {}, d.stats.get(d.delete_key) or {}
-            ):
+            if e.seq >= d.seq:
+                continue
+            touched = (
+                _pos_delete_touches(e, d)
+                if d.is_pos_delete
+                else _range_intersects(
+                    e.stats.get(d.delete_key) or {},
+                    d.stats.get(d.delete_key) or {},
+                )
+            )
+            if touched:
                 affected.append(e)
                 break
 
@@ -227,7 +341,7 @@ def materialize_deletes(
 
     entries: list[DataFileEntry] = []
     if plain:
-        rewrite_df = _apply_eq_deletes(
+        rewrite_df = _apply_mor_deletes(
             table.spark, table.root, table.schema, plain, dels
         )
         bytes_in = sum(e.file_size_bytes for e in plain)
@@ -245,20 +359,34 @@ def materialize_deletes(
     for i, (so, files) in enumerate(sorted(clustered.items())):
         from pyspark.sql import functions as _F
 
-        from ..meta.scan import _anti_join_eq_deletes, _union_seq_groups
+        from ..meta.scan import (
+            _MOR_COLS,
+            _anti_join_eq_deletes,
+            _anti_join_pos_deletes,
+            _split_delete_kinds,
+            _union_seq_groups,
+        )
         from ..ops.append import harvest_stats, list_job_files
         from ..ops.cluster import ZKEY_COL, schema_with_zkey
         from ..partitioning import with_partition_columns
 
+        eq_dels, pos_dels = _split_delete_kinds(dels)
         by_seq: dict[int, list[str]] = {}
         for e in files:
             by_seq.setdefault(e.seq, []).append(
                 os.path.join(table.root, e.file_path)
             )
         df = _union_seq_groups(
-            table.spark, schema_with_zkey(table.schema), by_seq
+            table.spark,
+            schema_with_zkey(table.schema),
+            by_seq,
+            rel_prefix=table.root if pos_dels else None,
         )
-        df = _anti_join_eq_deletes(table.spark, table.root, df, dels)
+        if pos_dels:
+            df = _anti_join_pos_deletes(table.spark, table.root, df, pos_dels)
+        if eq_dels:
+            df = _anti_join_eq_deletes(table.spark, table.root, df, eq_dels)
+        df = df.drop(*_MOR_COLS)
         df, part_cols = with_partition_columns(
             df, table.meta.partition_spec
         )

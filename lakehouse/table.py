@@ -556,11 +556,17 @@ class Table:
     def delete(self, predicate, *, mode: str = "cow", **kw):
         """Row-level DELETE. ``mode="cow"`` rewrites touched files;
         ``mode="mor"`` writes an equality delete file (merge-on-read)
-        and defers the rewrite to ``materialize_deletes``/maintenance."""
+        and defers the rewrite to ``materialize_deletes``/maintenance;
+        ``mode="mor-pos"`` writes a positional (file_path, row_pos)
+        delete file — no key column or uniqueness requirement."""
         if mode == "mor":
             from .ops.mor import delete_mor as _delete_mor
 
             return _delete_mor(self, predicate, **kw)
+        if mode == "mor-pos":
+            from .ops.mor import delete_mor_positional as _delete_pos
+
+            return _delete_pos(self, predicate, **kw)
         if mode != "cow":
             raise ValueError(f"unknown delete mode: {mode!r}")
         from .ops.row_filter import delete as _delete

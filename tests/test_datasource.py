@@ -68,6 +68,23 @@ def test_batch_read_mixed_key_mor_deletes(spark, clips_table):
     assert df.count() > 0
 
 
+def test_batch_read_applies_pos_deletes(spark, clips_table):
+    """Pending POSITIONAL deletes are applied inside the Arrow read
+    tasks: dead (file_path, row_pos) pairs masked per batch with the
+    running row offset, matching the native scan bit for bit."""
+    res = clips_table.delete("dur_ms < 1500", mode="mor-pos")
+    assert res.keys_deleted > 0
+    df = spark.read.format("lakehouse").load(clips_table.root)
+    _assert_same_rows(df, clips_table.scan())
+    assert df.filter("dur_ms < 1500").count() == 0
+    # mixed kinds: an equality delete stacked on top still composes
+    clips_table.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    df = spark.read.format("lakehouse").load(clips_table.root)
+    _assert_same_rows(df, clips_table.scan())
+    assert df.filter("dur_ms < 1500 or sr_hz = 8000").count() == 0
+    assert df.count() > 0
+
+
 def test_batch_read_after_cluster_drops_zkey(spark, clips_table):
     """Clustered files carry the hidden physical zkey column; the
     datasource must project it away like the native scan does."""

@@ -258,3 +258,130 @@ def test_mor_validation_is_directional(spark, tmp_path):
     res = t.delete("flag = 1", mode="mor", key="k", validate=False)
     assert res.keys_deleted == 1
     assert t.scan().count() == 1
+
+
+# --- positional deletes (Iceberg v2 position deletes, round 2) ---------------
+
+
+def test_pos_delete_no_rewrite_and_scan_hides_rows(spark, table_root):
+    """A positional delete commits only a (file_path, row_pos) file; no
+    data file is rewritten, and scans hide exactly the matched rows —
+    driver and lazy/distributed paths agreeing."""
+    t = _table(spark, table_root)
+    data_files_before = {e.file_path for e in t.live_files()}
+    expect = sorted(
+        r.clip_id
+        for r in t.scan().filter("dur_ms <= 1500").select("clip_id").collect()
+    )
+    n_match = t.scan().count() - len(expect)
+
+    res = t.delete("dur_ms > 1500", mode="mor-pos")
+    assert res.snapshot_id is not None and res.keys_deleted == n_match
+    assert {e.file_path for e in t.live_files()} == data_files_before
+    dels = t.plan().delete_files
+    assert len(dels) == 1 and dels[0].is_pos_delete
+    assert dels[0].delete_key is None  # not an equality delete
+    assert _ids(t) == expect
+    lazy = sorted(
+        r.clip_id
+        for r in t.scan(distributed_planning=True)
+        .select("clip_id")
+        .collect()
+    )
+    assert lazy == expect
+
+
+def test_pos_delete_reinsert_survives_and_time_travel(spark, table_root):
+    """Rows re-appended after a positional delete land in new files
+    (fresh paths, larger seq) and must survive; time travel still sees
+    the pre-delete state."""
+    t = _table(spark, table_root)
+    pre = t.current_snapshot_id()
+    n = len(_ids(t))
+    victim_pdf = synth_clips_pdf(range(0, 5), seed=42, n_days=2)
+    victims = sorted(victim_pdf["clip_id"])
+    t.delete(f"clip_id in {tuple(victims)}", mode="mor-pos")
+    assert not set(victims) & set(_ids(t))
+
+    t.append(spark.createDataFrame(victim_pdf, schema=CLIPS_SCHEMA))
+    got = _ids(t)
+    assert set(victims) <= set(got)
+    assert len(_ids(t, snapshot_id=pre)) == n
+
+
+def test_pos_delete_handles_duplicate_keys(spark, table_root):
+    """The case equality deletes must REFUSE (predicate splits rows that
+    share a key), positional deletes handle exactly: two rows with the
+    same clip_id but different dur_ms, delete only one of them."""
+    pdf = synth_clips_pdf(range(0, 20), seed=42, n_days=2)
+    twin = pdf.copy()
+    twin["dur_ms"] = twin["dur_ms"] + 1
+    t = Table.create(spark, table_root, CLIPS_SCHEMA, partition_spec=DATE_SPEC)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA), target_file_count=2)
+    t.append(spark.createDataFrame(twin, schema=CLIPS_SCHEMA), target_file_count=2)
+    victim = pdf["clip_id"].iloc[0]
+    d = int(pdf["dur_ms"].iloc[0])
+    pred = f"clip_id = '{victim}' AND dur_ms = {d}"
+
+    with pytest.raises(ValueError, match="not unique"):
+        t.delete(pred, mode="mor", key="clip_id")
+
+    res = t.delete(pred, mode="mor-pos")
+    assert res.keys_deleted == 1
+    left = t.scan().filter(f"clip_id = '{victim}'").collect()
+    assert len(left) == 1 and left[0].dur_ms == d + 1
+
+
+def test_pos_and_eq_deletes_coexist_and_materialize(spark, table_root):
+    """One pending equality delete + one pending positional delete: the
+    scan applies both; materialize folds both in and drops both delete
+    files without changing the row set."""
+    t = _table(spark, table_root)
+    t.delete("sr_hz = 8000", mode="mor", key="clip_id")
+    t.delete("dur_ms > 2500", mode="mor-pos")
+    dels = t.plan().delete_files
+    assert len(dels) == 2
+    assert sorted(d.is_pos_delete for d in dels) == [False, True]
+    view = _ids(t)
+    expect = sorted(
+        r.clip_id
+        for r in t.scan(snapshot_id=sorted(
+            s.snapshot_id for s in t.snapshots()
+        )[-3])
+        .filter("NOT (sr_hz = 8000) AND NOT (dur_ms > 2500)")
+        .select("clip_id")
+        .collect()
+    )
+    assert view == expect
+
+    res = t.materialize_deletes()
+    assert res.delete_files_removed == 2
+    assert t.plan().delete_files == []
+    assert _ids(t) == view
+
+
+def test_pos_delete_maintenance_with_clustered_files(spark, table_root):
+    """compact() auto-materializes pending positional deletes, including
+    through the clustered-rewrite branch (files carrying a zkey)."""
+    t = _table(spark, table_root, rows=80, appends=4)
+    t.cluster(["clip_id", "dur_ms"], curve="zorder",
+              target_file_size=64 * 1024 * 1024)
+    t.delete("dur_ms > 1500", mode="mor-pos")
+    view = _ids(t)
+    t.compact(target_file_size=64 * 1024 * 1024)
+    assert t.plan().delete_files == []
+    assert _ids(t) == view
+
+
+def test_row_changes_sees_pos_delete(spark, table_root):
+    """CDC across a positional-delete commit emits exactly the deleted
+    rows as _change_type='delete'."""
+    t = _table(spark, table_root)
+    pre = t.current_snapshot_id()
+    res = t.delete("dur_ms > 2000", mode="mor-pos")
+    post = t.current_snapshot_id()
+    cdc = t.row_changes(from_snapshot_id=pre, to_snapshot_id=post)
+    assert cdc.filter("_change_type = 'insert'").count() == 0
+    dels = cdc.filter("_change_type = 'delete'")
+    assert dels.count() == res.keys_deleted
+    assert dels.filter("dur_ms <= 2000").count() == 0
