@@ -639,6 +639,51 @@ def _q_audio_normalize_trim(spark, sf_dir):
     return res
 
 
+def _q_audio_dup_detection(spark, sf_dir):
+    """Perceptual near-dup detection over audio payloads (rows-only,
+    self-verifying): 64-bit Haitsma-Kalker-style fingerprints (frame
+    energy + zero-crossing delta signs; one Arrow batch UDF) and the
+    shared 16-bit-chunk pigeonhole Hamming equi-join from text dedup —
+    never a cross join, so the same plan holds at 10^12 clips.
+
+    The builder PLANTS its own ground truth: exact byte copies and
+    gain-scaled (peak-normalized, PCM16-requantized) copies of known
+    clips under new ids. Asserts the returned pair set == the planted
+    pair set exactly — recall AND precision, no oracle needed."""
+    from lakehouse.audio import audio_dup_pairs, normalize_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df, synth_clips_pdf
+
+    base = synth_clips_df(spark, 128, seed=47, n_days=2, num_partitions=4)
+    planted_pdf = synth_clips_pdf(range(0, 8), seed=47, n_days=2)
+    copies = planted_pdf.iloc[:4].copy()
+    copies["clip_id"] = [f"copy-{i}" for i in range(4)]
+    gains = planted_pdf.iloc[4:8].copy()
+    gains["clip_id"] = [f"gain-{i}" for i in range(4)]
+    gain_df = normalize_clips(
+        spark.createDataFrame(gains, schema=CLIPS_SCHEMA),
+        mode="peak",
+        target=0.5,
+    ).select(*[f.name for f in CLIPS_SCHEMA.fields])
+    allc = base.unionByName(
+        spark.createDataFrame(copies, schema=CLIPS_SCHEMA)
+    ).unionByName(gain_df)
+
+    pairs = audio_dup_pairs(allc, max_hamming=3).orderBy("clip_a", "clip_b")
+    got = {(r.clip_a, r.clip_b) for r in pairs.collect()}
+    planted = {
+        tuple(sorted((planted_pdf["clip_id"].iloc[i], f"copy-{i}")))
+        for i in range(4)
+    } | {
+        tuple(sorted((planted_pdf["clip_id"].iloc[4 + i], f"gain-{i}")))
+        for i in range(4)
+    }
+    assert got == planted, (
+        f"dup detection missed {planted - got} / false {got - planted}"
+    )
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
@@ -1026,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_invariant": _q_audio_snr,
         "audio_resample_segment": _q_audio_resample_segment,
         "audio_normalize_trim": _q_audio_normalize_trim,
+        "audio_dup_detection": _q_audio_dup_detection,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
     }
 

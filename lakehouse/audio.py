@@ -460,3 +460,93 @@ def segment_clips(df, start_ms: int, end_ms: int, bytes_col: str = "bytes"):
         F.col("__s.dur_ms").alias("dur_ms"),
         F.lit("pcm16").alias("codec"),
     )
+
+
+# --- perceptual fingerprint + near-dup detection -------------------------------
+
+
+def fingerprint64(x: np.ndarray) -> int:
+    """64-bit perceptual fingerprint of a decoded clip.
+
+    Haitsma & Kalker's published audio-fingerprint recipe ("A Highly
+    Robust Audio Fingerprinting System", 2002), reduced to one word per
+    clip: split the clip into 33 equal time frames, take the SIGN of
+    the frame-to-frame delta of two features — mean-square energy
+    (32 bits) and zero-crossing count (32 bits). Delta SIGNS are
+    invariant under constant gain (energy scales by g², crossings not
+    at all), so a volume-normalized copy fingerprints identically and
+    additive noise flips only near-tie bits — near-dups land within a
+    small Hamming distance. Pure numpy reductions; deterministic."""
+    n = len(x)
+    if n < 66:
+        x = np.pad(x, (0, 66 - n))
+        n = 66
+    edges = (np.arange(34, dtype=np.int64) * n) // 33
+    widths = np.maximum(1, np.diff(edges))
+    csq = np.concatenate([[0.0], np.cumsum(x.astype(np.float64) ** 2)])
+    energy = (csq[edges[1:]] - csq[edges[:-1]]) / widths
+    zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).astype(np.float64)
+    czc = np.concatenate([[0.0], np.cumsum(zc)])
+    zedges = np.minimum(edges, n - 1)
+    zcr = (czc[zedges[1:]] - czc[zedges[:-1]]) / widths
+    bits = np.concatenate(
+        [np.diff(energy) > 0, np.diff(zcr) > 0]
+    ).astype(np.uint64)
+    fp = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+    return int(fp.astype(np.int64))
+
+
+def audio_fingerprint(raw: pd.Series) -> pd.Series:
+    """Batch fingerprint (Arrow pandas UDF body): bytes → int64; null /
+    undecodable clips → null."""
+    out = []
+    for b in raw:
+        try:
+            _sr, x = decode_wav(b)
+            out.append(fingerprint64(x))
+        except (ValueError, struct.error):
+            out.append(None)
+    return pd.Series(out, dtype="Int64")
+
+
+def with_audio_fingerprint(df, bytes_col: str = "bytes", out_col: str = "afp"):
+    """Add the 64-bit perceptual fingerprint as a column (one vectorized
+    Arrow batch UDF — the only Python in the pipeline; everything
+    downstream of it is JVM built-ins)."""
+    udf = F.pandas_udf(audio_fingerprint, T.LongType())
+    return df.withColumn(out_col, udf(F.col(bytes_col)))
+
+
+def audio_dup_pairs(
+    df,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    *,
+    max_hamming: int = 3,
+):
+    """Exact + near duplicate clip pairs by perceptual fingerprint.
+
+    Fingerprints via one Arrow batch UDF, then the shared 16-bit-chunk
+    pigeonhole equi-join (lakehouse/dedup.py hamming_pairs64) — the
+    same no-cross-join shape that makes SimHash text dedup scale, so
+    10^12 clips cost one decode pass + 4 equi-joins on (chunk, value),
+    never O(n²).
+
+    A self-join evaluates its input subtree once per side, so at large
+    scale materialize the fingerprints FIRST (write
+    ``with_audio_fingerprint(df).select(id, "afp")`` to a narrow table,
+    16 bytes/clip) and pass that in — an ``afp`` column already present
+    is used as-is, skipping the decode entirely."""
+    from .dedup import hamming_pairs64
+
+    if "afp" not in df.columns:
+        df = with_audio_fingerprint(df, bytes_col)
+    fps = df.filter(F.col("afp").isNotNull())
+    return hamming_pairs64(
+        fps.select(id_col, "afp"),
+        id_col,
+        "afp",
+        max_hamming=max_hamming,
+        out_a="clip_a",
+        out_b="clip_b",
+    )

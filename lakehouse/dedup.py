@@ -404,26 +404,35 @@ def simhash_oracle_sql(table: str = "documents") -> str:
     """
 
 
-def simhash_pairs(
-    df: DataFrame, content_col: str = "text", max_hamming: int = 3
+def hamming_pairs64(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 3,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Pairs of ids whose 64-bit ``hash_col`` values differ in ≤
+    ``max_hamming`` bits — shared pigeonhole engine behind SimHash text
+    near-dup AND audio fingerprint near-dup.
 
-    Pigeonhole candidate generation: split the 64-bit hash into 4
-    16-bit chunks; distance ≤ 3 ⇒ at least one chunk matches exactly,
-    so candidates come from 4 equi-joins on (chunk_idx, chunk_value) —
-    never a cross join. Verification is xor + bit_count.
-    """
-    sims = simhash64(df, content_col)
-    chunks = sims.select(
-        "doc_id",
-        "simhash",
+    Candidate generation: split the hash into 4 16-bit chunks; distance
+    ≤ 3 ⇒ at least one chunk matches exactly, so candidates come from 4
+    equi-joins on (chunk_idx, chunk_value) — never a cross join.
+    Verification is xor + bit_count. Requires max_hamming ≤ 3 for the
+    4-chunk pigeonhole to be complete."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole is complete only for ≤ 3")
+    chunks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("ci"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        F.shiftrightunsigned(F.col(hash_col), 16 * c)
                         .bitwiseAND(F.lit(65535))
                         .alias("cv"),
                     )
@@ -431,25 +440,34 @@ def simhash_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+    ).select("__id", "__h", "ch.ci", "ch.cv")
     a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "ci", "cv",
+        F.col("__id").alias(out_a), F.col("__h").alias("__ha"), "ci", "cv"
     )
     b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "ci", "cv",
+        F.col("__id").alias(out_b), F.col("__h").alias("__hb"), "ci", "cv"
     )
     cand = (
         a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "__ha", "__hb")
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select(
-        "doc_a", "doc_b", ham.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(out_a, out_b, ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, content_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming (the
+    shared pigeonhole engine, see :func:`hamming_pairs64`)."""
+    sims = simhash64(df, content_col)
+    return hamming_pairs64(
+        sims, "doc_id", "simhash", max_hamming=max_hamming
+    )
 
 
 def simhash_pairs_oracle_sql(

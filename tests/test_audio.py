@@ -226,3 +226,78 @@ def test_trim_silence_all_silent_collapses(spark):
     r = trim_silence_clips(df).collect()[0]
     assert r.dur_ms == 0
     assert r.trimmed_head_ms + r.trimmed_tail_ms == 1000
+
+
+# --- perceptual fingerprint + near-dup pairs ----------------------------------
+
+
+def test_fingerprint_gain_invariant_and_discriminative():
+    from lakehouse.audio import fingerprint64
+
+    pdf = synth_clips_pdf(range(0, 8), seed=42, n_days=2)
+    fps = []
+    for b in pdf["bytes"]:
+        _sr, x = decode_wav(b)
+        fps.append(fingerprint64(x))
+        # constant gain must not move a single bit (delta-sign features)
+        assert fingerprint64(x * 0.31) == fps[-1]
+        assert fingerprint64(x.copy()) == fps[-1]  # deterministic
+    # distinct clips must be FAR apart (no accidental near-dup pairs)
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    cross = [
+        ham(fps[i], fps[j])
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+    ]
+    assert min(cross) > 10
+
+
+def test_fingerprint_noise_robust():
+    from lakehouse.audio import fingerprint64
+
+    pdf = synth_clips_pdf(range(0, 4), seed=42, n_days=2)
+    rng = np.random.default_rng(7)
+    for b in pdf["bytes"]:
+        _sr, x = decode_wav(b)
+        noisy = x + rng.normal(0, 1e-4, len(x)).astype(np.float32)
+        d = bin(
+            (fingerprint64(x) ^ fingerprint64(noisy)) & 0xFFFFFFFFFFFFFFFF
+        ).count("1")
+        assert d <= 3
+
+
+def test_audio_dup_pairs_finds_planted_duplicates(spark):
+    """Plant exact copies and gain-scaled (peak-normalized) copies of a
+    few clips under new ids; audio_dup_pairs must return every planted
+    pair and nothing else at max_hamming=3."""
+    from lakehouse.audio import audio_dup_pairs, normalize_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    base = synth_clips_pdf(range(0, 24), seed=42, n_days=2)
+    df = spark.createDataFrame(base, schema=CLIPS_SCHEMA)
+    # exact copies of clips 0..3 under ids "copy-i"
+    copies = base.iloc[:4].copy()
+    copies["clip_id"] = [f"copy-{i}" for i in range(4)]
+    dup_df = spark.createDataFrame(copies, schema=CLIPS_SCHEMA)
+    # gain-scaled copies of clips 4..7 (normalize re-encodes PCM16)
+    gains = base.iloc[4:8].copy()
+    gains["clip_id"] = [f"gain-{i}" for i in range(4)]
+    gain_df = normalize_clips(
+        spark.createDataFrame(gains, schema=CLIPS_SCHEMA),
+        mode="peak",
+        target=0.5,
+    )
+    allc = df.unionByName(dup_df).unionByName(gain_df.select(df.columns))
+    pairs = audio_dup_pairs(allc).collect()
+    got = {(r.clip_a, r.clip_b) for r in pairs}
+    planted = {
+        tuple(sorted((base["clip_id"].iloc[i], f"copy-{i}")))
+        for i in range(4)
+    } | {
+        tuple(sorted((base["clip_id"].iloc[4 + i], f"gain-{i}")))
+        for i in range(4)
+    }
+    assert planted <= got, planted - got
+    assert got == planted, got - planted
