@@ -181,6 +181,55 @@ def _batch_keys_to_np(series, kind):
     return np.array(list(s), dtype=object)
 
 
+def prune_files_by_key_bucket(spark, meta, src, key, live):
+    """Partition-level pruning for bucket-partitioned tables.
+
+    On a table partitioned by ``bucket(key, n)`` the per-file [min,max]
+    key range is useless (each bucket holds a uniform sample of the key
+    space, so every file's range spans everything and the interval
+    sweep keeps all files). But the partition VALUE is exact: a file in
+    bucket b can only contain keys with ``pmod(xxhash64(key), n) = b``.
+    One tiny distinct-aggregate over the source keys per distinct n
+    (≤ n rows out) bounds the touched set to the buckets the source
+    actually hits — a selective upsert of k keys touches ≤ k buckets of
+    n no matter how many files the table has.
+
+    Spec-evolution safe: buckets are resolved PER spec_id, and files
+    whose spec carries no bucket-on-key field are always kept."""
+    bucket_fields = {}
+    for sid, spec in enumerate(meta.partition_specs or [meta.partition_spec]):
+        for f in spec:
+            if f.get("transform") == "bucket" and f.get("source") == key:
+                bucket_fields[sid] = (f["name"], int(f["n"]))
+    if not bucket_fields:
+        return live
+    from ..partitioning import partition_field_expr
+
+    hit_by_n: dict[int, set] = {}
+    for n in sorted({n for _, n in bucket_fields.values()}):
+        expr = partition_field_expr(
+            {"name": "b", "source": key, "transform": "bucket", "n": n}
+        )
+        hit_by_n[n] = {
+            r.b
+            for r in src.filter(F.col(key).isNotNull())
+            .select(expr.alias("b"))
+            .distinct()
+            .collect()
+        }
+    kept = []
+    for e in live:
+        bf = bucket_fields.get(e.spec_id)
+        if bf is None:
+            kept.append(e)
+            continue
+        name, n = bf
+        v = (e.partition or {}).get(name)
+        if v is None or int(v) in hit_by_n[n]:
+            kept.append(e)
+    return kept
+
+
 def probe_touched_files(
     spark, src_keys, key, key_type, live, table_root=None
 ) -> list[str]:
@@ -418,6 +467,7 @@ def merge_into(
     if int(stats.src_rows or 0) == 0:
         touched = []
     else:
+        live = prune_files_by_key_bucket(spark, meta, src, key, live)
         touched = probe_touched_files(
             spark, src, key, key_type, live, table_root=table.root
         )

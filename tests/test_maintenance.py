@@ -404,3 +404,45 @@ def test_merge_snapshot_isolation(spark, table_root):
     src = _merge_source(spark, updates=range(0, 10), inserts=range(500, 505), deletes=[])
     t.merge(src)
     assert scan_fingerprint(t, snapshot_id=pre) == fp_pre
+
+
+def test_merge_bucket_partition_pruning(spark, table_root):
+    """On a table partitioned by bucket(clip_id, n) the key-range sweep
+    cannot prune anything (every file's [min,max] spans the key space);
+    the bucket-partition prune must bound the touched set to the
+    buckets the source keys actually hash into — and the merge result
+    must still be exact."""
+    from lakehouse.ops.merge import prune_files_by_key_bucket
+
+    spec = [
+        {"name": "kb", "transform": "bucket", "source": "clip_id", "n": 8}
+    ]
+    t = Table.create(spark, table_root, CLIPS_SCHEMA, partition_spec=spec)
+    base = synth_clips_pdf(range(160), seed=42, n_days=2)
+    t.append(
+        spark.createDataFrame(base, schema=CLIPS_SCHEMA),
+        target_file_count=16,
+    )
+    n_files = len(t.live_files())
+    assert n_files >= 8  # at least one file per hit bucket
+
+    # a single-key upsert can touch at most ONE bucket's files
+    src = _merge_source(spark, updates=range(0, 1), inserts=[], deletes=[])
+    live = t.plan().files
+    kept = prune_files_by_key_bucket(
+        spark, t.meta, src.select(CLIPS_SCHEMA.fieldNames()), "clip_id", live
+    )
+    hit_buckets = {e.partition["kb"] for e in kept}
+    assert len(hit_buckets) == 1
+    assert len(kept) < n_files
+
+    res = t.merge(src, key="clip_id")
+    assert res.files_touched <= len(kept)
+    got = {
+        r.clip_id: r.transcript
+        for r in t.scan().select("clip_id", "transcript").collect()
+    }
+    upd = synth_clips_pdf(range(0, 1), seed=777, n_days=2)
+    victim = base["clip_id"].iloc[0]
+    assert got[victim] == upd["transcript"].iloc[0]
+    assert len(got) == 160
