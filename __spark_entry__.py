@@ -503,6 +503,48 @@ def _q_audio_snr(spark, sf_dir):
     return out
 
 
+def _q_lh_audio_dedup_curation(spark, sf_dir):
+    """End-to-end curation flow (rows-only, self-verifying): a lakehouse
+    table with planted duplicate clips → dedup_clips (fingerprint →
+    pigeonhole Hamming pairs → merge-on-read equality delete of each
+    pair's greater id) → compact folds the delete in. Asserts the
+    delete commit rewrote nothing, exactly the planted copies vanished,
+    and a second pass is a no-op."""
+    from lakehouse import Table
+    from lakehouse.audio import dedup_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df, synth_clips_pdf
+
+    root = tempfile.mkdtemp(prefix="lh_dedup_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "clips"),
+        CLIPS_SCHEMA,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    t.append(synth_clips_df(spark, 96, seed=51, n_days=2), target_file_count=4)
+    dup = synth_clips_pdf(range(0, 6), seed=51, n_days=2)
+    dup["clip_id"] = [f"zz-dup-{i}" for i in range(6)]
+    t.append(spark.createDataFrame(dup, schema=CLIPS_SCHEMA), target_file_count=1)
+
+    files_before = {e.file_path for e in t.plan().files}
+    res = dedup_clips(t)
+    assert res.keys_deleted == 6, res
+    assert {e.file_path for e in t.plan().files} == files_before, (
+        "dedup delete must be merge-on-read (no data rewrite)"
+    )
+    t.compact()  # folds the delete in
+    assert t.plan().delete_files == []
+    out = t.scan().select("clip_id", "dur_ms").orderBy("clip_id")
+    ids = [r.clip_id for r in out.collect()]
+    assert len(ids) == 96 and not any(i.startswith("zz-dup") for i in ids)
+    res2 = dedup_clips(t)
+    assert res2.keys_deleted == 0 and res2.snapshot_id is None
+    return out
+
+
 def _q_lh_audio_roundtrip(spark, sf_dir):
     """Clips table through append→compact→cluster; PCM sha1 + transcript
     must be invariant (the per-row payload invariant, rows-only)."""
@@ -1073,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
+        "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
     }
 
 

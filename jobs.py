@@ -346,6 +346,26 @@ def cmd_stream_demo(args):
     _emit({"op": "stream-demo", **result})
 
 
+def cmd_dedup_clips(args):
+    """Near-dup clip removal: perceptual fingerprint → Hamming pairs →
+    merge-on-read delete of each pair's greater id."""
+    from lakehouse.audio import dedup_clips
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = dedup_clips(t, max_hamming=args.max_hamming)
+    _emit(
+        {
+            "op": "dedup-clips",
+            "clips_removed": res.keys_deleted,
+            "snapshot": res.snapshot_id,
+            "delete_file": res.delete_file,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_catalog(args):
     """Catalog verbs: create / register / unregister / tables / sql —
     the Glue-catalog analog as a launch-surface command
@@ -452,6 +472,9 @@ def main():
     t(s)
     s.add_argument("--from-snapshot", type=int, required=True)
     s.add_argument("--to-snapshot", type=int, default=None)
+    s = sub.add_parser("dedup-clips")
+    t(s)
+    s.add_argument("--max-hamming", type=int, default=3)
     s = sub.add_parser("catalog")
     s.add_argument("action",
                    choices=["create", "register", "unregister", "tables", "sql"])
@@ -481,6 +504,7 @@ def main():
         "rollback": cmd_rollback,
         "branch": cmd_branch,
         "cdc": cmd_cdc,
+        "dedup-clips": cmd_dedup_clips,
         "catalog": cmd_catalog,
     }[args.cmd](args)
 

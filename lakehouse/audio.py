@@ -550,3 +550,26 @@ def audio_dup_pairs(
         out_a="clip_a",
         out_b="clip_b",
     )
+
+
+def dedup_clips(table, *, id_col: str = "clip_id", max_hamming: int = 3):
+    """Remove near-duplicate clips from a lakehouse table — the full
+    training-data-curation flow in one call: fingerprint every clip
+    (one decode pass), find near-dup pairs via the pigeonhole Hamming
+    equi-join, and drop each pair's GREATER id with one merge-on-read
+    equality-delete commit (O(victims) write, no data file rewritten;
+    the rewrite folds in at the next maintenance pass).
+
+    Survivors are exactly the ids that never appear as the greater
+    member of a detected pair, so no detected pair survives intact and
+    a cluster's minimum id is always kept. Returns the
+    ``MorDeleteResult`` of the delete commit (``keys_deleted`` = number
+    of clips removed; None snapshot when the table was already clean).
+    """
+    from .ops.mor import delete_mor_keys
+
+    pairs = audio_dup_pairs(
+        table.scan(), id_col=id_col, max_hamming=max_hamming
+    )
+    victims = pairs.select(F.col("clip_b").alias(id_col)).distinct()
+    return delete_mor_keys(table, victims, key=id_col)

@@ -136,6 +136,14 @@ def delete_mor(
                 f"mode='cow', or a key the predicate covers exactly."
             )
 
+    return _commit_eq_delete(table, keys_df, key, log)
+
+
+def _commit_eq_delete(
+    table, keys_df, key: str, log: LineageLog, mode_label: str = "merge-on-read"
+) -> MorDeleteResult:
+    """Write a keys DataFrame as an equality delete file and commit it —
+    the shared tail of predicate-driven and key-set-driven MoR deletes."""
     out_rel_dir = f"data/{log.job_id}"
     out_abs = os.path.join(table.root, out_rel_dir)
     keys_df.repartition(1).write.parquet(out_abs)
@@ -158,7 +166,7 @@ def delete_mor(
         (),
         summary={
             "job_id": log.job_id,
-            "mode": "merge-on-read",
+            "mode": mode_label,
             "key": key,
             "keys_deleted": n_keys,
         },
@@ -166,6 +174,30 @@ def delete_mor(
     log.finish_task("delete_mor", [entry], files_in=[], bytes_in=0)
     log.finish_job({"snapshot_id": snap.snapshot_id, "keys_deleted": n_keys})
     return MorDeleteResult(log.job_id, snap.snapshot_id, n_keys, rel)
+
+
+def delete_mor_keys(
+    table,
+    keys_df,
+    *,
+    key: str = "clip_id",
+    job_id: Optional[str] = None,
+) -> MorDeleteResult:
+    """DELETE by explicit key set — merge-on-read.
+
+    ``keys_df`` is a one-column (or wider; only ``key`` is read)
+    DataFrame of key values to delete, e.g. the victim list of a
+    dedup pass. Semantics are the equality-delete semantics: EVERY
+    row carrying a listed key is removed. No validation passes — the
+    caller asserts the key set is exactly what it wants gone."""
+    log = LineageLog(table.root, job_id)
+    log.start_job("delete_mor_keys", {"key": key})
+    keys = (
+        keys_df.select(F.col(key))
+        .filter(F.col(key).isNotNull())
+        .distinct()
+    )
+    return _commit_eq_delete(table, keys, key, log)
 
 
 def delete_mor_positional(

@@ -301,3 +301,39 @@ def test_audio_dup_pairs_finds_planted_duplicates(spark):
     }
     assert planted <= got, planted - got
     assert got == planted, got - planted
+
+
+def test_dedup_clips_removes_planted_dups_mor(spark, tmp_path):
+    """Table-level curation flow: fingerprint → pair → MoR equality
+    delete of each pair's greater id. No data file rewritten; planted
+    copies gone, originals kept; second run is a no-op."""
+    from lakehouse import Table
+    from lakehouse.audio import dedup_clips
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "clips"),
+        CLIPS_SCHEMA,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"}
+        ],
+    )
+    t.append(synth_clips_df(spark, 60, seed=13, n_days=2), target_file_count=3)
+    dup = synth_clips_pdf(range(0, 4), seed=13, n_days=2)
+    originals = set(dup["clip_id"])
+    dup["clip_id"] = [f"zz-dup-{i}" for i in range(4)]
+    t.append(spark.createDataFrame(dup, schema=CLIPS_SCHEMA), target_file_count=1)
+    files_before = {e.file_path for e in t.plan().files}
+
+    res = dedup_clips(t)
+    assert res.keys_deleted == 4
+    assert {e.file_path for e in t.plan().files} == files_before
+    ids = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    assert len(ids) == 60
+    assert originals <= ids and not any(i.startswith("zz-dup") for i in ids)
+    # idempotent: a clean table commits nothing
+    res2 = dedup_clips(t)
+    assert res2.keys_deleted == 0 and res2.snapshot_id is None
