@@ -232,6 +232,26 @@ def main() -> None:
                 )
 
             timed("expire_gc", expire_gc)
+
+            # positional MoR delete of ~1% of rows + fold-in: the
+            # trickle-delete hot path (commit is O(matched rows), no
+            # data file rewritten) followed by the batched rewrite
+            def delete_pos_1pct():
+                t.delete(
+                    "pmod(xxhash64(clip_id), 100) = 0", mode="mor-pos"
+                )
+                t.materialize_deletes()
+
+            timed("delete_pos_1pct", delete_pos_1pct)
+
+            # full-corpus perceptual fingerprint + near-dup pair join
+            # (one decode pass over every clip + 4 pigeonhole equi-joins)
+            def audio_fp_dedup():
+                from lakehouse.audio import audio_dup_pairs
+
+                return audio_dup_pairs(t.scan()).count()
+
+            timed("audio_fp_dedup", audio_fp_dedup)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)
