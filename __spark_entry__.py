@@ -1042,6 +1042,137 @@ def _q_lh_files_metadata(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# event-time operators (lakehouse/streaming_agg.py)
+
+
+def _q_events_windowed_rollup(spark, sf_dir):
+    """Tumbling 15-min event-time window × event_type (reference defers
+    this to Athena over the Delta table; here it's one hash aggregate,
+    valid in batch and streaming mode alike)."""
+    from lakehouse.streaming_agg import windowed_rollup
+
+    ev = _events(spark, sf_dir)
+    return windowed_rollup(
+        ev, ts_col="ts", key_col="event_type", window="900 seconds",
+        sum_col="value",
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessions (30 min) per user — lag/cumsum over ONE
+    exchange on user_id, no Python boundary."""
+    from lakehouse.streaming_agg import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    return sessionize_batch(
+        ev, key_col="user_id", ts_col="ts", gap_s=1800, sum_col="value"
+    )
+
+
+_STREAM_CUTS = ["2024-01-04", "2024-01-08"]
+
+
+def _stream_batches(spark, sub, key_col):
+    """Time-ordered micro-batches split at _STREAM_CUTS plus a far-future
+    flush row that drives the watermark past every open session/window."""
+    parts, prev = [], None
+    for b in _STREAM_CUTS:
+        cond = (
+            F.col("ts") < b
+            if prev is None
+            else (F.col("ts") >= prev) & (F.col("ts") < b)
+        )
+        parts.append(sub.filter(cond))
+        prev = b
+    parts.append(sub.filter(F.col("ts") >= prev))
+    cols = ", ".join(
+        f"'zz_flush' AS {c}" if c == key_col
+        else "TIMESTAMP '2025-01-01 00:00:00' AS ts" if c == "ts"
+        else f"CAST(0.0 AS DOUBLE) AS {c}"
+        for c in sub.columns
+    )
+    return parts + [spark.sql(f"SELECT {cols}")]
+
+
+def _q_stream_sessionize_parity(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState +
+    event-time timeout) through a REAL file-source stream with restarts;
+    self-verifies row-for-row against the batch lag/cumsum twin, and the
+    returned (streaming) rows are oracle-checked against DuckDB."""
+    from lakehouse.streaming_agg import (
+        drive_batches,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    sub = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .select(F.col("user_id").cast("string").alias("user_id"), "ts", "value")
+    )
+    got = drive_batches(
+        spark,
+        lambda s: sessionize_stream(
+            s, key_col="user_id", ts_col="ts", gap_s=1800,
+            watermark="3600 seconds", sum_col="value",
+        ),
+        _stream_batches(spark, sub, "user_id"),
+    ).filter(F.col("user_id") != "zz_flush")
+    want = sessionize_batch(
+        sub, key_col="user_id", ts_col="ts", gap_s=1800, sum_col="value"
+    )
+    cols = ["user_id", "session_start_us", "session_end_us", "n", "total"]
+    g = [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()]
+    w = [tuple(r) for r in want.select(*cols).orderBy(*cols).collect()]
+    assert g == w, (
+        f"streaming sessions diverge from batch twin: {len(g)} vs {len(w)} "
+        f"rows; first diff: {next((a, b) for a, b in zip(g, w) if a != b) if g and w else None}"
+    )
+    return got
+
+
+def _q_stream_rollup_parity(spark, sf_dir):
+    """Watermarked tumbling-window aggregate through a real restarted
+    file stream; self-verifies against the batch twin on the same rows
+    (append-mode finalized windows must equal the batch hash aggregate)."""
+    from lakehouse.streaming_agg import drive_batches, windowed_rollup
+
+    sub = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .select("ts", "event_type", "value")
+    )
+    got = drive_batches(
+        spark,
+        lambda s: windowed_rollup(
+            s, ts_col="ts", key_col="event_type", window="3600 seconds",
+            watermark="3600 seconds", sum_col="value",
+        ),
+        _stream_batches(spark, sub, "event_type"),
+    ).filter(F.col("event_type") != "zz_flush")
+    want = windowed_rollup(
+        sub, ts_col="ts", key_col="event_type", window="3600 seconds",
+        sum_col="value",
+    )
+    cols = ["window_start_us", "window_end_us", "event_type", "n", "total"]
+    g = [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()]
+    w = [tuple(r) for r in want.select(*cols).orderBy(*cols).collect()]
+    assert g == w, (
+        f"streaming windows diverge from batch twin: {len(g)} vs {len(w)} rows"
+    )
+    return got
+
+
+_SESSIONIZE_SUB = (
+    "(SELECT CAST(user_id AS VARCHAR) AS user_id, ts, value "
+    "FROM events WHERE user_id % 20 = 0)"
+)
+_ROLLUP_SUB = (
+    "(SELECT ts, event_type, value FROM events WHERE user_id % 20 = 0)"
+)
+
+
 LH_CDC_ORACLE = """
 WITH ins AS (
     SELECT event_id + 50000000 AS event_id, ts, user_id, event_type,
@@ -1071,6 +1202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1_pricing,
         "segment_revenue": _q_segment_revenue,
         "window_top_purchase": _q_window_top_purchase,
+        # event-time operators (batch twins + streaming parity)
+        "events_windowed_rollup": _q_events_windowed_rollup,
+        "events_sessionize": _q_events_sessionize,
+        "stream_sessionize_parity": _q_stream_sessionize_parity,
+        "stream_rollup_parity": _q_stream_rollup_parity,
         # lakehouse maintenance core
         "lh_compact_scan_parity": _q_lh_compact,
         "lh_cluster_zorder_parity": _q_lh_cluster,
@@ -1133,6 +1269,10 @@ def oracle_sql() -> dict[str, str]:
         cosine_topk_oracle_sql,
         embedding_near_dup_oracle_sql,
     )
+    from lakehouse.streaming_agg import (
+        sessionize_oracle_sql,
+        windowed_rollup_oracle_sql,
+    )
     from lakehouse.textops import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
@@ -1180,6 +1320,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
             ) WHERE rn = 1
         """,
+        # event-time operators
+        "events_windowed_rollup": windowed_rollup_oracle_sql(
+            table="events", ts_col="ts", key_col="event_type",
+            window_s=900, sum_col="value",
+        ),
+        "events_sessionize": sessionize_oracle_sql(
+            table="events", key_col="user_id", ts_col="ts",
+            gap_s=1800, sum_col="value",
+        ),
+        "stream_sessionize_parity": sessionize_oracle_sql(
+            table=_SESSIONIZE_SUB, key_col="user_id", ts_col="ts",
+            gap_s=1800, sum_col="value",
+        ),
+        "stream_rollup_parity": windowed_rollup_oracle_sql(
+            table=_ROLLUP_SUB, ts_col="ts", key_col="event_type",
+            window_s=3600, sum_col="value",
+        ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,
         "lh_cluster_zorder_parity": EVENTS_OUT_SQL,

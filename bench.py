@@ -290,6 +290,8 @@ def main() -> None:
             "simhash64",
             "text_quality",
             "cosine_topk",
+            "events_windowed_rollup",
+            "events_sessionize",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 

@@ -1,0 +1,247 @@
+"""Event-time operators: windowed rollup + sessionization, batch ↔
+streaming parity and DuckDB-oracle agreement.
+
+The streaming paths run through a REAL file-source stream with a shared
+checkpoint (`drive_batches`), one micro-batch per run, so watermark
+advancement and event-time timeouts behave exactly as in production
+restarts — not a mocked MemoryStream.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse.streaming_agg import (
+    drive_batches,
+    sessionize_batch,
+    sessionize_oracle_sql,
+    sessionize_stream,
+    windowed_rollup,
+    windowed_rollup_oracle_sql,
+)
+
+
+BASE = 3600  # keep event times off epoch 0: Spark's pre-stateful late-row
+# filter is STRICT (ts > watermark) and the initial watermark is 0, so an
+# epoch-0 event would be dropped in the very first micro-batch.
+
+
+def _events_pdf():
+    """Deterministic per-key event timeline (seconds since BASE).
+
+    key a: bursts at 0-40s, then 200-220s (gap 160s)
+    key b: steady every 50s from 10s to 310s (gaps 50s, one session)
+    """
+    rows = []
+    for s, v in [(0, 1.0), (20, 2.0), (40, 3.0), (200, 4.0), (220, 5.0)]:
+        rows.append(("a", BASE + s, v))
+    for i in range(7):
+        rows.append(("b", BASE + 10 + 50 * i, 10.0 + i))
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "value": [r[2] for r in rows],
+        }
+    )
+
+
+def _spark_events(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.createDataFrame(_events_pdf())
+
+
+def _sorted_rows(df, cols, order=None):
+    return [
+        tuple(r)
+        for r in df.select(*cols).orderBy(*(order or cols)).collect()
+    ]
+
+
+COLS = ["user_id", "session_start_us", "session_end_us", "n", "total"]
+
+
+# ---------------------------------------------------------------------------
+# batch twins vs DuckDB oracle
+
+
+def test_sessionize_batch_matches_duckdb(spark):
+    df = _spark_events(spark)
+    got = _sorted_rows(
+        sessionize_batch(df, key_col="user_id", gap_s=100), COLS
+    )
+    con = duckdb.connect()
+    con.register("events", _events_pdf())
+    want = [
+        tuple(r)
+        for r in con.sql(
+            sessionize_oracle_sql(gap_s=100)
+            + " ORDER BY user_id, session_start_us"
+        ).fetchall()
+    ]
+    assert got == want
+    # shape sanity: a's 100s gap splits it; b's 50s gaps do not
+    a_sessions = [r for r in got if r[0] == "a"]
+    b_sessions = [r for r in got if r[0] == "b"]
+    assert len(a_sessions) == 2 and len(b_sessions) == 1
+    assert a_sessions[0][3] == 3 and a_sessions[1][3] == 2
+    assert b_sessions[0][3] == 7
+
+
+def test_windowed_rollup_batch_matches_duckdb(spark):
+    df = _spark_events(spark)
+    roll_cols = ["window_start_us", "window_end_us", "user_id", "n", "total"]
+    got = _sorted_rows(
+        windowed_rollup(
+            df, key_col="user_id", window="60 seconds", sum_col="value"
+        ),
+        roll_cols,
+        order=["window_start_us", "user_id"],
+    )
+    con = duckdb.connect()
+    con.register("events", _events_pdf())
+    want = [
+        tuple(r)
+        for r in con.sql(
+            windowed_rollup_oracle_sql(key_col="user_id", window_s=60)
+            + " ORDER BY 1, 3"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming parity (watermarks, event-time timeouts, late-row drops)
+
+
+def _split_batches(spark, pdf, cut_points, flush_s=100_000):
+    """Time-ordered micro-batches split at `cut_points` seconds, plus a
+    far-future flush row that drives the watermark past every session
+    and window so append-mode results finalize."""
+    batches = []
+    lo = -1
+    for hi in list(cut_points) + [10**9]:
+        part = pdf[(pdf.ts.astype("int64") // 10**9 > lo)
+                   & (pdf.ts.astype("int64") // 10**9 <= hi)]
+        if len(part):
+            batches.append(spark.createDataFrame(part))
+        lo = hi
+    flush = pd.DataFrame(
+        {
+            "user_id": ["zz_flush"],
+            "ts": pd.to_datetime([flush_s], unit="s"),
+            "value": [0.0],
+        }
+    )
+    batches.append(spark.createDataFrame(flush))
+    return batches
+
+
+def test_sessionize_stream_matches_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pdf = _events_pdf()
+    batches = _split_batches(spark, pdf, [BASE + 40, BASE + 150])
+    got = drive_batches(
+        spark,
+        lambda s: sessionize_stream(
+            s, key_col="user_id", gap_s=100, watermark="30 seconds"
+        ),
+        batches,
+    )
+    want = sessionize_batch(
+        _spark_events(spark), key_col="user_id", gap_s=100
+    )
+    got_rows = [t for t in _sorted_rows(got, COLS) if t[0] != "zz_flush"]
+    assert got_rows == _sorted_rows(want, COLS)
+
+
+def test_windowed_rollup_stream_matches_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pdf = _events_pdf()
+    batches = _split_batches(spark, pdf, [BASE + 40, BASE + 150])
+    out_cols = ["window_start_us", "user_id", "n", "total"]
+    got = drive_batches(
+        spark,
+        lambda s: windowed_rollup(
+            s,
+            key_col="user_id",
+            window="60 seconds",
+            watermark="30 seconds",
+            sum_col="value",
+        ),
+        batches,
+    )
+    want = windowed_rollup(
+        _spark_events(spark), key_col="user_id", window="60 seconds"
+    )
+    got_rows = [
+        t for t in _sorted_rows(got, out_cols) if t[1] != "zz_flush"
+    ]
+    assert got_rows == _sorted_rows(want, out_cols)
+
+
+def test_stream_drops_late_rows(spark):
+    """A row older than the watermark at arrival time is dropped by the
+    stateful operator — the batch twin over the surviving rows is the
+    reference result."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pdf = _events_pdf()
+    on_time = _split_batches(spark, pdf, [BASE + 150])
+    late = pd.DataFrame(
+        {
+            "user_id": ["a"],
+            "ts": pd.to_datetime([BASE + 5], unit="s"),  # watermark long past
+            "value": [99.0],
+        }
+    )
+    # inject the late row after the second real batch, before the flush
+    batches = on_time[:-1] + [spark.createDataFrame(late)] + on_time[-1:]
+    got = drive_batches(
+        spark,
+        lambda s: sessionize_stream(
+            s, key_col="user_id", gap_s=100, watermark="30 seconds"
+        ),
+        batches,
+    )
+    want = sessionize_batch(
+        _spark_events(spark), key_col="user_id", gap_s=100
+    )
+    got_rows = [t for t in _sorted_rows(got, COLS) if t[0] != "zz_flush"]
+    assert got_rows == _sorted_rows(want, COLS)  # late 99.0 not counted
+    assert not any(abs(t[4] - 99.0) < 1e-9 for t in got_rows)
+
+
+def test_sessionize_stream_out_of_order_within_gap(spark):
+    """Cross-batch out-of-order rows above the watermark merge into the
+    open session (extending its start backward when needed)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def b(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                    "value": [float(r[2]) for r in rows],
+                }
+            )
+        )
+
+    batches = [
+        b([("a", 50, 1.0)]),
+        b([("a", 30, 2.0)]),  # older than open start, within gap, on time
+        b([("zz_flush", 100_000, 0.0)]),
+    ]
+    got = drive_batches(
+        spark,
+        lambda s: sessionize_stream(
+            s, key_col="user_id", gap_s=100, watermark="600 seconds"
+        ),
+        batches,
+    )
+    rows = [t for t in _sorted_rows(got, COLS) if t[0] == "a"]
+    assert rows == [("a", 30_000_000, 50_000_000, 2, 3.0)]
