@@ -293,6 +293,39 @@ def _q_lh_merge(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_merge_mor(spark, sf_dir):
+    """Same MERGE as lh_merge_upsert but merge-on-read: one commit of
+    equality-delete file + appended source rows, zero target rewrites;
+    the scan (delete applied at read) must match the same SQL oracle."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact()
+    ev = _events(spark, sf_dir)
+    is_del = (F.col("event_type") == "error") & (F.col("user_id") % 5 == 0)
+    upd = (
+        ev.filter((F.col("user_id") % 7 == 0) & ~is_del)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("event_type", F.lit("updated"))
+    )
+    dels = ev.filter(is_del).withColumn("op", F.lit("delete"))
+    ins = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 13 == 0))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("event_type", F.lit("inserted"))
+        .withColumn("value", F.lit(1.0))
+    )
+    src = upd.withColumn("op", F.lit(None).cast("string")).unionByName(
+        dels
+    ).unionByName(ins.withColumn("op", F.lit(None).cast("string")))
+    files_before = {e.file_path for e in t.plan().files}
+    res = t.merge(src, key="event_id", mode="mor")
+    assert res.files_touched == 0, "MoR merge must rewrite no target file"
+    assert files_before <= {e.file_path for e in t.plan().files}, (
+        "MoR merge removed a pre-existing data file"
+    )
+    assert len(t.plan().delete_files) == 1
+    return _events_out(t.scan())
+
+
 LH_MERGE_ORACLE = """
 WITH ev AS (SELECT * FROM events),
 dels AS (
@@ -1215,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
         "lh_expire_gc_scan_parity": _q_lh_expire_gc,
         "lh_merge_upsert": _q_lh_merge,
+        "lh_merge_mor": _q_lh_merge_mor,
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
         "lh_delete_mor": _q_lh_delete_mor,
@@ -1346,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'",
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
+        "lh_merge_mor": LH_MERGE_ORACLE,
         "lh_delete_cow": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_delete_mor": EVENTS_OUT_SQL

@@ -225,6 +225,29 @@ def main() -> None:
 
             timed("merge_10pct", merge_10pct)
 
+            # same 10% upsert, merge-on-read: one commit of equality-
+            # delete file + appends, ZERO target rewrites — the hot
+            # 10^12-row upsert path (contrast with merge_10pct's COW
+            # rewrite cost); the following fold-in prices the deferred
+            # rewrite
+            def merge_mor_10pct():
+                src = (
+                    t.scan()
+                    .filter(F.xxhash64("clip_id") % 10 == 5)
+                    .withColumn(
+                        "transcript",
+                        F.concat(F.col("transcript"), F.lit(" [v3]")),
+                    )
+                )
+                t.merge(src, key="clip_id", mode="mor")
+
+            timed("merge_mor_10pct", merge_mor_10pct)
+
+            def merge_mor_fold_in():
+                t.materialize_deletes()
+
+            timed("merge_mor_fold_in", merge_mor_fold_in)
+
             def expire_gc():
                 t.expire_snapshots(keep_last=1)
                 t.remove_orphan_files(

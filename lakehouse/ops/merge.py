@@ -88,6 +88,25 @@ class MergeResult:
     rows_written: int
 
 
+def conform_merge_source(schema, source: DataFrame, op_col: str) -> DataFrame:
+    """Schema-conform a MERGE source (cast/null-fill every table column,
+    cf. schema.conform) and carry the op marker as ``__op`` — a single
+    projection so lineage stays one plan. Shared by the COW and MoR
+    merge paths."""
+    has_op = op_col in source.columns
+    op_expr = (
+        F.col(op_col).cast("string") if has_op else F.lit(None).cast("string")
+    )
+    present = set(source.columns)
+    cols_expr = []
+    for f in schema.fields:
+        if f.name in present:
+            cols_expr.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols_expr.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return source.select(*cols_expr, op_expr.alias("__op"))
+
+
 def _range_arrays(spark, live, key, key_type):
     """File [min,max] key ranges as numpy arrays for the interval sweep.
 
@@ -407,20 +426,7 @@ def merge_into(
     if key not in [f.name for f in schema.fields]:
         raise MergeError(f"merge key {key!r} not in table schema")
 
-    has_op = op_col in source.columns
-    op_expr = (
-        F.col(op_col).cast("string") if has_op else F.lit(None).cast("string")
-    )
-    # schema-conform (cast/null-fill, cf. schema.conform) plus the op
-    # column, in a single projection so lineage stays one plan
-    present = set(source.columns)
-    cols_expr = []
-    for f in schema.fields:
-        if f.name in present:
-            cols_expr.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols_expr.append(F.lit(None).cast(f.dataType).alias(f.name))
-    src = source.select(*cols_expr, op_expr.alias("__op"))
+    src = conform_merge_source(schema, source, op_col)
     # the source plan is reused by the stats pass, the join build, and
     # (broadcast path) the insert anti-join — persist it so an arbitrary
     # user plan (e.g. a filtered table scan) executes once, not 3×

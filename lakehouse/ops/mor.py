@@ -139,12 +139,10 @@ def delete_mor(
     return _commit_eq_delete(table, keys_df, key, log)
 
 
-def _commit_eq_delete(
-    table, keys_df, key: str, log: LineageLog, mode_label: str = "merge-on-read"
-) -> MorDeleteResult:
-    """Write a keys DataFrame as an equality delete file and commit it —
-    the shared tail of predicate-driven and key-set-driven MoR deletes."""
-    out_rel_dir = f"data/{log.job_id}"
+def _write_eq_delete_file(table, keys_df, key: str, out_rel_dir: str):
+    """Write a keys DataFrame as one Parquet equality-delete file under
+    ``out_rel_dir``; returns its (uncommitted) manifest entry with
+    ``content="deletes"``. Shared by MoR DELETE and MoR MERGE."""
     out_abs = os.path.join(table.root, out_rel_dir)
     keys_df.repartition(1).write.parquet(out_abs)
     names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
@@ -156,6 +154,15 @@ def _commit_eq_delete(
         sort_order=f"eqdelete({key})",
     )
     entry.content = "deletes"
+    return entry, rel
+
+
+def _commit_eq_delete(
+    table, keys_df, key: str, log: LineageLog, mode_label: str = "merge-on-read"
+) -> MorDeleteResult:
+    """Write a keys DataFrame as an equality delete file and commit it —
+    the shared tail of predicate-driven and key-set-driven MoR deletes."""
+    entry, rel = _write_eq_delete_file(table, keys_df, key, f"data/{log.job_id}")
     n_keys = entry.record_count
     if n_keys == 0:
         log.finish_job({"snapshot_id": None, "keys_deleted": 0})
@@ -198,6 +205,136 @@ def delete_mor_keys(
         .distinct()
     )
     return _commit_eq_delete(table, keys, key, log)
+
+
+def merge_into_mor(
+    table,
+    source,
+    *,
+    key: str = "clip_id",
+    op_col: str = "op",
+    target_file_count: Optional[int] = None,
+    job_id: Optional[str] = None,
+    extra_summary: Optional[dict] = None,
+):
+    """MERGE INTO — merge-on-read. ONE commit carrying an equality
+    delete file of EVERY source key plus appended data files for the
+    non-delete source rows.
+
+    Why it works: all entries of a commit share one sequence number, and
+    readers apply an equality delete only to data files with *strictly
+    smaller* seq (meta/scan.py sequence rule). So the delete file
+    retires every pre-existing row of a source key (matched UPDATE and
+    matched DELETE alike) while the rows appended in the same commit —
+    the new versions — survive it. Net MERGE semantics identical to the
+    COW path (same closed form: anti-join ∪ source-minus-deletes),
+    verified row-for-row in tests/test_mor.py.
+
+    Scale shape: the hot 10^12-row upsert path. Write cost is
+    O(source rows) — one tiny delete file + appends — with ZERO target
+    data-file reads or rewrites, vs COW's O(touched file bytes); read
+    cost until the next ``materialize_deletes`` is one broadcast
+    anti-join per scan. Insert-only keys ride in the delete file too
+    (they match nothing — harmless), which is what keeps the operator
+    free of any target probe.
+
+    Requires non-null, unique source keys (checked in one narrow pass);
+    a key column whose duplicates are meaningful needs the COW path.
+    """
+    from pyspark import StorageLevel
+
+    from ..errors import MergeError
+    from .merge import DELETE_OP, MergeResult, conform_merge_source
+
+    schema = table.schema
+    if key not in [f.name for f in schema.fields]:
+        raise MergeError(f"merge key {key!r} not in table schema")
+    spark = table.spark
+    meta = table.meta
+    src = conform_merge_source(schema, source, op_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        stats = src.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(key).alias("nonnull"),
+            F.countDistinct(key).alias("dist"),
+        ).collect()[0]
+        n_rows = int(stats.rows or 0)
+        if n_rows == 0:
+            return MergeResult(job_id or "merge-mor-empty", None, 0, 0, 0)
+        if int(stats.nonnull) < n_rows:
+            raise MergeError(
+                f"merge-on-read MERGE: {n_rows - int(stats.nonnull)} source "
+                f"rows have a NULL {key!r} — an equality delete cannot "
+                f"target them. Use the copy-on-write path."
+            )
+        if int(stats.dist) < n_rows:
+            raise MergeError(
+                "duplicate source keys; MERGE requires a unique "
+                f"{key} per source row"
+            )
+
+        log = LineageLog(table.root, job_id)
+        log.start_job("merge_mor", {"key": key, "src_rows": n_rows})
+
+        if target_file_count is None:
+            # size appends like the COW path (~128 MB targets) from
+            # manifest stats alone — no target data read
+            live = table.plan().files
+            tb = sum(e.file_size_bytes for e in live)
+            tr = sum(e.record_count for e in live)
+            avg_row = tb / tr if tr else 1024
+            target_file_count = max(
+                1, -(-int(n_rows * avg_row) // (128 * 1024 * 1024))
+            )
+
+        not_delete = (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
+        cols = [f.name for f in schema.fields]
+        data_entries = write_data_files(
+            spark,
+            table.root,
+            meta.schema_json,
+            meta.partition_spec,
+            src.filter(not_delete).select(*cols),
+            target_file_count=target_file_count,
+            job_dir=f"data/{log.job_id}",
+        )
+        # after the data write: Spark's parquet save refuses a pre-
+        # existing target path, and data/{job}/deletes nested first
+        # would make data/{job} exist
+        del_entry, _rel = _write_eq_delete_file(
+            table, src.select(F.col(key)), key, f"data/{log.job_id}/deletes"
+        )
+        rows_written = sum(e.record_count for e in data_entries)
+        snap = table._commit_files(
+            "merge",
+            [del_entry] + data_entries,
+            (),
+            summary={
+                "job_id": log.job_id,
+                "mode": "merge-on-read",
+                "key": key,
+                "keys_in_delete_file": del_entry.record_count,
+                "rows_written": rows_written,
+                **(extra_summary or {}),
+            },
+        )
+        log.finish_task(
+            "merge_mor", [del_entry] + data_entries, files_in=[], bytes_in=0
+        )
+        log.finish_job(
+            {"snapshot_id": snap.snapshot_id, "rows_written": rows_written}
+        )
+        return MergeResult(
+            log.job_id,
+            snap.snapshot_id,
+            0,  # files_touched: no target file read or rewritten
+            len(data_entries),
+            rows_written,
+        )
+    finally:
+        src.unpersist()
 
 
 def delete_mor_positional(

@@ -547,7 +547,21 @@ class Table:
 
         return _gc(self, **kw)
 
-    def merge(self, source: DataFrame, **kw):
+    def merge(self, source: DataFrame, *, mode: str = "cow", **kw):
+        """MERGE INTO. ``mode="cow"`` rewrites touched target files
+        (pruned, keys-only anti-join); ``mode="mor"`` writes one commit
+        of equality-delete file + appended source rows — O(source) write
+        cost, zero target reads, deferred rewrite via
+        ``materialize_deletes``/maintenance."""
+        if mode == "mor":
+            from .ops.mor import merge_into_mor as _merge_mor
+
+            # no materialization needed: the new delete gets a NEW seq,
+            # and rows appended in this commit share it (so survive);
+            # pending older deletes keep applying to their older files
+            return _merge_mor(self, source, **kw)
+        if mode != "cow":
+            raise ValueError(f"unknown merge mode: {mode!r}")
         from .ops.merge import merge_into as _merge
 
         self._materialize_pending_deletes()

@@ -385,3 +385,96 @@ def test_row_changes_sees_pos_delete(spark, table_root):
     dels = cdc.filter("_change_type = 'delete'")
     assert dels.count() == res.keys_deleted
     assert dels.filter("dur_ms <= 2000").count() == 0
+
+
+# --- merge-on-read MERGE -----------------------------------------------------
+
+
+def test_merge_mor_equals_cow_and_rewrites_nothing(spark, tmp_path):
+    """MoR MERGE (one commit: equality-delete file + appends) must be
+    row-identical to the COW merge on the same source, with ZERO target
+    data files read or rewritten, and must survive materialization."""
+    from test_maintenance import (
+        _merge_source,
+        make_small_file_table,
+        scan_fingerprint,
+    )
+
+    t_cow = make_small_file_table(spark, str(tmp_path / "cow"), rows=100, appends=2)
+    t_mor = make_small_file_table(spark, str(tmp_path / "mor"), rows=100, appends=2)
+    src = _merge_source(
+        spark, updates=range(0, 20), inserts=range(1000, 1015),
+        deletes=range(20, 30),
+    )
+    t_cow.merge(src, key="clip_id")
+
+    files_before = {e.file_path for e in t_mor.live_files()}
+    res = t_mor.merge(src, key="clip_id", mode="mor")
+    assert res.snapshot_id is not None
+    assert res.files_touched == 0  # no target file rewritten
+    # every pre-merge data file is still live (append-only commit)...
+    assert files_before <= {e.file_path for e in t_mor.live_files()}
+    # ...retired rows hide behind exactly one equality delete file
+    dels = t_mor.plan().delete_files
+    assert len(dels) == 1 and not dels[0].is_pos_delete
+
+    assert scan_fingerprint(t_mor) == scan_fingerprint(t_cow)
+
+    # updated keys appended in the SAME commit as the delete survive it
+    # (same seq — the strict sequence rule), already implied by the
+    # fingerprint; materialization folds the delete in unchanged
+    fp = scan_fingerprint(t_mor)
+    t_mor.materialize_deletes()
+    assert t_mor.plan().delete_files == []
+    assert scan_fingerprint(t_mor) == fp
+
+
+def test_merge_mor_rejects_null_and_duplicate_keys(spark, table_root):
+    import pandas as pd
+
+    from lakehouse.errors import MergeError
+
+    t = _table(spark, table_root)
+    pdf = synth_clips_pdf(range(0, 4), seed=42, n_days=2)
+    dup = pd.concat([pdf, pdf.iloc[[0]]], ignore_index=True)
+    with pytest.raises(MergeError, match="duplicate"):
+        t.merge(
+            spark.createDataFrame(dup, schema=CLIPS_SCHEMA),
+            key="clip_id", mode="mor",
+        )
+    from pyspark.sql import types as T
+
+    nul = pdf.copy()
+    nul.loc[0, "clip_id"] = None
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CLIPS_SCHEMA.fields]
+    )
+    with pytest.raises(MergeError, match="NULL"):
+        t.merge(
+            spark.createDataFrame(nul, schema=nullable),
+            key="clip_id", mode="mor",
+        )
+
+
+def test_merge_mor_then_reinsert_seq_rule(spark, table_root):
+    """A key deleted by a MoR merge and appended LATER must resurface
+    (later seq), while the merge's own rows keep shadowing the originals."""
+    t = _table(spark, table_root)
+    victim_pdf = synth_clips_pdf(range(0, 1), seed=42, n_days=2)
+    victim = victim_pdf["clip_id"].iloc[0]
+    victim_pdf["op"] = "delete"
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        CLIPS_SCHEMA.fields + [T.StructField("op", T.StringType(), True)]
+    )
+    t.merge(
+        spark.createDataFrame(victim_pdf, schema=schema),
+        key="clip_id", mode="mor",
+    )
+    assert victim not in _ids(t)
+    t.append(spark.createDataFrame(
+        synth_clips_pdf(range(0, 1), seed=42, n_days=2), schema=CLIPS_SCHEMA
+    ))
+    assert victim in _ids(t)
