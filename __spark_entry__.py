@@ -820,6 +820,72 @@ def _q_lh_delete_mor_pos(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_delete_convert(spark, sf_dir):
+    """Minor delete compaction (eq->pos conversion, the round-2 delete
+    maintenance midpoint): two equality MoR deletes plus one positional
+    delete pending, then convert_deletes() folds all three into ONE
+    positional delete file with ZERO data rewrites (asserted) and an
+    identical visible row set; materialize then folds that in
+    unchanged. Oracle = plain SQL with all three predicates negated."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.delete(
+        "event_type = 'error' AND user_id % 3 = 0", mode="mor", key="event_id"
+    )
+    t.delete(
+        "event_type = 'purchase' AND user_id % 7 = 0",
+        mode="mor",
+        key="event_id",
+    )
+    t.delete("event_type = 'click' AND user_id % 5 = 0", mode="mor-pos")
+    files_before = {e.file_path for e in t.plan().files}
+    n_mor = t.scan().count()
+    res = t.convert_deletes()
+    assert res.eq_files_converted == 2 and res.pos_files_compacted == 1
+    assert {e.file_path for e in t.plan().files} == files_before, (
+        "convert_deletes must not touch data files"
+    )
+    dels = t.plan().delete_files
+    assert len(dels) == 1 and dels[0].is_pos_delete
+    assert t.scan().count() == n_mor, "conversion changed the row set"
+    t.materialize_deletes()
+    assert t.plan().delete_files == []
+    assert t.scan().count() == n_mor
+    return _events_out(t.scan())
+
+
+def _q_lh_count_pushdown(spark, sf_dir):
+    """Metadata-only aggregate pushdown (Iceberg/Delta answer
+    SELECT COUNT/MIN/MAX from table metadata; the reference's analysts
+    run exactly such probes through Athena, README.md:104-114): a
+    date-range count + user_id min/max over the partitioned table must
+    come ENTIRELY from manifest stats — zero files read (asserted) —
+    and match the SQL oracle computed from the data."""
+    import datetime as dt
+
+    t = _events_table(spark, sf_dir, appends=2)
+    flt = [
+        ("event_date", ">=", dt.date(2024, 1, 5)),
+        ("event_date", "<=", dt.date(2024, 1, 9)),
+    ]
+    cnt = t.count_rows(filter=flt)
+    assert cnt.fallback is None and cnt.files_scanned == 0, (
+        "partition-aligned count must be pure metadata"
+    )
+    mm = t.min_max(["user_id"], filter=flt)
+    assert mm.files_scanned == 0, "numeric min/max must be pure metadata"
+    lo, hi = mm.per_column["user_id"]
+    # cross-check the metadata answers against a real scan before
+    # handing them to the driver's oracle compare
+    real = t.scan(filter=flt).agg(
+        F.count(F.lit(1)), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    assert (cnt.value, lo, hi) == (real[0], real[1], real[2])
+    return spark.createDataFrame(
+        [(cnt.value, lo, hi)],
+        "cnt bigint, min_user bigint, max_user bigint",
+    )
+
+
 def _q_lh_datasource_scan(spark, sf_dir):
     """Registered-format read surface: ``spark.read.format("lakehouse")``
     over a table with a pending merge-on-read delete. The WHERE clause is
@@ -1253,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_cow": _q_lh_delete,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
+        "lh_delete_convert": _q_lh_delete_convert,
+        "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
@@ -1387,6 +1455,15 @@ def oracle_sql() -> dict[str, str]:
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_delete_mor_pos": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'click' AND user_id % 5 = 0)",
+        "lh_count_pushdown": (
+            "SELECT COUNT(*) AS cnt, MIN(user_id) AS min_user, "
+            "MAX(user_id) AS max_user FROM (" + EVENTS_OUT_SQL + ") "
+            "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
+        ),
+        "lh_delete_convert": EVENTS_OUT_SQL
+        + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"
+        + " AND NOT (event_type = 'purchase' AND user_id % 7 = 0)"
+        + " AND NOT (event_type = 'click' AND user_id % 5 = 0)",
         "lh_datasource_scan": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"
         + " AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'"

@@ -243,6 +243,15 @@ def main() -> None:
 
             timed("merge_mor_10pct", merge_mor_10pct)
 
+            # minor delete compaction: resolve the pending equality
+            # delete to ONE positional file (key-column-only read, no
+            # data rewrite) — the cheap midpoint the fold-in then
+            # finishes from
+            def eq_to_pos_convert():
+                t.convert_deletes()
+
+            timed("eq_to_pos_convert", eq_to_pos_convert)
+
             def merge_mor_fold_in():
                 t.materialize_deletes()
 

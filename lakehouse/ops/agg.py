@@ -1,0 +1,207 @@
+"""Metadata-only aggregates (Iceberg/Spark "aggregate pushdown" —
+COUNT/MIN/MAX answered from manifest stats instead of data reads).
+
+The reference's analysts run ``SELECT count(*)`` -style probes over the
+lakehouse table through Athena (/root/reference/README.md:104-114);
+Delta/Iceberg answer those from table metadata. At 100 TB this is the
+difference between a millisecond manifest sweep and a full scan: a
+count with a partition/range filter touches ZERO data bytes when every
+kept file either fully matches the predicate (decided from the same
+per-file min/max/null stats the planner already prunes with) or was
+pruned; only boundary files — the ones a range predicate genuinely
+splits — are read, column-pruned to the predicate columns.
+
+Correctness: falls back to the real scan whenever merge-on-read
+deletes are pending (a delete file hides rows the manifests still
+count; no metadata shortcut is sound, equality deletes are not
+subtractable without the key join) — pytest gates both paths against
+``scan().count()``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional
+
+from pyspark.sql import functions as F
+
+from ..expressions import (
+    Predicate,
+    _cmp_key,
+    matches_partition,
+    normalize_filter,
+    to_sql,
+)
+
+
+def _always_matches_stats(
+    pred: Predicate, stats: Optional[Mapping[str, Any]]
+) -> bool:
+    """Dual of expressions.matches_stats: does EVERY row of a file with
+    ``stats`` satisfy ``pred``? Conservative: False when stats are
+    missing or inconclusive (the file is then scanned, never skipped).
+
+    SQL three-valued logic: a NULL fails every comparison predicate, so
+    all comparison arms additionally require ``nulls == 0``.
+    """
+    if stats is None:
+        return False
+    lo, hi = stats.get("min"), stats.get("max")
+    nulls, rows = stats.get("nulls"), stats.get("rows")
+    v = _cmp_key(pred.value)
+
+    if pred.op == "is_null":
+        return nulls is not None and rows is not None and nulls >= rows
+    if pred.op == "not_null":
+        return nulls == 0
+    if lo is None or hi is None or nulls is None or nulls > 0:
+        return False
+    try:
+        if pred.op == "=":
+            return lo == hi == v
+        if pred.op == "!=":
+            return hi < v or lo > v
+        if pred.op == "<":
+            return hi < v
+        if pred.op == "<=":
+            return hi <= v
+        if pred.op == ">":
+            return lo > v
+        if pred.op == ">=":
+            return lo >= v
+        if pred.op == "in":
+            return lo == hi and any(lo == _cmp_key(x) for x in pred.value)
+    except TypeError:
+        return False
+    return False
+
+
+def _file_fully_matches(entry, preds) -> bool:
+    for p in preds:
+        # identity-partition value: exact, every row shares it
+        if p.col in (entry.partition or {}):
+            if not matches_partition(p, entry.partition):
+                return False
+            continue
+        if not _always_matches_stats(p, entry.stats.get(p.col)):
+            return False
+    return True
+
+
+def _exact_stat(st: Optional[Mapping[str, Any]]) -> bool:
+    """Are a column's manifest min/max the EXACT extrema (usable as
+    answer values, not just prune bounds)? String stats are truncated
+    at _STR_STAT_MAX chars (min = prefix lower bound, max widened with
+    a high codepoint) — outer bounds are safe for pruning and for the
+    full-match dual, but not as answers; a 64-char string is
+    indistinguishable from a truncated one, so require strictly
+    shorter."""
+    from ..meta.manifests import _STR_STAT_MAX
+
+    if st is None:
+        return False
+    lo, hi = st.get("min"), st.get("max")
+    if lo is None or hi is None:
+        return False
+    for v in (lo, hi):
+        if isinstance(v, str) and len(v) >= _STR_STAT_MAX:
+            return False
+    return True
+
+
+@dataclass
+class AggResult:
+    """One metadata-first aggregate answer plus its evidence."""
+
+    value: Any
+    files_metadata_only: int
+    files_scanned: int
+    fallback: Optional[str] = None
+    per_column: dict[str, Any] = field(default_factory=dict)
+
+
+def count_rows(table, *, filter=None) -> AggResult:  # noqa: A002
+    """COUNT(*) with optional AND-of-predicates filter. Kept files that
+    fully match contribute their manifest ``record_count``; boundary
+    files are read with the residual predicate (Catalyst prunes the
+    read to the predicate columns — a count scans no payload bytes)."""
+    preds = normalize_filter(filter)
+    plan = table.plan(filter=filter)
+    if plan.delete_files:
+        df = table.scan(filter=filter)
+        return AggResult(df.count(), 0, len(plan.files), "mor-deletes-pending")
+    full, partial = [], []
+    for e in plan.files:
+        (full if _file_fully_matches(e, preds) else partial).append(e)
+    n = sum(e.record_count for e in full)
+    if partial:
+        df = table.spark.read.schema(table.schema).parquet(
+            *[os.path.join(table.root, e.file_path) for e in partial]
+        )
+        residual = to_sql(preds)
+        if residual:
+            df = df.filter(residual)
+        n += df.count()
+    return AggResult(int(n), len(full), len(partial))
+
+
+def min_max(table, columns, *, filter=None) -> AggResult:  # noqa: A002
+    """MIN/MAX per column with optional filter. Fully-matching files
+    answer from manifest min/max (SQL MIN/MAX ignore nulls, exactly
+    like the stats do); boundary files are read column-pruned to
+    ``columns`` + predicate columns. Returns ``per_column`` as
+    ``{col: (min, max)}`` in stats encoding (temporal values as ISO
+    strings — callers compare like-for-like)."""
+    preds = normalize_filter(filter)
+    plan = table.plan(filter=filter)
+    if plan.delete_files:
+        df = table.scan(filter=filter)
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in columns],
+            *[F.max(c).alias(f"mx_{c}") for c in columns],
+        ).collect()[0]
+        per = {
+            c: (
+                _cmp_key(row[f"mn_{c}"]),
+                _cmp_key(row[f"mx_{c}"]),
+            )
+            for c in columns
+        }
+        return AggResult(
+            per, 0, len(plan.files), "mor-deletes-pending", per_column=per
+        )
+    full, partial = [], []
+    for e in plan.files:
+        ok = _file_fully_matches(e, preds) and all(
+            _exact_stat(e.stats.get(c)) for c in columns
+        )
+        (full if ok else partial).append(e)
+    per: dict[str, list] = {c: [None, None] for c in columns}
+
+    def fold(c, lo, hi):
+        cur = per[c]
+        if lo is not None and (cur[0] is None or lo < cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi > cur[1]):
+            cur[1] = hi
+
+    for e in full:
+        for c in columns:
+            st = e.stats[c]
+            fold(c, st["min"], st["max"])
+    if partial:
+        df = table.spark.read.schema(table.schema).parquet(
+            *[os.path.join(table.root, e.file_path) for e in partial]
+        )
+        residual = to_sql(preds)
+        if residual:
+            df = df.filter(residual)
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in columns],
+            *[F.max(c).alias(f"mx_{c}") for c in columns],
+        ).collect()[0]
+        for c in columns:
+            fold(c, _cmp_key(row[f"mn_{c}"]), _cmp_key(row[f"mx_{c}"]))
+    out = {c: (per[c][0], per[c][1]) for c in columns}
+    return AggResult(out, len(full), len(partial), per_column=out)

@@ -64,6 +64,15 @@ class MaterializeResult:
     files_written: int
 
 
+@dataclass
+class ConvertDeletesResult:
+    job_id: str
+    snapshot_id: Optional[int]
+    eq_files_converted: int
+    pos_files_compacted: int
+    positions_written: int
+
+
 def delete_mor(
     table,
     predicate,
@@ -460,6 +469,178 @@ def _range_intersects(fstats: dict, dstats: dict) -> bool:
         return not (fhi < dlo or dhi < flo)
     except TypeError:
         return True
+
+
+def convert_deletes(
+    table,
+    *,
+    job_id: Optional[str] = None,
+) -> ConvertDeletesResult:
+    """Minor delete compaction: resolve every pending EQUALITY delete to
+    row positions and merge them — together with all existing positional
+    delete files — into ONE positional delete file. No data file is
+    rewritten (Iceberg's published counterpart: eq→pos conversion +
+    RewritePositionDeleteFiles, re-expressed Spark-first).
+
+    Why at 10^12 rows: trickle MoR commits accumulate one equality key
+    set per commit, and every scan re-probes ALL of them with a
+    broadcast anti-join whose build side grows with the backlog.
+    Conversion caps scan-side cost at one (path, pos) anti-join sized
+    exactly by the hidden-row count, restores tight file-level pruning
+    (positional entries prune by min/max ``file_path`` stats), and
+    collapses K delete files to 1 — all for the price of ONE
+    column-pruned pass over the key column(s) of candidate files
+    (seq < delete.seq and key-range intersecting, from manifest stats).
+    Contrast ``materialize_deletes``, which rewrites full data bytes.
+
+    Seq correctness: the semi-join keeps the strict ``delete.seq >
+    data.seq`` rule, so a key deleted-then-re-appended contributes
+    positions only for its pre-delete rows; the combined file commits
+    with a NEW seq, larger than every live data file's, and positions
+    name exact rows — re-appends after conversion land in new paths and
+    are untouched.
+    """
+    from pyspark.sql import types as T
+
+    from ..meta.scan import _split_delete_kinds, _union_seq_groups
+
+    spark = table.spark
+    plan = table.plan()
+    dels = plan.delete_files
+    eq_dels, pos_dels = _split_delete_kinds(dels)
+    if not eq_dels and len(pos_dels) <= 1:
+        return ConvertDeletesResult("noop", None, 0, 0, 0)
+
+    log = LineageLog(table.root, job_id)
+    log.start_job(
+        "convert_deletes",
+        {"eq_files": len(eq_dels), "pos_files": len(pos_dels)},
+    )
+
+    parts = []
+    if eq_dels:
+        # candidate data files: any eq delete may touch them (manifest
+        # stats only — same prune as materialize, no data read to plan)
+        affected = [
+            e
+            for e in plan.files
+            if any(
+                e.seq < d.seq
+                and _range_intersects(
+                    e.stats.get(d.delete_key) or {},
+                    d.stats.get(d.delete_key) or {},
+                )
+                for d in eq_dels
+            )
+        ]
+        if affected:
+            by_key: dict[str, list] = {}
+            for d in eq_dels:
+                by_key.setdefault(d.delete_key, []).append(d)
+            need = sorted(by_key)
+            # read ONLY the delete-key column(s): the reduced schema
+            # prunes the parquet scan to keys + _metadata
+            reduced = T.StructType(
+                [f for f in table.schema.fields if f.name in need]
+            )
+            by_seq: dict[int, list[str]] = {}
+            for e in affected:
+                by_seq.setdefault(e.seq, []).append(
+                    os.path.join(table.root, e.file_path)
+                )
+            df = _union_seq_groups(
+                spark, reduced, by_seq, rel_prefix=table.root
+            )
+            for key in need:
+                ddf = None
+                for d in by_key[key]:
+                    one = spark.read.parquet(
+                        os.path.join(table.root, d.file_path)
+                    ).select(
+                        F.col(key).alias("__dk"),
+                        F.lit(d.seq).alias("__dseq"),
+                    )
+                    ddf = one if ddf is None else ddf.unionByName(one)
+                hit = df.join(
+                    F.broadcast(ddf),
+                    (df[key] == ddf["__dk"]) & (ddf["__dseq"] > df["__seq"]),
+                    "left_semi",
+                )
+                parts.append(
+                    hit.select(
+                        F.col("__path").alias("file_path"),
+                        F.col("__pos").alias("row_pos"),
+                    )
+                )
+    for d in pos_dels:
+        # carry existing positions forward verbatim: the rows they name
+        # were hidden before and stay hidden (positions are exact; the
+        # new, larger seq still applies to every live data file)
+        parts.append(
+            spark.read.parquet(os.path.join(table.root, d.file_path)).select(
+                "file_path", "row_pos"
+            )
+        )
+
+    combined = None
+    for p in parts:
+        combined = p if combined is None else combined.unionByName(p)
+    removed = [d.file_path for d in dels]
+    if combined is None:
+        # eq deletes that can touch no live file hide nothing: drop them
+        snap = table._commit_files(
+            "replace",
+            [],
+            removed,
+            summary={"job_id": log.job_id, "mode": "convert-deletes"},
+        )
+        log.finish_job({"snapshot_id": snap.snapshot_id, "positions": 0})
+        return ConvertDeletesResult(
+            log.job_id, snap.snapshot_id, len(eq_dels), len(pos_dels), 0
+        )
+
+    from ..meta.manifests import POS_DELETE_ORDER
+
+    out_rel_dir = f"data/{log.job_id}"
+    out_abs = os.path.join(table.root, out_rel_dir)
+    # distinct: overlapping deletes (same row hidden by several files)
+    # must collapse to one position row
+    combined.distinct().repartition(1).sortWithinPartitions(
+        "file_path", "row_pos"
+    ).write.parquet(out_abs)
+    names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
+    rel = f"{out_rel_dir}/{names[0]}"
+    entry = collect_file_stats(
+        os.path.join(table.root, rel),
+        rel,
+        {},
+        sort_order=POS_DELETE_ORDER,
+    )
+    entry.content = "deletes"
+    added = [entry] if entry.record_count else []
+    snap = table._commit_files(
+        "replace",
+        added,
+        removed,
+        summary={
+            "job_id": log.job_id,
+            "mode": "convert-deletes",
+            "eq_files_converted": len(eq_dels),
+            "pos_files_compacted": len(pos_dels),
+            "positions_written": entry.record_count,
+        },
+    )
+    log.finish_task("convert_deletes", added, files_in=removed, bytes_in=0)
+    log.finish_job(
+        {"snapshot_id": snap.snapshot_id, "positions": entry.record_count}
+    )
+    return ConvertDeletesResult(
+        log.job_id,
+        snap.snapshot_id,
+        len(eq_dels),
+        len(pos_dels),
+        entry.record_count,
+    )
 
 
 def materialize_deletes(

@@ -593,6 +593,32 @@ class Table:
 
         return _mat(self, **kw)
 
+    def count_rows(self, *, filter=None):  # noqa: A002
+        """COUNT(*) answered metadata-first: fully-matching files from
+        manifest record counts, boundary files read column-pruned —
+        zero data bytes for partition/range-aligned filters. Falls back
+        to the real scan when MoR deletes are pending."""
+        from .ops.agg import count_rows as _count
+
+        return _count(self, filter=filter)
+
+    def min_max(self, columns, *, filter=None):  # noqa: A002
+        """MIN/MAX per column, metadata-first (manifest min/max for
+        fully-matching files with exact stats, reads for the rest)."""
+        from .ops.agg import min_max as _min_max
+
+        return _min_max(self, columns, filter=filter)
+
+    def convert_deletes(self, **kw):
+        """Minor delete compaction: fold every pending equality delete
+        (and all existing positional delete files) into ONE positional
+        delete file — O(hidden rows) write, zero data rewrites. The
+        cheap midpoint between trickle MoR commits and the full
+        ``materialize_deletes`` rewrite."""
+        from .ops.mor import convert_deletes as _conv
+
+        return _conv(self, **kw)
+
     def update(self, set_exprs: dict[str, str], predicate, **kw):
         from .ops.row_filter import update as _update
 

@@ -478,3 +478,70 @@ def test_merge_mor_then_reinsert_seq_rule(spark, table_root):
         synth_clips_pdf(range(0, 1), seed=42, n_days=2), schema=CLIPS_SCHEMA
     ))
     assert victim in _ids(t)
+
+
+# --- convert_deletes (eq→pos minor compaction) -------------------------------
+
+
+def test_convert_deletes_folds_all_into_one_pos_file(spark, table_root):
+    """Two equality deletes + one positional delete collapse into ONE
+    positional file with no data rewrite and no visible-row change;
+    materialization afterwards agrees."""
+    t = _table(spark, table_root)
+    t.delete("dur_ms <= 1200", mode="mor", key="clip_id")
+    t.delete("sr_hz = 16000", mode="mor", key="clip_id")
+    t.delete("dur_ms >= 2800", mode="mor-pos")
+    assert len(t.plan().delete_files) == 3
+    ids_before = _ids(t)
+    data_before = {e.file_path for e in t.live_files()}
+
+    res = t.convert_deletes()
+    assert res.snapshot_id is not None
+    assert res.eq_files_converted == 2 and res.pos_files_compacted == 1
+    # zero data rewrites: every data file survives verbatim
+    assert {e.file_path for e in t.live_files()} == data_before
+    dels = t.plan().delete_files
+    assert len(dels) == 1 and dels[0].is_pos_delete
+    assert res.positions_written == dels[0].record_count > 0
+    assert _ids(t) == ids_before
+    # lazy/distributed scan applies the converted file identically
+    lazy = sorted(
+        r.clip_id
+        for r in t.scan(distributed_planning=True).select("clip_id").collect()
+    )
+    assert lazy == ids_before
+
+    t.materialize_deletes()
+    assert t.plan().delete_files == []
+    assert _ids(t) == ids_before
+
+
+def test_convert_deletes_preserves_reinsert_seq_rule(spark, table_root):
+    """A key deleted (MoR) then re-appended is visible with exactly one
+    row; conversion must emit positions ONLY for the pre-delete rows, so
+    the re-appended row survives both the convert and the fold-in."""
+    t = _table(spark, table_root)
+    victim = _ids(t)[0]
+    pre_snap = t.current_snapshot_id()
+    t.delete(f"clip_id = '{victim}'", mode="mor", key="clip_id")
+    # re-append the exact pre-delete row (via time travel)
+    row = t.scan(snapshot_id=pre_snap).filter(
+        F.col("clip_id") == victim
+    )
+    t.append(row)
+    assert _ids(t).count(victim) == 1
+
+    res = t.convert_deletes()
+    assert res.eq_files_converted == 1
+    assert _ids(t).count(victim) == 1
+    t.materialize_deletes()
+    assert _ids(t).count(victim) == 1
+
+
+def test_convert_deletes_noop_cases(spark, table_root):
+    t = _table(spark, table_root)
+    assert t.convert_deletes().snapshot_id is None  # nothing pending
+    t.delete("dur_ms >= 2800", mode="mor-pos")
+    # a single positional file: nothing to convert or compact
+    assert t.convert_deletes().snapshot_id is None
+    assert len(t.plan().delete_files) == 1
