@@ -886,6 +886,59 @@ def _q_lh_count_pushdown(spark, sf_dir):
     )
 
 
+def _q_lh_rollup_incremental(spark, sf_dir):
+    """Incrementally-maintained materialized rollup (the 10^12-row
+    alternative to the reference's full-re-scan Athena aggregates,
+    README.md:104-114): initial full compute, then an append AND a
+    merge-on-read delete folded in purely from the CDC delta (mode
+    asserted; the delete forces the exact min/max group recompute
+    path). Oracle = full SQL recompute over the post-DML row set; the
+    builder additionally asserts the incremental result equals the
+    engine's own full recompute."""
+    from lakehouse.rollup import MaterializedRollup
+
+    t = _events_table(spark, sf_dir, appends=2)
+    roll = MaterializedRollup.create(
+        spark,
+        tempfile.mkdtemp(prefix="lh_roll_") + "/rollup",
+        t,
+        group_by=["event_date", "event_type"],
+        aggs={
+            "n": ("count", None),
+            "v_sum": ("sum", "CAST(value AS DECIMAL(18,4))"),
+            "v_min": ("min", "value"),
+            "v_max": ("max", "value"),
+        },
+    )
+    assert roll.refresh().mode == "full"
+
+    ev = _events(spark, sf_dir)
+    t.append(
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 11 == 0))
+        .withColumn("event_id", F.col("event_id") + 20_000_000)
+    )
+    t.delete(
+        "event_type = 'error' AND user_id % 4 = 0", mode="mor", key="event_id"
+    )
+    res = roll.refresh()
+    assert res.mode == "incremental" and res.groups_changed > 0
+    assert res.groups_recomputed > 0  # the delete hit min/max groups
+
+    # engine-internal gate: incremental == full recompute, row for row
+    exp = roll.expected()
+    got = roll.scan()
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    return got.select(
+        F.col("event_date").cast("string").alias("event_date_s"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_sum").cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+    )
+
+
 def _q_lh_datasource_scan(spark, sf_dir):
     """Registered-format read surface: ``spark.read.format("lakehouse")``
     over a table with a pending merge-on-read delete. The WHERE clause is
@@ -1321,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_delete_convert": _q_lh_delete_convert,
         "lh_count_pushdown": _q_lh_count_pushdown,
+        "lh_rollup_incremental": _q_lh_rollup_incremental,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
@@ -1459,6 +1513,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS cnt, MIN(user_id) AS min_user, "
             "MAX(user_id) AS max_user FROM (" + EVENTS_OUT_SQL + ") "
             "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
+        ),
+        "lh_rollup_incremental": (
+            "WITH rows AS ("
+            "SELECT * FROM events "
+            "WHERE NOT (event_type = 'error' AND user_id % 4 = 0) "
+            "UNION ALL "
+            "SELECT event_id + 20000000 AS event_id, ts, user_id, "
+            "event_type, value, props FROM events "
+            "WHERE event_type = 'signup' AND user_id % 11 = 0) "
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum, "
+            "MIN(value) AS v_min, MAX(value) AS v_max "
+            "FROM rows GROUP BY 1, 2"
         ),
         "lh_delete_convert": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)"

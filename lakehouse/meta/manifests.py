@@ -19,6 +19,7 @@ footers — no data read — and power file skipping in meta/scan.py.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
 import os
 import uuid
@@ -63,6 +64,11 @@ def _encode_stat(value: Any, *, upper: bool = False) -> Any:
         return value.isoformat()
     if isinstance(value, bytes):
         return None  # no stats for binary payload columns (audio bytes)
+    if isinstance(value, _decimal.Decimal):
+        # a float encoding could ROUND INWARD and wrongly prune (or be
+        # read back as an exact extremum by ops/agg); decimals are rare
+        # prune keys — skip their stats entirely, conservatively
+        return None
     if isinstance(value, str) and len(value) > _STR_STAT_MAX:
         cut = value[:_STR_STAT_MAX]
         return cut + _HIGH_CHAR if upper else cut

@@ -593,6 +593,23 @@ class Table:
 
         return _mat(self, **kw)
 
+    def set_properties(self, **props) -> None:
+        """CAS-update table properties (merge semantics; ``None``
+        removes a key). Rides the same optimistic commit loop as data
+        commits — safe under concurrent writers."""
+        import dataclasses
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            p = dict(base.properties)
+            for k, v in props.items():
+                if v is None:
+                    p.pop(k, None)
+                else:
+                    p[k] = v
+            return dataclasses.replace(base, properties=p)
+
+        S.commit(self.root, apply)
+
     def count_rows(self, *, filter=None):  # noqa: A002
         """COUNT(*) answered metadata-first: fully-matching files from
         manifest record counts, boundary files read column-pruned —

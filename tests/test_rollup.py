@@ -1,0 +1,173 @@
+"""Incremental materialized rollup (lakehouse/rollup.py): every refresh
+path — initial full compute, append delta, MoR-delete delta, COW merge
+delta, data-neutral compaction, count-reaches-0 group drop, and the
+min/max delete-recompute path — is compared row-for-row against the
+full recompute (``expected()``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse import CLIPS_SCHEMA, Table
+from lakehouse.rollup import MaterializedRollup
+from lakehouse.synth import synth_clips_pdf
+
+
+def _base(spark, root, *, rows=80):
+    t = Table.create(spark, root, CLIPS_SCHEMA)
+    for i in range(2):
+        pdf = synth_clips_pdf(
+            range(i * rows // 2, (i + 1) * rows // 2), seed=42, n_days=3
+        )
+        t.append(
+            spark.createDataFrame(pdf, schema=CLIPS_SCHEMA),
+            target_file_count=2,
+        )
+    return t
+
+
+AGGS = {
+    "n": ("count", None),
+    "dur_sum": ("sum", "CAST(dur_ms AS BIGINT)"),
+    "dur_min": ("min", "dur_ms"),
+    "dur_max": ("max", "dur_ms"),
+}
+
+
+def _fp(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "base"))
+    r = MaterializedRollup.create(
+        spark,
+        str(tmp_path / "rollup"),
+        t,
+        group_by=["event_date", "sr_hz"],
+        aggs=AGGS,
+    )
+    return t, r
+
+
+def _check(r):
+    assert _fp(r.scan()) == _fp(r.expected())
+
+
+def test_initial_full_then_noop(pair):
+    t, r = pair
+    res = r.refresh()
+    assert res.mode == "full"
+    _check(r)
+    assert r.refresh().mode == "noop"
+
+
+def test_append_delta_is_incremental(spark, pair):
+    t, r = pair
+    r.refresh()
+    pdf = synth_clips_pdf(range(200, 230), seed=7, n_days=5)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA))
+    res = r.refresh()
+    assert res.mode == "incremental" and res.groups_changed > 0
+    # inserts never trigger the min/max recompute path
+    assert res.groups_recomputed == 0
+    _check(r)
+
+
+def test_delete_delta_recomputes_minmax_groups(pair):
+    t, r = pair
+    r.refresh()
+    t.delete("dur_ms <= 1200", mode="mor", key="clip_id")
+    res = r.refresh()
+    assert res.mode == "incremental"
+    # some surviving group lost rows -> exact recompute for min/max
+    assert res.groups_recomputed > 0
+    _check(r)
+
+
+def test_count_reaches_zero_drops_group(spark, pair):
+    t, r = pair
+    r.refresh()
+    # wipe one whole group (every row of one (event_date, sr_hz) pair)
+    row = t.scan().select("event_date", "sr_hz").first()
+    t.delete(
+        f"event_date = DATE'{row.event_date}' AND sr_hz = {row.sr_hz}",
+        mode="cow",
+    )
+    res = r.refresh()
+    assert res.mode == "incremental"
+    _check(r)
+    got = r.scan().filter(
+        (F.col("event_date") == F.lit(row.event_date))
+        & (F.col("sr_hz") == row.sr_hz)
+    )
+    assert got.count() == 0
+
+
+def test_compaction_is_data_neutral(pair):
+    t, r = pair
+    r.refresh()
+    t.compact()
+    res = r.refresh()
+    # rows cancel in the CDC diff: no group changes, rollup untouched
+    assert res.mode == "incremental" and res.groups_changed == 0
+    _check(r)
+
+
+def test_cow_merge_delta(spark, pair):
+    t, r = pair
+    r.refresh()
+    src = (
+        t.scan()
+        .filter(F.xxhash64("clip_id") % 3 == 0)
+        .withColumn("dur_ms", F.col("dur_ms") + 10_000)
+    )
+    t.merge(src, key="clip_id")
+    res = r.refresh()
+    assert res.mode == "incremental" and res.groups_changed > 0
+    _check(r)
+
+
+def test_requires_count_agg(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "b2"), rows=8)
+    with pytest.raises(ValueError, match="count"):
+        MaterializedRollup.create(
+            spark,
+            str(tmp_path / "r2"),
+            t,
+            group_by=["sr_hz"],
+            aggs={"m": ("min", "dur_ms")},
+        )
+
+
+def test_sum_goes_null_when_all_nonnull_inputs_deleted(spark, tmp_path):
+    """SQL SUM over a group with no non-null inputs is NULL, not 0 —
+    the hidden non-null counter must null the sum out when the last
+    contributing row is deleted, without a recompute."""
+    t = _base(spark, str(tmp_path / "b3"))
+    r = MaterializedRollup.create(
+        spark,
+        str(tmp_path / "r3"),
+        t,
+        group_by=["event_date"],
+        aggs={
+            "n": ("count", None),
+            "long_sum": (
+                "sum",
+                "CASE WHEN dur_ms > 2000 THEN CAST(dur_ms AS BIGINT) END",
+            ),
+        },
+    )
+    r.refresh()
+    _check(r)
+    t.delete("dur_ms > 2000", mode="cow")
+    res = r.refresh()
+    assert res.mode == "incremental"
+    # no min/max aggs -> pure algebra, no recompute
+    assert res.groups_recomputed == 0
+    _check(r)
+    live = r.scan().filter(F.col("n") > 0)
+    assert live.count() > 0
+    assert live.filter(F.col("long_sum").isNotNull()).count() == 0
