@@ -197,8 +197,15 @@ def collect_file_stats(
                 has_stats[name] = False
                 continue
             has_stats.setdefault(name, True)
-            lo = _encode_stat(st.min)
-            hi = _encode_stat(st.max, upper=True)
+            try:
+                lo = _encode_stat(st.min)
+                hi = _encode_stat(st.max, upper=True)
+            except NotImplementedError:
+                # pyarrow cannot cast footer statistics for some
+                # physical types (e.g. decimal on this build) — treat
+                # as stats-less, never-pruned (conservative)
+                has_stats[name] = False
+                continue
             if lo is None or hi is None:
                 has_stats[name] = False
                 continue

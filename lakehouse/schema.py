@@ -69,17 +69,50 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+# Iceberg's published safe type promotions (spec §Schema Evolution),
+# restricted to what Spark 4's parquet reader widens natively — old
+# files stay valid under the new table schema with ZERO rewrites: the
+# vectorized reader up-casts int32→int64/double, float→double and
+# decimal precision at scan time (verified by tests/test_table_core.py).
+_INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+
+
+def is_widening(old_dt: T.DataType, new_dt: T.DataType) -> bool:
+    """True iff every value of ``old_dt`` reads losslessly as
+    ``new_dt`` (safe promotion; old parquet files are never rewritten).
+    """
+    if old_dt == new_dt:
+        return True
+    if old_dt in _INT_ORDER and new_dt in _INT_ORDER:
+        return _INT_ORDER.index(old_dt) < _INT_ORDER.index(new_dt)
+    if isinstance(old_dt, T.FloatType) and isinstance(new_dt, T.DoubleType):
+        return True
+    if isinstance(old_dt, T.DecimalType) and isinstance(
+        new_dt, T.DecimalType
+    ):
+        return (
+            new_dt.scale == old_dt.scale
+            and new_dt.precision >= old_dt.precision
+        )
+    return False
+
+
 def is_additive_evolution(old: T.StructType, new: T.StructType) -> bool:
-    """True iff ``new`` only adds nullable columns / keeps types of ``old``.
+    """True iff ``new`` only adds nullable columns and keeps or SAFELY
+    WIDENS the types of ``old`` (int→long, float→double, decimal
+    precision growth — Iceberg's promotion set).
 
     The reference's registry enforces BACKWARD compatibility
-    (/root/reference/infra/terraform/modules/glue/main.tf:42); our snapshots
-    carry one schema id each and only additive evolution is allowed.
+    (/root/reference/infra/terraform/modules/glue/main.tf:42); our
+    snapshots carry one schema id each, and every old data file remains
+    readable under the new schema without rewrite.
     """
     old_by_name = {f.name: f for f in old.fields}
     for name, field in old_by_name.items():
         new_field = next((f for f in new.fields if f.name == name), None)
-        if new_field is None or new_field.dataType != field.dataType:
+        if new_field is None or not is_widening(
+            field.dataType, new_field.dataType
+        ):
             return False
     for f in new.fields:
         if f.name not in old_by_name and not f.nullable:

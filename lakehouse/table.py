@@ -189,8 +189,9 @@ class Table:
                 old = T.StructType.fromJson(base.schema_json)
                 if not is_additive_evolution(old, new_schema):
                     raise SchemaEvolutionError(
-                        "only additive (nullable add / same types) schema "
-                        "evolution is allowed"
+                        "only additive (nullable add) or type-widening "
+                        "(int->long, float->double, decimal precision) "
+                        "schema evolution is allowed"
                     )
                 schema_json = new_schema.jsonValue()
                 schemas.append(schema_json)
@@ -367,8 +368,9 @@ class Table:
             T.StructType.fromJson(meta.schema_json), new_schema
         ):
             raise SchemaEvolutionError(
-                "only additive (nullable add / same types) schema evolution "
-                "is allowed"
+                "only additive (nullable add) or type-widening (int->long, "
+                "float->double, decimal precision) schema evolution is "
+                "allowed"
             )
         schema_json = (
             new_schema.jsonValue() if new_schema is not None else meta.schema_json

@@ -300,3 +300,77 @@ def test_compact_preserves_spec_id_for_overwrite_guard(spark, table_root):
     assert all(e.spec_id == 0 for e in t.live_files())
     with _pytest.raises(ValueError, match="older partition spec"):
         t.overwrite_partitions(_df(spark, 0, 5, n_days=2))
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """Iceberg's safe type promotions (int→long, float→double, decimal
+    precision growth): old parquet files stay live UNREWRITTEN and read
+    correctly under the widened schema; narrowing still rejected."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from lakehouse import SchemaEvolutionError, Table
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.FloatType(), True),
+        T.StructField("c", T.DecimalType(10, 2), True),
+    ])
+    t = Table.create(spark, str(tmp_path / "w"), schema)
+    t.append(spark.createDataFrame(
+        [("r1", 1, 1.5, Decimal("1.25")), ("r2", 2, 2.5, Decimal("2.25"))],
+        schema=schema,
+    ))
+    files_before = {e.file_path for e in t.live_files()}
+
+    widened = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.DoubleType(), True),
+        T.StructField("c", T.DecimalType(18, 2), True),
+        T.StructField("extra", T.StringType(), True),
+    ])
+    t.append(
+        spark.createDataFrame(
+            [("r3", 3_000_000_000, 3.5, Decimal("3.25"), "x")],
+            schema=widened,
+        ),
+        new_schema=widened,
+    )
+    # the old file was not rewritten
+    assert files_before <= {e.file_path for e in t.live_files()}
+    got = t.scan()
+    assert dict(got.dtypes)["a"] == "bigint"
+    assert dict(got.dtypes)["b"] == "double"
+    assert dict(got.dtypes)["c"] == "decimal(18,2)"
+    rows = {r.k: r for r in got.collect()}
+    assert rows["r1"].a == 1 and rows["r3"].a == 3_000_000_000
+    assert rows["r1"].b == 1.5 and rows["r1"].c == Decimal("1.25")
+    # pruning on the widened column still works across old + new stats
+    # (empty parts have no stats and are conservatively kept — count
+    # surviving ROWS, not files)
+    pl = t.plan(filter=[("a", ">=", 3_000_000_000)])
+    assert sum(e.record_count for e in pl.files) == 1
+    # narrowing (long -> int) is rejected
+    narrowed = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.DoubleType(), True),
+        T.StructField("c", T.DecimalType(18, 2), True),
+        T.StructField("extra", T.StringType(), True),
+    ])
+    with pytest.raises(SchemaEvolutionError):
+        t.append(
+            spark.createDataFrame(
+                [("r4", 4, 4.5, Decimal("4.25"), "y")], schema=narrowed
+            ),
+            new_schema=narrowed,
+        )
+    # widened scan survives maintenance (compaction rewrites old files
+    # under the CURRENT schema)
+    t.compact()
+    got2 = t.scan()
+    assert got2.count() == 3
+    assert {r.k for r in got2.collect()} == {"r1", "r2", "r3"}
