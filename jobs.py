@@ -254,6 +254,79 @@ def cmd_materialize_deletes(args):
     )
 
 
+def cmd_convert_deletes(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.convert_deletes()
+    _emit(
+        {
+            "op": "convert-deletes",
+            "eq_files_converted": res.eq_files_converted,
+            "pos_files_compacted": res.pos_files_compacted,
+            "positions_written": res.positions_written,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_count(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.count_rows()
+    _emit(
+        {
+            "op": "count",
+            "rows": res.value,
+            "files_metadata_only": res.files_metadata_only,
+            "files_scanned": res.files_scanned,
+            "fallback": res.fallback,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_rollup(args):
+    """Create-if-absent + refresh an incrementally-maintained rollup of
+    the clips table (count + duration sum/min/max by event_date)."""
+    from lakehouse.errors import TableNotFoundError
+    from lakehouse.rollup import MaterializedRollup
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    try:
+        from lakehouse.table import Table as _T
+
+        _T.load(spark, args.rollup_root)
+        roll = MaterializedRollup(spark, args.rollup_root)
+    except TableNotFoundError:
+        roll = MaterializedRollup.create(
+            spark,
+            args.rollup_root,
+            t,
+            group_by=["event_date"],
+            aggs={
+                "n": ("count", None),
+                "dur_sum": ("sum", "CAST(dur_ms AS BIGINT)"),
+                "dur_min": ("min", "dur_ms"),
+                "dur_max": ("max", "dur_ms"),
+            },
+        )
+    t0 = time.time()
+    res = roll.refresh()
+    _emit(
+        {
+            "op": "rollup",
+            "mode": res.mode,
+            "groups_changed": res.groups_changed,
+            "groups_recomputed": res.groups_recomputed,
+            "rollup_rows": roll.scan().count(),
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_sql(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -443,6 +516,11 @@ def main():
     )
     s.add_argument("--key", default="clip_id")
     t(sub.add_parser("materialize-deletes"))
+    t(sub.add_parser("convert-deletes"))
+    t(sub.add_parser("count"))
+    s = sub.add_parser("rollup")
+    t(s)
+    s.add_argument("--rollup-root", required=True)
     s = sub.add_parser("sql")
     t(s)
     s.add_argument("--view", default="t")
@@ -498,6 +576,9 @@ def main():
         "stream-demo": cmd_stream_demo,
         "delete": cmd_delete,
         "materialize-deletes": cmd_materialize_deletes,
+        "convert-deletes": cmd_convert_deletes,
+        "count": cmd_count,
+        "rollup": cmd_rollup,
         "sql": cmd_sql,
         "evolve-spec": cmd_evolve_spec,
         "update": cmd_update,
