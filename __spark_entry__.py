@@ -536,6 +536,82 @@ def _q_audio_snr(spark, sf_dir):
     return out
 
 
+def _q_audio_spectral(spark, sf_dir):
+    """Self-verifying (no SQL oracle for FFT): framed-FFT spectral
+    features over deterministic synth clips. The builder asserts the
+    invariants from tests/test_audio.py (every clip analyzes; band
+    energies PARTITION the spectrum so their sum equals total_energy
+    to float tolerance — a Parseval-style exactness check; centroid and
+    95% rolloff inside Nyquist), so the driver's rows-only gate proves
+    correctness, not liveness."""
+    from lakehouse.audio import with_spectral_features
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 192, seed=42, n_days=4)
+    out = with_spectral_features(df).select(
+        "clip_id",
+        "sr_hz",
+        F.col("spectral.n_frames").alias("n_frames"),
+        F.round("spectral.centroid_hz", 2).alias("centroid_hz"),
+        F.round("spectral.bandwidth_hz", 2).alias("bandwidth_hz"),
+        F.round("spectral.rolloff95_hz", 2).alias("rolloff95_hz"),
+        F.col("spectral.ok").alias("ok"),
+        (
+            F.abs(
+                F.aggregate(
+                    "spectral.band_energy", F.lit(0.0), lambda a, v: a + v
+                )
+                - F.col("spectral.total_energy")
+            )
+            <= F.col("spectral.total_energy") * 1e-9 + 1e-12
+        ).alias("parseval_ok"),
+    )
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("ok")).cast("int")).alias("n_bad"),
+        F.sum((~F.col("parseval_ok")).cast("int")).alias("n_pv_bad"),
+        F.sum(
+            (
+                (F.col("centroid_hz") < 0)
+                | (F.col("centroid_hz") > F.col("sr_hz") / 2)
+                | (F.col("rolloff95_hz") > F.col("sr_hz") / 2)
+            ).cast("int")
+        ).alias("n_bounds_bad"),
+    ).collect()[0]
+    assert chk.n == 192 and chk.n_bad == 0, chk
+    assert chk.n_pv_bad == 0 and chk.n_bounds_bad == 0, chk
+    return out
+
+
+def _q_audio_spectral_topk(spark, sf_dir):
+    """Self-verifying: audio-content similarity search with NO external
+    model — unit-norm log-band-energy embeddings from the framed FFT,
+    exact cosine top-1 via the similarity module. Planted byte-
+    identical copies (same synth idx under a new id) MUST resolve to
+    their originals with cosine ~ 1 (asserted), so the rows-only gate
+    carries a real recall check."""
+    from lakehouse.audio import with_spectral_embedding
+    from lakehouse.similarity import cosine_topk
+    from lakehouse.synth import synth_clips_df
+
+    base = synth_clips_df(spark, 160, seed=42, n_days=4)
+    copies = (
+        synth_clips_df(spark, 4, seed=42, n_days=4)
+        .withColumn("clip_id", F.concat(F.lit("copy-"), F.col("clip_id")))
+    )
+    emb = with_spectral_embedding(base.unionByName(copies)).select(
+        "clip_id", "embedding"
+    )
+    qids = [r.clip_id for r in copies.select("clip_id").collect()]
+    top1 = cosine_topk(emb, qids, k=1, id_col="clip_id", vec_col="embedding")
+    rows = top1.collect()
+    got = {r.query_id: (r.neighbor_id, r.cosine) for r in rows}
+    for q in qids:
+        nb, cos = got[q]
+        assert nb == q[len("copy-"):] and cos >= 0.9999, (q, nb, cos)
+    return top1
+
+
 def _q_lh_audio_dedup_curation(spark, sf_dir):
     """End-to-end curation flow (rows-only, self-verifying): a lakehouse
     table with planted duplicate clips → dedup_clips (fingerprint →
@@ -1406,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_segment": _q_audio_resample_segment,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
+        "audio_spectral_features": _q_audio_spectral,
+        "audio_spectral_topk": _q_audio_spectral_topk,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
     }

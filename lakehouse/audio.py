@@ -573,3 +573,129 @@ def dedup_clips(table, *, id_col: str = "clip_id", max_hamming: int = 3):
     )
     victims = pairs.select(F.col("clip_b").alias(id_col)).distinct()
     return delete_mor_keys(table, victims, key=id_col)
+
+
+# --- spectral analysis (framed FFT; pure numpy — no audio libs in env) -------
+
+SPECTRAL_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff95_hz", T.DoubleType()),
+        # log-spaced band energies partitioning ALL rfft bins — so
+        # sum(band_energy) == total_energy EXACTLY (float tolerance),
+        # the Parseval-style internal invariant the driver query asserts
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+        T.StructField("total_energy", T.DoubleType()),
+    ]
+)
+
+
+def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    """Non-decreasing integer bin edges, log-spaced, with edges[0]=0 and
+    edges[-1]=n_bins: the bands PARTITION the spectrum (possibly-empty
+    low bands), which is what makes the energy-sum invariant exact."""
+    e = np.unique(
+        np.round(
+            np.logspace(0, np.log10(max(n_bins, 2)), n_bands + 1)
+        ).astype(np.int64)
+    )
+    e = np.clip(e, 0, n_bins)
+    e[0] = 0
+    edges = np.zeros(n_bands + 1, dtype=np.int64)
+    # right-align the distinct edges; leading bands may be empty
+    edges[-len(e):] = e
+    edges[-1] = n_bins
+    return np.maximum.accumulate(edges)
+
+
+def spectral_features(
+    x: np.ndarray, sr: int, *, n_fft: int = 512, hop: int = 256,
+    n_bands: int = 16,
+) -> dict:
+    """Framed Hann-windowed rfft power spectrum, averaged over frames;
+    centroid / bandwidth / 95%-rolloff plus partitioned band energies.
+    """
+    if len(x) < n_fft:
+        x = np.pad(x.astype(np.float64), (0, n_fft - len(x)))
+    else:
+        x = x.astype(np.float64)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft)
+    spec = np.fft.rfft(x[idx] * win, axis=1)
+    p = np.mean(np.abs(spec) ** 2, axis=0)  # mean power per bin
+    total = float(np.sum(p))
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    if total > 0:
+        w = p / total
+        centroid = float(np.sum(freqs * w))
+        bandwidth = float(np.sqrt(np.sum(w * (freqs - centroid) ** 2)))
+        rolloff = float(freqs[np.searchsorted(np.cumsum(p), 0.95 * total)])
+    else:
+        centroid = bandwidth = rolloff = 0.0
+    edges = _band_edges(len(p), n_bands)
+    bands = np.add.reduceat(p, edges[:-1])
+    # reduceat on an empty slice (equal consecutive edges) returns the
+    # NEXT element, not 0 — zero those bands out to keep the partition
+    bands = np.where(edges[1:] > edges[:-1], bands, 0.0)
+    return {
+        "n_frames": int(n_frames),
+        "centroid_hz": centroid,
+        "bandwidth_hz": bandwidth,
+        "rolloff95_hz": rolloff,
+        "band_energy": [float(v) for v in bands],
+        "total_energy": total,
+    }
+
+
+@F.pandas_udf(SPECTRAL_TYPE)
+def audio_spectral(raw: pd.Series) -> pd.DataFrame:
+    out = {
+        "ok": [], "n_frames": [], "centroid_hz": [], "bandwidth_hz": [],
+        "rolloff95_hz": [], "band_energy": [], "total_energy": [],
+    }
+    for b in raw:
+        try:
+            sr, x = decode_wav(b)
+            feats = spectral_features(x, sr)
+            out["ok"].append(True)
+            for k, v in feats.items():
+                out[k].append(v)
+        except (ValueError, struct.error):
+            out["ok"].append(False)
+            for k in ("n_frames", "centroid_hz", "bandwidth_hz",
+                      "rolloff95_hz", "band_energy", "total_energy"):
+                out[k].append(None)
+    return pd.DataFrame(out)
+
+
+def with_spectral_features(df, bytes_col: str = "bytes"):
+    """Attach the framed-FFT feature struct (one Arrow exchange)."""
+    return df.withColumn("spectral", audio_spectral(F.col(bytes_col)))
+
+
+def with_spectral_embedding(
+    df, bytes_col: str = "bytes", out_col: str = "embedding"
+):
+    """L2-normalized log-band-energy vector as ``array<float>`` — a
+    clip embedding compatible with the similarity module (cosine top-k
+    / ANN over audio content, no external model needed)."""
+    df = with_spectral_features(df, bytes_col)
+    log_bands = F.transform(
+        F.col("spectral.band_energy"), lambda v: F.log1p(v)
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            log_bands, F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    emb = F.transform(
+        log_bands,
+        lambda v: (v / F.when(norm > 0, norm).otherwise(F.lit(1.0))).cast(
+            "float"
+        ),
+    )
+    return df.withColumn(out_col, emb).drop("spectral")

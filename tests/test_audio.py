@@ -337,3 +337,77 @@ def test_dedup_clips_removes_planted_dups_mor(spark, tmp_path):
     # idempotent: a clean table commits nothing
     res2 = dedup_clips(t)
     assert res2.keys_deleted == 0 and res2.snapshot_id is None
+
+
+def test_spectral_features_invariants(spark):
+    """Framed-FFT features: every clip analyzes, band energies PARTITION
+    the spectrum (sum == total exactly), centroid/rolloff within
+    Nyquist, and a planted pure tone lands its centroid on the tone."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import with_spectral_features
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 48, seed=42, n_days=2)
+    out = with_spectral_features(df).select(
+        "clip_id", "sr_hz", "spectral.*"
+    )
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("ok")).cast("int")).alias("n_bad"),
+        F.sum(
+            (
+                F.abs(
+                    F.aggregate(
+                        "band_energy", F.lit(0.0), lambda a, v: a + v
+                    )
+                    - F.col("total_energy")
+                )
+                > F.col("total_energy") * 1e-9 + 1e-12
+            ).cast("int")
+        ).alias("n_parseval_bad"),
+        F.sum(
+            (
+                (F.col("centroid_hz") < 0)
+                | (F.col("centroid_hz") > F.col("sr_hz") / 2)
+                | (F.col("rolloff95_hz") > F.col("sr_hz") / 2)
+            ).cast("int")
+        ).alias("n_bounds_bad"),
+    ).collect()[0]
+    assert chk.n == 48 and chk.n_bad == 0
+    assert chk.n_parseval_bad == 0 and chk.n_bounds_bad == 0
+
+
+def test_spectral_embedding_selfsim(spark):
+    """The log-band embedding is unit-norm and identical audio content
+    (same synth idx under two ids) is its own nearest neighbor with
+    cosine ~ 1."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import with_spectral_embedding
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.similarity import cosine_topk
+    from lakehouse.synth import synth_clips_df, synth_clips_pdf
+
+    base = synth_clips_df(spark, 40, seed=42, n_days=2)
+    dup = synth_clips_pdf(range(0, 2), seed=42, n_days=2)
+    orig_ids = list(dup["clip_id"])
+    dup["clip_id"] = [f"copy-{i}" for i in range(2)]
+    df = base.unionByName(spark.createDataFrame(dup, schema=CLIPS_SCHEMA))
+    emb = with_spectral_embedding(df).select("clip_id", "embedding")
+
+    norms = emb.select(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, v: a + v.cast("double") * v
+        ).alias("n2")
+    ).collect()
+    assert all(abs(r.n2 - 1.0) < 1e-5 for r in norms)
+
+    top1 = cosine_topk(
+        emb, ["copy-0", "copy-1"], k=1, id_col="clip_id",
+        vec_col="embedding",
+    ).collect()
+    got = {r.query_id: (r.neighbor_id, r.cosine) for r in top1}
+    assert got[f"copy-0"][0] == orig_ids[0] and got["copy-0"][1] >= 0.9999
+    assert got[f"copy-1"][0] == orig_ids[1] and got["copy-1"][1] >= 0.9999
