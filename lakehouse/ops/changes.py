@@ -35,7 +35,7 @@ from ..errors import LakehouseError
 from ..meta import snapshots as S
 
 APPEND_OPS = {"append"}
-DATA_NEUTRAL_OPS = {"replace", "rewrite-manifests"}
+DATA_NEUTRAL_OPS = {"replace", "rewrite-manifests", "evolve-schema"}
 
 
 def _chain(meta: S.TableMetadata, from_id: Optional[int], to_id: int):

@@ -99,6 +99,29 @@ def upsert_batch(
     return _inner
 
 
+def append_with_rollup_batch(
+    table, rollup, *, target_file_count: Optional[int] = None
+):
+    """foreachBatch callback: idempotent append + incremental rollup
+    refresh — a continuously-maintained aggregate over the stream (the
+    streaming counterpart of full-re-scan dashboard queries; at stream
+    scale the refresh reads only the batch's files via the CDC diff).
+
+    Idempotency composes: a replayed batch skips the append (batch id
+    already in a snapshot summary) and the refresh no-ops (rollup
+    already synced to the batch's snapshot). A refresh that crashes
+    after the append simply catches up on the next batch — the rollup
+    lags, never diverges.
+    """
+    inner_append = append_batch(table, target_file_count=target_file_count)
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        inner_append(batch_df, batch_id)
+        rollup.refresh()
+
+    return _inner
+
+
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split on vectorized audio validation.
 

@@ -595,6 +595,19 @@ class Table:
 
         return _mat(self, **kw)
 
+    def evolve_schema(self, new_schema: T.StructType) -> S.Snapshot:
+        """Metadata-only schema evolution commit (no data written):
+        additive adds and Iceberg-safe type widening, validated by the
+        same gate as append(new_schema=...). Existing files stay live;
+        subsequent scans read them up-cast under the new schema."""
+        return self._commit_files(
+            "evolve-schema",
+            [],
+            (),
+            summary={"schema_fields": len(new_schema.fields)},
+            new_schema=new_schema,
+        )
+
     def set_properties(self, **props) -> None:
         """CAS-update table properties (merge semantics; ``None``
         removes a key). Rides the same optimistic commit loop as data

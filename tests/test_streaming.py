@@ -101,3 +101,34 @@ def test_upsert_batch_sink(spark, clips_table):
     snap = clips_table.current_snapshot_id()
     cb(spark.createDataFrame(both, schema=CLIPS_SCHEMA), 1)
     assert clips_table.current_snapshot_id() == snap
+
+
+def test_stream_maintained_rollup(spark, clips_table, tmp_path):
+    """Continuous aggregation: the foreachBatch sink appends AND
+    refreshes an incremental rollup; replayed batches change nothing,
+    and the rollup equals the full recompute after every batch."""
+    from lakehouse.rollup import MaterializedRollup
+    from lakehouse.streaming import append_with_rollup_batch
+
+    roll = MaterializedRollup.create(
+        spark,
+        str(tmp_path / "roll"),
+        clips_table,
+        group_by=["event_date"],
+        aggs={"n": ("count", None), "dur_sum": ("sum", "CAST(dur_ms AS BIGINT)")},
+    )
+    cb = append_with_rollup_batch(clips_table, roll)
+
+    def check():
+        got, exp = roll.scan(), roll.expected()
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+    b0 = synth_clips_df(spark, 24, seed=7, n_days=2)
+    cb(b0, 0)
+    check()
+    cb(b0, 0)  # replay: append skipped, refresh no-ops
+    assert len(committed_batch_ids(clips_table)) == 1
+    check()
+    cb(synth_clips_df(spark, 16, start=24, seed=7, n_days=3), 1)
+    check()
+    assert roll.scan().agg({"n": "sum"}).collect()[0][0] == 40

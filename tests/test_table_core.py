@@ -374,3 +374,38 @@ def test_schema_evolution_type_widening(spark, tmp_path):
     got2 = t.scan()
     assert got2.count() == 3
     assert {r.k for r in got2.collect()} == {"r1", "r2", "r3"}
+
+
+def test_evolve_schema_metadata_only(spark, tmp_path):
+    """Dedicated evolution commit: no data written, files stay live,
+    scans read old files up-cast; incremental scans treat the commit as
+    data-neutral."""
+    from pyspark.sql import types as T
+
+    from lakehouse import SchemaEvolutionError, Table
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("a", T.IntegerType(), True),
+    ])
+    t = Table.create(spark, str(tmp_path / "ev"), schema)
+    t.append(spark.createDataFrame([("r1", 1)], schema=schema))
+    s0 = t.current_snapshot_id()
+    files = {e.file_path for e in t.live_files()}
+
+    widened = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("a", T.LongType(), True),
+        T.StructField("note", T.StringType(), True),
+    ])
+    snap = t.evolve_schema(widened)
+    assert snap.snapshot_id != s0
+    assert {e.file_path for e in t.live_files()} == files
+    got = t.scan()
+    assert dict(got.dtypes)["a"] == "bigint" and "note" in got.columns
+    assert got.collect()[0].a == 1
+    # data-neutral for incremental consumption
+    inc = t.incremental_scan(from_snapshot_id=s0)
+    assert inc.count() == 0
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(schema)  # narrowing back is rejected
