@@ -25,6 +25,7 @@ from .errors import (
     CommitConflictError,
     RefError,
     SchemaEvolutionError,
+    SnapshotNotFoundError,
     TableAlreadyExistsError,
 )
 from .meta import snapshots as S
@@ -412,17 +413,46 @@ class Table:
             self.root, meta, filter=filter, snapshot_id=snapshot_id
         )
 
+    def snapshot_as_of(self, ts) -> int:
+        """Latest snapshot whose commit time is <= ``ts`` (datetime,
+        date, or epoch millis) — Iceberg's timestamp time travel."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ms = int(ts.timestamp() * 1000)
+        elif isinstance(ts, _dt.date):
+            ms = int(
+                _dt.datetime.combine(ts, _dt.time.max).timestamp() * 1000
+            )
+        else:
+            ms = int(ts)
+        best = None
+        for s in self.meta.snapshots:
+            if s.timestamp_ms <= ms and (
+                best is None or s.timestamp_ms > best.timestamp_ms
+                or (s.timestamp_ms == best.timestamp_ms
+                    and s.snapshot_id > best.snapshot_id)
+            ):
+                best = s
+        if best is None:
+            raise SnapshotNotFoundError(
+                f"no snapshot at or before {ts!r}"
+            )
+        return best.snapshot_id
+
     def scan(
         self,
         *,
         filter=None,  # noqa: A002
         snapshot_id: Optional[int] = None,
         ref: Optional[str] = None,
+        as_of=None,
         columns: Optional[Sequence[str]] = None,
         distributed_planning: bool = False,
     ) -> DataFrame:
         """Pruned snapshot read; ``snapshot_id`` = time travel,
-        ``ref`` = read a named branch/tag head.
+        ``ref`` = read a named branch/tag head, ``as_of`` = timestamp
+        time travel (latest snapshot committed at or before it).
 
         ``distributed_planning=True`` takes the scale path end-to-end:
         pruning runs as a Spark job over the manifests AND the kept-file
@@ -430,6 +460,12 @@ class Table:
         of bare paths, never the full entry list (VERDICT.md §wrong 2).
         """
         meta = self.meta
+        if as_of is not None:
+            if snapshot_id is not None or ref is not None:
+                raise RefError(
+                    "pass only one of snapshot_id / ref / as_of"
+                )
+            snapshot_id = self.snapshot_as_of(as_of)
         if distributed_planning:
             if ref is not None:
                 if snapshot_id is not None:

@@ -409,3 +409,26 @@ def test_evolve_schema_metadata_only(spark, tmp_path):
     assert inc.count() == 0
     with pytest.raises(SchemaEvolutionError):
         t.evolve_schema(schema)  # narrowing back is rejected
+
+
+def test_time_travel_by_timestamp(spark, table_root):
+    """scan(as_of=...): latest snapshot committed at or before the
+    given instant; before-first-commit raises."""
+    import datetime as dt2
+    import time as time2
+
+    from lakehouse import SnapshotNotFoundError
+
+    t = _make_table(spark, table_root)
+    t.append(_df(spark, 0, 16))
+    ts1 = t.snapshots()[-1].timestamp_ms
+    time2.sleep(0.05)
+    t.append(_df(spark, 16, 32))
+
+    assert t.scan(as_of=ts1).count() == 16
+    assert t.scan(as_of=dt2.datetime.now()).count() == 32
+    assert t.snapshot_as_of(ts1) == t.snapshots()[0].snapshot_id
+    with pytest.raises(SnapshotNotFoundError):
+        t.scan(as_of=ts1 - 10_000)
+    with pytest.raises(Exception):
+        t.scan(as_of=ts1, snapshot_id=1)
