@@ -148,22 +148,44 @@ def delete_mor(
     return _commit_eq_delete(table, keys_df, key, log)
 
 
-def _write_eq_delete_file(table, keys_df, key: str, out_rel_dir: str):
-    """Write a keys DataFrame as one Parquet equality-delete file under
-    ``out_rel_dir``; returns its (uncommitted) manifest entry with
-    ``content="deletes"``. Shared by MoR DELETE and MoR MERGE."""
+# rows per delete-file shard: a ~10M-key parquet is a few tens of MB.
+# Trickle commits stay single-file; a bulk MoR MERGE over 10^12 rows
+# shards — one repartition(1) task would otherwise be the serial wall,
+# and per-shard key/path RANGES give materialize/convert tighter
+# manifest-stat pruning than one file spanning the whole domain.
+DELETE_FILE_SHARD_ROWS = 10_000_000
+
+
+def _write_eq_delete_file(
+    table, keys_df, key: str, out_rel_dir: str, *, n_files: int = 1
+):
+    """Write a keys DataFrame as ``n_files`` range-sharded Parquet
+    equality-delete files under ``out_rel_dir``; returns the
+    (uncommitted) manifest entries with ``content="deletes"``. Shared
+    by MoR DELETE and MoR MERGE."""
     out_abs = os.path.join(table.root, out_rel_dir)
-    keys_df.repartition(1).write.parquet(out_abs)
-    names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
-    rel = f"{out_rel_dir}/{names[0]}"
-    entry = collect_file_stats(
-        os.path.join(table.root, rel),
-        rel,
-        {},
-        sort_order=f"eqdelete({key})",
-    )
-    entry.content = "deletes"
-    return entry, rel
+    if n_files <= 1:
+        w = keys_df.repartition(1)
+    else:
+        w = keys_df.repartitionByRange(n_files, key).sortWithinPartitions(
+            key
+        )
+    w.write.parquet(out_abs)
+    entries = []
+    for n in sorted(os.listdir(out_abs)):
+        if not n.endswith(".parquet"):
+            continue
+        rel = f"{out_rel_dir}/{n}"
+        entry = collect_file_stats(
+            os.path.join(table.root, rel),
+            rel,
+            {},
+            sort_order=f"eqdelete({key})",
+        )
+        entry.content = "deletes"
+        if entry.record_count:
+            entries.append(entry)
+    return entries
 
 
 def _commit_eq_delete(
@@ -171,14 +193,16 @@ def _commit_eq_delete(
 ) -> MorDeleteResult:
     """Write a keys DataFrame as an equality delete file and commit it —
     the shared tail of predicate-driven and key-set-driven MoR deletes."""
-    entry, rel = _write_eq_delete_file(table, keys_df, key, f"data/{log.job_id}")
-    n_keys = entry.record_count
+    entries = _write_eq_delete_file(
+        table, keys_df, key, f"data/{log.job_id}"
+    )
+    n_keys = sum(e.record_count for e in entries)
     if n_keys == 0:
         log.finish_job({"snapshot_id": None, "keys_deleted": 0})
         return MorDeleteResult(log.job_id, None, 0, None)
     snap = table._commit_files(
         "delete",
-        [entry],
+        entries,
         (),
         summary={
             "job_id": log.job_id,
@@ -187,9 +211,11 @@ def _commit_eq_delete(
             "keys_deleted": n_keys,
         },
     )
-    log.finish_task("delete_mor", [entry], files_in=[], bytes_in=0)
+    log.finish_task("delete_mor", entries, files_in=[], bytes_in=0)
     log.finish_job({"snapshot_id": snap.snapshot_id, "keys_deleted": n_keys})
-    return MorDeleteResult(log.job_id, snap.snapshot_id, n_keys, rel)
+    return MorDeleteResult(
+        log.job_id, snap.snapshot_id, n_keys, entries[0].file_path
+    )
 
 
 def delete_mor_keys(
@@ -312,25 +338,31 @@ def merge_into_mor(
         # after the data write: Spark's parquet save refuses a pre-
         # existing target path, and data/{job}/deletes nested first
         # would make data/{job} exist
-        del_entry, _rel = _write_eq_delete_file(
-            table, src.select(F.col(key)), key, f"data/{log.job_id}/deletes"
+        del_entries = _write_eq_delete_file(
+            table,
+            src.select(F.col(key)),
+            key,
+            f"data/{log.job_id}/deletes",
+            n_files=-(-n_rows // DELETE_FILE_SHARD_ROWS),
         )
         rows_written = sum(e.record_count for e in data_entries)
         snap = table._commit_files(
             "merge",
-            [del_entry] + data_entries,
+            del_entries + data_entries,
             (),
             summary={
                 "job_id": log.job_id,
                 "mode": "merge-on-read",
                 "key": key,
-                "keys_in_delete_file": del_entry.record_count,
+                "keys_in_delete_file": sum(
+                    e.record_count for e in del_entries
+                ),
                 "rows_written": rows_written,
                 **(extra_summary or {}),
             },
         )
         log.finish_task(
-            "merge_mor", [del_entry] + data_entries, files_in=[], bytes_in=0
+            "merge_mor", del_entries + data_entries, files_in=[], bytes_in=0
         )
         log.finish_job(
             {"snapshot_id": snap.snapshot_id, "rows_written": rows_written}
@@ -408,26 +440,16 @@ def delete_mor_positional(
     )
 
     out_rel_dir = f"data/{log.job_id}"
-    out_abs = os.path.join(table.root, out_rel_dir)
-    pos_df.repartition(1).sortWithinPartitions(
-        "file_path", "row_pos"
-    ).write.parquet(out_abs)
-    names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
-    rel = f"{out_rel_dir}/{names[0]}"
-    entry = collect_file_stats(
-        os.path.join(table.root, rel),
-        rel,
-        {},
-        sort_order=POS_DELETE_ORDER,
+    entries = _write_pos_delete_files(
+        table, pos_df, out_rel_dir, n_candidate_files=len(plan.files)
     )
-    entry.content = "deletes"
-    n_rows = entry.record_count
+    n_rows = sum(e.record_count for e in entries)
     if n_rows == 0:
         log.finish_job({"snapshot_id": None, "keys_deleted": 0})
         return MorDeleteResult(log.job_id, None, 0, None)
     snap = table._commit_files(
         "delete",
-        [entry],
+        entries,
         (),
         summary={
             "job_id": log.job_id,
@@ -435,9 +457,46 @@ def delete_mor_positional(
             "positions_deleted": n_rows,
         },
     )
-    log.finish_task("delete_mor_pos", [entry], files_in=[], bytes_in=0)
+    log.finish_task("delete_mor_pos", entries, files_in=[], bytes_in=0)
     log.finish_job({"snapshot_id": snap.snapshot_id, "keys_deleted": n_rows})
-    return MorDeleteResult(log.job_id, snap.snapshot_id, n_rows, rel)
+    return MorDeleteResult(
+        log.job_id, snap.snapshot_id, n_rows, entries[0].file_path
+    )
+
+
+def _write_pos_delete_files(
+    table, pos_df, out_rel_dir: str, *, n_candidate_files: int
+):
+    """Write (file_path, row_pos) rows as positional delete files,
+    path-range-sharded when the candidate set is large: positions are
+    bounded by candidate rows, so shard count scales with candidate
+    file count (~one shard per 256 data files keeps shards small while
+    per-shard min/max ``file_path`` stats stay tight for the
+    materialize prune). Returns the (uncommitted) manifest entries."""
+    from ..meta.manifests import POS_DELETE_ORDER
+
+    out_abs = os.path.join(table.root, out_rel_dir)
+    n_files = max(1, -(-n_candidate_files // 256))
+    if n_files <= 1:
+        w = pos_df.repartition(1)
+    else:
+        w = pos_df.repartitionByRange(n_files, "file_path", "row_pos")
+    w.sortWithinPartitions("file_path", "row_pos").write.parquet(out_abs)
+    entries = []
+    for n in sorted(os.listdir(out_abs)):
+        if not n.endswith(".parquet"):
+            continue
+        rel = f"{out_rel_dir}/{n}"
+        entry = collect_file_stats(
+            os.path.join(table.root, rel),
+            rel,
+            {},
+            sort_order=POS_DELETE_ORDER,
+        )
+        entry.content = "deletes"
+        if entry.record_count:
+            entries.append(entry)
+    return entries
 
 
 def _pos_delete_touches(e, d) -> bool:
@@ -599,25 +658,15 @@ def convert_deletes(
             log.job_id, snap.snapshot_id, len(eq_dels), len(pos_dels), 0
         )
 
-    from ..meta.manifests import POS_DELETE_ORDER
-
-    out_rel_dir = f"data/{log.job_id}"
-    out_abs = os.path.join(table.root, out_rel_dir)
     # distinct: overlapping deletes (same row hidden by several files)
     # must collapse to one position row
-    combined.distinct().repartition(1).sortWithinPartitions(
-        "file_path", "row_pos"
-    ).write.parquet(out_abs)
-    names = [n for n in sorted(os.listdir(out_abs)) if n.endswith(".parquet")]
-    rel = f"{out_rel_dir}/{names[0]}"
-    entry = collect_file_stats(
-        os.path.join(table.root, rel),
-        rel,
-        {},
-        sort_order=POS_DELETE_ORDER,
+    added = _write_pos_delete_files(
+        table,
+        combined.distinct(),
+        f"data/{log.job_id}",
+        n_candidate_files=len(plan.files),
     )
-    entry.content = "deletes"
-    added = [entry] if entry.record_count else []
+    n_pos = sum(e.record_count for e in added)
     snap = table._commit_files(
         "replace",
         added,
@@ -627,19 +676,17 @@ def convert_deletes(
             "mode": "convert-deletes",
             "eq_files_converted": len(eq_dels),
             "pos_files_compacted": len(pos_dels),
-            "positions_written": entry.record_count,
+            "positions_written": n_pos,
         },
     )
     log.finish_task("convert_deletes", added, files_in=removed, bytes_in=0)
-    log.finish_job(
-        {"snapshot_id": snap.snapshot_id, "positions": entry.record_count}
-    )
+    log.finish_job({"snapshot_id": snap.snapshot_id, "positions": n_pos})
     return ConvertDeletesResult(
         log.job_id,
         snap.snapshot_id,
         len(eq_dels),
         len(pos_dels),
-        entry.record_count,
+        n_pos,
     )
 
 

@@ -545,3 +545,34 @@ def test_convert_deletes_noop_cases(spark, table_root):
     # a single positional file: nothing to convert or compact
     assert t.convert_deletes().snapshot_id is None
     assert len(t.plan().delete_files) == 1
+
+
+def test_merge_mor_sharded_delete_files(spark, table_root, monkeypatch):
+    """Bulk MoR MERGE shards its equality-delete file by key range (no
+    single repartition(1) wall at 10^12 rows); readers union the shards
+    and the scan is unchanged."""
+    import lakehouse.ops.mor as mor
+
+    monkeypatch.setattr(mor, "DELETE_FILE_SHARD_ROWS", 8)
+    t = _table(spark, table_root, rows=40, appends=2)
+    src = t.scan().withColumn(
+        "transcript", F.concat(F.col("transcript"), F.lit(" [v2]"))
+    )
+    res = t.merge(src, key="clip_id", mode="mor")
+    dels = t.plan().delete_files
+    assert len(dels) >= 3  # 40 keys / 8-per-shard
+    assert all(not d.is_pos_delete for d in dels)
+    # shards carry DISJOINT key ranges (range-sharded, not hashed)
+    ranges = sorted(
+        (d.stats["clip_id"]["min"], d.stats["clip_id"]["max"]) for d in dels
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    got = t.scan()
+    assert got.count() == 40
+    assert got.filter(F.col("transcript").endswith(" [v2]")).count() == 40
+    t.materialize_deletes()
+    assert t.plan().delete_files == []
+    assert t.scan().filter(
+        F.col("transcript").endswith(" [v2]")
+    ).count() == 40
