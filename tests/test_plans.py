@@ -233,3 +233,20 @@ def test_entry_smoke_matches_driver_contract(spark):
     df = e.entry(spark)
     assert set(df.columns) == {"event_type", "n", "total_value"}
     assert df.count() > 0
+
+
+def test_spectral_embedding_single_arrow_exchange(spark):
+    """with_spectral_embedding must evaluate the FFT UDF ONCE: the
+    band transforms and normalization are JVM-side expressions over the
+    struct result, so the plan carries exactly one ArrowEvalPython node
+    (a second one would mean a duplicated decode+FFT pass per clip)."""
+    from lakehouse.audio import with_spectral_embedding
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectral_embedding(synth_clips_df(spark, 8, seed=3)).select(
+        "clip_id", "embedding"
+    )
+    # simple mode prints each node once (formatted repeats it in the
+    # per-node detail section)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
