@@ -245,3 +245,71 @@ def test_sessionize_stream_out_of_order_within_gap(spark):
     )
     rows = [t for t in _sorted_rows(got, COLS) if t[0] == "a"]
     assert rows == [("a", 30_000_000, 50_000_000, 2, 3.0)]
+
+
+def test_stream_rollup_into_lakehouse_table(spark, tmp_path):
+    """The full silver pipeline: file-source stream → watermarked
+    windowed rollup → idempotent MERGE upsert into a lakehouse TABLE
+    (composite window+key merge key). After the stream drains, the
+    table must equal the batch rollup over the same rows — streaming,
+    event-time aggregation, and the ACID table layer composed
+    end-to-end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse import Table
+    from lakehouse.streaming import upsert_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pdf = _events_pdf()
+    batches = _split_batches(spark, pdf, [BASE + 40, BASE + 150])
+
+    def transform(s):
+        return windowed_rollup(
+            s,
+            key_col="user_id",
+            window="60 seconds",
+            watermark="30 seconds",
+            sum_col="value",
+        ).withColumn(
+            "rollup_key",
+            F.concat_ws("|", F.col("window_start_us"), F.col("user_id")),
+        )
+
+    probe = transform(
+        spark.readStream.schema(batches[0].schema).parquet(
+            tempfile.mkdtemp(prefix="lh_probe_")
+        )
+    )
+    t = Table.create(spark, str(tmp_path / "silver"), probe.schema)
+    sink = upsert_batch(t, key="rollup_key")
+
+    src = tempfile.mkdtemp(prefix="lh_silver_src_")
+    ckpt = tempfile.mkdtemp(prefix="lh_silver_ckpt_")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            transform(spark.readStream.schema(batches[0].schema).parquet(src))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_cols = ["window_start_us", "user_id", "n", "total"]
+    got = [
+        t2
+        for t2 in _sorted_rows(t.scan(), out_cols)
+        if t2[1] != "zz_flush"
+    ]
+    want = windowed_rollup(
+        _spark_events(spark), key_col="user_id", window="60 seconds"
+    )
+    assert got == _sorted_rows(want, out_cols)
+    # every micro-batch landed as its own idempotent merge commit
+    from lakehouse.streaming import committed_batch_ids
+
+    assert len(committed_batch_ids(t)) >= len(batches) - 1

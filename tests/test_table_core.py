@@ -432,3 +432,38 @@ def test_time_travel_by_timestamp(spark, table_root):
         t.scan(as_of=ts1 - 10_000)
     with pytest.raises(Exception):
         t.scan(as_of=ts1, snapshot_id=1)
+
+
+def test_concurrent_appends_threaded(spark, table_root):
+    """Three writer threads race 9 appends through the CAS commit loop:
+    every commit must land (optimistic retry), the snapshot chain stays
+    linear, and no rows are lost or duplicated."""
+    import threading
+
+    t = _make_table(spark, table_root)
+    errs = []
+
+    def writer(wid):
+        try:
+            for i in range(3):
+                lo = wid * 30 + i * 10
+                t.append(_df(spark, lo, lo + 10))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    snaps = t.snapshots()
+    assert len(snaps) == 9 and all(s.operation == "append" for s in snaps)
+    # linear history: each snapshot's parent is the previous one
+    ids = [s.snapshot_id for s in snaps]
+    parents = [s.parent_snapshot_id for s in snaps]
+    assert parents == [None] + ids[:-1]
+    got = t.scan().select("clip_id").collect()
+    assert len(got) == 90 and len({r.clip_id for r in got}) == 90
