@@ -257,6 +257,39 @@ def main() -> None:
 
             timed("merge_mor_fold_in", merge_mor_fold_in)
 
+            # metadata-only COUNT: zero data bytes (manifest sums)
+            def count_meta():
+                res = t.count_rows()
+                assert res.files_scanned == 0 and res.fallback is None
+
+            timed("count_meta", count_meta)
+
+            # materialized rollup: full compute once, then (after the
+            # positional delete below mutates the table) an incremental
+            # refresh that folds in only the CDC delta — the pair prices
+            # incremental maintenance against recompute
+            import tempfile as _tf
+
+            from lakehouse.rollup import MaterializedRollup
+
+            roll_holder = {}
+
+            def rollup_full():
+                roll = MaterializedRollup.create(
+                    spark,
+                    _tf.mkdtemp(prefix="lh_bench_roll_") + "/r",
+                    t,
+                    group_by=["event_date"],
+                    aggs={
+                        "n": ("count", None),
+                        "dur_sum": ("sum", "CAST(dur_ms AS BIGINT)"),
+                    },
+                )
+                roll.refresh()
+                roll_holder["r"] = roll
+
+            timed("rollup_full", rollup_full)
+
             def expire_gc():
                 t.expire_snapshots(keep_last=1)
                 t.remove_orphan_files(
@@ -275,6 +308,12 @@ def main() -> None:
                 t.materialize_deletes()
 
             timed("delete_pos_1pct", delete_pos_1pct)
+
+            def rollup_incremental():
+                res = roll_holder["r"].refresh()
+                assert res.mode == "incremental"
+
+            timed("rollup_incremental", rollup_incremental)
 
             # full-corpus perceptual fingerprint + near-dup pair join
             # (one decode pass over every clip + 4 pigeonhole equi-joins)

@@ -44,6 +44,22 @@ _NULL = "\x00null"
 _KINDS = ("count", "sum", "min", "max")
 
 
+def _needed_columns(schema, group_by, aggs: dict[str, tuple]) -> list[str]:
+    """Base-table columns the rollup actually reads: the group keys
+    plus every schema column an agg expression mentions (word match —
+    conservative: an unparsed mention only widens the projection)."""
+    import re
+
+    need = list(group_by)
+    exprs = " ".join(e for _k, e in aggs.values() if e)
+    for f in schema.fields:
+        if f.name in need:
+            continue
+        if re.search(rf"\b{re.escape(f.name)}\b", exprs):
+            need.append(f.name)
+    return need
+
+
 def _agg_out_cols(aggs: dict[str, tuple]) -> list[str]:
     """Stored agg columns in order: each agg output, plus the hidden
     non-null counter right after its sum."""
@@ -224,7 +240,14 @@ class MaterializedRollup:
             return RefreshResult("full", None, to_id, -1, 0)
 
         delta = base.row_changes(
-            from_snapshot_id=synced, to_snapshot_id=to_id
+            from_snapshot_id=synced,
+            to_snapshot_id=to_id,
+            # project the CDC diff to the columns the algebra reads:
+            # payload columns (audio bytes) never enter the diff's scan
+            # or exchange, and projection commutes with the multiset
+            # diff for signed-delta aggregation (a pair cancelled only
+            # under projection contributes +1/-1 to every agg anyway)
+            columns=_needed_columns(base.schema, group_by, aggs),
         )
         src, n_groups, n_recomputed, cached = self._incremental_source(
             delta, group_by, aggs, base, to_id
@@ -340,7 +363,12 @@ class MaterializedRollup:
             n_recomputed = keys.count()
             if n_recomputed:
                 exact = (
-                    base.scan(snapshot_id=to_id)
+                    base.scan(
+                        snapshot_id=to_id,
+                        columns=_needed_columns(
+                            base.schema, group_by, aggs
+                        ),
+                    )
                     .select("*", _gkey_expr(group_by))
                     .join(F.broadcast(keys), on=GKEY, how="left_semi")
                     .groupBy(*group_by)
