@@ -1088,6 +1088,26 @@ def _q_lh_update(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_update_mor(spark, sf_dir):
+    """Merge-on-read UPDATE: same SET/WHERE as the COW twin but ONE
+    commit of equality-delete + appended updated rows — zero target
+    rewrites (asserted); same SQL oracle as lh_update_cow."""
+    t = _events_table(spark, sf_dir, appends=2)
+    files_before = {e.file_path for e in t.plan().files}
+    res = t.update(
+        {"value": "value + 1000.0", "event_type": "'purchase_adj'"},
+        "event_type = 'purchase'",
+        mode="mor",
+        key="event_id",
+    )
+    assert res.files_touched == 0
+    assert files_before <= {e.file_path for e in t.plan().files}
+    n = t.scan().count()
+    t.materialize_deletes()
+    assert t.scan().count() == n
+    return _events_out(t.scan())
+
+
 def _q_lh_wap_publish(spark, sf_dir):
     """Write-audit-publish: stage odd events on an 'audit' branch (main
     must still see only the evens), then fast-forward-publish."""
@@ -1454,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
+        "lh_update_mor": _q_lh_update_mor,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
@@ -1617,6 +1638,15 @@ def oracle_sql() -> dict[str, str]:
         "lh_bloom_point_lookup": EVENTS_OUT_SQL
         + " WHERE event_id IN (11, 503, 2011, 3517, 9001)",
         "lh_update_cow": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                   CASE WHEN event_type = 'purchase' THEN 'purchase_adj'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_type = 'purchase' THEN value + 1000.0
+                        ELSE value END AS value,
+                   props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+            FROM events
+        """,
+        "lh_update_mor": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id,
                    CASE WHEN event_type = 'purchase' THEN 'purchase_adj'
                         ELSE event_type END AS event_type,

@@ -378,6 +378,51 @@ def merge_into_mor(
         src.unpersist()
 
 
+def update_mor(
+    table,
+    set_exprs: dict[str, str],
+    predicate,
+    *,
+    key: str = "clip_id",
+    prune_filter=None,
+    job_id: Optional[str] = None,
+):
+    """UPDATE ... SET ... WHERE — merge-on-read. Reads the matched rows
+    (manifest-pruned, with pending deletes applied so hidden rows can't
+    resurrect as updated copies), applies the SET expressions, and
+    commits them through the MoR MERGE path: ONE commit of equality
+    delete (the matched keys) + appended updated rows, zero target
+    rewrites. O(matched rows) write cost — the MoR twin of the COW
+    UPDATE exactly as delete_mor is of the COW DELETE. Requires a
+    unique non-null key over the matched rows (enforced by the merge)."""
+    from .row_filter import _predicate_sql
+
+    schema = table.schema
+    names = {f.name for f in schema.fields}
+    for c in set_exprs:
+        if c not in names:
+            raise ValueError(f"unknown column in SET: {c!r}")
+    pred_sql, tuples = _predicate_sql(predicate)
+    matched = table.scan(filter=prune_filter or tuples).filter(
+        F.expr(pred_sql)
+    )
+    src = matched.select(
+        *[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    return merge_into_mor(
+        table,
+        src,
+        key=key,
+        job_id=job_id,
+        extra_summary={"update_predicate": pred_sql, "set": dict(set_exprs)},
+    )
+
+
 def delete_mor_positional(
     table,
     predicate,

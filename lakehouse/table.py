@@ -687,7 +687,19 @@ class Table:
 
         return _conv(self, **kw)
 
-    def update(self, set_exprs: dict[str, str], predicate, **kw):
+    def update(
+        self, set_exprs: dict[str, str], predicate, *, mode: str = "cow", **kw
+    ):
+        """Row-level UPDATE. ``mode="cow"`` rewrites touched files;
+        ``mode="mor"`` routes through the merge-on-read MERGE (one
+        commit: equality delete of matched keys + appended updated
+        rows, zero rewrites)."""
+        if mode == "mor":
+            from .ops.mor import update_mor as _update_mor
+
+            return _update_mor(self, set_exprs, predicate, **kw)
+        if mode != "cow":
+            raise ValueError(f"unknown update mode: {mode!r}")
         from .ops.row_filter import update as _update
 
         self._materialize_pending_deletes()

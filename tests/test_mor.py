@@ -576,3 +576,47 @@ def test_merge_mor_sharded_delete_files(spark, table_root, monkeypatch):
     assert t.scan().filter(
         F.col("transcript").endswith(" [v2]")
     ).count() == 40
+
+
+def test_update_mor_equals_cow(spark, tmp_path):
+    """MoR UPDATE (equality delete + appended updated rows, zero target
+    rewrites) must be row-identical to the COW UPDATE on the same
+    predicate/SET, and survive materialization."""
+    t_cow = _table(spark, str(tmp_path / "cow"))
+    t_mor = _table(spark, str(tmp_path / "mor"))
+    set_exprs = {"transcript": "concat(transcript, ' [upd]')",
+                 "dur_ms": "dur_ms + 1"}
+    pred = "sr_hz = 8000"
+    t_cow.update(set_exprs, pred)
+    files_before = {e.file_path for e in t_mor.live_files()}
+    res = t_mor.update(set_exprs, pred, mode="mor", key="clip_id")
+    assert res.files_touched == 0
+    assert files_before <= {e.file_path for e in t_mor.live_files()}
+
+    from test_maintenance import scan_fingerprint
+
+    assert scan_fingerprint(t_mor) == scan_fingerprint(t_cow)
+    t_mor.materialize_deletes()
+    assert scan_fingerprint(t_mor) == scan_fingerprint(t_cow)
+
+
+def test_update_mor_with_pending_delete_no_resurrection(spark, table_root):
+    """Rows hidden by a PENDING MoR delete must not come back as
+    updated copies: the matched-rows read applies pending deletes."""
+    t = _table(spark, table_root)
+    victims = {
+        r.clip_id
+        for r in t.scan().filter("dur_ms <= 1000").select("clip_id").collect()
+    }
+    t.delete("dur_ms <= 1000", mode="mor", key="clip_id")
+    n_visible = t.scan().count()
+    t.update(
+        {"transcript": "concat(transcript, ' [u]')"},
+        "dur_ms <= 99999",
+        mode="mor",
+        key="clip_id",
+    )
+    got = t.scan()
+    assert got.count() == n_visible
+    assert not victims & {r.clip_id for r in got.select("clip_id").collect()}
+    assert got.filter("transcript NOT LIKE '% [u]'").count() == 0
