@@ -536,6 +536,18 @@ def _q_audio_snr(spark, sf_dir):
     return out
 
 
+def _q_profile_documents(spark, sf_dir):
+    """One-pass per-column dataset profile (long format: one row per
+    column) over the documents table — count/nulls/exact distinct/
+    min/max plus mean and exact interpolated median for numerics, all
+    built-in aggregates in a single aggregation job. Oracle = the same
+    statistics in DuckDB (quantile_cont == Spark's percentile)."""
+    from lakehouse.profile import profile_columns
+
+    df = _read(spark, sf_dir, "documents")
+    return profile_columns(df, ["doc_id", "text", "lang", "n_chars"])
+
+
 def _q_audio_spectral(spark, sf_dir):
     """Self-verifying (no SQL oracle for FFT): framed-FFT spectral
     features over deterministic synth clips. The builder asserts the
@@ -1493,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
+        "profile_documents": _q_profile_documents,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1646,6 +1659,26 @@ def oracle_sql() -> dict[str, str]:
                    props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
             FROM events
         """,
+        "profile_documents": (
+            "WITH d AS (SELECT * FROM documents) "
+            "SELECT 'doc_id' AS column, COUNT(*) AS n, "
+            "COUNT(*) - COUNT(doc_id) AS nulls, "
+            "COUNT(DISTINCT doc_id) AS n_distinct, "
+            "CAST(MIN(doc_id) AS VARCHAR) AS min_s, "
+            "CAST(MAX(doc_id) AS VARCHAR) AS max_s, "
+            "AVG(doc_id) AS mean, quantile_cont(doc_id, 0.5) AS median "
+            "FROM d UNION ALL "
+            "SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), "
+            "COUNT(DISTINCT text), CAST(MIN(text) AS VARCHAR), "
+            "CAST(MAX(text) AS VARCHAR), NULL, NULL FROM d UNION ALL "
+            "SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), "
+            "COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR), "
+            "CAST(MAX(lang) AS VARCHAR), NULL, NULL FROM d UNION ALL "
+            "SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), "
+            "COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), "
+            "CAST(MAX(n_chars) AS VARCHAR), AVG(n_chars), "
+            "quantile_cont(n_chars, 0.5) FROM d"
+        ),
         "lh_update_mor": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id,
                    CASE WHEN event_type = 'purchase' THEN 'purchase_adj'

@@ -261,3 +261,29 @@ def test_ann_ivf_recall_and_training(spark):
     trained = train_ivf_centroids(emb, n_centroids=8, iters=3, sample=500)
     rt = recall(n_centroids=8, nprobe=2, centroids=trained)
     assert 0.25 <= rt <= 1.0
+
+
+def test_profile_columns_matches_manual(spark):
+    """profile_columns: one aggregation job, long-format rows equal to
+    per-column manual aggregates (exact distinct, SQL null semantics,
+    exact interpolated median)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse.profile import profile_columns
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 2, None, 5],
+            "s": ["x", None, "y", "x", None],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"a": "Int64"}))
+    got = {r.column: r for r in profile_columns(df).collect()}
+    assert got["a"].n == 5 and got["a"].nulls == 1
+    assert got["a"].n_distinct == 3
+    assert got["a"].min_s == "1" and got["a"].max_s == "5"
+    assert abs(got["a"].mean - 2.5) < 1e-12
+    assert abs(got["a"].median - 2.0) < 1e-12
+    assert got["s"].nulls == 2 and got["s"].n_distinct == 2
+    assert got["s"].mean is None and got["s"].median is None
