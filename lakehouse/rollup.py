@@ -239,19 +239,29 @@ class MaterializedRollup:
             self.table.set_properties(rollup_synced_snapshot=to_id)
             return RefreshResult("full", None, to_id, -1, 0)
 
-        delta = base.row_changes(
-            from_snapshot_id=synced,
+        from .errors import SnapshotNotFoundError
+
+        try:
+            delta = base.row_changes(
+                from_snapshot_id=synced,
             to_snapshot_id=to_id,
-            # project the CDC diff to the columns the algebra reads:
-            # payload columns (audio bytes) never enter the diff's scan
-            # or exchange, and projection commutes with the multiset
-            # diff for signed-delta aggregation (a pair cancelled only
-            # under projection contributes +1/-1 to every agg anyway)
-            columns=_needed_columns(base.schema, group_by, aggs),
-        )
-        src, n_groups, n_recomputed, cached = self._incremental_source(
-            delta, group_by, aggs, base, to_id
-        )
+                # project the CDC diff to the columns the algebra
+                # reads: payload columns (audio bytes) never enter the
+                # diff's scan or exchange, and projection commutes with
+                # the multiset diff for signed-delta aggregation (a
+                # pair cancelled only under projection contributes
+                # +1/-1 to every agg anyway)
+                columns=_needed_columns(base.schema, group_by, aggs),
+            )
+            src, n_groups, n_recomputed, cached = self._incremental_source(
+                delta, group_by, aggs, base, to_id
+            )
+        except SnapshotNotFoundError:
+            # the synced base snapshot has EXPIRED — the CDC chain to it
+            # is gone, so the delta is unrecoverable. Recover with one
+            # atomic full resync (recompute + overwrite commit) instead
+            # of failing: the rollup lags expiry, never breaks on it.
+            return self._full_resync(base, to_id, group_by, aggs, synced)
         try:
             if n_groups:
                 self.table.merge(src, key=GKEY, **merge_kw)
@@ -262,6 +272,40 @@ class MaterializedRollup:
         return RefreshResult(
             "incremental", synced, to_id, n_groups, n_recomputed
         )
+
+    def _full_resync(self, base, to_id, group_by, aggs, synced):
+        """Recompute the whole rollup and swap it in with ONE atomic
+        overwrite commit (add new files, remove all current ones)."""
+        from .ops.append import write_data_files
+
+        full = (
+            base.scan(
+                snapshot_id=to_id,
+                columns=_needed_columns(base.schema, group_by, aggs),
+            )
+            .groupBy(*group_by)
+            .agg(*_full_agg_exprs(aggs))
+            .select(*group_by, _gkey_expr(group_by), *_agg_out_cols(aggs))
+        )
+        t = self.table
+        prior = t.plan().files
+        entries = write_data_files(
+            t.spark,
+            t.root,
+            t.meta.schema_json,
+            t.meta.partition_spec,
+            full,
+            target_file_count=max(1, len(prior)),
+            job_dir=f"data/resync-{to_id}-{__import__('uuid').uuid4().hex[:8]}",
+        )
+        t._commit_files(
+            "overwrite",
+            entries,
+            [e.file_path for e in prior],
+            summary={"mode": "rollup-full-resync", "base_snapshot": to_id},
+        )
+        t.set_properties(rollup_synced_snapshot=to_id)
+        return RefreshResult("full-resync", synced, to_id, -1, 0)
 
     def _incremental_source(self, delta, group_by, aggs, base, to_id):
         """MERGE source for one refresh: one row per delta group with

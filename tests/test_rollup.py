@@ -171,3 +171,27 @@ def test_sum_goes_null_when_all_nonnull_inputs_deleted(spark, tmp_path):
     live = r.scan().filter(F.col("n") > 0)
     assert live.count() > 0
     assert live.filter(F.col("long_sum").isNotNull()).count() == 0
+
+
+def test_refresh_survives_expired_sync_snapshot(spark, pair):
+    """When base snapshot expiry removes the rollup's sync point, the
+    CDC chain is unrecoverable — refresh must fall back to ONE atomic
+    full-resync overwrite commit instead of raising, and still equal
+    the full recompute."""
+    t, r = pair
+    r.refresh()
+    pdf = synth_clips_pdf(range(300, 330), seed=9, n_days=4)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA))
+    t.delete("dur_ms <= 900", mode="cow")
+    # expire everything but the head: the synced snapshot is gone
+    t.expire_snapshots(keep_last=1)
+    sids = {s.snapshot_id for s in t.snapshots()}
+    assert r._props["rollup_synced_snapshot"] not in sids
+
+    res = r.refresh()
+    assert res.mode == "full-resync"
+    _check(r)
+    # one commit: the rollup table's history grew by exactly one
+    # overwrite snapshot and stays scannable mid-history
+    assert r.table.snapshots()[-1].operation == "overwrite"
+    assert r.refresh().mode == "noop"
