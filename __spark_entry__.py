@@ -536,6 +536,29 @@ def _q_audio_snr(spark, sf_dir):
     return out
 
 
+def _q_cosine_topk_arrow(spark, sf_dir):
+    """Self-verifying: the Arrow/numpy partial-top-k cosine path (one
+    BLAS matmul per Arrow batch, only k candidates per batch cross the
+    shuffle) must return neighbor-for-neighbor the same ranking as the
+    oracle-green Catalyst path on the same queries (asserted, cosine
+    tolerance 1e-4 for independent roundings)."""
+    from lakehouse.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = _read(spark, sf_dir, "embeddings").repartition(8)
+    qids = [0, 7, 23, 41]
+    got = cosine_topk_arrow(emb, qids, k=5)
+    ref = {
+        (r.query_id, r.rank): r for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        want = ref[(r.query_id, r.rank)]
+        assert r.neighbor_id == want.neighbor_id, (r, want)
+        assert abs(r.cosine - want.cosine) <= 1e-4
+    return got
+
+
 def _q_profile_documents(spark, sf_dir):
     """One-pass per-column dataset profile (long format: one row per
     column) over the documents table — count/nulls/exact distinct/
@@ -1507,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "profile_documents": _q_profile_documents,
         "cosine_topk": _q_cosine_topk,
+        "cosine_topk_arrow": _q_cosine_topk_arrow,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -93,6 +93,89 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors — the Arrow/numpy scale path.
+
+    Same semantics as :func:`cosine_topk` (gated by a parity test), a
+    different physical shape for wide embeddings and huge corpora: the
+    query matrix broadcasts to every task, each Arrow batch computes
+    ALL similarities as one numpy matmul and emits only its PARTIAL
+    top-k per query, and a tiny global rank merges |batches|·|Q|·k
+    candidate rows. Versus the Catalyst expression path this replaces
+    O(|C|·|Q|) shuffled narrow rows with O(batches·|Q|·k), and the
+    per-element expression tree with BLAS — the win grows with
+    embedding width. Partial top-k per batch is exact because every
+    batch contributes its k best under the SAME (-cosine, neighbor_id)
+    order the global rank uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = [r[0] for r in q_rows]
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    spark = emb.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, qn))
+
+    id_dtype = dict(emb.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_dtype}, neighbor_id {id_dtype}, cosine double"
+    )
+
+    def part(batches):
+        ids, qnm = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+            )
+            sims = Cn @ qnm.T  # (n, |Q|)
+            nids = pdf[id_col].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            kk = min(k + 1, len(nids))  # +1 absorbs a self-match
+            for qi, qid in enumerate(ids):
+                # round BEFORE selecting and break ties on neighbor_id —
+                # the exact order the global rank uses, so a batch's
+                # partial top-k can never drop a row the global top-k
+                # would have kept
+                col = np.round(sims[:, qi], 4)
+                order = np.lexsort((nids, -col))[:kk]
+                for j in order:
+                    if nids[j] == qid:
+                        continue
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(nids[j])
+                    out["cosine"].append(float(col[j]))
+            yield pd.DataFrame(out)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(part, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_oracle_sql(
     query_ids: list[int], k: int = 5, table: str = "embeddings"
 ) -> str:

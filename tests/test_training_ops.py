@@ -287,3 +287,26 @@ def test_profile_columns_matches_manual(spark):
     assert abs(got["a"].median - 2.0) < 1e-12
     assert got["s"].nulls == 2 and got["s"].n_distinct == 2
     assert got["s"].mean is None and got["s"].median is None
+
+
+def test_cosine_topk_arrow_parity(spark):
+    """The Arrow/numpy partial-top-k path must return the same
+    neighbors in the same order as the Catalyst expression path, with
+    cosines equal to 1e-4 (independent roundings of the same value)."""
+    import os
+
+    from lakehouse.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    ).repartition(6)
+    qids = [0, 7, 23]
+    a = cosine_topk(emb, qids, k=5).collect()
+    b = cosine_topk_arrow(emb, qids, k=5).collect()
+    assert len(a) == len(b)
+    ka = {(r.query_id, r.rank): r for r in a}
+    kb = {(r.query_id, r.rank): r for r in b}
+    assert ka.keys() == kb.keys()
+    for key in ka:
+        assert ka[key].neighbor_id == kb[key].neighbor_id, (key, ka[key], kb[key])
+        assert abs(ka[key].cosine - kb[key].cosine) <= 1e-4
