@@ -1123,6 +1123,48 @@ def _q_lh_update(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_rollup_hourly(spark, sf_dir):
+    """The reference's hourly-rollup analyst query as an incrementally
+    maintained table: DERIVED time-bucket group key (date_trunc hour)
+    plus event_type, refreshed from the CDC delta after an append AND
+    a merge-on-read delete (mode asserted). Oracle = full SQL recompute
+    over the post-DML row set."""
+    from lakehouse.rollup import MaterializedRollup
+
+    t = _events_table(spark, sf_dir, appends=2)
+    roll = MaterializedRollup.create(
+        spark,
+        tempfile.mkdtemp(prefix="lh_rollh_") + "/rollup",
+        t,
+        group_by=["event_type"],
+        group_exprs={"hh": "date_trunc('HOUR', ts)"},
+        aggs={
+            "n": ("count", None),
+            "v_sum": ("sum", "CAST(value AS DECIMAL(18,4))"),
+        },
+    )
+    assert roll.refresh().mode == "full"
+    ev = _events(spark, sf_dir)
+    t.append(
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 9 == 0))
+        .withColumn("event_id", F.col("event_id") + 30_000_000)
+    )
+    t.delete(
+        "event_type = 'click' AND user_id % 6 = 0", mode="mor", key="event_id"
+    )
+    res = roll.refresh()
+    assert res.mode == "incremental" and res.groups_changed > 0
+    exp = roll.expected()
+    got = roll.scan()
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    return got.select(
+        F.unix_micros(F.col("hh")).alias("hh_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_sum").cast("double").alias("v_sum"),
+    )
+
+
 def _q_lh_update_mor(spark, sf_dir):
     """Merge-on-read UPDATE: same SET/WHERE as the COW twin but ONE
     commit of equality-delete + appended updated rows — zero target
@@ -1506,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_convert": _q_lh_delete_convert,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
+        "lh_rollup_hourly": _q_lh_rollup_hourly,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_update_cow": _q_lh_update,
@@ -1662,6 +1705,19 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n, "
             "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum, "
             "MIN(value) AS v_min, MAX(value) AS v_max "
+            "FROM rows GROUP BY 1, 2"
+        ),
+        "lh_rollup_hourly": (
+            "WITH rows AS ("
+            "SELECT * FROM events "
+            "WHERE NOT (event_type = 'click' AND user_id % 6 = 0) "
+            "UNION ALL "
+            "SELECT event_id + 30000000 AS event_id, ts, user_id, "
+            "event_type, value, props FROM events "
+            "WHERE event_type = 'signup' AND user_id % 9 = 0) "
+            "SELECT epoch_us(date_trunc('hour', ts)) AS hh_us, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum "
             "FROM rows GROUP BY 1, 2"
         ),
         "lh_delete_convert": EVENTS_OUT_SQL

@@ -44,20 +44,31 @@ _NULL = "\x00null"
 _KINDS = ("count", "sum", "min", "max")
 
 
-def _needed_columns(schema, group_by, aggs: dict[str, tuple]) -> list[str]:
-    """Base-table columns the rollup actually reads: the group keys
-    plus every schema column an agg expression mentions (word match —
-    conservative: an unparsed mention only widens the projection)."""
+def _needed_columns(
+    schema, group_by, aggs: dict[str, tuple], group_exprs=None
+) -> list[str]:
+    """Base-table columns the rollup actually reads: the plain group
+    keys plus every schema column an agg or derived-group expression
+    mentions (word match — conservative: an unparsed mention only
+    widens the projection)."""
     import re
 
     need = list(group_by)
     exprs = " ".join(e for _k, e in aggs.values() if e)
+    exprs += " " + " ".join((group_exprs or {}).values())
     for f in schema.fields:
         if f.name in need:
             continue
         if re.search(rf"\b{re.escape(f.name)}\b", exprs):
             need.append(f.name)
     return need
+
+
+def _with_groups(df, group_exprs):
+    """Attach derived group columns (SQL expressions) to a frame."""
+    for name, e in (group_exprs or {}).items():
+        df = df.withColumn(name, F.expr(e))
+    return df
 
 
 def _agg_out_cols(aggs: dict[str, tuple]) -> list[str]:
@@ -134,15 +145,19 @@ class MaterializedRollup:
         root: str,
         base: Table,
         *,
-        group_by: Sequence[str],
+        group_by: Sequence[str] = (),
         aggs: dict[str, tuple],
+        group_exprs: Optional[dict] = None,
         partition_spec=None,
     ) -> "MaterializedRollup":
         """``aggs``: {out_col: (kind, expr_sql)} with kind in
-        count|sum|min|max; expr_sql is ignored for count. The rollup
-        schema (group columns + _gkey + agg columns) is derived from
-        the base schema by planning the aggregate on an empty slice —
-        no data read."""
+        count|sum|min|max; expr_sql is ignored for count.
+        ``group_exprs``: {out_col: sql_expr} DERIVED group keys (e.g.
+        ``{"hour": "date_trunc('hour', ts)"}``) computed from base
+        columns on every path — plain and derived keys group together.
+        The rollup schema (group columns + _gkey + agg columns) is
+        derived from the base schema by planning the aggregate on an
+        empty slice — no data read."""
         for name, (kind, _e) in aggs.items():
             if kind not in _KINDS:
                 raise ValueError(f"agg {name!r}: unknown kind {kind!r}")
@@ -152,12 +167,14 @@ class MaterializedRollup:
                 "row count is what tracks group liveness (a group whose "
                 "count reaches 0 must be deleted from the rollup)"
             )
+        gnames = list(group_by) + list(group_exprs or {})
+        if not gnames:
+            raise ValueError("rollup needs at least one group key")
         probe = (
-            base.scan()
-            .limit(0)
-            .groupBy(*group_by)
+            _with_groups(base.scan().limit(0), group_exprs)
+            .groupBy(*gnames)
             .agg(*_full_agg_exprs(aggs))
-            .select(*group_by, _gkey_expr(group_by), *_agg_out_cols(aggs))
+            .select(*gnames, _gkey_expr(gnames), *_agg_out_cols(aggs))
         )
         t = Table.create(
             spark,
@@ -167,6 +184,7 @@ class MaterializedRollup:
             properties={
                 "rollup_base_root": base.root,
                 "rollup_group_by": json.dumps(list(group_by)),
+                "rollup_group_exprs": json.dumps(dict(group_exprs or {})),
                 "rollup_aggs": json.dumps(
                     {k: list(v) for k, v in aggs.items()}
                 ),
@@ -191,6 +209,14 @@ class MaterializedRollup:
         return json.loads(self._props["rollup_group_by"])
 
     @property
+    def group_exprs(self) -> dict:
+        return json.loads(self._props.get("rollup_group_exprs") or "{}")
+
+    @property
+    def group_names(self) -> list[str]:
+        return self.group_by + list(self.group_exprs)
+
+    @property
     def aggs(self) -> dict[str, tuple]:
         return {
             k: tuple(v)
@@ -210,8 +236,8 @@ class MaterializedRollup:
             _nn(n) for n, (k, _e) in self.aggs.items() if k == "sum"
         ]
         return (
-            self.base.scan()
-            .groupBy(*self.group_by)
+            _with_groups(self.base.scan(), self.group_exprs)
+            .groupBy(*self.group_names)
             .agg(*_full_agg_exprs(self.aggs))
             .drop(*hidden)
         )
@@ -225,14 +251,24 @@ class MaterializedRollup:
         if synced == to_id or to_id is None:
             return RefreshResult("noop", synced, to_id, 0, 0)
         group_by, aggs = self.group_by, self.aggs
+        group_exprs = self.group_exprs
+        gnames = group_by + list(group_exprs)
 
         if synced is None:
             full = (
-                base.scan(snapshot_id=to_id)
-                .groupBy(*group_by)
+                _with_groups(
+                    base.scan(
+                        snapshot_id=to_id,
+                        columns=_needed_columns(
+                            base.schema, group_by, aggs, group_exprs
+                        ),
+                    ),
+                    group_exprs,
+                )
+                .groupBy(*gnames)
                 .agg(*_full_agg_exprs(aggs))
                 .select(
-                    *group_by, _gkey_expr(group_by), *_agg_out_cols(aggs)
+                    *gnames, _gkey_expr(gnames), *_agg_out_cols(aggs)
                 )
             )
             self.table.append(full)
@@ -251,10 +287,12 @@ class MaterializedRollup:
                 # the multiset diff for signed-delta aggregation (a
                 # pair cancelled only under projection contributes
                 # +1/-1 to every agg anyway)
-                columns=_needed_columns(base.schema, group_by, aggs),
+                columns=_needed_columns(
+                    base.schema, group_by, aggs, group_exprs
+                ),
             )
             src, n_groups, n_recomputed, cached = self._incremental_source(
-                delta, group_by, aggs, base, to_id
+                _with_groups(delta, group_exprs), gnames, aggs, base, to_id
             )
         except SnapshotNotFoundError:
             # the synced base snapshot has EXPIRED — the CDC chain to it
@@ -278,14 +316,21 @@ class MaterializedRollup:
         overwrite commit (add new files, remove all current ones)."""
         from .ops.append import write_data_files
 
+        group_exprs = self.group_exprs
+        gnames = list(group_by) + list(group_exprs)
         full = (
-            base.scan(
-                snapshot_id=to_id,
-                columns=_needed_columns(base.schema, group_by, aggs),
+            _with_groups(
+                base.scan(
+                    snapshot_id=to_id,
+                    columns=_needed_columns(
+                        base.schema, group_by, aggs, group_exprs
+                    ),
+                ),
+                group_exprs,
             )
-            .groupBy(*group_by)
+            .groupBy(*gnames)
             .agg(*_full_agg_exprs(aggs))
-            .select(*group_by, _gkey_expr(group_by), *_agg_out_cols(aggs))
+            .select(*gnames, _gkey_expr(gnames), *_agg_out_cols(aggs))
         )
         t = self.table
         prior = t.plan().files
@@ -407,11 +452,17 @@ class MaterializedRollup:
             n_recomputed = keys.count()
             if n_recomputed:
                 exact = (
-                    base.scan(
-                        snapshot_id=to_id,
-                        columns=_needed_columns(
-                            base.schema, group_by, aggs
+                    _with_groups(
+                        base.scan(
+                            snapshot_id=to_id,
+                            columns=_needed_columns(
+                                base.schema,
+                                self.group_by,
+                                aggs,
+                                self.group_exprs,
+                            ),
                         ),
+                        self.group_exprs,
                     )
                     .select("*", _gkey_expr(group_by))
                     .join(F.broadcast(keys), on=GKEY, how="left_semi")

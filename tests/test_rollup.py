@@ -195,3 +195,31 @@ def test_refresh_survives_expired_sync_snapshot(spark, pair):
     # overwrite snapshot and stays scannable mid-history
     assert r.table.snapshots()[-1].operation == "overwrite"
     assert r.refresh().mode == "noop"
+
+
+def test_derived_group_keys(spark, tmp_path):
+    """Derived (expression) group keys — e.g. an hourly time bucket —
+    group together with plain columns on every refresh path."""
+    t = _base(spark, str(tmp_path / "bg"))
+    r = MaterializedRollup.create(
+        spark,
+        str(tmp_path / "rg"),
+        t,
+        group_by=["sr_hz"],
+        group_exprs={"day_hour": "date_trunc('HOUR', ingest_ts)"},
+        aggs={
+            "n": ("count", None),
+            "dur_min": ("min", "dur_ms"),
+        },
+    )
+    assert r.refresh().mode == "full"
+    _check(r)
+    assert "day_hour" in r.scan().columns
+    t.append(spark.createDataFrame(
+        synth_clips_pdf(range(400, 430), seed=3, n_days=4),
+        schema=CLIPS_SCHEMA,
+    ))
+    t.delete("dur_ms <= 1000", mode="mor", key="clip_id")
+    res = r.refresh()
+    assert res.mode == "incremental" and res.groups_changed > 0
+    _check(r)
