@@ -559,6 +559,17 @@ def _q_cosine_topk_arrow(spark, sf_dir):
     return got
 
 
+def _q_curate_documents(spark, sf_dir):
+    """One-call corpus curation (exact dedup -> verified MinHash-LSH
+    near-dedup keeping each cluster's min id -> token-count quality
+    floor), the composed training-data flow; oracle = the same
+    composition of the per-stage SQL oracles in DuckDB."""
+    from lakehouse.dedup import curate_documents
+
+    df = _read(spark, sf_dir, "documents")
+    return curate_documents(df).select("doc_id", "lang", "n_chars")
+
+
 def _q_profile_documents(spark, sf_dir):
     """One-pass per-column dataset profile (long format: one row per
     column) over the documents table — count/nulls/exact distinct/
@@ -1572,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
         "profile_documents": _q_profile_documents,
+        "curate_documents": _q_curate_documents,
         "cosine_topk": _q_cosine_topk,
         "cosine_topk_arrow": _q_cosine_topk_arrow,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1592,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from lakehouse.dedup import (
+        curate_documents_oracle_sql,
         dedup_exact_oracle_sql,
         minhash_lsh_oracle_sql,
         ngram_jaccard_oracle_sql,
@@ -1739,6 +1752,11 @@ def oracle_sql() -> dict[str, str]:
                    props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
             FROM events
         """,
+        "curate_documents": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + curate_documents_oracle_sql()
+            + ")"
+        ),
         "profile_documents": (
             "WITH d AS (SELECT * FROM documents) "
             "SELECT 'doc_id' AS column, COUNT(*) AS n, "

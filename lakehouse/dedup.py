@@ -60,13 +60,16 @@ def dedup_exact_oracle_sql(table: str = "documents") -> str:
 
 
 def _shingles(df: DataFrame, content_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) with distinct word k-grams per doc."""
+    """(doc_id, shingle) with distinct word k-grams per doc. Documents
+    shorter than ``k`` tokens yield NO shingles (filtered before the
+    gram expression — sequence(0, negative) would throw), exactly like
+    the oracle's empty range comprehension; they can never pair."""
     toks = F.split(F.col(content_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return df.select(
+    return df.filter(F.size(toks) >= k).select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
@@ -490,4 +493,81 @@ def simhash_pairs_oracle_sql(
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand
     WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# one-call corpus curation
+
+
+def curate_documents(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    min_tokens: int = 5,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-call training-corpus curation — the flow a 100 TB pretraining
+    pipeline runs end-to-end, composed from the oracle-gated stages:
+
+    1. exact dedup: keep the MIN doc_id per identical text (md5 group);
+    2. near-dedup: MinHash-LSH candidate pairs verified at true shingle
+       Jaccard ≥ ``threshold``; drop each pair's GREATER id (so a
+       near-dup cluster's minimum id always survives);
+    3. quality floor: at least ``min_tokens`` whitespace tokens.
+
+    Every stage is an equi-shuffle (md5 group, banded LSH buckets,
+    broadcast victim anti-join) — no cross joins; returns the surviving
+    rows with their original columns.
+    """
+    t = F.col(content_col)
+    keep_ids = (
+        df.groupBy(F.md5(t).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = df.join(keep_ids, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(
+        uniq,
+        content_col=content_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    victims = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = uniq.join(F.broadcast(victims), "doc_id", "left_anti")
+    from .textops import token_count_ws
+
+    return kept.filter(token_count_ws(t) >= min_tokens)
+
+
+def curate_documents_oracle_sql(
+    table: str = "documents",
+    *,
+    min_tokens: int = 5,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`curate_documents` (nested-CTE composition
+    of the per-stage oracles)."""
+    pair_sql = minhash_lsh_oracle_sql(
+        "uniq", k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    return f"""
+    WITH uniq AS (
+        SELECT d.* FROM {table} d
+        JOIN (SELECT min(doc_id) AS doc_id FROM {table}
+              GROUP BY md5(text)) km USING (doc_id)
+    ),
+    pairs AS ({pair_sql}),
+    victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT u.* FROM uniq u
+    WHERE u.doc_id NOT IN (SELECT doc_id FROM victims)
+      AND len(string_split(u.text, ' ')) >= {min_tokens}
     """

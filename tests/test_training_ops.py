@@ -310,3 +310,37 @@ def test_cosine_topk_arrow_parity(spark):
     for key in ka:
         assert ka[key].neighbor_id == kb[key].neighbor_id, (key, ka[key], kb[key])
         assert abs(ka[key].cosine - kb[key].cosine) <= 1e-4
+
+
+def test_curate_documents_planted_flow(spark):
+    """Planted exact copy, planted near-dup, planted low-quality doc —
+    curation must drop exactly those three and keep everything else;
+    the cluster minimum id always survives."""
+    import pandas as pd
+
+    from lakehouse.dedup import curate_documents
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50).cache()
+    rows = base.orderBy("doc_id").collect()
+    donor = max(rows, key=lambda r: len(r.text.split()))
+    toks = donor.text.split()
+    near = " ".join(toks[:-1] + ["zz_tail"])
+    extra = pd.DataFrame(
+        {
+            "doc_id": [90001, 90002, 90003],
+            "text": [donor.text, near, "too short"],
+            "lang": ["en"] * 3,
+            "source": ["synthetic"] * 3,
+            "n_chars": [len(donor.text), len(near), 9],
+        }
+    )
+    df = base.unionByName(spark.createDataFrame(extra, schema=base.schema))
+    before = {r.doc_id for r in curate_documents(base).select("doc_id").collect()}
+    after = {r.doc_id for r in curate_documents(df).select("doc_id").collect()}
+    # the exact copy (90001) and near dup (90002) lose to the donor's
+    # smaller id; the 2-token doc (90003) fails the quality floor
+    assert donor.doc_id in after
+    assert not {90001, 90002, 90003} & after
+    assert after == before
