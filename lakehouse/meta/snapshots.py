@@ -44,7 +44,7 @@ class Snapshot:
     parent_snapshot_id: Optional[int]
     timestamp_ms: int
     operation: str  # append | replace | overwrite | delete | merge
-    manifest_list: str  # relative path to snap-<id>.manifest-list.json
+    manifest_list: str  # relative path to snap-<id>-<attempt>.manifest-list.json
     schema_id: int = 0
     summary: dict[str, Any] = field(default_factory=dict)
 
@@ -211,7 +211,17 @@ def write_manifest_list(
     table_root: str, snapshot_id: int, manifests: list[dict[str, Any]]
 ) -> str:
     """``manifests``: [{"path": rel, "summary": {...}}, ...] → relative path."""
-    rel = f"metadata/snap-{snapshot_id}.manifest-list.json"
+    # UNIQUE per commit ATTEMPT, not per snapshot id: two concurrent
+    # writers both compute next_snapshot_id from the same base and would
+    # otherwise overwrite each other's list file BEFORE the CAS decides
+    # the winner — the committed snapshot then references the loser's
+    # manifests (duplicating its rows and losing the winner's). The
+    # snapshot records whichever path ITS attempt wrote; lists from
+    # lost attempts are unreferenced and swept by expire's GC.
+    rel = (
+        f"metadata/snap-{snapshot_id}-{uuid.uuid4().hex[:12]}"
+        ".manifest-list.json"
+    )
     _atomic_write_json(os.path.join(table_root, rel), {"manifests": manifests})
     return rel
 
