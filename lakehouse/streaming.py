@@ -99,6 +99,52 @@ def upsert_batch(
     return _inner
 
 
+def append_if_absent_batch(
+    table,
+    *,
+    key: str = "clip_id",
+    max_probe_keys: int = 100_000,
+    target_file_count: Optional[int] = None,
+):
+    """foreachBatch callback: exactly-once-BY-KEY ingestion. Appends
+    only rows whose key is not already in the table (first write wins;
+    existing rows are never touched — contrast ``upsert_batch``).
+
+    Scale shape: the batch's key set (micro-batch-bounded, collected to
+    the driver) drives a planned point-lookup — min/max stats AND Bloom
+    sidecars prune the probe to the files that could contain any batch
+    key, whose key column alone is read; the present-key set (≤ batch
+    size) broadcasts into a left-anti join. A batch too large to probe
+    by key list falls back to a full key-column scan. Batch-id
+    idempotency as in ``append_batch``; duplicate keys WITHIN a batch
+    collapse to one arbitrary row first.
+    """
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(table):
+            return
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates([key])
+        keys = [r[0] for r in batch.select(key).collect()]
+        if len(keys) <= max_probe_keys:
+            existing = table.scan(filter=[(key, "in", keys)]).select(key)
+        else:
+            existing = table.scan().select(key)
+        src = batch.join(F.broadcast(existing), key, "left_anti")
+        if src.isEmpty():
+            # nothing new: no snapshot to carry the batch id, and none
+            # needed — a replay re-derives the same empty set
+            return
+        table.append(
+            src,
+            target_file_count=target_file_count,
+            extra_summary={"stream_batch_id": int(batch_id)},
+        )
+
+    return _inner
+
+
 def append_with_rollup_batch(
     table, rollup, *, target_file_count: Optional[int] = None
 ):

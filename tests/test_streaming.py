@@ -132,3 +132,35 @@ def test_stream_maintained_rollup(spark, clips_table, tmp_path):
     cb(synth_clips_df(spark, 16, start=24, seed=7, n_days=3), 1)
     check()
     assert roll.scan().agg({"n": "sum"}).collect()[0][0] == 40
+
+
+def test_append_if_absent_batch_key_dedup(spark, clips_table):
+    """Exactly-once BY KEY: overlapping batches append only new keys,
+    existing rows are never rewritten (first write wins), replays skip,
+    and the key probe is a planned point lookup."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.streaming import append_if_absent_batch
+
+    cb = append_if_absent_batch(clips_table, key="clip_id")
+    b0 = synth_clips_df(spark, 30, seed=7, n_days=2)
+    cb(b0, 0)
+    assert clips_table.scan().count() == 30
+    files_after_b0 = {e.file_path for e in clips_table.live_files()}
+
+    # batch 1 overlaps keys [15,30) with CHANGED payloads + 10 new keys
+    overlap = synth_clips_df(spark, 15, start=15, seed=7, n_days=2).withColumn(
+        "transcript", F.lit("changed")
+    )
+    fresh = synth_clips_df(spark, 10, start=30, seed=7, n_days=2)
+    cb(overlap.unionByName(fresh), 1)
+    got = clips_table.scan()
+    assert got.count() == 40
+    # first write wins: the overlapping keys kept their ORIGINAL rows
+    assert got.filter("transcript = 'changed'").count() == 0
+    assert files_after_b0 <= {e.file_path for e in clips_table.live_files()}
+
+    # replay of batch 1 and a fully-duplicate batch 2 are both no-ops
+    cb(overlap.unionByName(fresh), 1)
+    cb(synth_clips_df(spark, 20, seed=7, n_days=2), 2)
+    assert clips_table.scan().count() == 40
