@@ -355,12 +355,74 @@ def cmd_update(args):
     t = _table(spark, args)
     col, _, expr = args.set.partition("=")
     t0 = time.time()
+    if args.mode == "mor":
+        res = t.update(
+            {col.strip(): expr.strip()}, args.where, mode="mor", key=args.key
+        )
+        _emit(
+            {
+                "op": "update",
+                "mode": "mor",
+                "rows_written": res.rows_written,
+                "files_touched": res.files_touched,
+                "secs": round(time.time() - t0, 2),
+            }
+        )
+        return
     res = t.update({col.strip(): expr.strip()}, args.where)
     _emit(
         {
             "op": "update",
+            "mode": "cow",
             "rows_updated": res.rows_affected,
             "files_rewritten": res.files_rewritten,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_curate(args):
+    """Write the curated document set (exact + near dedup + quality
+    floor) to a parquet directory."""
+    from lakehouse.dedup import curate_documents
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    kept = curate_documents(df, threshold=args.threshold)
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = df.count(), spark.read.parquet(args.output).count()
+    _emit(
+        {
+            "op": "curate",
+            "docs_in": n_in,
+            "docs_kept": n_out,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_profile(args):
+    from lakehouse.profile import profile_columns
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    cols = args.columns.split(",") if args.columns else None
+    t0 = time.time()
+    rows = profile_columns(t.scan(), cols).collect()
+    _emit(
+        {
+            "op": "profile",
+            "columns": {
+                r.column: {
+                    "n": r.n,
+                    "nulls": r.nulls,
+                    "n_distinct": r.n_distinct,
+                    "min": r.min_s,
+                    "max": r.max_s,
+                }
+                for r in rows
+            },
             "secs": round(time.time() - t0, 2),
         }
     )
@@ -537,6 +599,15 @@ def main():
     t(s)
     s.add_argument("--set", required=True, help="col = sql_expr")
     s.add_argument("--where", required=True)
+    s.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    s.add_argument("--key", default="clip_id")
+    s = sub.add_parser("curate")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--threshold", type=float, default=0.5)
+    s = sub.add_parser("profile")
+    t(s)
+    s.add_argument("--columns", default=None)
     s = sub.add_parser("rollback")
     t(s)
     s.add_argument("--snapshot", type=int, required=True)
@@ -582,6 +653,8 @@ def main():
         "sql": cmd_sql,
         "evolve-spec": cmd_evolve_spec,
         "update": cmd_update,
+        "curate": cmd_curate,
+        "profile": cmd_profile,
         "rollback": cmd_rollback,
         "branch": cmd_branch,
         "cdc": cmd_cdc,
