@@ -629,6 +629,45 @@ def _q_audio_spectral(spark, sf_dir):
     return out
 
 
+def _q_audio_dominant_freq(spark, sf_dir):
+    """Self-verifying DSP estimation with GENERATOR ground truth: the
+    FFT-peak dominant frequency (parabolic interpolation, sub-bin
+    accuracy) must land within 8 Hz / 2 raw bins of a strongest-tier
+    sinusoid the synthetic generator actually planted — the component
+    list is re-derived from the same rng stream, per clip, inside the
+    checker UDF (asserted for ALL clips)."""
+    from lakehouse.audio import synth_dominant_error_udf, with_dominant_freq
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 192, seed=42, n_days=4)
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    out = (
+        with_dominant_freq(df)
+        .withColumn(
+            "err_hz", synth_dominant_error_udf(42)(F.col("bytes"), idx)
+        )
+        .select(
+            "clip_id",
+            "sr_hz",
+            F.col("dominant.ok").alias("ok"),
+            F.round("dominant.dominant_hz", 2).alias("dominant_hz"),
+            F.round("dominant.bin_hz", 3).alias("bin_hz"),
+            F.round("err_hz", 3).alias("err_hz"),
+        )
+    )
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("ok")).cast("int")).alias("n_bad"),
+        F.sum(
+            (
+                F.col("err_hz") > F.greatest(F.lit(8.0), F.col("bin_hz") * 2)
+            ).cast("int")
+        ).alias("n_off"),
+    ).collect()[0]
+    assert chk.n == 192 and chk.n_bad == 0 and chk.n_off == 0, chk
+    return out
+
+
 def _q_audio_spectral_topk(spark, sf_dir):
     """Self-verifying: audio-content similarity search with NO external
     model — unit-norm log-band-energy embeddings from the framed FFT,
@@ -1597,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_detection": _q_audio_dup_detection,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
+        "audio_dominant_freq": _q_audio_dominant_freq,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
     }

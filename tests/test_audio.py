@@ -411,3 +411,33 @@ def test_spectral_embedding_selfsim(spark):
     got = {r.query_id: (r.neighbor_id, r.cosine) for r in top1}
     assert got[f"copy-0"][0] == orig_ids[0] and got["copy-0"][1] >= 0.9999
     assert got[f"copy-1"][0] == orig_ids[1] and got["copy-1"][1] >= 0.9999
+
+
+def test_dominant_frequency_matches_generator(spark):
+    """FFT-peak dominant frequency with parabolic interpolation must
+    land within 8 Hz (or 2 raw bins) of a strongest-tier sinusoid the
+    GENERATOR actually planted — ground truth re-derived from the same
+    rng stream."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import synth_dominant_error_udf, with_dominant_freq
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 64, seed=42, n_days=2)
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    out = with_dominant_freq(df).withColumn(
+        "err_hz", synth_dominant_error_udf(42)(F.col("bytes"), idx)
+    )
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("dominant.ok")).cast("int")).alias("n_bad"),
+        F.sum(
+            (
+                F.col("err_hz")
+                > F.greatest(F.lit(8.0), F.col("dominant.bin_hz") * 2)
+            ).cast("int")
+        ).alias("n_off"),
+        F.max("err_hz").alias("max_err"),
+    ).collect()[0]
+    assert chk.n == 64 and chk.n_bad == 0 and chk.n_off == 0, chk
+    assert chk.max_err < 8.0
