@@ -404,6 +404,27 @@ def _q_text_quality(spark, sf_dir):
     return quality_features(_read(spark, sf_dir, "documents"))
 
 
+# the synthetic corpus contains no PII, so the scrub query plants a
+# deterministic specimen per doc — the SAME expression the oracle
+# appends (Spark `||` and DuckDB `||` build identical strings), so the
+# redaction path is actually exercised, not vacuously zero-count
+_PII_ENRICH = (
+    "text || ' contact user' || CAST(doc_id AS {s}) || "
+    "'@mail.example.org see https://ex.org/d/' || CAST(doc_id AS {s}) || "
+    "' node 10.0.' || CAST(doc_id % 200 AS {s}) || "
+    "'.7 call +1 555 01' || CAST(doc_id % 90 + 10 AS {s})"
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from lakehouse.textops import pii_scrub
+
+    df = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PII_ENRICH.format(s="STRING") + " AS text"
+    )
+    return pii_scrub(df)
+
+
 def _q_lang_id(spark, sf_dir):
     from lakehouse.textops import lang_id
 
@@ -466,6 +487,18 @@ def _q_embedding_near_dup(spark, sf_dir):
 
     return embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=16, n_bands=4
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    from lakehouse.similarity import semantic_dedup
+
+    # SemDeDup over the embeddings table: 16 coarse lists here; at
+    # 10^12 rows the same plan runs with n_centroids ~ 10^5 so every
+    # inverted list stays small — the within-cluster join is the only
+    # shuffle besides the assignment projection
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45, n_centroids=16
     )
 
 
@@ -1618,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_quality": _q_text_quality,
+        "pii_scrub": _q_pii_scrub,
         "lang_id": _q_lang_id,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
@@ -1628,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         # audio payload (rows-only)
         "audio_decode_features": _q_audio_decode,
         "audio_snr_invariant": _q_audio_snr,
@@ -1656,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_oracle_sql,
         cosine_topk_oracle_sql,
         embedding_near_dup_oracle_sql,
+        semantic_dedup_oracle_sql,
     )
     from lakehouse.streaming_agg import (
         sessionize_oracle_sql,
@@ -1664,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
     from lakehouse.textops import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
+        pii_scrub_oracle_sql,
         quality_oracle_sql,
         token_stats_oracle_sql,
     )
@@ -1863,6 +1900,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": simhash_oracle_sql(),
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
         "text_quality": quality_oracle_sql(),
+        "pii_scrub": pii_scrub_oracle_sql(
+            table="(SELECT doc_id, "
+            + _PII_ENRICH.format(s="VARCHAR")
+            + " AS text FROM documents)"
+        ),
         "lang_id": lang_id_oracle_sql(),
         "token_stats": token_stats_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(k=8),
@@ -1875,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": embedding_near_dup_oracle_sql(
             threshold=0.45, n_bits=16, n_bands=4
+        ),
+        "semantic_dedup": semantic_dedup_oracle_sql(
+            threshold=0.45, n_centroids=16
         ),
         # audio queries intentionally omitted → rows-only check
     }

@@ -710,3 +710,96 @@ def embedding_near_dup_oracle_sql(
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (cluster-then-prune)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[list[list[float]]] = None,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
+    with a coarse quantizer, then inside each cluster drop every vector
+    that has a higher-priority (lower-id) neighbor at cosine ≥
+    ``threshold``.  Returns the KEPT rows as (vec_id, cid) — a near-dup
+    group's minimum id always survives, mirroring the keep-min-id rule
+    of :func:`lakehouse.dedup.curate_documents`.
+
+    Scale shape (the paper's own recipe): ``n_centroids`` grows with
+    the corpus so each inverted list stays ~|corpus|/n_centroids —
+    assignment is ONE JVM projection pass over literal centroids
+    (exactly :func:`ann_ivf_topk`'s quantizer, so the DuckDB twin is
+    bit-for-bit), and the only join is a within-cluster equi-join on
+    cid.  At 10^12 rows run it with n_centroids in the 10^5 range and
+    (optionally) ``train_ivf_centroids``-refined centroids; nothing in
+    the plan changes.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_centroids, seed
+    )
+    assigned = emb.select(
+        F.col(id_col).alias("vid"),
+        _dbl(vec_col).alias("v"),
+        _ivf_assign(_dbl(vec_col), cents).alias("cid"),
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "cid"
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cid"
+    )
+    victims = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(_cos(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(victims, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "cid")
+    )
+
+
+def semantic_dedup_oracle_sql(
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    table: str = "embeddings",
+    centroids: Optional[list[list[float]]] = None,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same literal centroids,
+    same round-then-compare cosine, same keep-min-id rule)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_centroids, seed
+    )
+    assign = _ivf_assign_sql(cents, "v")
+    return f"""
+    WITH src AS (
+        SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM {table}
+    ),
+    assigned AS (
+        SELECT vid, v, {assign} AS cid FROM src
+    ),
+    victims AS (
+        SELECT DISTINCT b.vid
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4)
+              >= {threshold}
+    )
+    SELECT s.vid AS vec_id, s.cid
+    FROM assigned s
+    WHERE s.vid NOT IN (SELECT vid FROM victims)
+    """

@@ -201,3 +201,70 @@ def token_stats_oracle_sql(table: str = "documents") -> str:
            len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / text normalization
+
+# Patterns restricted to syntax that Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: no lookaround, no backreferences, greedy
+# quantifiers whose leftmost match coincides in both engines. Applied in
+# THIS order — URLs first so an address embedded in a URL path is
+# redacted as part of the URL, not double-counted as an email.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("urls", r"https?://[^ ]+", "<URL>"),
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ips", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phones", r"\+[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII (URLs, emails, IPv4s, +intl phones) with typed
+    placeholder tokens and count each kind.
+
+    Counts are taken stepwise on the text AFTER the previous pattern's
+    redaction, so an email inside a URL counts once (as the URL) — the
+    count always equals the number of placeholders inserted at that
+    step. Pure ``regexp_replace``/``regexp_count`` projections: fully
+    codegen'd, no shuffle, embarrassingly parallel at any scale.
+    """
+    t = F.col(text_col)
+    out_cols = []
+    for name, pat, token in PII_PATTERNS:
+        out_cols.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, token)
+    return df.select(
+        "doc_id",
+        t.alias("clean_text"),
+        *out_cols,
+    )
+
+
+def pii_scrub_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`pii_scrub` — same patterns, same stepwise
+    count-then-redact order via a chained CTE that carries every count
+    forward. DuckDB single-quoted literals keep backslashes literal, so
+    the patterns embed verbatim (only quotes would need escaping)."""
+    sql_src = table
+    prev_text = "text"
+    ctes = []
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        cols = ", ".join(["doc_id", *carried]) if carried else "doc_id"
+        ctes.append(
+            f"s{i} AS (SELECT {cols}, "
+            f"len(regexp_extract_all({prev_text}, '{lit}')) AS n_{name}, "
+            f"regexp_replace({prev_text}, '{lit}', '{token}', 'g') AS t{i} "
+            f"FROM {sql_src})"
+        )
+        sql_src = f"s{i}"
+        prev_text = f"t{i}"
+        carried.append(f"n_{name}")
+    last = len(PII_PATTERNS) - 1
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, t{last} AS clean_text, {', '.join(carried)} "
+        + f"FROM s{last}"
+    )

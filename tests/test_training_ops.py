@@ -344,3 +344,83 @@ def test_curate_documents_planted_flow(spark):
     assert donor.doc_id in after
     assert not {90001, 90002, 90003} & after
     assert after == before
+
+
+def test_semantic_dedup_matches_oracle(spark, oracle):
+    from lakehouse.similarity import (
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    assert_matches_oracle(
+        semantic_dedup(_embs(spark), threshold=0.45, n_centroids=8),
+        oracle,
+        semantic_dedup_oracle_sql(threshold=0.45, n_centroids=8),
+    )
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted exact duplicates land in the same cluster and only the
+    minimum id survives; unrelated vectors are untouched."""
+    from pyspark.sql import Row
+
+    from lakehouse.similarity import semantic_dedup
+
+    base = _embs(spark).limit(20)
+    dups = base.filter("vec_id < 3").selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    )
+    kept = semantic_dedup(
+        base.unionByName(dups), threshold=0.999, n_centroids=4
+    )
+    ids = {r.vec_id for r in kept.collect()}
+    # every planted copy (vec_id >= 100000) has an identical original
+    # with a smaller id in the same cluster -> dropped
+    assert not any(i >= 100000 for i in ids)
+    assert {0, 1, 2}.issubset(ids)
+
+
+def test_pii_scrub_planted(spark):
+    from lakehouse.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail me@a.io or see https://x.io/p?q=me@b.io "
+                "from 192.168.0.1 call +44 20 7946-0958 end",
+            ),
+            (2, "no pii here just words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    r = rows[1]
+    # the URL (with its embedded email) is redacted FIRST, so only the
+    # standalone address counts as an email
+    assert r.n_urls == 1 and r.n_emails == 1
+    assert r.n_ips == 1 and r.n_phones == 1
+    assert r.clean_text == (
+        "mail <EMAIL> or see <URL> from <IP> call <PHONE> end"
+    )
+    r2 = rows[2]
+    assert (r2.n_urls, r2.n_emails, r2.n_ips, r2.n_phones) == (0, 0, 0, 0)
+    assert r2.clean_text == "no pii here just words"
+
+
+def test_pii_scrub_matches_oracle(spark, oracle):
+    from __spark_entry__ import _PII_ENRICH
+    from lakehouse.textops import pii_scrub, pii_scrub_oracle_sql
+
+    df = _docs(spark).selectExpr(
+        "doc_id", _PII_ENRICH.format(s="STRING") + " AS text"
+    )
+    assert_matches_oracle(
+        pii_scrub(df),
+        oracle,
+        pii_scrub_oracle_sql(
+            table="(SELECT doc_id, "
+            + _PII_ENRICH.format(s="VARCHAR")
+            + " AS text FROM documents)"
+        ),
+    )
