@@ -425,6 +425,17 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(df)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    from lakehouse.packing import pack_sequences
+
+    # capacity 128 so sf0.01's ~40-token docs actually straddle
+    # sequence boundaries; bucket_width 64 forces the two-pass
+    # distributed prefix sum through multiple real buckets
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), capacity=128, bucket_width=64
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from lakehouse.textops import lang_id
 
@@ -1652,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "text_quality": _q_text_quality,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
         "lang_id": _q_lang_id,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
@@ -1697,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         sessionize_oracle_sql,
         windowed_rollup_oracle_sql,
     )
+    from lakehouse.packing import pack_sequences_oracle_sql
     from lakehouse.textops import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
@@ -1900,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": simhash_oracle_sql(),
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
         "text_quality": quality_oracle_sql(),
+        "pack_sequences": pack_sequences_oracle_sql(capacity=128),
         "pii_scrub": pii_scrub_oracle_sql(
             table="(SELECT doc_id, "
             + _PII_ENRICH.format(s="VARCHAR")

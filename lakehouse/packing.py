@@ -1,0 +1,149 @@
+"""Sequence packing for LLM pretraining (concat-and-chunk).
+
+The standard GPT-style pretraining layout: concatenate every document's
+tokens in a deterministic corpus order (doc_id) into one virtual token
+stream, then cut the stream into fixed-``capacity`` training sequences.
+A document can span two (or more) sequences; the output maps each
+(doc, sequence) overlap with its offsets, which is exactly what a
+loader needs to assemble batches.
+
+Output schema — one row per (doc_id, seq_id) overlap:
+
+- ``seq_id``   — which training sequence the slice lands in
+- ``doc_off``  — first packed token's offset inside the document
+- ``seq_off``  — where the slice starts inside the sequence
+- ``n_tok``    — slice length; per doc these sum to its token count,
+  per seq they sum to ``capacity`` (except the final partial sequence)
+
+Scale design — the whole problem is one exclusive prefix sum over
+token counts in doc_id order. A naive ``Window.orderBy(doc_id)`` with
+no partition key collapses 10^12 rows onto ONE task; instead this is
+the classic two-pass distributed scan:
+
+1. bucket docs by ``doc_id DIV bucket_width`` and cumsum WITHIN each
+   bucket (hash-partitioned window — parallel, one shuffle);
+2. aggregate per-bucket totals (tiny: |docs| / bucket_width rows),
+   exclusive-cumsum THEM on a single partition that is ~10^6× smaller
+   than the data, and broadcast-join the offsets back.
+
+Everything is JVM built-ins (split/size/sequence/explode/DIV) — no
+Python UDF, no row ordering assumptions beyond the deterministic
+doc_id sort key. The DuckDB oracle runs the plain single-node window
+formulation of the same algebra, so the distributed scan is checked
+value-for-value against the textbook definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import token_count_ws
+
+DEFAULT_BUCKET_WIDTH = 4096
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Assign every document's tokens to fixed-size training sequences.
+
+    ``bucket_width`` trades parallelism for reduction size: buckets of
+    ~4k docs keep each window task small while the bucket-total frame
+    stays tiny enough to scan on one partition (10^12 docs / 4096 ≈
+    2.4 × 10^8 bucket rows — at that extreme, raise the width or apply
+    the same two-pass scheme recursively; the algebra is associative).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(F.col(text_col)).cast("long").alias("tok"),
+        # integer DIV, not float-divide-then-truncate: exact for the
+        # full bigint id range
+        F.expr(f"CAST({id_col} AS BIGINT) DIV {int(bucket_width)}").alias(
+            "bkt"
+        ),
+    )
+    in_bucket = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_local = toks.withColumn(
+        "cum_local", F.sum("tok").over(in_bucket)
+    )
+    bucket_order = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("bkt")
+        .agg(F.sum("tok").alias("btot"))
+        .withColumn(
+            "boff", F.sum("btot").over(bucket_order) - F.col("btot")
+        )
+        .select("bkt", "boff")
+    )
+    # exclusive global offset of each doc's first token in the stream
+    placed = with_local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "tok",
+        (F.col("boff") + F.col("cum_local") - F.col("tok")).alias("s"),
+    )
+    c = F.lit(int(capacity))
+    spans = placed.select(
+        "doc_id",
+        "tok",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {int(capacity)}"),
+                F.expr(f"(s + tok - 1) DIV {int(capacity)}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * c, F.col("s"))
+    hi = F.least((F.col("seq_id") + F.lit(1)) * c, F.col("s") + F.col("tok"))
+    return spans.select(
+        "doc_id",
+        "seq_id",
+        (lo - F.col("s")).alias("doc_off"),
+        (lo - F.col("seq_id") * c).alias("seq_off"),
+        (hi - lo).alias("n_tok"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    capacity: int = 512, table: str = "documents"
+) -> str:
+    """DuckDB twin: the textbook single-window prefix-sum formulation
+    (the distributed two-pass scan must be value-identical to it)."""
+    cap = int(capacity)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM {table}
+    ),
+    placed AS (
+        SELECT doc_id, tok,
+               CAST(sum(tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - tok
+                    AS BIGINT) AS s
+        FROM t
+    ),
+    spans AS (
+        SELECT doc_id, tok, s,
+               unnest(generate_series(s // {cap}, (s + tok - 1) // {cap}))
+                   AS seq_id
+        FROM placed
+    )
+    SELECT doc_id, seq_id,
+           greatest(seq_id * {cap}, s) - s AS doc_off,
+           greatest(seq_id * {cap}, s) - seq_id * {cap} AS seq_off,
+           least((seq_id + 1) * {cap}, s + tok)
+               - greatest(seq_id * {cap}, s) AS n_tok
+    FROM spans
+    """

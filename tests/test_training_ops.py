@@ -424,3 +424,54 @@ def test_pii_scrub_matches_oracle(spark, oracle):
             + " AS text FROM documents)"
         ),
     )
+
+
+def test_pack_sequences_matches_oracle(spark, oracle):
+    from lakehouse.packing import pack_sequences, pack_sequences_oracle_sql
+
+    # bucket_width 16 exercises the two-pass scan over many buckets;
+    # the oracle is the textbook single-window formulation
+    assert_matches_oracle(
+        pack_sequences(_docs(spark), capacity=100, bucket_width=16),
+        oracle,
+        pack_sequences_oracle_sql(capacity=100),
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.packing import pack_sequences
+    from lakehouse.textops import token_count_ws
+
+    cap = 128
+    docs = _docs(spark)
+    packed = pack_sequences(docs, capacity=cap, bucket_width=32).cache()
+    total_tok = docs.select(
+        F.sum(token_count_ws(F.col("text")))
+    ).collect()[0][0]
+    # token conservation: every token lands in exactly one slice
+    assert packed.agg(F.sum("n_tok")).collect()[0][0] == total_tok
+    # every sequence except the last is exactly full
+    per_seq = packed.groupBy("seq_id").agg(F.sum("n_tok").alias("n"))
+    last = per_seq.agg(F.max("seq_id")).collect()[0][0]
+    bad = per_seq.filter(
+        (F.col("seq_id") < last) & (F.col("n") != cap)
+    ).count()
+    assert bad == 0
+    assert last == (total_tok - 1) // cap
+    # per-doc slices are contiguous and ordered: doc_off resumes where
+    # the previous slice ended
+    w_bad = (
+        packed.withColumn(
+            "expect_off",
+            F.expr(
+                "sum(n_tok) OVER (PARTITION BY doc_id ORDER BY seq_id "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok"
+            ),
+        )
+        .filter(F.col("doc_off") != F.col("expect_off"))
+        .count()
+    )
+    assert w_bad == 0
+    packed.unpersist()
