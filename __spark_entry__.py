@@ -998,6 +998,40 @@ def _q_lh_delete_mor(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_rename_drop(spark, sf_dir):
+    """Field-id column mapping (Iceberg RENAME/DROP COLUMN, round 2):
+    rename ``value``→``amount`` and drop ``props`` as METADATA-ONLY
+    commits (zero files rewritten — asserted), then append post-rename
+    data so the scan mixes both write schemas: old files resolve
+    ``amount`` to their physical ``value`` column by field id, and the
+    dropped ``props`` values are unreachable. The filtered scan also
+    exercises per-entry stats-name translation (old files' stats live
+    under ``value``). Oracle = plain SQL with the rename applied and
+    the dropped column omitted. Cites lakehouse/fieldids.py; the
+    Iceberg spec's schema-evolution section is the published model."""
+    t = _events_table(spark, sf_dir, appends=2)
+    files_before = {e.file_path for e in t.plan().files}
+    t.rename_column("value", "amount")
+    t.drop_column("props")
+    assert {e.file_path for e in t.plan().files} == files_before, (
+        "rename/drop must not rewrite any data file"
+    )
+    df = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    t.append(
+        df.withColumnRenamed("value", "amount").drop("props").selectExpr(
+            "event_id + 1000000 AS event_id", "ts", "user_id",
+            "event_type", "amount", "event_date",
+        )
+    )
+    return t.scan(filter=[("amount", ">", 100.0)]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "amount",
+        F.col("event_date").cast("string").alias("event_date_s"),
+    )
+
+
 def _q_lh_delete_mor_pos(spark, sf_dir):
     """Merge-on-read POSITIONAL delete (Iceberg v2 position deletes,
     the round-2 complement to equality deletes): the commit writes one
@@ -1637,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_mor": _q_lh_merge_mor,
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
+        "lh_rename_drop": _q_lh_rename_drop,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_delete_convert": _q_lh_delete_convert,
@@ -1785,6 +1820,19 @@ def oracle_sql() -> dict[str, str]:
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
+        "lh_rename_drop": """
+            WITH both_gens AS (
+                SELECT event_id, user_id, event_type, value AS amount,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+                FROM events
+                UNION ALL
+                SELECT event_id + 1000000, user_id, event_type,
+                       value AS amount,
+                       CAST(CAST(ts AS DATE) AS VARCHAR)
+                FROM events WHERE event_id % 7 = 0
+            )
+            SELECT * FROM both_gens WHERE amount > 100.0
+        """,
         "lh_delete_cow": EVENTS_OUT_SQL
         + " WHERE NOT (event_type = 'error' AND user_id % 3 = 0)",
         "lh_delete_mor": EVENTS_OUT_SQL

@@ -141,12 +141,43 @@ def _resolve_snapshot(meta: TableMetadata, options) -> Optional[int]:
 
 def _snapshot_schema(meta: TableMetadata, sid: Optional[int]) -> T.StructType:
     """Schema as of a snapshot (time travel reads old shapes)."""
+    return T.StructType.fromJson(
+        meta.schemas[_view_schema_id(meta, sid)]
+    )
+
+
+def _view_schema_id(meta: TableMetadata, sid: Optional[int]) -> int:
     if sid is None or not meta.snapshots:
-        return T.StructType.fromJson(meta.schema_json)
+        return meta.current_schema_id
     snap = meta.snapshot(sid)
     if snap.schema_id < len(meta.schemas):
-        return T.StructType.fromJson(meta.schemas[snap.schema_id])
-    return T.StructType.fromJson(meta.schema_json)
+        return snap.schema_id
+    return meta.current_schema_id
+
+
+def _rename_maps(meta: TableMetadata, view_schema_id: int):
+    """gid -> {physical name: view name} for field-id mapped tables
+    (None when the table never renamed/dropped — zero-cost path). The
+    map is EXHAUSTIVE over the view's fields present in that write
+    schema: on mapped tables readers must never fall back to matching
+    by name, or a dropped-and-readded name would resurrect old values.
+    """
+    from . import fieldids
+
+    if not fieldids.has_mapped_schemas(meta.schemas):
+        return None
+    all_ids = fieldids.schema_field_ids(meta.schemas)
+    view_ids = all_ids[view_schema_id]
+    out = {}
+    for gid, ids in enumerate(all_ids):
+        inv = {v: k for k, v in ids.items()}
+        out[gid] = {
+            inv[fid]: cur for cur, fid in view_ids.items() if fid in inv
+        }
+    out[fieldids.LEGACY_SCHEMA_ID] = out[
+        fieldids.resolve_legacy_gid(meta.schemas)
+    ]
+    return out
 
 
 # --- partitions ---------------------------------------------------------------
@@ -177,7 +208,9 @@ def _bin_pack(entries, target_bytes: int):
     return [members for _, members in bins]
 
 
-def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
+def _partitions_for(
+    root, plan, target_bytes, ren_by_gid=None
+) -> list[FilesPartition]:
     deletes = [
         {
             "path": os.path.join(root, d.file_path),
@@ -186,6 +219,14 @@ def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
         }
         for d in plan.delete_files
     ]
+    def _ren(e):
+        if ren_by_gid is None:
+            return None
+        gid = e.schema_id
+        if gid is None or gid not in ren_by_gid:
+            gid = max(g for g in ren_by_gid if g >= 0)  # current
+        return ren_by_gid[gid]
+
     out = []
     for members in _bin_pack(plan.files, target_bytes):
         files = [
@@ -193,6 +234,7 @@ def _partitions_for(root, plan, target_bytes) -> list[FilesPartition]:
                 "path": os.path.join(root, e.file_path),
                 "rel": e.file_path,
                 "seq": e.seq,
+                "ren": _ren(e),
             }
             for e in members
         ]
@@ -263,7 +305,16 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
     for f in part.files:
         pf = pq.ParquetFile(f["path"])
         have = set(pf.schema_arrow.names)
-        cols = [c for c in names if c in have]
+        ren = f.get("ren") if isinstance(f, dict) else None
+        if ren is not None:
+            # field-id mapped file: read the view's columns under their
+            # WRITE-TIME names only (never match by name — a dropped-
+            # and-readded name must not resurrect old values), rename
+            # each batch back to view names below
+            cols = [p for p in ren if p in have and ren[p] in names]
+            have = {ren[p] for p in cols}
+        else:
+            cols = [c for c in names if c in have]
         # dead-key sets are constant per FILE (they depend only on the
         # file's seq) — build once here, not per record batch
         dead_by_key: list[tuple[str, pa.Array]] = []
@@ -298,6 +349,10 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
         offset = 0
         for batch in pf.iter_batches(columns=cols):
             tbl = pa.Table.from_batches([batch])
+            if ren is not None and tbl.num_columns:
+                tbl = tbl.rename_columns(
+                    [ren.get(c, c) for c in tbl.column_names]
+                )
             n = tbl.num_rows
             if dead_pos is not None:
                 import numpy as np
@@ -388,7 +443,14 @@ class LakehouseBatchReader(DataSourceReader):
             filter=self._preds or None,
             snapshot_id=self._snapshot_id,
         )
-        parts = _partitions_for(self._root, plan, self._target_bytes)
+        parts = _partitions_for(
+            self._root,
+            plan,
+            self._target_bytes,
+            ren_by_gid=_rename_maps(
+                meta, _view_schema_id(meta, self._snapshot_id)
+            ),
+        )
         # Spark requires >= 1 partition; empty table -> one empty task
         return parts or [FilesPartition([], [])]
 
@@ -416,6 +478,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
         )
         meta = load_metadata(root)
         self._schema = T.StructType.fromJson(meta.schema_json)
+        # pin the schema ID too: a rename committed mid-stream must not
+        # shift the view the running query was planned with
+        self._schema_id = meta.current_schema_id
 
     # offsets are {"snapshot_id": int|None}: "everything up to and
     # including this snapshot has been (or is considered) consumed"
@@ -467,7 +532,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
         meta = load_metadata(self._root)
         added = self._added_files(meta, from_id, to_id)
         plan = _Plan(added)
-        parts = _partitions_for(self._root, plan, self._target_bytes)
+        parts = _partitions_for(
+            self._root,
+            plan,
+            self._target_bytes,
+            ren_by_gid=_rename_maps(meta, self._schema_id),
+        )
         return parts or [FilesPartition([], [])]
 
     def read(self, partition: FilesPartition):

@@ -40,6 +40,7 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         ("content", pa.string()),          # "data" | "deletes" (equality)
         ("seq", pa.int64()),               # commit sequence (snapshot id)
         ("spec_id", pa.int64()),           # partition spec the file was written under
+        ("schema_id", pa.int64()),         # write schema (field-id mapping); -1 = legacy
     ]
 )
 
@@ -103,6 +104,12 @@ class DataFileEntry:
     # otherwise old-spec rows would masquerade as current-spec and
     # disarm the guard.
     spec_id: Optional[int] = None
+    # field-id column mapping (lakehouse/fieldids.py): which schema the
+    # file's PHYSICAL column names belong to. LEGACY (-1) = written
+    # before the table's first rename/drop — names are current-faithful.
+    # None = "stamp the resolved schema id at commit", same discipline
+    # as spec_id (and the same lineage round-trip caveat).
+    schema_id: Optional[int] = None
 
     def to_row(self) -> dict[str, Any]:
         return {
@@ -115,6 +122,7 @@ class DataFileEntry:
             "content": self.content,
             "seq": self.seq,
             "spec_id": self.spec_id,
+            "schema_id": self.schema_id,
         }
 
     @staticmethod
@@ -135,6 +143,10 @@ class DataFileEntry:
             content=row.get("content") or "data",
             seq=row.get("seq") or 0,
             spec_id=row["spec_id"] if "spec_id" in row else 0,
+            # absent key = pre-mapping manifest → LEGACY (-1: names are
+            # current-faithful); a present None survives the lineage
+            # round trip so the commit stamps it (spec_id discipline)
+            schema_id=row["schema_id"] if "schema_id" in row else -1,
         )
 
     @property

@@ -55,7 +55,7 @@ class ScanPlan:
         return self.candidate_files - len(self.files)
 
 
-def _bloom_refine(table_root, kept, preds):
+def _bloom_refine(table_root, kept, preds, *, names_of=None):
     """Point-lookup refinement: after partition + min/max pruning, test
     ``=``/``in`` predicates against per-file Bloom sidecars (opt-in via
     the ``bloom_columns`` table property). Driver IO is bounded: only
@@ -73,12 +73,22 @@ def _bloom_refine(table_root, kept, preds):
     probes = eq_probes(preds) if preds else []
     if not probes or not kept or len(kept) > BLOOM_PROBE_CAP:
         return kept
-    probe_cols = {c for c, _v in probes}
     out = []
     for entry in kept:
-        if any((entry.stats.get(c) or {}).get("bloom") for c in probe_cols):
+        # rename/drop safe: sidecars and stats are keyed by the file's
+        # WRITE-TIME names — translate each probe's column first
+        eprobes = probes
+        if names_of is not None:
+            eprobes = []
+            for c, vals in probes:
+                phys = names_of(entry, c)
+                if phys is not None:
+                    eprobes.append((phys, vals))
+        if any(
+            (entry.stats.get(c) or {}).get("bloom") for c, _v in eprobes
+        ):
             sidecar = read_sidecar(os.path.join(table_root, entry.file_path))
-            if not entry_passes_blooms(entry.stats, sidecar, probes):
+            if not entry_passes_blooms(entry.stats, sidecar, eprobes):
                 continue
         out.append(entry)
     return out
@@ -107,11 +117,17 @@ def plan_scan(
     snapshot_id: Optional[int] = None,
 ) -> ScanPlan:
     """Driver-side planning (metadata is small relative to data)."""
+    from .. import fieldids
+
     preds = normalize_filter(filter)
     if snapshot_id is None and meta.current_snapshot_id is None:
         return ScanPlan([], to_sql(preds), snapshot_id=0)  # empty table
     snap = meta.snapshot(snapshot_id)
     manifests = read_manifest_list(table_root, snap.manifest_list)
+    # rename/drop safe: translate predicate names to each entry's
+    # write-time physical names before any stats lookup
+    names_of = fieldids.name_lookup(meta.schemas, meta.current_schema_id)
+    stats_of = fieldids.stats_lookup(meta.schemas, meta.current_schema_id)
 
     kept: list[DataFileEntry] = []
     deletes: list[DataFileEntry] = []
@@ -135,12 +151,12 @@ def plan_scan(
                 if not all(matches_partition(p, entry.partition) for p in preds):
                     continue
                 if not all(
-                    matches_stats(p, entry.stats.get(p.col)) for p in preds
+                    matches_stats(p, stats_of(entry, p.col)) for p in preds
                 ):
                     continue
             kept.append(entry)
 
-    kept = _bloom_refine(table_root, kept, preds)
+    kept = _bloom_refine(table_root, kept, preds, names_of=names_of)
 
     return ScanPlan(
         files=kept,
@@ -239,12 +255,99 @@ def _anti_join_pos_deletes(
 _MOR_COLS = ("__seq", "__path", "__pos")
 
 
+def _mapped_read_parts(
+    meta: TableMetadata, logical: T.StructType, gid: int
+) -> tuple[T.StructType, list]:
+    """(physical read schema, select exprs) materializing ``logical``
+    from files written under schema ``gid``: field ids resolve each
+    logical column to its write-time PHYSICAL name (rename survives),
+    ids absent from the write schema are null-filled (late adds and
+    drop-then-re-add), and names outside the table schema entirely
+    (``__zkey`` etc.) pass through physically."""
+    from pyspark.sql import functions as F
+
+    from .. import fieldids
+
+    schemas = meta.schemas
+    all_ids = fieldids.schema_field_ids(schemas)
+    cur_ids = all_ids[meta.current_schema_id]
+    if gid == fieldids.LEGACY_SCHEMA_ID:
+        gid = fieldids.resolve_legacy_gid(schemas)
+    name_by_id = {v: k for k, v in all_ids[gid].items()}
+    read_fields, sel = [], []
+    for f in logical.fields:
+        phys = (
+            name_by_id.get(cur_ids[f.name])
+            if f.name in cur_ids
+            else f.name
+        )
+        if phys is None:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            read_fields.append(T.StructField(phys, f.dataType, True))
+            sel.append(F.col(phys).alias(f.name))
+    return T.StructType(read_fields), sel
+
+
+def seq_schema_groups(
+    table_root: str, meta: TableMetadata, entries: Sequence[DataFileEntry]
+) -> dict:
+    """Group entries for `_union_seq_groups`: plain seq keys on tables
+    that never renamed/dropped (zero behavior change), (seq, write
+    schema id) keys once field-id mapping is in play."""
+    from .. import fieldids
+
+    mapped = fieldids.has_mapped_schemas(meta.schemas)
+    by: dict = {}
+    for e in entries:
+        if mapped:
+            gid = (
+                e.schema_id
+                if e.schema_id is not None
+                else meta.current_schema_id
+            )
+            key = (e.seq, gid)
+        else:
+            key = e.seq
+        by.setdefault(key, []).append(
+            os.path.join(table_root, e.file_path)
+        )
+    return by
+
+
+def read_entries(
+    spark: SparkSession,
+    meta: TableMetadata,
+    table_root: str,
+    entries: Sequence[DataFileEntry],
+    logical_schema: Optional[T.StructType] = None,
+) -> DataFrame:
+    """Plain (no seq/pos columns) mapped-aware read of a set of data
+    file entries — the one helper every rewrite op should use instead
+    of ``spark.read.schema(table.schema).parquet(*paths)``: identical
+    plan on tables that never renamed/dropped a column, per-write-
+    schema grouped reads (physical names resolved by field id) once
+    they have."""
+    schema = logical_schema or T.StructType.fromJson(meta.schema_json)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    groups = seq_schema_groups(table_root, meta, entries)
+    if all(isinstance(k, int) for k in groups):
+        paths = [os.path.join(table_root, e.file_path) for e in entries]
+        return spark.read.schema(schema).parquet(*paths)
+    flat: dict = {}
+    for (_seq, gid), paths in groups.items():
+        flat.setdefault((0, gid), []).extend(paths)
+    return _union_seq_groups(spark, schema, flat, meta=meta).drop("__seq")
+
+
 def _union_seq_groups(
     spark: SparkSession,
     schema: T.StructType,
-    by_seq: dict[int, list[str]],
+    by_seq: dict,
     *,
     rel_prefix: Optional[str] = None,
+    meta: Optional[TableMetadata] = None,
 ) -> Optional[DataFrame]:
     """Union of per-commit-seq parquet reads, each group carrying its
     seq as a literal ``__seq`` column (no per-row path join; distinct
@@ -255,7 +358,12 @@ def _union_seq_groups(
     ``__path`` (file path relative to the root, via the Parquet
     ``_metadata.file_path`` column — computed by the reader, no join)
     and ``__pos`` (``_metadata.row_index``), the join keys positional
-    deletes need."""
+    deletes need.
+
+    Keys are either plain seq ints, or ``(seq, write_schema_id)``
+    tuples from :func:`seq_schema_groups` on field-id-mapped tables —
+    then ``meta`` must be given and each group is read under its
+    write-time physical names, aliased back to the current ones."""
     from pyspark.sql import functions as F
 
     pos_cols = []
@@ -270,11 +378,16 @@ def _union_seq_groups(
             F.col("_metadata.row_index").alias("__pos"),
         ]
     df = None
-    for seq in sorted(by_seq):
+    for key in sorted(by_seq):
+        if isinstance(key, tuple):
+            seq, gid = key
+            read_schema, sel = _mapped_read_parts(meta, schema, gid)
+        else:
+            seq, read_schema, sel = key, schema, [F.col("*")]
         part = (
-            spark.read.schema(schema)
-            .parquet(*by_seq[seq])
-            .select("*", F.lit(seq).alias("__seq"), *pos_cols)
+            spark.read.schema(read_schema)
+            .parquet(*by_seq[key])
+            .select(*sel, F.lit(seq).alias("__seq"), *pos_cols)
         )
         df = part if df is None else df.unionByName(part)
     return df
@@ -304,6 +417,8 @@ def _apply_mor_deletes(
     schema: T.StructType,
     data_files: Sequence[DataFileEntry],
     delete_files: Sequence[DataFileEntry],
+    *,
+    meta: Optional[TableMetadata] = None,
 ) -> DataFrame:
     """Merge-on-read: seq-grouped reads + the shared sequence-rule
     anti-joins (equality deletes by key, positional deletes by
@@ -311,13 +426,20 @@ def _apply_mor_deletes(
     when positional deletes are actually pending — the equality-only
     path is byte-identical to round 2."""
     eq, pos = _split_delete_kinds(delete_files)
-    by_seq: dict[int, list[str]] = {}
-    for e in data_files:
-        by_seq.setdefault(e.seq, []).append(
-            os.path.join(table_root, e.file_path)
-        )
+    if meta is not None:
+        by_seq = seq_schema_groups(table_root, meta, data_files)
+    else:
+        by_seq = {}
+        for e in data_files:
+            by_seq.setdefault(e.seq, []).append(
+                os.path.join(table_root, e.file_path)
+            )
     df = _union_seq_groups(
-        spark, schema, by_seq, rel_prefix=table_root if pos else None
+        spark,
+        schema,
+        by_seq,
+        rel_prefix=table_root if pos else None,
+        meta=meta,
     )
     if pos:
         df = _anti_join_pos_deletes(spark, table_root, df, pos)
@@ -348,11 +470,24 @@ def read_plan(
         df = spark.createDataFrame([], schema)
     elif plan.delete_files:
         df = _apply_mor_deletes(
-            spark, table_root, schema, plan.files, plan.delete_files
+            spark, table_root, schema, plan.files, plan.delete_files,
+            meta=meta,
         )
     else:
-        paths = [os.path.join(table_root, e.file_path) for e in plan.files]
-        df = spark.read.schema(schema).parquet(*paths)
+        groups = seq_schema_groups(table_root, meta, plan.files)
+        if all(isinstance(k, int) for k in groups):
+            # un-mapped table: single multi-path read, same as ever
+            paths = [
+                os.path.join(table_root, e.file_path) for e in plan.files
+            ]
+            df = spark.read.schema(schema).parquet(*paths)
+        else:
+            flat = {}  # drop the seq dimension — only schema groups matter
+            for (_seq, gid), paths in groups.items():
+                flat.setdefault((0, gid), []).extend(paths)
+            df = _union_seq_groups(
+                spark, schema, flat, meta=meta
+            ).drop("__seq")
     if plan.residual_sql:
         df = df.filter(plan.residual_sql)
     if columns:
@@ -364,6 +499,7 @@ def prune_entries_df(
     mdf: DataFrame,
     preds: Sequence[Predicate],
     table_root: Optional[str] = None,
+    meta: Optional[TableMetadata] = None,
 ) -> DataFrame:
     """Partition + stats pruning over a manifest-entry DataFrame, as a
     DataFrame transformation — the output never touches the driver here.
@@ -381,7 +517,30 @@ def prune_entries_df(
         return mdf
     import pandas as pd
 
+    from .. import fieldids
+
     pred_payload = [(p.col, p.op, p.value) for p in preds]
+    # field-id mapping: ship a tiny gid→(current col→physical name)
+    # dict into the closure so every executor-side stats/bloom lookup
+    # uses the entry's write-time names (rename/drop sound, identical
+    # to the driver path). None = unmapped table, plain name lookups.
+    phys_by_gid: Optional[dict[int, dict[str, Optional[str]]]] = None
+    cur_gid = -1
+    if meta is not None and fieldids.has_mapped_schemas(meta.schemas):
+        cols = [p.col for p in preds]
+        all_ids = fieldids.schema_field_ids(meta.schemas)
+        cur_ids = all_ids[meta.current_schema_id]
+        cur_gid = meta.current_schema_id
+        legacy_gid = fieldids.resolve_legacy_gid(meta.schemas)
+        phys_by_gid = {}
+        for gid, ids in enumerate(all_ids):
+            inv = {v: k for k, v in ids.items()}
+            phys_by_gid[gid] = {
+                c: inv.get(cur_ids[c]) if c in cur_ids else None
+                for c in cols
+            }
+        phys_by_gid[fieldids.LEGACY_SCHEMA_ID] = phys_by_gid[legacy_gid]
+    has_gid_col = "schema_id" in mdf.columns
 
     def keep_batch(batches):
         from ..bloom import entry_passes_blooms, eq_probes, read_sidecar
@@ -391,22 +550,50 @@ def prune_entries_df(
 
         local_preds = [P(c, o, v) for c, o, v in pred_payload]
         probes = eq_probes(local_preds) if table_root else []
-        probe_cols = {c for c, _v in probes}
         for pdf in batches:
+            if phys_by_gid is not None and has_gid_col:
+                gids = [
+                    int(g) if g is not None and not pd.isna(g) else -1
+                    for g in pdf["schema_id"]
+                ]
+            else:
+                gids = [cur_gid] * len(pdf)
             mask = []
-            for part_j, stats_j, rel in zip(
-                pdf["partition_json"], pdf["stats_json"], pdf["file_path"]
+            for part_j, stats_j, rel, gid in zip(
+                pdf["partition_json"],
+                pdf["stats_json"],
+                pdf["file_path"],
+                gids,
             ):
                 part = json.loads(part_j or "{}")
                 stats = json.loads(stats_j or "{}")
+                if phys_by_gid is None:
+                    name_of = {p.col: p.col for p in local_preds}
+                else:
+                    name_of = phys_by_gid.get(
+                        gid, phys_by_gid[cur_gid]
+                    )
                 ok = all(mp(p, part) for p in local_preds) and all(
-                    ms(p, stats.get(p.col)) for p in local_preds
+                    ms(
+                        p,
+                        (
+                            stats.get(name_of[p.col])
+                            if name_of[p.col] is not None
+                            else None
+                        ),
+                    )
+                    for p in local_preds
                 )
-                if ok and probes and any(
-                    (stats.get(c) or {}).get("bloom") for c in probe_cols
+                eprobes = [
+                    (name_of[c], v)
+                    for c, v in probes
+                    if name_of[c] is not None
+                ]
+                if ok and eprobes and any(
+                    (stats.get(c) or {}).get("bloom") for c, _v in eprobes
                 ):
                     sidecar = read_sidecar(os.path.join(table_root, rel))
-                    ok = entry_passes_blooms(stats, sidecar, probes)
+                    ok = entry_passes_blooms(stats, sidecar, eprobes)
                 mask.append(ok)
             yield pdf[pd.Series(mask, index=pdf.index)]
 
@@ -440,14 +627,24 @@ class LazyScanPlan:
         cols = ["file_path"] + (
             ["seq"] if "seq" in self.files_df.columns else []
         )
-        chunk: list[tuple[str, int]] = []
+        has_gid = "schema_id" in self.files_df.columns
+        if has_gid:
+            cols.append("schema_id")
+        chunk: list[tuple[str, int, int]] = []
         for row in (
             self.files_df.select(*cols).toLocalIterator(
                 prefetchPartitions=True
             )
         ):
             seq = row.seq if "seq" in cols and row.seq is not None else 0
-            chunk.append((os.path.join(table_root, row.file_path), seq))
+            gid = (
+                row.schema_id
+                if has_gid and row.schema_id is not None
+                else -1
+            )
+            chunk.append(
+                (os.path.join(table_root, row.file_path), seq, gid)
+            )
             if len(chunk) >= chunk_size:
                 yield chunk
                 chunk = []
@@ -488,7 +685,7 @@ def plan_scan_lazy(
         spark.read.option("mergeSchema", "true").parquet(*paths)
     )
     return LazyScanPlan(
-        files_df=prune_entries_df(mdf, preds, table_root),
+        files_df=prune_entries_df(mdf, preds, table_root, meta=meta),
         residual_sql=to_sql(preds),
         snapshot_id=snap.snapshot_id,
         candidate_files=candidates,
@@ -512,21 +709,30 @@ def read_lazy_plan(
     """
     from pyspark.sql import functions as F
 
+    from .. import fieldids
+
     schema = T.StructType.fromJson(meta.schema_json)
+    mapped = fieldids.has_mapped_schemas(meta.schemas)
     mor = bool(plan.delete_files)
     eq, pos = _split_delete_kinds(plan.delete_files)
     df = None
     for chunk in plan.iter_path_chunks(table_root, chunk_size):
-        if mor:
-            by_seq: dict[int, list[str]] = {}
-            for p, seq in chunk:
-                by_seq.setdefault(seq, []).append(p)
+        if mor or mapped:
+            by_seq: dict = {}
+            for p, seq, gid in chunk:
+                key = (seq, gid) if mapped else seq
+                by_seq.setdefault(key, []).append(p)
             part = _union_seq_groups(
                 spark, schema, by_seq,
                 rel_prefix=table_root if pos else None,
+                meta=meta,
             )
+            if not mor:
+                part = part.drop("__seq")
         else:
-            part = spark.read.schema(schema).parquet(*[p for p, _s in chunk])
+            part = spark.read.schema(schema).parquet(
+                *[p for p, _s, _g in chunk]
+            )
         df = part if df is None else df.unionByName(part)
     if df is None:
         df = spark.createDataFrame([], schema)
@@ -570,7 +776,9 @@ def plan_scan_distributed(
         spark.read.option("mergeSchema", "true").parquet(*paths)
     )
     total = mdf.count()
-    kept_rows = prune_entries_df(mdf, preds, table_root).collect()
+    kept_rows = prune_entries_df(
+        mdf, preds, table_root, meta=meta
+    ).collect()
     return ScanPlan(
         files=[DataFileEntry.from_row(r.asDict()) for r in kept_rows],
         residual_sql=to_sql(preds),

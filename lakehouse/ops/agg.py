@@ -77,14 +77,19 @@ def _always_matches_stats(
     return False
 
 
-def _file_fully_matches(entry, preds) -> bool:
+def _file_fully_matches(entry, preds, stats_of=None) -> bool:
     for p in preds:
         # identity-partition value: exact, every row shares it
         if p.col in (entry.partition or {}):
             if not matches_partition(p, entry.partition):
                 return False
             continue
-        if not _always_matches_stats(p, entry.stats.get(p.col)):
+        st = (
+            stats_of(entry, p.col)
+            if stats_of is not None
+            else entry.stats.get(p.col)
+        )
+        if not _always_matches_stats(p, st):
             return False
     return True
 
@@ -131,14 +136,20 @@ def count_rows(table, *, filter=None) -> AggResult:  # noqa: A002
     if plan.delete_files:
         df = table.scan(filter=filter)
         return AggResult(df.count(), 0, len(plan.files), "mor-deletes-pending")
+    from ..fieldids import stats_lookup
+
+    meta = table.meta
+    stats_of = stats_lookup(meta.schemas, meta.current_schema_id)
     full, partial = [], []
     for e in plan.files:
-        (full if _file_fully_matches(e, preds) else partial).append(e)
+        (
+            full if _file_fully_matches(e, preds, stats_of) else partial
+        ).append(e)
     n = sum(e.record_count for e in full)
     if partial:
-        df = table.spark.read.schema(table.schema).parquet(
-            *[os.path.join(table.root, e.file_path) for e in partial]
-        )
+        from ..meta.scan import read_entries
+
+        df = read_entries(table.spark, table.meta, table.root, partial)
         residual = to_sql(preds)
         if residual:
             df = df.filter(residual)
@@ -171,10 +182,14 @@ def min_max(table, columns, *, filter=None) -> AggResult:  # noqa: A002
         return AggResult(
             per, 0, len(plan.files), "mor-deletes-pending", per_column=per
         )
+    from ..fieldids import stats_lookup
+
+    meta = table.meta
+    stats_of = stats_lookup(meta.schemas, meta.current_schema_id)
     full, partial = [], []
     for e in plan.files:
-        ok = _file_fully_matches(e, preds) and all(
-            _exact_stat(e.stats.get(c)) for c in columns
+        ok = _file_fully_matches(e, preds, stats_of) and all(
+            _exact_stat(stats_of(e, c)) for c in columns
         )
         (full if ok else partial).append(e)
     per: dict[str, list] = {c: [None, None] for c in columns}
@@ -188,12 +203,12 @@ def min_max(table, columns, *, filter=None) -> AggResult:  # noqa: A002
 
     for e in full:
         for c in columns:
-            st = e.stats[c]
+            st = stats_of(e, c)
             fold(c, st["min"], st["max"])
     if partial:
-        df = table.spark.read.schema(table.schema).parquet(
-            *[os.path.join(table.root, e.file_path) for e in partial]
-        )
+        from ..meta.scan import read_entries
+
+        df = read_entries(table.spark, table.meta, table.root, partial)
         residual = to_sql(preds)
         if residual:
             df = df.filter(residual)

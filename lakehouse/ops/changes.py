@@ -25,8 +25,7 @@ change, never the table:
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,22 +58,19 @@ def _chain(meta: S.TableMetadata, from_id: Optional[int], to_id: int):
     return list(reversed(out))
 
 
-def _files_of(table, snapshot_id: Optional[int]) -> dict[str, int]:
-    """rel path -> record_count for a snapshot (empty for None)."""
+def _files_of(table, snapshot_id: Optional[int]) -> dict[str, Any]:
+    """rel path -> entry for a snapshot (empty for None)."""
     if snapshot_id is None:
         return {}
-    return {
-        e.file_path: e.record_count
-        for e in table.live_files(snapshot_id)
-    }
+    return {e.file_path: e for e in table.live_files(snapshot_id)}
 
 
-def _read_files(table, rel_paths) -> DataFrame:
-    schema = table.schema
-    if not rel_paths:
-        return table.spark.createDataFrame([], schema)
-    paths = [os.path.join(table.root, p) for p in sorted(rel_paths)]
-    return table.spark.read.schema(schema).parquet(*paths)
+def _read_file_entries(table, entries) -> DataFrame:
+    """Mapped-aware multi-file read (field-id rename/drop safe)."""
+    from ..meta.scan import read_entries
+
+    entries = sorted(entries, key=lambda e: e.file_path)
+    return read_entries(table.spark, table.meta, table.root, entries)
 
 
 def incremental_scan(
@@ -105,8 +101,8 @@ def incremental_scan(
             )
         prev = _files_of(table, snap.parent_snapshot_id)
         cur = _files_of(table, snap.snapshot_id)
-        added.extend(p for p in cur if p not in prev)
-    return _read_files(table, added)
+        added.extend(e for p, e in cur.items() if p not in prev)
+    return _read_file_entries(table, added)
 
 
 def row_changes(
@@ -155,8 +151,12 @@ def row_changes(
     new_dels = new_plan.delete_files if new_plan else []
 
     if not old_dels and not new_dels:
-        old_df = _read_files(table, only_old)
-        new_df = _read_files(table, only_new)
+        old_df = _read_file_entries(
+            table, [old_entries[p] for p in only_old]
+        )
+        new_df = _read_file_entries(
+            table, [new_entries[p] for p in only_new]
+        )
     else:
         from ..meta.scan import _apply_mor_deletes
         from ..ops.mor import _pos_delete_touches, _range_intersects
@@ -186,9 +186,10 @@ def row_changes(
             if not read:
                 return table.spark.createDataFrame([], table.schema)
             if not dels:
-                return _read_files(table, [e.file_path for e in read])
+                return _read_file_entries(table, read)
             return _apply_mor_deletes(
-                table.spark, table.root, table.schema, read, dels
+                table.spark, table.root, table.schema, read, dels,
+                meta=table.meta,
             )
 
         old_df = _side(old_entries, set(only_old), old_dels)

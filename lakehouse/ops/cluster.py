@@ -181,7 +181,9 @@ def cluster(
         from ..partitioning import with_partition_columns
 
         GRID = 64
-        base = spark.read.schema(schema).parquet(*all_paths)
+        from ..meta.scan import read_entries
+
+        base = read_entries(spark, table.meta, table.root, live, schema)
 
         def with_pk(df):
             df, part_cols = with_partition_columns(df, spec)

@@ -80,6 +80,7 @@ def plan_bins(
     target_file_size: int,
     small_file_threshold: int,
     min_input_files: int,
+    schema_groups: bool = False,
 ) -> list[list[DataFileEntry]]:
     """FFD bin-packing per (partition, sort_order). Only bins that
     actually reduce the file count (≥2 inputs) are returned. Grouping by
@@ -90,12 +91,22 @@ def plan_bins(
     for e in files:
         # spec_id in the key: two spec generations can share identical
         # partition-value dicts (bucket n=4 vs n=8) yet mean different
-        # things — never concatenate across them
-        key = (str(sorted(e.partition.items())), e.sort_order, e.spec_id)
+        # things — never concatenate across them. schema_id likewise
+        # once the table is field-id mapped: files written under
+        # different column names must not be concatenated raw — each
+        # bin reads under ONE write schema (and compaction migrates the
+        # output to current names). Unmapped tables normalize to one
+        # group so stamp generations never split bins.
+        key = (
+            str(sorted(e.partition.items())),
+            e.sort_order,
+            e.spec_id,
+            e.schema_id if schema_groups else None,
+        )
         by_partition.setdefault(key, []).append(e)
 
     bins: list[list[DataFileEntry]] = []
-    for (_pk, sort_order, _spec_id), group in by_partition.items():
+    for (_pk, sort_order, _spec_id, _sid), group in by_partition.items():
         small = [e for e in group if e.file_size_bytes < small_file_threshold]
         if len(small) < min_input_files:
             continue
@@ -156,28 +167,33 @@ def _run_bins_direct(
         files_in = [e.file_path for e in members]
         bytes_in = sum(e.file_size_bytes for e in members)
         log.start_task(k, files_in, bytes_in)
-        paths = [os.path.join(table.root, p) for p in files_in]
         out_rel_dir = f"{job_data_rel}/{k}"
         sort_order = members[0].sort_order
         clustered = sort_order.startswith(("zorder(", "hilbert("))
+        from ..meta.scan import read_entries
+
+        meta = table.meta
         if clustered:
             # clustered files carry the hidden physical zkey column;
             # read it along, re-sort the concatenation (merge of sorted
             # runs), and keep it in the output so per-file zkey/cluster
             # -column stats stay tight — compaction must not undo a
-            # clustering rewrite
+            # clustering rewrite. read_entries maps renamed columns to
+            # current names per bin (bins never mix write schemas), so
+            # compaction doubles as lazy column-mapping migration.
             from ..ops.cluster import schema_with_zkey
 
             df = (
-                spark.read.schema(schema_with_zkey(table.schema))
-                .parquet(*paths)
+                read_entries(
+                    spark, meta, table.root, members,
+                    schema_with_zkey(table.schema),
+                )
                 .coalesce(1)
                 .sortWithinPartitions("zkey")
             )
         else:
             df = (
-                spark.read.schema(table.schema)
-                .parquet(*paths)
+                read_entries(spark, meta, table.root, members)
                 .coalesce(1)  # concatenation, not a shuffle
             )
         (
@@ -229,17 +245,24 @@ def _run_bins_shuffle(
     )
     attempt_rel = f"{job_data_rel}/a{n_prev + 1}"
 
+    # field-id mapping: read_entries groups the single job's scan per
+    # write schema and unions — each branch reads its physical names
+    # aliased to current ones (so the rewrite migrates old files to the
+    # current schema). Unmapped tables keep the one-branch plan.
+    from ..meta.scan import read_entries
+
+    meta = table.meta
     file_to_bin = []
+    all_members = []
     for k, members in pending:
+        all_members.extend(members)
         for e in members:
             file_to_bin.append(
                 (os.path.abspath(os.path.join(table.root, e.file_path)), k)
             )
     map_df = spark.createDataFrame(file_to_bin, "__file string, __bin string")
-    paths = [p for p, _k in file_to_bin]
     (
-        spark.read.schema(table.schema)
-        .parquet(*paths)
+        read_entries(spark, meta, table.root, all_members)
         .withColumn(
             "__file",
             # input_file_name() is a percent-encoded URI; decode it back
@@ -339,12 +362,15 @@ def compact(
         },
     )
 
+    from ..fieldids import has_mapped_schemas
+
     live = table.plan(filter=partition_filter).files
     bins = plan_bins(
         live,
         target_file_size=target_file_size,
         small_file_threshold=threshold,
         min_input_files=min_input_files,
+        schema_groups=has_mapped_schemas(table.meta.schemas),
     )
     if not bins:
         log.finish_job({"bins": 0})

@@ -107,7 +107,7 @@ def conform_merge_source(schema, source: DataFrame, op_col: str) -> DataFrame:
     return source.select(*cols_expr, op_expr.alias("__op"))
 
 
-def _range_arrays(spark, live, key, key_type):
+def _range_arrays(spark, live, key, key_type, names_of=None):
     """File [min,max] key ranges as numpy arrays for the interval sweep.
 
     Stats ship as strings (schema-stable manifests); they are cast back
@@ -126,7 +126,11 @@ def _range_arrays(spark, live, key, key_type):
 
     ranged, always = [], []
     for i, e in enumerate(live):
-        st = e.stats.get(key) or {}
+        # rename/drop safe: stats are keyed by the file's WRITE-TIME
+        # column name; a file lacking the key field entirely reads as
+        # all-NULL keys and stays conservatively always-touched
+        phys = names_of(e, key) if names_of is not None else key
+        st = (e.stats.get(phys) if phys is not None else None) or {}
         lo, hi = st.get("min"), st.get("max")
         if lo is None or hi is None:
             always.append(e.file_path)
@@ -250,7 +254,7 @@ def prune_files_by_key_bucket(spark, meta, src, key, live):
 
 
 def probe_touched_files(
-    spark, src_keys, key, key_type, live, table_root=None
+    spark, src_keys, key, key_type, live, table_root=None, names_of=None
 ) -> list[str]:
     """Distributed sorted-interval sweep: which live files' [min,max]
     range on ``key`` contains ≥1 source key?
@@ -270,7 +274,7 @@ def probe_touched_files(
     a sparse upsert from rewriting the whole table on the COW path.
     """
     always, paths, lo_arr, hi_arr, kind = _range_arrays(
-        spark, live, key, key_type
+        spark, live, key, key_type, names_of
     )
     touched = set(always)
     if not paths:
@@ -311,7 +315,7 @@ def probe_touched_files(
     touched.update(paths[r.fidx] for r in rows)
     if table_root is not None:
         touched = _bloom_refine_touched(
-            spark, src_keys, key, live, touched, table_root
+            spark, src_keys, key, live, touched, table_root, names_of
         )
     return sorted(touched)
 
@@ -320,7 +324,7 @@ BLOOM_REFINE_CAP = 1024  # max candidate sidecars per task worth loading
 
 
 def _bloom_refine_touched(
-    spark, src_keys, key, live, touched, table_root
+    spark, src_keys, key, live, touched, table_root, names_of=None
 ) -> set[str]:
     """Drop range-touched files whose Bloom filter proves no source key
     is present. One extra vectorized pass over the source keys; each
@@ -328,15 +332,25 @@ def _bloom_refine_touched(
     broadcast of bitsets — they can be ~1 MB per file). Superset
     semantics: a missing/absent bloom keeps the file."""
     by_path = {e.file_path: e for e in live}
+
+    def _phys(e):
+        return names_of(e, key) if names_of is not None else key
+
+    phys_by_path = {
+        p: _phys(by_path[p]) for p in touched if p in by_path
+    }
     cands = sorted(
         p
         for p in touched
-        if (by_path[p].stats.get(key) or {}).get("bloom")
+        if phys_by_path.get(p) is not None
+        and (by_path[p].stats.get(phys_by_path[p]) or {}).get("bloom")
     )
     if not cands or len(cands) > BLOOM_REFINE_CAP:
         return touched
 
-    cand_abs = [os.path.join(table_root, p) for p in cands]
+    cand_abs = [
+        (os.path.join(table_root, p), phys_by_path[p]) for p in cands
+    ]
     bcp = spark.sparkContext.broadcast(cand_abs)
 
     def bloom_sweep(batches):
@@ -346,8 +360,8 @@ def _bloom_refine_touched(
 
         unpacked = []
         missing = []
-        for i, ap in enumerate(bcp.value):
-            b = (read_sidecar(ap) or {}).get(key)
+        for i, (ap, pkey) in enumerate(bcp.value):
+            b = (read_sidecar(ap) or {}).get(pkey)
             if b is None:
                 missing.append(i)  # lost sidecar → conservative keep
             else:
@@ -474,8 +488,11 @@ def merge_into(
         touched = []
     else:
         live = prune_files_by_key_bucket(spark, meta, src, key, live)
+        from ..fieldids import name_lookup
+
         touched = probe_touched_files(
-            spark, src, key, key_type, live, table_root=table.root
+            spark, src, key, key_type, live, table_root=table.root,
+            names_of=name_lookup(meta.schemas, meta.current_schema_id),
         )
 
     log = LineageLog(table.root, job_id)
@@ -505,8 +522,11 @@ def merge_into(
             1, -(-(bytes_touched + src_bytes_est) // (128 * 1024 * 1024))
         )
     if touched:
-        paths = [os.path.join(table.root, p) for p in touched]
-        target_sub = spark.read.schema(schema).parquet(*paths)
+        from ..meta.scan import read_entries
+
+        target_sub = read_entries(
+            spark, table.meta, table.root, touched_entries, schema
+        )
     else:
         target_sub = spark.createDataFrame([], schema)
 

@@ -462,12 +462,10 @@ def delete_mor_positional(
     if not plan.files:
         log.finish_job({"snapshot_id": None, "keys_deleted": 0})
         return MorDeleteResult(log.job_id, None, 0, None)
-    by_seq: dict[int, list[str]] = {}
-    for e in plan.files:
-        by_seq.setdefault(e.seq, []).append(
-            os.path.join(table.root, e.file_path)
-        )
-    from ..meta.scan import _union_seq_groups
+    from ..meta.scan import _union_seq_groups, seq_schema_groups
+
+    meta = table.meta
+    by_seq = seq_schema_groups(table.root, meta, plan.files)
 
     # rows already hidden by PENDING deletes may match again here —
     # harmless: their (path, pos) is invisible either way, and
@@ -475,7 +473,8 @@ def delete_mor_positional(
     # stale positions together with the delete files themselves.
     pos_df = (
         _union_seq_groups(
-            table.spark, table.schema, by_seq, rel_prefix=table.root
+            table.spark, table.schema, by_seq, rel_prefix=table.root,
+            meta=meta,
         )
         .filter(F.expr(pred_sql))
         .select(
@@ -647,13 +646,12 @@ def convert_deletes(
             reduced = T.StructType(
                 [f for f in table.schema.fields if f.name in need]
             )
-            by_seq: dict[int, list[str]] = {}
-            for e in affected:
-                by_seq.setdefault(e.seq, []).append(
-                    os.path.join(table.root, e.file_path)
-                )
+            from ..meta.scan import seq_schema_groups
+
+            meta = table.meta
+            by_seq = seq_schema_groups(table.root, meta, affected)
             df = _union_seq_groups(
-                spark, reduced, by_seq, rel_prefix=table.root
+                spark, reduced, by_seq, rel_prefix=table.root, meta=meta
             )
             for key in need:
                 ddf = None
@@ -813,16 +811,16 @@ def materialize_deletes(
         from ..partitioning import with_partition_columns
 
         eq_dels, pos_dels = _split_delete_kinds(dels)
-        by_seq: dict[int, list[str]] = {}
-        for e in files:
-            by_seq.setdefault(e.seq, []).append(
-                os.path.join(table.root, e.file_path)
-            )
+        from ..meta.scan import seq_schema_groups
+
+        _meta = table.meta
+        by_seq = seq_schema_groups(table.root, _meta, files)
         df = _union_seq_groups(
             table.spark,
             schema_with_zkey(table.schema),
             by_seq,
             rel_prefix=table.root if pos_dels else None,
+            meta=_meta,
         )
         if pos_dels:
             df = _anti_join_pos_deletes(table.spark, table.root, df, pos_dels)

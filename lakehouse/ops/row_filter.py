@@ -64,10 +64,10 @@ def _probe_matches(
     if not files:
         return {}
     spark = table.spark
-    paths = [os.path.join(table.root, e.file_path) for e in files]
+    from ..meta.scan import read_entries
+
     rows = (
-        spark.read.schema(table.schema)
-        .parquet(*paths)
+        read_entries(spark, table.meta, table.root, list(files))
         .filter(F.expr(pred_sql))
         .groupBy(F.input_file_name().alias("__f"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -167,12 +167,12 @@ def delete(
     )
     rewrite_df = None
     if rewrite_paths:
-        paths = [os.path.join(table.root, p) for p in rewrite_paths]
-        rewrite_df = (
-            table.spark.read.schema(table.schema)
-            .parquet(*paths)
-            .filter(~F.expr(pred_sql))
-        )
+        from ..meta.scan import read_entries
+
+        rewrite_df = read_entries(
+            table.spark, table.meta, table.root,
+            [by_path[p] for p in rewrite_paths if p in by_path],
+        ).filter(~F.expr(pred_sql))
     rows_affected = sum(matched.values())
     return _finish(
         table, "delete", log, rewrite_df, drop_paths, rewrite_paths,
@@ -210,8 +210,12 @@ def update(
     )
     rewrite_df = None
     if rewrite_paths:
-        paths = [os.path.join(table.root, p) for p in rewrite_paths]
-        df = table.spark.read.schema(schema).parquet(*paths)
+        from ..meta.scan import read_entries
+
+        df = read_entries(
+            table.spark, table.meta, table.root,
+            [by_path[p] for p in rewrite_paths if p in by_path],
+        )
         projections = []
         for f in schema.fields:
             if f.name in set_exprs:

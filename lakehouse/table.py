@@ -38,6 +38,7 @@ from .meta.scan import (
     read_lazy_plan,
     read_plan,
 )
+from . import fieldids
 from .ops.append import write_data_files
 from .partitioning import spec_with_result_types
 from .schema import is_additive_evolution
@@ -167,22 +168,6 @@ class Table:
                     f"longer live (concurrently rewritten); replan needed: "
                     f"{sorted(still_to_remove)[:3]}..."
                 )
-            if added:
-                # commit sequence: newly added files (data or deletes)
-                # carry this snapshot's id; equality deletes later apply
-                # only to data files with strictly smaller seq. Files
-                # also record the partition spec their partition VALUES
-                # were derived under (overwrite's mixed-spec guard keys
-                # on it) — ops that carry old-spec values forward
-                # (compaction) pre-set spec_id and must keep it.
-                for e in added:
-                    e.seq = sid
-                    if e.spec_id is None:
-                        e.spec_id = base.default_spec_id
-                rel, summ = write_manifest(self.root, added)
-                manifests_out.append({"path": rel, "summary": summ})
-
-            manifest_list = S.write_manifest_list(self.root, sid, manifests_out)
             schema_id = base.current_schema_id
             schemas = list(base.schemas)
             schema_json = base.schema_json
@@ -195,8 +180,48 @@ class Table:
                         "schema evolution is allowed"
                     )
                 schema_json = new_schema.jsonValue()
+                if fieldids.has_mapped_schemas(schemas):
+                    # mapped tables keep explicitness monotone: carry
+                    # current ids by name, mint fresh ids for new names
+                    # (a re-added dropped name gets a NEW id, so old
+                    # values can never resurrect under it)
+                    cur_ids = fieldids.schema_field_ids(schemas)[
+                        base.current_schema_id
+                    ]
+                    nxt = fieldids.next_field_id(schemas)
+                    ids = {}
+                    for f in schema_json["fields"]:
+                        if f["name"] in cur_ids:
+                            ids[f["name"]] = cur_ids[f["name"]]
+                        else:
+                            ids[f["name"]] = nxt
+                            nxt += 1
+                    schema_json = fieldids.embed_field_ids(schema_json, ids)
                 schemas.append(schema_json)
                 schema_id = len(schemas) - 1
+
+            if added:
+                # commit sequence: newly added files (data or deletes)
+                # carry this snapshot's id; equality deletes later apply
+                # only to data files with strictly smaller seq. Files
+                # also record the partition spec their partition VALUES
+                # were derived under (overwrite's mixed-spec guard keys
+                # on it) — ops that carry old-spec values forward
+                # (compaction) pre-set spec_id and must keep it. The
+                # write schema id follows the same rule: None = written
+                # under the schema this commit resolves to (incl. an
+                # evolution in the same commit); rewriting ops that
+                # DON'T re-project must pre-set the input's schema_id.
+                for e in added:
+                    e.seq = sid
+                    if e.spec_id is None:
+                        e.spec_id = base.default_spec_id
+                    if e.schema_id is None:
+                        e.schema_id = schema_id
+                rel, summ = write_manifest(self.root, added)
+                manifests_out.append({"path": rel, "summary": summ})
+
+            manifest_list = S.write_manifest_list(self.root, sid, manifests_out)
 
             snap = S.Snapshot(
                 snapshot_id=sid,
@@ -643,6 +668,174 @@ class Table:
             summary={"schema_fields": len(new_schema.fields)},
             new_schema=new_schema,
         )
+
+    # --- field-id column mapping: rename / drop without rewrites --------------
+
+    def _alter_mapped_schema(self, operation: str, build):
+        """Commit a NON-additive schema change (rename/drop) through
+        field-id mapping (lakehouse/fieldids.py).
+
+        ``build(base) -> (new_schema_json_with_ids, summary, new_props)``
+        runs inside the optimistic-commit loop. The commit also stamps
+        every live manifest entry still carrying the LEGACY write-schema
+        sentinel with the base's current schema id — a one-time,
+        metadata-only manifest rewrite that is exact because pre-mapping
+        history is additive-only (names never changed), after which every
+        reader knows each file's physical column names."""
+        holder: dict[str, Any] = {}
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            sid = S.next_snapshot_id(base)
+            schema_json, summary, props = build(base)
+            schemas = list(base.schemas) + [schema_json]
+            new_schema_id = len(schemas) - 1
+            head_id = base.current_snapshot_id
+            manifests_out: list[dict[str, Any]] = []
+            if head_id is not None:
+                parent_list = S.read_manifest_list(
+                    self.root, base.snapshot(head_id).manifest_list
+                )
+                for m in parent_list:
+                    entries = read_manifest(self.root, m["path"])
+                    legacy = [
+                        e
+                        for e in entries
+                        if e.schema_id is None or e.schema_id < 0
+                    ]
+                    if not legacy:
+                        manifests_out.append(m)
+                        continue
+                    for e in legacy:
+                        e.schema_id = base.current_schema_id
+                    rel, summ = write_manifest(self.root, entries)
+                    manifests_out.append({"path": rel, "summary": summ})
+            manifest_list = S.write_manifest_list(
+                self.root, sid, manifests_out
+            )
+            snap = S.Snapshot(
+                snapshot_id=sid,
+                parent_snapshot_id=head_id,
+                timestamp_ms=S.now_ms(),
+                operation=operation,
+                manifest_list=manifest_list,
+                schema_id=new_schema_id,
+                summary={"added_files": 0, "removed_files": 0, **summary},
+            )
+            holder["snap"] = snap
+            return S.TableMetadata(
+                table_uuid=base.table_uuid,
+                location=base.location,
+                version=base.version,
+                schema_json=schema_json,
+                schemas=schemas,
+                current_schema_id=new_schema_id,
+                partition_spec=base.partition_spec,
+                partition_specs=base.partition_specs,
+                default_spec_id=base.default_spec_id,
+                current_snapshot_id=sid,
+                snapshots=base.snapshots + [snap],
+                properties=props,
+                refs=base.refs,
+            )
+
+        S.commit(self.root, apply)
+        return holder["snap"]
+
+    def _guard_mapped_change(self, base: S.TableMetadata, col: str) -> None:
+        for spec in [base.partition_spec, *base.partition_specs]:
+            for f in spec or []:
+                if f.get("source") == col:
+                    raise SchemaEvolutionError(
+                        f"column {col!r} is a partition source "
+                        f"({f.get('name')}); partition sources cannot "
+                        "be renamed or dropped"
+                    )
+        if base.current_snapshot_id is not None:
+            snap = base.snapshot(base.current_snapshot_id)
+            for m in S.read_manifest_list(self.root, snap.manifest_list):
+                for e in read_manifest(self.root, m["path"]):
+                    if e.is_delete and e.delete_key == col:
+                        raise SchemaEvolutionError(
+                            f"pending equality deletes key on {col!r}; "
+                            "run materialize_deletes() or "
+                            "convert_deletes() first"
+                        )
+
+    def rename_column(self, old: str, new: str) -> S.Snapshot:
+        """Metadata-only column rename (Iceberg-style, field-id mapped):
+        old data files stay live under their write-time names; scans
+        resolve the current name to each file's physical name by field
+        id. Partition-source columns and pending equality-delete keys
+        are rejected (spec values / delete files embed the name)."""
+        def build(base: S.TableMetadata):
+            cur = T.StructType.fromJson(base.schema_json)
+            names = [f.name for f in cur.fields]
+            if old not in names:
+                raise SchemaEvolutionError(f"unknown column: {old!r}")
+            if new in names:
+                raise SchemaEvolutionError(f"column exists: {new!r}")
+            self._guard_mapped_change(base, old)
+            ids = fieldids.schema_field_ids(base.schemas)[
+                base.current_schema_id
+            ]
+            new_ids = {
+                (new if n == old else n): i for n, i in ids.items()
+            }
+            sj = dict(base.schema_json)
+            sj["fields"] = [
+                {**f, "name": new} if f["name"] == old else f
+                for f in base.schema_json["fields"]
+            ]
+            props = dict(base.properties)
+            from .bloom import bloom_columns_property
+
+            bc = bloom_columns_property(props)
+            if old in bc:
+                props["bloom_columns"] = [
+                    new if c == old else c for c in bc
+                ]
+            return (
+                fieldids.embed_field_ids(sj, new_ids),
+                {"renamed": f"{old}->{new}"},
+                props,
+            )
+
+        return self._alter_mapped_schema("rename-column", build)
+
+    def drop_column(self, name: str) -> S.Snapshot:
+        """Metadata-only column drop: no file is rewritten; the field id
+        retires with the name, so a later re-add of the same name gets a
+        FRESH id and old values can never resurrect. Compaction migrates
+        old files to the current schema as it rewrites them."""
+        def build(base: S.TableMetadata):
+            cur = T.StructType.fromJson(base.schema_json)
+            names = [f.name for f in cur.fields]
+            if name not in names:
+                raise SchemaEvolutionError(f"unknown column: {name!r}")
+            if len(names) == 1:
+                raise SchemaEvolutionError("cannot drop the only column")
+            self._guard_mapped_change(base, name)
+            ids = fieldids.schema_field_ids(base.schemas)[
+                base.current_schema_id
+            ]
+            new_ids = {n: i for n, i in ids.items() if n != name}
+            sj = dict(base.schema_json)
+            sj["fields"] = [
+                f for f in base.schema_json["fields"] if f["name"] != name
+            ]
+            props = dict(base.properties)
+            from .bloom import bloom_columns_property
+
+            bc = bloom_columns_property(props)
+            if name in bc:
+                props["bloom_columns"] = [c for c in bc if c != name]
+            return (
+                fieldids.embed_field_ids(sj, new_ids),
+                {"dropped": name},
+                props,
+            )
+
+        return self._alter_mapped_schema("drop-column", build)
 
     def set_properties(self, **props) -> None:
         """CAS-update table properties (merge semantics; ``None``
