@@ -1032,6 +1032,32 @@ def _q_lh_rename_drop(spark, sf_dir):
     )
 
 
+def _q_lh_ndv_analyze(spark, sf_dir):
+    """ANALYZE/NDV sketches (lakehouse/ops/analyze.py): KMV top-k per
+    column. The builder asserts the estimator against the true distinct
+    count (exact when distinct < k; ≤ 3·(1/sqrt(k-2)) relative error
+    otherwise — 3 sigma of the published KMV bound) and that
+    ``approx_ndv`` answers from the PERSISTED sketch without a fresh
+    scan. The returned exact counts are oracle-checked by DuckDB
+    COUNT(DISTINCT ...)."""
+    t = _events_table(spark, sf_dir, appends=2)
+    res = t.analyze(["user_id", "event_type", "event_id"], k=256)
+    out = []
+    for c in ("user_id", "event_type", "event_id"):
+        exact = t.scan().select(c).distinct().count()
+        est = res[c].ndv
+        if res[c].exact:
+            assert est == exact, (c, est, exact)
+        else:
+            assert abs(est - exact) / exact <= 3 / (256 - 2) ** 0.5, (
+                c, est, exact,
+            )
+        # persisted-sketch read path: zero-scan answer equals analyze's
+        assert t.approx_ndv(c) == est
+        out.append((c, exact))
+    return spark.createDataFrame(out, "column string, exact_ndv long")
+
+
 def _q_lh_delete_mor_pos(spark, sf_dir):
     """Merge-on-read POSITIONAL delete (Iceberg v2 position deletes,
     the round-2 complement to equality deletes): the commit writes one
@@ -1672,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level DML, refs, incremental
         "lh_delete_cow": _q_lh_delete,
         "lh_rename_drop": _q_lh_rename_drop,
+        "lh_ndv_analyze": _q_lh_ndv_analyze,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_delete_convert": _q_lh_delete_convert,
@@ -1820,6 +1847,14 @@ def oracle_sql() -> dict[str, str]:
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
+        "lh_ndv_analyze": """
+            SELECT 'user_id' AS column, count(DISTINCT user_id) AS exact_ndv
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(DISTINCT event_type) FROM events
+            UNION ALL
+            SELECT 'event_id', count(DISTINCT event_id) FROM events
+        """,
         "lh_rename_drop": """
             WITH both_gens AS (
                 SELECT event_id, user_id, event_type, value AS amount,

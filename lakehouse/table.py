@@ -854,6 +854,20 @@ class Table:
 
         S.commit(self.root, apply)
 
+    def analyze(self, columns, **kw):
+        """ANALYZE: persist per-column NDV sketches (KMV top-k job per
+        column, column-pruned; lakehouse/ops/analyze.py)."""
+        from .ops.analyze import analyze as _analyze
+
+        return _analyze(self, columns, **kw)
+
+    def approx_ndv(self, column: str, **kw) -> float:
+        """Distinct-count estimate from persisted sketches (zero data
+        read when fresh), else a fresh single-column analyze."""
+        from .ops.analyze import approx_ndv as _approx
+
+        return _approx(self, column, **kw)
+
     def count_rows(self, *, filter=None):  # noqa: A002
         """COUNT(*) answered metadata-first: fully-matching files from
         manifest record counts, boundary files read column-pruned —

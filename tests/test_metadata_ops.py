@@ -58,3 +58,35 @@ def test_lineage_records_are_complete(spark, table_root):
         assert rec.records_out > 0
     total_out = sum(r.records_out for r in tasks.values())
     assert total_out == res.records_rewritten
+
+
+def test_analyze_kmv_ndv(spark, table_root):
+    """KMV sketches: exact below k, ~3% at k=1024 above it, mergeable,
+    and approx_ndv answers from the persisted file with zero scan."""
+    from lakehouse import CLIPS_SCHEMA, Table
+    from lakehouse.ops.analyze import merge_sketches, read_stats
+    from lakehouse.synth import synth_clips_df
+
+    t = Table.create(spark, table_root, CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 300, seed=3, n_days=5))
+
+    res = t.analyze(["clip_id", "sr_hz", "event_date"])
+    # 300 distinct ids < k -> hash-exact
+    assert res["clip_id"].exact and res["clip_id"].ndv == 300
+    exact_sr = t.scan().select("sr_hz").distinct().count()
+    assert res["sr_hz"].ndv == exact_sr
+    # persisted: readable at the snapshot, answered without a scan
+    sid, stats = read_stats(t.root, at_or_before=t.current_snapshot_id())
+    assert sid == t.current_snapshot_id()
+    assert t.approx_ndv("clip_id") == 300
+
+    # estimator path (distinct > k): small k forces estimation
+    est = t.analyze(["clip_id"], k=64)["clip_id"]
+    assert not est.exact
+    assert abs(est.ndv - 300) / 300 < 0.35  # 1/sqrt(62) ~ 13% expected
+
+    # mergeability: sketch(first half) ∪ sketch(second half) ==
+    # sketch(all) at the same k
+    a, b = res["clip_id"], t.analyze(["clip_id"])["clip_id"]
+    m = merge_sketches(a, b)
+    assert m.ndv == 300 and m.exact

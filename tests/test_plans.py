@@ -250,3 +250,23 @@ def test_spectral_embedding_single_arrow_exchange(spark):
     # per-node detail section)
     plan = plan_str(df, mode="simple")
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_analyze_plan_is_distributed_topk(spark, small_table):
+    """ANALYZE's per-column job must compile to TakeOrderedAndProject
+    (distributed top-k, O(k) per partition then O(k) on the driver) —
+    never a global Sort (full shuffle of all hashes)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        small_table.scan(columns=["clip_id"])
+        .filter(F.col("clip_id").isNotNull())
+        .select(F.xxhash64(F.col("clip_id")).alias("__h"))
+        .distinct()
+        .orderBy("__h")
+        .limit(64)
+    )
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the distinct must partial-aggregate (map-side) before its shuffle
+    assert plan.count("HashAggregate") >= 2, plan
