@@ -270,6 +270,61 @@ def cmd_convert_deletes(args):
     )
 
 
+def cmd_rename_column(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    snap = t.rename_column(args.old, args.new)
+    _emit(
+        {
+            "op": "rename-column",
+            "renamed": f"{args.old}->{args.new}",
+            "snapshot_id": snap.snapshot_id,
+            "files_rewritten": 0,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_drop_column(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    snap = t.drop_column(args.column)
+    _emit(
+        {
+            "op": "drop-column",
+            "dropped": args.column,
+            "snapshot_id": snap.snapshot_id,
+            "files_rewritten": 0,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_analyze(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    cols = (
+        args.columns.split(",")
+        if args.columns
+        else [f.name for f in t.schema.fields]
+    )
+    res = t.analyze(cols, k=args.k)
+    _emit(
+        {
+            "op": "analyze",
+            "ndv": {
+                c: {"estimate": round(nd.ndv, 1), "exact": nd.exact}
+                for c, nd in res.items()
+            },
+            "k": args.k,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_count(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -580,6 +635,17 @@ def main():
     t(sub.add_parser("materialize-deletes"))
     t(sub.add_parser("convert-deletes"))
     t(sub.add_parser("count"))
+    s = sub.add_parser("rename-column")
+    t(s)
+    s.add_argument("old")
+    s.add_argument("new")
+    s = sub.add_parser("drop-column")
+    t(s)
+    s.add_argument("column")
+    s = sub.add_parser("analyze")
+    t(s)
+    s.add_argument("--columns", default=None)
+    s.add_argument("--k", type=int, default=1024)
     s = sub.add_parser("rollup")
     t(s)
     s.add_argument("--rollup-root", required=True)
@@ -649,6 +715,9 @@ def main():
         "materialize-deletes": cmd_materialize_deletes,
         "convert-deletes": cmd_convert_deletes,
         "count": cmd_count,
+        "rename-column": cmd_rename_column,
+        "drop-column": cmd_drop_column,
+        "analyze": cmd_analyze,
         "rollup": cmd_rollup,
         "sql": cmd_sql,
         "evolve-spec": cmd_evolve_spec,
