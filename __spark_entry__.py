@@ -1058,6 +1058,34 @@ def _q_lh_ndv_analyze(spark, sf_dir):
     return spark.createDataFrame(out, "column string, exact_ndv long")
 
 
+def _q_lh_changelog_pairs(spark, sf_dir):
+    """Changelog view with UPDATE pairing (Iceberg's
+    create_changelog_view): a MERGE that updates every 11th event and
+    inserts fresh ids, then the changelog between the two snapshots —
+    delete+insert sharing the identifier become update_before /
+    update_after, pure inserts stay ``insert``. The diff reads only the
+    file-set symmetric difference; the pairing window shuffles only the
+    diff (change-proportional, never the table)."""
+    t = _events_table(spark, sf_dir, appends=2)
+    s0 = t.current_snapshot_id()
+    ev = _events(spark, sf_dir)
+    src = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .withColumn("value", F.col("value") + 1000)
+        .unionByName(
+            ev.filter(F.col("event_id") % 13 == 0).withColumn(
+                "event_id", F.col("event_id") + 2000000
+            )
+        )
+    )
+    t.merge(src, key="event_id")
+    return t.changelog_view(
+        from_snapshot_id=s0,
+        identifier_columns=["event_id"],
+        columns=["event_id", "value"],
+    ).select("event_id", "value", "_change_type")
+
+
 def _q_lh_delete_mor_pos(spark, sf_dir):
     """Merge-on-read POSITIONAL delete (Iceberg v2 position deletes,
     the round-2 complement to equality deletes): the commit writes one
@@ -1699,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_cow": _q_lh_delete,
         "lh_rename_drop": _q_lh_rename_drop,
         "lh_ndv_analyze": _q_lh_ndv_analyze,
+        "lh_changelog_pairs": _q_lh_changelog_pairs,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_delete_convert": _q_lh_delete_convert,
@@ -1847,6 +1876,18 @@ def oracle_sql() -> dict[str, str]:
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
+        "lh_changelog_pairs": """
+            WITH upd AS (
+                SELECT event_id, value FROM events WHERE event_id % 11 = 0
+            )
+            SELECT event_id, value, 'update_before' AS _change_type
+            FROM upd
+            UNION ALL
+            SELECT event_id, value + 1000, 'update_after' FROM upd
+            UNION ALL
+            SELECT event_id + 2000000, value, 'insert'
+            FROM events WHERE event_id % 13 = 0
+        """,
         "lh_ndv_analyze": """
             SELECT 'user_id' AS column, count(DISTINCT user_id) AS exact_ndv
             FROM events

@@ -205,3 +205,54 @@ def row_changes(
         "_change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def changelog_view(
+    table,
+    *,
+    from_snapshot_id: Optional[int],
+    to_snapshot_id: Optional[int] = None,
+    identifier_columns: Sequence[str] = ("clip_id",),
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """CDC diff with UPDATE pairing (Iceberg's create_changelog_view
+    with identifier columns): a delete and an insert sharing the same
+    identifier become ``update_before`` / ``update_after``; unpaired
+    rows stay ``delete`` / ``insert``.
+
+    Built on :func:`row_changes` (reads only the file-set symmetric
+    difference), plus ONE window over the diff keyed on the identifier
+    — the diff is proportional to the change, never the table, so the
+    window's shuffle is too. Rows whose identifier appears with BOTH
+    change types in the diff are update pairs; identifiers deleted and
+    re-inserted with identical values cancel in the multiset diff
+    upstream and never reach here.
+    """
+    from pyspark.sql import Window
+
+    diff = row_changes(
+        table,
+        from_snapshot_id=from_snapshot_id,
+        to_snapshot_id=to_snapshot_id,
+        columns=columns,
+    )
+    ids = [F.col(c) for c in identifier_columns]
+    w = Window.partitionBy(*ids)
+    has_both = (
+        F.max(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+        .over(w)
+        + F.max(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+        .over(w)
+    ) == 2
+    return diff.withColumn(
+        "_change_type",
+        F.when(
+            has_both & (F.col("_change_type") == "delete"),
+            F.lit("update_before"),
+        )
+        .when(
+            has_both & (F.col("_change_type") == "insert"),
+            F.lit("update_after"),
+        )
+        .otherwise(F.col("_change_type")),
+    )

@@ -932,6 +932,14 @@ class Table:
 
         return _cdc(self, **kw)
 
+    def changelog_view(self, **kw) -> DataFrame:
+        """CDC with update PAIRING: delete+insert sharing the
+        identifier columns become update_before/update_after
+        (Iceberg's create_changelog_view counterpart)."""
+        from .ops.changes import changelog_view as _clv
+
+        return _clv(self, **kw)
+
     def rewrite_manifests(self, **kw):
         from .ops.rewrite_manifests import rewrite_manifests as _rw
 

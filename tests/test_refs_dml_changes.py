@@ -301,3 +301,49 @@ def test_overwrite_requires_partitioned_table(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         t.overwrite_partitions(df)
+
+
+def test_changelog_view_update_pairing(spark, table_root):
+    """delete+insert with the same identifier → update_before/after;
+    unpaired rows keep insert/delete; untouched rows never appear."""
+    from pyspark.sql import functions as F
+
+    from lakehouse import CLIPS_SCHEMA, Table
+    from lakehouse.synth import synth_clips_df
+
+    t = Table.create(spark, table_root, CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 24, seed=5, n_days=3))
+    s0 = t.current_snapshot_id()
+
+    # update 4 rows (merge), delete 2 (cow), insert 3 fresh
+    upd = (
+        t.scan().filter("sr_hz >= 0").limit(4)
+        .withColumn("transcript", F.lit("edited"))
+    )
+    t.merge(upd, key="clip_id")
+    victims = [
+        r.clip_id
+        for r in t.scan().filter("transcript != 'edited'")
+        .select("clip_id").limit(2).collect()
+    ]
+    t.delete([("clip_id", "in", victims)])
+    t.append(synth_clips_df(spark, 3, seed=6, n_days=3, start=900))
+
+    clv = t.changelog_view(
+        from_snapshot_id=s0,
+        identifier_columns=["clip_id"],
+        columns=["clip_id", "transcript"],
+    )
+    rows = clv.collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert len(by_type.get("update_after", [])) == 4
+    assert len(by_type.get("update_before", [])) == 4
+    assert all(r.transcript == "edited" for r in by_type["update_after"])
+    assert {r.clip_id for r in by_type.get("delete", [])} == set(victims)
+    assert len(by_type.get("insert", [])) == 3
+    # pairs cover the same identifiers
+    assert {r.clip_id for r in by_type["update_after"]} == {
+        r.clip_id for r in by_type["update_before"]
+    }
