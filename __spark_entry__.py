@@ -436,6 +436,39 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_sample_hash(spark, sf_dir):
+    from lakehouse.sampling import hash_sample
+
+    # deterministic Bernoulli: membership is f(seed, doc_id) only —
+    # same rows on any cluster size / partitioning / retry
+    return hash_sample(
+        _read(spark, sf_dir, "documents"), fraction=0.25, seed=7
+    )
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from lakehouse.sampling import stratified_sample
+
+    # exactly-n-per-language via rank over the seeded hash (uniform
+    # without replacement); one shuffle keyed on the stratum
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), ["lang"], 15, seed=7
+    )
+
+
+def _q_sample_mixture(spark, sf_dir):
+    from lakehouse.sampling import stratified_fractions
+
+    # corpus mixture weighting: per-source keep rates as ONE filter
+    return stratified_fractions(
+        _read(spark, sf_dir, "documents"),
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        seed=7,
+        default_fraction=0.1,
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from lakehouse.textops import lang_id
 
@@ -1755,6 +1788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_sample_mixture,
         "lang_id": _q_lang_id,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
@@ -1778,6 +1814,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
     }
+
+
+def _sampling_oracles() -> tuple[str, str, str]:
+    from lakehouse.sampling import (
+        hash_sample_oracle_sql,
+        stratified_fractions_oracle_sql,
+        stratified_sample_oracle_sql,
+    )
+
+    return (
+        hash_sample_oracle_sql(fraction=0.25, seed=7),
+        stratified_sample_oracle_sql(["lang"], 15, seed=7),
+        stratified_fractions_oracle_sql(
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            seed=7,
+            default_fraction=0.1,
+        ),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2038,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
         "text_quality": quality_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(capacity=128),
+        "sample_hash": _sampling_oracles()[0],
+        "sample_stratified": _sampling_oracles()[1],
+        "sample_mixture": _sampling_oracles()[2],
         "pii_scrub": pii_scrub_oracle_sql(
             table="(SELECT doc_id, "
             + _PII_ENRICH.format(s="VARCHAR")

@@ -475,3 +475,50 @@ def test_pack_sequences_invariants(spark):
     )
     assert w_bad == 0
     packed.unpersist()
+
+
+def test_sampling_deterministic_and_oracle(spark, oracle):
+    from lakehouse.sampling import (
+        hash_sample,
+        hash_sample_oracle_sql,
+        stratified_fractions,
+        stratified_fractions_oracle_sql,
+        stratified_sample,
+        stratified_sample_oracle_sql,
+    )
+
+    docs = _docs(spark)
+    assert_matches_oracle(
+        hash_sample(docs, 0.3, seed=11),
+        oracle,
+        hash_sample_oracle_sql(0.3, seed=11),
+    )
+    assert_matches_oracle(
+        stratified_sample(docs, ["lang"], 7, seed=11),
+        oracle,
+        stratified_sample_oracle_sql(["lang"], 7, seed=11),
+    )
+    fr = {"src0": 1.0, "src3": 0.5}
+    assert_matches_oracle(
+        stratified_fractions(docs, "source", fr, seed=11),
+        oracle,
+        stratified_fractions_oracle_sql("source", fr, seed=11),
+    )
+    # reproducibility across repartitioning (df.sample would differ)
+    a = {r.doc_id for r in hash_sample(docs, 0.3, seed=11).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), 0.3, seed=11).collect()
+    }
+    assert a == b
+    # exactly-n semantics: every stratum capped at n, uniform w/o
+    # replacement means small strata keep everything
+    per = (
+        stratified_sample(docs, ["lang"], 7, seed=11)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    full = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r["count"] == min(7, full[r.lang])
