@@ -461,6 +461,9 @@ class LakehouseBatchReader(DataSourceReader):
 # --- stream reader ------------------------------------------------------------
 
 
+_UNKNOWN = object()  # sentinel: "no stream position observed yet"
+
+
 class LakehouseStreamReader(DataSourceStreamReader):
     """Snapshot-id offsets over the append chain (exactly-once replay
     from the checkpoint while snapshots remain unexpired)."""
@@ -476,6 +479,19 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._target_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
+        # rate limiting (Iceberg streaming's max-files-per-micro-batch
+        # analog at our offset granularity): each micro-batch advances
+        # at most this many snapshots along the append chain, so a
+        # reader catching up on a long-lived table emits bounded
+        # batches instead of one giant one
+        mspb = options.get("max_snapshots_per_batch")
+        self._max_snapshots = None if mspb is None else max(1, int(mspb))
+        # stream position: the snapshot id everything up to which has
+        # been handed to Spark. _UNKNOWN until either partitions()
+        # observes the checkpointed offsets (restart) or the first
+        # latestOffset() of a brand-new query seeds it from
+        # initialOffset(). None is a VALID position ("beginning").
+        self._position = _UNKNOWN
         meta = load_metadata(root)
         self._schema = T.StructType.fromJson(meta.schema_json)
         # pin the schema ID too: a rename committed mid-stream must not
@@ -495,7 +511,26 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         meta = load_metadata(self._root)
-        return {"snapshot_id": meta.current_snapshot_id}
+        cur = meta.current_snapshot_id
+        if self._max_snapshots is None or cur is None:
+            return {"snapshot_id": cur}
+        from .ops.changes import _chain
+
+        if self._position is _UNKNOWN:
+            # Fresh reader with no checkpointed position observed yet.
+            # On restart Spark replays/plans the WAL batch through
+            # partitions(start, end) BEFORE asking for a new offset
+            # (probed empirically), so partitions() has already pinned
+            # the position; reaching here unpinned means a brand-new
+            # query, where initialOffset is the true position.
+            self._position = self.initialOffset().get("snapshot_id")
+        if self._position == cur:
+            return {"snapshot_id": cur}
+        chain = _chain(meta, self._position, cur)
+        take = min(len(chain), self._max_snapshots)
+        nxt = chain[take - 1].snapshot_id if take else cur
+        self._position = nxt
+        return {"snapshot_id": nxt}
 
     def _added_files(self, meta, from_id, to_id):
         """Data files appended in (from, to] — spark-free twin of
@@ -527,6 +562,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from_id, to_id = start.get("snapshot_id"), end.get("snapshot_id")
+        # the WAL-recorded batch end is the authoritative stream
+        # position — on restart this call precedes latestOffset(), so
+        # rate-limited offset production resumes from the checkpoint
+        # instead of rewinding to initialOffset
+        self._position = to_id
         if to_id is None or from_id == to_id:
             return [FilesPartition([], [])]
         meta = load_metadata(self._root)

@@ -302,3 +302,48 @@ def test_stream_raises_on_row_changing_snapshot(spark, clips_table, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="row-changing"):
         q.awaitTermination(120)
+
+
+def test_stream_rate_limit_bounds_each_microbatch(
+    spark, tmp_path, table_root
+):
+    """max_snapshots_per_batch=1: an availableNow catch-up over 3
+    append snapshots must run 3 bounded micro-batches (one snapshot
+    each), not one giant batch — the offset log records each step."""
+    import os
+
+    register(spark)
+    t = Table.create(spark, table_root, CLIPS_SCHEMA)
+    for i in range(3):
+        t.append(synth_clips_df(spark, 20, seed=i, n_days=2, start=20 * i))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("start", "beginning")
+            .option("max_snapshots_per_batch", "1")
+            .load(t.root)
+            .select("clip_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    # each availableNow drain advances exactly ONE snapshot (the rate
+    # limit bounds the batch), resuming from the checkpoint
+    assert drain() == 20
+    assert drain() == 40
+    assert drain() == 60
+    assert drain() == 60  # caught up: no further batches
+    offsets = [
+        n
+        for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if not n.startswith(".")
+    ]
+    assert len(offsets) >= 3, offsets
