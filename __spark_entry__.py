@@ -425,6 +425,27 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(df)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from lakehouse.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
+# eval slice for the decontamination query: a deterministic 1-in-29
+# doc_id residue class stands in for the benchmark set; the remaining
+# docs are the training corpus screened against it
+_DECONTAM_EVAL_PRED = "doc_id % 29 = 0"
+
+
+def _q_decontaminate(spark, sf_dir):
+    from lakehouse.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(_DECONTAM_EVAL_PRED)
+    train = docs.filter(f"NOT ({_DECONTAM_EVAL_PRED})")
+    return decontaminate(train, ev, k=8, min_hits=1)
+
+
 def _q_pack_sequences(spark, sf_dir):
     from lakehouse.packing import pack_sequences
 
@@ -1786,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_quality": _q_text_quality,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "sample_hash": _q_sample_hash,
@@ -1838,6 +1861,7 @@ def _sampling_oracles() -> tuple[str, str, str]:
 def oracle_sql() -> dict[str, str]:
     from lakehouse.dedup import (
         curate_documents_oracle_sql,
+        decontaminate_oracle_sql,
         dedup_exact_oracle_sql,
         minhash_lsh_oracle_sql,
         ngram_jaccard_oracle_sql,
@@ -1861,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         lang_id_oracle_sql,
         pii_scrub_oracle_sql,
         quality_oracle_sql,
+        repetition_oracle_sql,
         token_stats_oracle_sql,
     )
 
@@ -2092,6 +2117,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": simhash_oracle_sql(),
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
         "text_quality": quality_oracle_sql(),
+        "repetition_stats": repetition_oracle_sql(n=2),
+        "decontaminate": decontaminate_oracle_sql(
+            eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
+        ),
         "pack_sequences": pack_sequences_oracle_sql(capacity=128),
         "sample_hash": _sampling_oracles()[0],
         "sample_stratified": _sampling_oracles()[1],

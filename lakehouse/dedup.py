@@ -571,3 +571,72 @@ def curate_documents_oracle_sql(
     WHERE u.doc_id NOT IN (SELECT doc_id FROM victims)
       AND len(string_split(u.text, ' ')) >= {min_tokens}
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``k``-gram with an eval/benchmark set.
+
+    The standard pre-training hygiene step: a training document that
+    contains a verbatim n-gram from an evaluation benchmark leaks the
+    benchmark into the training set (the reference has no analog; this
+    extends the LLM-data-pipeline surface per the build brief).
+
+    Scale shape: the eval side is tiny (benchmarks are ~10^5 grams), so
+    its distinct gram set is BROADCAST and the 10^12-row training side
+    streams map-side through the hash join — the training corpus is
+    never shuffled; the only shuffle is the per-doc hit count keyed on
+    unique doc_id (skew-free by construction).
+
+    Returns every input doc: (doc_id, n_eval_grams_hit, contaminated).
+    """
+    train_sh = _shingles(df, content_col, k)
+    eval_sh = _shingles(eval_df, content_col, k).select("shingle").distinct()
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_eval_grams_hit"), F.lit(0))
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hit.alias("n_eval_grams_hit"),
+            (n_hit >= min_hits).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str = "documents",
+    eval_pred: str = "doc_id % 29 = 0",
+    k: int = 8,
+    min_hits: int = 1,
+) -> str:
+    train = f"(SELECT * FROM {table} WHERE NOT ({eval_pred}))"
+    ev = f"(SELECT * FROM {table} WHERE {eval_pred})"
+    return f"""
+    WITH train_sh AS ({_shingles_sql(train, k)}),
+         eval_sh AS (SELECT DISTINCT shingle
+                     FROM ({_shingles_sql(ev, k)})),
+         hits AS (SELECT t.doc_id, count(*) AS n
+                  FROM train_sh t JOIN eval_sh e USING (shingle)
+                  GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_eval_grams_hit,
+           CAST(coalesce(h.n, 0) >= {min_hits} AS INT) AS contaminated
+    FROM {table} d LEFT JOIN hits h USING (doc_id)
+    WHERE NOT ({eval_pred})
+    """

@@ -268,3 +268,79 @@ def pii_scrub_oracle_sql(table: str = "documents") -> str:
         + f" SELECT doc_id, t{last} AS clean_text, {', '.join(carried)} "
         + f"FROM s{last}"
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality signals)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams: gram counts, the most-frequent-gram share, and the
+    duplicate-gram fraction (high values mark boilerplate / spam).
+
+    Scale shape: ZERO shuffle — every statistic is computed inside the
+    row with JVM higher-order functions (array_sort + an aggregate()
+    run-length scan yields the top-gram count), so at 10^12 docs this
+    is a pure map over the scan, unlike the explode→groupBy
+    formulation which shuffles one row per gram.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(srt, zero, step, lambda acc: acc["best"])
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    safe = F.when(n_grams > 0, n_grams.cast("double"))
+    return df.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        top.alias("top_gram_count"),
+        F.coalesce(F.round(top / safe, 4), F.lit(0.0)).alias("top_gram_frac"),
+        F.coalesce(
+            F.round((n_grams - n_distinct) / safe, 4), F.lit(0.0)
+        ).alias("dup_gram_frac"),
+    )
+
+
+def repetition_oracle_sql(table: str = "documents", n: int = 2) -> str:
+    grams = (
+        f"[array_to_string(string_split(text, ' ')[i+1 : i+{n}], ' ')"
+        f" for i in range(0, len(string_split(text, ' ')) - {n} + 1)]"
+    )
+    return f"""
+    WITH g AS (SELECT doc_id, {grams} AS grams FROM {table})
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct_grams,
+           coalesce(list_max(list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x)))), 0)
+               AS top_gram_count,
+           coalesce(round(list_max(list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x))))
+                    * 1.0 / nullif(len(grams), 0), 4), 0.0) AS top_gram_frac,
+           coalesce(round((len(grams) - len(list_distinct(grams)))
+                    * 1.0 / nullif(len(grams), 0), 4), 0.0) AS dup_gram_frac
+    FROM g
+    """

@@ -522,3 +522,105 @@ def test_sampling_deterministic_and_oracle(spark, oracle):
     full = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
     for r in per:
         assert r["count"] == min(7, full[r.lang])
+
+
+def test_repetition_stats_hand_computed(spark):
+    from lakehouse.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(df, n=2).collect()
+    }
+    # doc 1 bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3
+    assert got[1]["n_grams"] == 5
+    assert got[1]["n_distinct_grams"] == 2
+    assert got[1]["top_gram_count"] == 3
+    assert got[1]["top_gram_frac"] == 0.6
+    assert got[1]["dup_gram_frac"] == 0.6
+    # doc 2 too short for a bigram: all-zero signals, still present
+    assert got[2] == {
+        "doc_id": 2,
+        "n_grams": 0,
+        "n_distinct_grams": 0,
+        "top_gram_count": 0,
+        "top_gram_frac": 0.0,
+        "dup_gram_frac": 0.0,
+    }
+    # doc 3 all-distinct: no repetition
+    assert got[3]["top_gram_count"] == 1
+    assert got[3]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    """The repetition signals must stay a pure map over the scan — no
+    Exchange may appear for a 10^12-doc corpus."""
+    from lakehouse.textops import repetition_stats
+
+    df = repetition_stats(_docs(spark), n=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # JVM higher-order funcs only
+
+
+def test_repetition_stats_matches_oracle(spark, oracle):
+    from lakehouse.textops import repetition_oracle_sql, repetition_stats
+
+    assert_matches_oracle(
+        repetition_stats(_docs(spark), n=2), oracle, repetition_oracle_sql()
+    )
+
+
+def test_decontaminate_planted(spark):
+    from lakehouse.dedup import decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    ev = spark.createDataFrame(
+        [(100, f"intro {bench} outro")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim -> contaminated
+            (1, f"noise words here {bench} trailing tail"),
+            # shares only shorter overlaps -> clean at k=8
+            (2, "alpha beta gamma delta nothing else in common here"),
+            # fewer than 8 tokens: no shingles at all -> clean
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_eval_grams_hit"], r["contaminated"])
+        for r in decontaminate(train, ev, k=8).collect()
+    }
+    assert got[1][0] >= 1 and got[1][1] == 1
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+
+
+def test_decontaminate_matches_oracle(spark, oracle):
+    from lakehouse.dedup import decontaminate, decontaminate_oracle_sql
+
+    pred = "doc_id % 29 = 0"
+    docs = _docs(spark)
+    got = decontaminate(
+        docs.filter(f"NOT ({pred})"), docs.filter(pred), k=8
+    )
+    assert_matches_oracle(
+        got, oracle, decontaminate_oracle_sql(eval_pred=pred, k=8)
+    )
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The training corpus must never shuffle for the gram probe: the
+    eval gram set is broadcast (10^12-row scale shape)."""
+    from lakehouse.dedup import decontaminate
+
+    docs = _docs(spark)
+    df = decontaminate(
+        docs.filter("doc_id % 29 != 0"), docs.filter("doc_id % 29 = 0"), k=8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
