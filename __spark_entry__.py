@@ -1445,6 +1445,37 @@ def _q_lh_wap_publish(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_constraint_enforcement(spark, sf_dir):
+    """Write-time CHECK constraints (Delta-invariants analog): ADD
+    validates existing rows; a violating append fails map-side BEFORE
+    any snapshot commit, so it leaves zero trace (asserted on the
+    snapshot id AND by the final scan parity — a leaked row would break
+    the oracle hash); the clean append after it lands normally."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.add_check_constraint("type_allowed", "event_type <> 'forbidden'")
+    t.add_check_constraint("id_nonneg", "event_id >= 0")
+    snap = t.current_snapshot_id()
+    bad = _events(spark, sf_dir).limit(50).withColumn(
+        "event_type", F.lit("forbidden")
+    )
+    try:
+        t.append(bad)
+        raise AssertionError("violating append must fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expected: CHECK constraint failure from the write job
+    assert t.current_snapshot_id() == snap, "violation must commit NOTHING"
+    try:
+        t.add_check_constraint("id_neg_existing", "event_id < 0")
+        raise AssertionError("ADD over violating existing rows must fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expected: ConstraintViolationError from existing-row check
+    return _events_out(t.scan())
+
+
 def _q_lh_sql_view(spark, sf_dir):
     """The analyst SQL path (reference: Athena over the Glue catalog,
     README.md:104-114): register the post-compaction table as a
@@ -1795,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
+        "lh_constraint_enforcement": _q_lh_constraint_enforcement,
         "lh_partition_evolution": _q_lh_partition_evolution,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
@@ -2081,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
+        "lh_constraint_enforcement": EVENTS_OUT_SQL,
         "lh_rollback": EVENTS_OUT_SQL,
         "lh_partition_evolution": EVENTS_OUT_SQL,
         "lh_sql_view_rollup": """

@@ -302,6 +302,37 @@ def cmd_drop_column(args):
     )
 
 
+def cmd_add_constraint(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    t.add_check_constraint(args.name, args.expr)
+    _emit(
+        {
+            "op": "add-constraint",
+            "name": args.name,
+            "expr": args.expr,
+            "constraints": t.check_constraints(),
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_drop_constraint(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    t.drop_check_constraint(args.name)
+    _emit(
+        {
+            "op": "drop-constraint",
+            "name": args.name,
+            "constraints": t.check_constraints(),
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_analyze(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -646,6 +677,13 @@ def main():
     t(s)
     s.add_argument("--columns", default=None)
     s.add_argument("--k", type=int, default=1024)
+    s = sub.add_parser("add-constraint")
+    t(s)
+    s.add_argument("name")
+    s.add_argument("expr")
+    s = sub.add_parser("drop-constraint")
+    t(s)
+    s.add_argument("name")
     s = sub.add_parser("rollup")
     t(s)
     s.add_argument("--rollup-root", required=True)
@@ -718,6 +756,8 @@ def main():
         "rename-column": cmd_rename_column,
         "drop-column": cmd_drop_column,
         "analyze": cmd_analyze,
+        "add-constraint": cmd_add_constraint,
+        "drop-constraint": cmd_drop_constraint,
         "rollup": cmd_rollup,
         "sql": cmd_sql,
         "evolve-spec": cmd_evolve_spec,

@@ -39,3 +39,7 @@ class ValidationError(LakehouseError):
 
 class RefError(LakehouseError):
     """Branch/tag ref violation (unknown ref, tag write, bad fast-forward)."""
+
+
+class ConstraintViolationError(LakehouseError):
+    """ADD CONSTRAINT rejected: existing rows violate the expression."""

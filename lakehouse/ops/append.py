@@ -166,6 +166,17 @@ def write_data_files(
 
     schema = T.StructType.fromJson(schema_json)
     out = conform(df, schema)
+
+    # write-time CHECK constraints: every row-writing path funnels
+    # through here, so enforcement is one fused map-side predicate that
+    # fails the job BEFORE any snapshot commit (lakehouse/constraints.py)
+    from ..constraints import constraints_of, enforce
+    from ..meta.snapshots import load_metadata
+
+    checks = constraints_of(load_metadata(table_root).properties)
+    if checks:
+        out = enforce(out, checks)
+
     out, part_cols = with_partition_columns(out, spec)
 
     salt_col = None

@@ -775,6 +775,9 @@ class Table:
             if new in names:
                 raise SchemaEvolutionError(f"column exists: {new!r}")
             self._guard_mapped_change(base, old)
+            from .constraints import guard_column_change
+
+            guard_column_change(base.properties, old, "rename")
             ids = fieldids.schema_field_ids(base.schemas)[
                 base.current_schema_id
             ]
@@ -815,6 +818,9 @@ class Table:
             if len(names) == 1:
                 raise SchemaEvolutionError("cannot drop the only column")
             self._guard_mapped_change(base, name)
+            from .constraints import guard_column_change
+
+            guard_column_change(base.properties, name, "drop")
             ids = fieldids.schema_field_ids(base.schemas)[
                 base.current_schema_id
             ]
@@ -853,6 +859,52 @@ class Table:
             return dataclasses.replace(base, properties=p)
 
         S.commit(self.root, apply)
+
+    # --- CHECK constraints (lakehouse/constraints.py) ---------------------
+
+    def check_constraints(self) -> dict[str, str]:
+        """Current ``{name: sql_expr}`` CHECK constraints."""
+        from .constraints import constraints_of
+
+        return constraints_of(self.meta.properties)
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """ADD CONSTRAINT: validate every EXISTING row satisfies
+        ``expr`` (one column-pruned scan; NULL passes, SQL rule), then
+        commit the constraint as a table property. Subsequent writes on
+        any path enforce it map-side and fail pre-commit on violation.
+        """
+        from pyspark.sql import functions as F
+
+        from .constraints import (
+            CONSTRAINT_PREFIX,
+            constraints_of,
+            validate_name,
+        )
+        from .errors import ConstraintViolationError
+
+        validate_name(name)
+        if name in constraints_of(self.meta.properties):
+            raise ValueError(f"CHECK constraint {name!r} already exists")
+        bad = (
+            self.scan()
+            .where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1_000_001)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add CHECK constraint {name!r} ({expr}): "
+                f"{bad} existing row(s) violate it"
+            )
+        self.set_properties(**{CONSTRAINT_PREFIX + name: expr})
+
+    def drop_check_constraint(self, name: str) -> None:
+        from .constraints import CONSTRAINT_PREFIX, constraints_of
+
+        if name not in constraints_of(self.meta.properties):
+            raise ValueError(f"no CHECK constraint named {name!r}")
+        self.set_properties(**{CONSTRAINT_PREFIX + name: None})
 
     def analyze(self, columns, **kw):
         """ANALYZE: persist per-column NDV sketches (KMV top-k job per
