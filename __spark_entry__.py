@@ -925,6 +925,47 @@ def _q_audio_resample_segment(spark, sf_dir):
     return res
 
 
+def _q_audio_transcode_g711(spark, sf_dir):
+    """Codec normalization surface (rows-only): transcode the pcm16
+    corpus to G.711 mu-law and A-law (pure-numpy companding inside
+    Arrow batches, lakehouse/g711.py) and verify per-row fidelity
+    DISTRIBUTED: every transcoded clip must hold SNR >= 30 dB against
+    its original decode (the BASELINE invariant floor; G.711 sits near
+    38 dB) with sr/duration unchanged — violations fail the gate."""
+    from lakehouse.audio import pair_snr_db, transcode_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=42, n_days=2, num_partitions=4)
+    orig = df.select(
+        "clip_id", F.col("bytes").alias("obytes"),
+        F.col("sr_hz").alias("osr"), F.col("dur_ms").alias("odur"),
+    )
+    res = None
+    for codec in ("mulaw", "alaw"):
+        tr = transcode_clips(df, codec).join(orig, "clip_id")
+        part = tr.select(
+            "clip_id",
+            "codec",
+            F.round(pair_snr_db(F.col("obytes"), F.col("bytes")), 2).alias(
+                "snr_db"
+            ),
+            (F.col("sr_hz") == F.col("osr")).cast("int").alias("sr_ok"),
+            (F.col("dur_ms") == F.col("odur")).cast("int").alias("dur_ok"),
+        )
+        res = part if res is None else res.unionByName(part)
+    chk = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("snr_db").alias("min_snr"),
+        F.sum(1 - F.col("sr_ok")).alias("bad_sr"),
+        F.sum(1 - F.col("dur_ok")).alias("bad_dur"),
+    ).collect()[0]
+    assert (
+        chk.n == 192 and chk.min_snr >= 30.0
+        and chk.bad_sr == 0 and chk.bad_dur == 0
+    ), f"G.711 transcode invariant violated: {chk}"
+    return res
+
+
 def _q_audio_normalize_trim(spark, sf_dir):
     """Levelling + silence-strip surface (rows-only): peak-normalize to
     0.9 then trim sub-threshold head/tail frames, both vectorized
@@ -1861,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": _q_audio_decode,
         "audio_snr_invariant": _q_audio_snr,
         "audio_resample_segment": _q_audio_resample_segment,
+        "audio_transcode_g711": _q_audio_transcode_g711,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
         "audio_spectral_features": _q_audio_spectral,

@@ -31,7 +31,8 @@ def decode_wav(raw: bytes) -> Tuple[int, np.ndarray]:
     """Parse a RIFF/WAVE container → (sample_rate, float32 samples).
 
     Walks chunks properly (tolerates extra chunks before ``data``).
-    Supports PCM16 / PCM8 / IEEE float32 mono — the codecs synth.py emits.
+    Supports PCM16 / PCM8 / IEEE float32 / G.711 mu-law / G.711 A-law
+    mono — the codecs synth.py emits.
     """
     if raw is None or len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
@@ -55,6 +56,14 @@ def decode_wav(raw: bytes) -> Tuple[int, np.ndarray]:
         samples = (np.frombuffer(data, dtype="u1").astype(np.float32) - 128.0) / 127.0
     elif fmt_code == 3 and bits == 32:
         samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif fmt_code == 7 and bits == 8:  # G.711 mu-law
+        from .g711 import mulaw_decode
+
+        samples = mulaw_decode(np.frombuffer(data, dtype="u1"))
+    elif fmt_code == 6 and bits == 8:  # G.711 A-law
+        from .g711 import alaw_decode
+
+        samples = alaw_decode(np.frombuffer(data, dtype="u1"))
     else:
         raise ValueError(f"unsupported wav encoding fmt={fmt_code} bits={bits}")
     return int(sr), samples
@@ -778,3 +787,65 @@ def synth_dominant_error_udf(seed: int):
         return pd.Series(out)
 
     return err_udf
+
+
+# ---------------------------------------------------------------------------
+# codec transcoding (G.711 mu-law / A-law / PCM16)
+
+
+_TRANSCODE_CODECS = ("pcm16", "pcm8", "f32", "mulaw", "alaw")
+
+
+def make_transcode_udf(codec: str):
+    """Vectorized transcode: decode whatever each clip's container
+    holds (PCM16/8, f32, G.711 mu/A-law) → re-encode as ``codec``. The
+    decode and both companding directions are whole-batch numpy
+    (lakehouse/g711.py) — no per-sample Python."""
+    if codec not in _TRANSCODE_CODECS:
+        raise ValueError(f"unsupported target codec: {codec!r}")
+
+    @F.pandas_udf(T.BinaryType())
+    def transcode_udf(raw: pd.Series) -> pd.Series:
+        from .synth import wrap_wav
+
+        out = []
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out.append(None)
+                continue
+            out.append(wrap_wav(x, sr, codec))
+        return pd.Series(out)
+
+    return transcode_udf
+
+
+@F.pandas_udf(T.DoubleType())
+def pair_snr_db(raw_a: pd.Series, raw_b: pd.Series) -> pd.Series:
+    """SNR of payload B against payload A (both WAV containers, any
+    supported codec) — the distributed form of the per-row fidelity
+    compare, e.g. original vs transcoded bytes."""
+    out = []
+    for a, b in zip(raw_a, raw_b):
+        try:
+            _, xa = decode_wav(a)
+            _, xb = decode_wav(b)
+        except (ValueError, struct.error):
+            out.append(float("-inf"))
+            continue
+        out.append(snr_db(xa, xb))
+    return pd.Series(out, dtype="float64")
+
+
+def transcode_clips(df, codec: str, bytes_col: str = "bytes"):
+    """Normalize the corpus to one codec (e.g. G.711 mu-law for 4x
+    smaller telephony-band payloads, or pcm16 for lossless-from-here):
+    one projection swaps bytes and the codec column; sr/dur unchanged.
+    """
+    others = [c for c in df.columns if c not in (bytes_col, "codec")]
+    return df.select(
+        *others,
+        make_transcode_udf(codec)(F.col(bytes_col)).alias(bytes_col),
+        F.lit(codec).alias("codec"),
+    )

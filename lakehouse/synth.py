@@ -80,6 +80,16 @@ def wrap_wav(samples: np.ndarray, sr: int, codec: str = "pcm16") -> bytes:
     elif codec == "f32":
         data = samples.astype("<f4").tobytes()
         fmt, bits = 3, 32
+    elif codec == "mulaw":
+        from .g711 import mulaw_encode
+
+        data = mulaw_encode(samples).tobytes()
+        fmt, bits = 7, 8
+    elif codec == "alaw":
+        from .g711 import alaw_encode
+
+        data = alaw_encode(samples).tobytes()
+        fmt, bits = 6, 8
     else:
         raise ValueError(f"unsupported codec: {codec!r}")
     block_align = bits // 8

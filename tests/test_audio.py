@@ -23,16 +23,92 @@ def test_wav_roundtrip_pcm16():
     assert snr_db(samples, decoded) >= 30.0
 
 
-@pytest.mark.parametrize("codec", ["pcm8", "f32"])
+@pytest.mark.parametrize("codec", ["pcm8", "f32", "mulaw", "alaw"])
 def test_wav_roundtrip_other_codecs(codec):
     sr = 8000
     samples = synth_pcm(42, 11, sr, sr // 4)
     dsr, decoded = decode_wav(wrap_wav(samples, sr, codec))
     assert dsr == sr
     # pcm8 at ~0.3 signal amplitude sits near its theoretical quantization
-    # floor (~29 dB); the 30 dB invariant applies to the canonical pcm16.
-    floor = 25.0 if codec == "pcm8" else 100.0
+    # floor (~29 dB); G.711 companding holds ~38 dB nearly independent of
+    # level; the 30 dB invariant applies to the canonical pcm16.
+    floor = {"pcm8": 25.0, "f32": 100.0, "mulaw": 30.0, "alaw": 30.0}[codec]
     assert snr_db(samples, decoded) >= floor
+
+
+@pytest.mark.parametrize("codec", ["mulaw", "alaw"])
+def test_g711_level_independent_snr(codec):
+    """Companding's purpose: a 20 dB quieter signal keeps ~the same
+    SNR (uniform PCM8 would lose ~20 dB)."""
+    from lakehouse import g711
+
+    enc = getattr(g711, f"{codec}_encode")
+    dec = getattr(g711, f"{codec}_decode")
+    sr = 8000
+    t = np.arange(sr) / sr
+    loud = (0.8 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    quiet = (0.05 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    s_loud = snr_db(loud, dec(enc(loud)))
+    s_quiet = snr_db(quiet, dec(enc(quiet)))
+    assert s_loud >= 30.0 and s_quiet >= 30.0
+    assert abs(s_loud - s_quiet) < 8.0  # level-independence
+
+
+@pytest.mark.parametrize("codec", ["mulaw", "alaw"])
+def test_g711_second_pass_is_lossless(codec):
+    """decode∘encode is a projection: re-encoding the decoded signal
+    reproduces the byte stream (mu-law modulo the canonical ±0 byte)."""
+    from lakehouse import g711
+
+    enc = getattr(g711, f"{codec}_encode")
+    dec = getattr(g711, f"{codec}_decode")
+    x = synth_pcm(7, 3, 8000, 4000)
+    b1 = enc(x)
+    b2 = enc(dec(b1))
+    mism = np.nonzero(b1 != b2)[0]
+    if codec == "mulaw":  # ±0 encodes as 0x7F or 0xFF, same value
+        assert all(
+            {int(b1[i]), int(b2[i])} == {0x7F, 0xFF} for i in mism
+        ), mism
+    else:
+        assert len(mism) == 0
+
+
+def test_spark_transcode_clips(spark, clips_pdf_small):
+    """Corpus codec normalization: pcm16 → mulaw keeps the payload
+    above the 30 dB invariant and flips the codec column; the
+    mulaw → pcm16 → mulaw cycle is byte-stable (G.711's one lossy
+    step happened already)."""
+    from lakehouse.audio import transcode_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 16, seed=5, n_days=2)
+    mu = transcode_clips(df, "mulaw")
+    rows = mu.select("clip_id", "codec", "bytes", "sr_hz").collect()
+    assert all(r.codec == "mulaw" for r in rows)
+    for r in rows:
+        sr, _x = decode_wav(r.bytes)
+        assert sr == r.sr_hz
+    # per-row SNR of the transcoded payload vs the original pcm16 decode
+    orig = {r.clip_id: r.bytes for r in df.select("clip_id", "bytes").collect()}
+    for r in rows:
+        _, a = decode_wav(orig[r.clip_id])
+        _, b = decode_wav(r.bytes)
+        assert snr_db(a, b) >= 30.0
+    # mulaw -> pcm16 -> mulaw reproduces the mulaw bytes (modulo the
+    # canonical ±0 byte pair 0x7F/0xFF)
+    cycled = transcode_clips(transcode_clips(mu, "pcm16"), "mulaw")
+    cyc = {r.clip_id: r.bytes for r in cycled.select("clip_id", "bytes").collect()}
+    for r in rows:
+        a, b = np.frombuffer(r.bytes, "u1"), np.frombuffer(cyc[r.clip_id], "u1")
+        mism = np.nonzero(a != b)[0]
+        assert all({int(a[i]), int(b[i])} == {0x7F, 0xFF} for i in mism)
+    # mixed-codec table decodes uniformly (positional union -> realign)
+    mixed = df.limit(8).union(mu.limit(8).select(*df.columns))
+    from lakehouse.audio import with_audio_features
+
+    feats = with_audio_features(mixed).select("audio.ok").collect()
+    assert all(r.ok for r in feats)
 
 
 def test_generator_is_deterministic():
