@@ -1486,6 +1486,48 @@ def _q_lh_wap_publish(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_default_column(spark, sf_dir):
+    """Iceberg-v3-style DEFAULT column values: a metadata-only ADD
+    COLUMN with a default (zero rewrites) makes every pre-existing row
+    scan as the default; rows appended afterwards store explicit
+    values. The oracle reconstructs the same view with a CASE over the
+    plain events table, so a null leaking where the default belongs
+    breaks the hash."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_defaults_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "events_table"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"}
+        ],
+    )
+    old = df.filter(F.col("event_id") % 4 != 3)
+    for i in range(2):
+        t.append(old.filter(F.col("event_id") % 2 == i))
+    t.add_column("region", "string", default="emea")
+    t.append(
+        df.filter(F.col("event_id") % 4 == 3).withColumn(
+            "region", F.lit("apac")
+        )
+    )
+    s = t.scan()
+    return s.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.col("event_date").cast("string").alias("event_date_s"),
+        "region",
+    )
+
+
 def _q_lh_constraint_enforcement(spark, sf_dir):
     """Write-time CHECK constraints (Delta-invariants analog): ADD
     validates existing rows; a violating append fails map-side BEFORE
@@ -1868,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_constraint_enforcement": _q_lh_constraint_enforcement,
+        "lh_default_column": _q_lh_default_column,
         "lh_partition_evolution": _q_lh_partition_evolution,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
@@ -2156,6 +2199,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
         "lh_constraint_enforcement": EVENTS_OUT_SQL,
+        "lh_default_column": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
+            "value, props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s, "
+            "CASE WHEN event_id % 4 = 3 THEN 'apac' ELSE 'emea' END AS region "
+            "FROM events"
+        ),
         "lh_rollback": EVENTS_OUT_SQL,
         "lh_partition_evolution": EVENTS_OUT_SQL,
         "lh_sql_view_rollup": """

@@ -323,6 +323,21 @@ def main() -> None:
                 return audio_dup_pairs(t.scan()).count()
 
             timed("audio_fp_dedup", audio_fp_dedup)
+
+            # full-corpus G.711 transcode: decode + mu-law companding of
+            # every payload byte in Arrow batches (the codec-
+            # normalization pass a mixed ingest fleet needs); forced
+            # through sum(length(bytes)) so every byte is produced
+            def transcode_mulaw():
+                from lakehouse.audio import transcode_clips
+
+                return (
+                    transcode_clips(t.scan())
+                    .selectExpr("sum(length(bytes))")
+                    .collect()
+                )
+
+            timed("transcode_mulaw", transcode_mulaw)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)

@@ -245,11 +245,15 @@ def _partitions_for(
 # --- Arrow read path (runs in executor Python workers) ------------------------
 
 
-def _conform_arrow_table(tbl, target, *, reject_extras: bool = False):
-    """Cast an Arrow table to the exact target schema: null-fill missing
-    (nullable-add schema evolution), drop — or reject, on the write
-    path — extra physical columns, reorder, cast. The single conform
-    shared by the read and write halves of this module."""
+def _conform_arrow_table(
+    tbl, target, *, reject_extras: bool = False, defaults=None
+):
+    """Cast an Arrow table to the exact target schema: fill missing
+    columns (nullable-add schema evolution — with the field's
+    ``initial-default`` when ``defaults`` carries one, else null), drop
+    — or reject, on the write path — extra physical columns, reorder,
+    cast. The single conform shared by the read and write halves of
+    this module."""
     import pyarrow as pa
 
     names = list(target.names)
@@ -263,9 +267,14 @@ def _conform_arrow_table(tbl, target, *, reject_extras: bool = False):
             )
     for i, name in enumerate(names):
         if name not in tbl.column_names:
-            tbl = tbl.add_column(
-                i, target.field(name), pa.nulls(len(tbl), target.field(name).type)
+            typ = target.field(name).type
+            dv = (defaults or {}).get(name)
+            fill = (
+                pa.nulls(len(tbl), typ)
+                if dv is None
+                else pa.array([dv] * len(tbl), type=typ)
             )
+            tbl = tbl.add_column(i, target.field(name), fill)
     return tbl.select(names).cast(target)
 
 
@@ -285,8 +294,18 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from .schema import field_default
+
     target = to_arrow_schema(spark_schema)
     names = list(target.names)
+    # initial-defaults ride in the Spark schema's field metadata (the
+    # Arrow conversion drops it, so harvest here): files missing a
+    # defaulted column fill the DEFAULT, matching the native scan
+    defaults = {
+        f.name: field_default(f)
+        for f in spark_schema.fields
+        if field_default(f) is not None
+    }
 
     # delete files are tiny (one key column) relative to data; each task
     # reads the ones overlapping its bin rather than shipping key sets
@@ -370,7 +389,9 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
                 # is_in returns null (not false) for null probe values;
                 # a null key can never match an equality delete -> keep
                 tbl = tbl.filter(pc.fill_null(keep, True))
-            yield from _conform_arrow_table(tbl, target).to_batches()
+            yield from _conform_arrow_table(
+                tbl, target, defaults=defaults
+            ).to_batches()
 
 
 # --- batch reader -------------------------------------------------------------

@@ -261,12 +261,14 @@ def _mapped_read_parts(
     """(physical read schema, select exprs) materializing ``logical``
     from files written under schema ``gid``: field ids resolve each
     logical column to its write-time PHYSICAL name (rename survives),
-    ids absent from the write schema are null-filled (late adds and
+    ids absent from the write schema are filled with the field's
+    ``initial-default`` (null when none — late adds and
     drop-then-re-add), and names outside the table schema entirely
     (``__zkey`` etc.) pass through physically."""
     from pyspark.sql import functions as F
 
     from .. import fieldids
+    from ..schema import field_default
 
     schemas = meta.schemas
     all_ids = fieldids.schema_field_ids(schemas)
@@ -282,7 +284,9 @@ def _mapped_read_parts(
             else f.name
         )
         if phys is None:
-            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            sel.append(
+                F.lit(field_default(f)).cast(f.dataType).alias(f.name)
+            )
         else:
             read_fields.append(T.StructField(phys, f.dataType, True))
             sel.append(F.col(phys).alias(f.name))

@@ -52,12 +52,26 @@ CLICK_EVENT_SCHEMA = T.StructType(
 )
 
 
+DEFAULT_KEY = "initial-default"  # Iceberg-v3 field property name
+
+
+def field_default(field: T.StructField):
+    """The field's default value, or None (metadata round-trips through
+    StructType.fromJson/jsonValue, so defaults ride in the committed
+    schema JSON)."""
+    md = field.metadata or {}
+    return md.get(DEFAULT_KEY)
+
+
 def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project ``df`` onto ``schema``: cast present columns, null-fill
-    missing ones, drop extras. Column order follows ``schema``.
+    """Project ``df`` onto ``schema``: cast present columns, fill
+    missing ones with the field's default (null when none), drop
+    extras. Column order follows ``schema``.
 
     This is the reference's fixed-width output contract
-    (/root/reference/etl/glue_stream.py:316-334) generalized to any schema.
+    (/root/reference/etl/glue_stream.py:316-334) generalized to any
+    schema; the default fill is the write-default half of Iceberg-v3
+    column defaults (the read half lives in meta/scan.py).
     """
     existing = {f.name for f in df.schema.fields}
     cols = []
@@ -65,7 +79,11 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
         if field.name in existing:
             cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
         else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            cols.append(
+                F.lit(field_default(field))
+                .cast(field.dataType)
+                .alias(field.name)
+            )
     return df.select(*cols)
 
 

@@ -805,6 +805,72 @@ class Table:
 
         return self._alter_mapped_schema("rename-column", build)
 
+    def add_column(
+        self, name: str, dtype, *, default=None, doc: Optional[str] = None
+    ) -> S.Snapshot:
+        """Metadata-only ADD COLUMN with an optional DEFAULT (the
+        Iceberg-v3 ``initial-default``): files written before the column
+        existed scan as ``default`` (not null) — zero rewrites; writers
+        missing the column fill it too (write-default = initial-default,
+        lakehouse/schema.py:conform). Routed through field-id mapping so
+        a drop-then-re-add can never resurrect old values under the new
+        default."""
+        from pyspark.sql import functions as F
+
+        from .schema import DEFAULT_KEY
+
+        dt = (
+            dtype
+            if isinstance(dtype, T.DataType)
+            else T._parse_datatype_string(dtype)
+        )
+        if default is not None:
+            # reject defaults the type can't hold, eagerly and exactly
+            # (a silent null-producing cast would corrupt every old row;
+            # under ANSI mode the malformed cast throws instead)
+            try:
+                probe = self.spark.range(1).select(
+                    F.lit(default).cast(dt).alias("v")
+                ).first()
+                bad = probe.v is None
+            except Exception:
+                bad = True
+            if bad:
+                raise SchemaEvolutionError(
+                    f"default {default!r} is not castable to {dt.simpleString()}"
+                )
+
+        def build(base: S.TableMetadata):
+            cur = T.StructType.fromJson(base.schema_json)
+            if name in [f.name for f in cur.fields]:
+                raise SchemaEvolutionError(f"column exists: {name!r}")
+            ids = fieldids.schema_field_ids(base.schemas)[
+                base.current_schema_id
+            ]
+            new_ids = {**ids, name: fieldids.next_field_id(base.schemas)}
+            md: dict[str, Any] = {}
+            if default is not None:
+                md[DEFAULT_KEY] = default
+            if doc:
+                md["doc"] = doc
+            sj = dict(base.schema_json)
+            sj["fields"] = [
+                *base.schema_json["fields"],
+                {
+                    "name": name,
+                    "type": dt.jsonValue(),
+                    "nullable": True,
+                    "metadata": md,
+                },
+            ]
+            return (
+                fieldids.embed_field_ids(sj, new_ids),
+                {"added": name, "default": default},
+                dict(base.properties),
+            )
+
+        return self._alter_mapped_schema("add-column", build)
+
     def drop_column(self, name: str) -> S.Snapshot:
         """Metadata-only column drop: no file is rewritten; the field id
         retires with the name, so a later re-add of the same name gets a
