@@ -332,7 +332,7 @@ def main() -> None:
                 from lakehouse.audio import transcode_clips
 
                 return (
-                    transcode_clips(t.scan())
+                    transcode_clips(t.scan(), "mulaw")
                     .selectExpr("sum(length(bytes))")
                     .collect()
                 )
