@@ -425,6 +425,12 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(df)
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    from lakehouse.textops import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from lakehouse.textops import repetition_stats
 
@@ -1967,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "text_quality": _q_text_quality,
         "repetition_stats": _q_repetition_stats,
+        "unigram_logprob": _q_unigram_logprob,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -2048,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         quality_oracle_sql,
         repetition_oracle_sql,
         token_stats_oracle_sql,
+        unigram_logprob_oracle_sql,
     )
 
     return {
@@ -2286,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
         "text_quality": quality_oracle_sql(),
         "repetition_stats": repetition_oracle_sql(n=2),
+        "unigram_logprob": unigram_logprob_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
         ),

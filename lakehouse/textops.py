@@ -344,3 +344,47 @@ def repetition_oracle_sql(table: str = "documents", n: int = 2) -> str:
                     * 1.0 / nullif(len(grams), 0), 4), 0.0) AS dup_gram_frac
     FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative unigram log-probability (perplexity-style quality score)
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean token log-probability under the CORPUS unigram
+    distribution — the cheap stand-in for perplexity filtering: spammy
+    or out-of-domain documents score low because their tokens are rare
+    corpus-wide.
+
+    Scale shape: two passes. Pass 1 builds the token count table (one
+    shuffle keyed on token — vocabulary-sized output, tiny next to the
+    corpus). Pass 2 re-explodes tokens and BROADCASTS the vocab, so the
+    corpus-sized side is scored map-side; the only corpus-keyed shuffle
+    is the final per-doc mean on unique doc_id (skew-free).
+    """
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    scored = tok.join(F.broadcast(cnt), "w").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
+            "unigram_logprob"
+        ),
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM {table}),
+         cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c * 1.0 / n)), 4) AS unigram_logprob
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """

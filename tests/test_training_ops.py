@@ -624,3 +624,31 @@ def test_decontaminate_broadcasts_eval_side(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_logprob_matches_oracle(spark, oracle):
+    from lakehouse.textops import unigram_logprob, unigram_logprob_oracle_sql
+
+    assert_matches_oracle(
+        unigram_logprob(_docs(spark)), oracle, unigram_logprob_oracle_sql()
+    )
+
+
+def test_unigram_logprob_ranks_rare_tokens_lower(spark):
+    from lakehouse.textops import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the zzzquux the")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+    assert got[2] < got[1]  # the rare token drags the mean down
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The corpus side must not shuffle for the vocab probe."""
+    from lakehouse.textops import unigram_logprob
+
+    df = unigram_logprob(_docs(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
