@@ -1577,6 +1577,28 @@ def _q_lh_default_column(spark, sf_dir):
     )
 
 
+def _q_lh_autopilot(spark, sf_dir):
+    """Maintenance autopilot parity: a table with accumulated small
+    files AND pending MoR deletes gets ONE maintain() call; the builder
+    asserts the policy fired fold-in + compaction (metadata-only
+    decisions), and the post-maintenance scan must hash-match the plain
+    SQL view of the surviving rows — proving the autopilot's rewrites
+    changed layout, never data."""
+    t = _events_table(spark, sf_dir, appends=4)
+    t.delete("event_id % 10 = 7", mode="mor", key="event_id")
+    rep = t.maintain(
+        min_small_files=4,
+        materialize_hidden_fraction=0.05,
+        expire_keep_last=1,
+        gc=True,
+    )
+    assert rep.took("materialize_deletes"), rep
+    assert rep.took("compact"), rep
+    assert rep.took("expire_snapshots"), rep
+    assert not t.plan().delete_files
+    return _events_out(t.scan())
+
+
 def _q_lh_constraint_enforcement(spark, sf_dir):
     """Write-time CHECK constraints (Delta-invariants analog): ADD
     validates existing rows; a violating append fails map-side BEFORE
@@ -1960,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_constraint_enforcement": _q_lh_constraint_enforcement,
         "lh_default_column": _q_lh_default_column,
+        "lh_autopilot_scan_parity": _q_lh_autopilot,
         "lh_partition_evolution": _q_lh_partition_evolution,
         "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
@@ -2251,6 +2274,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
         "lh_constraint_enforcement": EVENTS_OUT_SQL,
+        "lh_autopilot_scan_parity": (
+            EVENTS_OUT_SQL + " WHERE event_id % 10 != 7"
+        ),
         "lh_default_column": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
             "value, props, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s, "

@@ -302,6 +302,27 @@ def cmd_drop_column(args):
     )
 
 
+def cmd_maintain(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    kw = {"dry_run": args.dry_run, "gc": args.gc}
+    if args.cluster_by:
+        kw["cluster_by"] = args.cluster_by.split(",")
+    if args.expire_keep_last is not None:
+        kw["expire_keep_last"] = args.expire_keep_last
+    rep = t.maintain(**kw)
+    _emit(
+        {
+            "op": "maintain",
+            "dry_run": rep.dry_run,
+            "actions": rep.actions,
+            "skipped": [s["action"] for s in rep.skipped],
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_add_constraint(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -677,6 +698,12 @@ def main():
     t(s)
     s.add_argument("--columns", default=None)
     s.add_argument("--k", type=int, default=1024)
+    s = sub.add_parser("maintain")
+    t(s)
+    s.add_argument("--dry-run", action="store_true")
+    s.add_argument("--gc", action="store_true")
+    s.add_argument("--cluster-by", default=None)
+    s.add_argument("--expire-keep-last", type=int, default=None)
     s = sub.add_parser("add-constraint")
     t(s)
     s.add_argument("name")
@@ -756,6 +783,7 @@ def main():
         "rename-column": cmd_rename_column,
         "drop-column": cmd_drop_column,
         "analyze": cmd_analyze,
+        "maintain": cmd_maintain,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,
         "rollup": cmd_rollup,

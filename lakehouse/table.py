@@ -610,6 +610,16 @@ class Table:
 
         return _gc(self, **kw)
 
+    def maintain(self, **kw):
+        """One-call maintenance autopilot: metadata-only decisions
+        (small-file counts, pending-delete volume, layout staleness,
+        snapshot age) drive the existing gated ops — fold-in/convert,
+        compact, cluster, expire+GC. ``dry_run=True`` reports without
+        acting (lakehouse/ops/maintain.py)."""
+        from .ops.maintain import maintain as _maintain
+
+        return _maintain(self, **kw)
+
     def merge(self, source: DataFrame, *, mode: str = "cow", **kw):
         """MERGE INTO. ``mode="cow"`` rewrites touched target files
         (pruned, keys-only anti-join); ``mode="mor"`` writes one commit
