@@ -463,6 +463,61 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_length_bucket_batches(spark, sf_dir):
+    from lakehouse.packing import bucket_batches
+    from lakehouse.textops import token_count_ws
+
+    # padding-minimizing batch assembly: bucket docs by token count
+    # (fixed 64-token integer ranges), cut each bucket into batches of
+    # 16 in doc_id order; sub_width 64 forces the two-pass distributed
+    # row numbering through multiple real sub-buckets at sf0.01
+    return bucket_batches(
+        _read(spark, sf_dir, "documents"),
+        token_count_ws(F.col("text")),
+        id_col="doc_id",
+        batch_size=16,
+        bucket_len=64,
+        sub_width=64,
+    )
+
+
+def _q_audio_duration_batches(spark, sf_dir):
+    """Self-verifying: duration-bucketed batch assembly over audio clips
+    (the ASR-loader twin of length_bucket_batches). The builder asserts
+    the invariant that makes bucketing worth shipping: total padding
+    with 250 ms buckets is <= total padding of the same batching with
+    ONE bucket (unsorted baseline), and every batch conserves rows
+    (sum n_rows == n clips)."""
+    from lakehouse.packing import bucket_batches
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 512, seed=42, n_days=4).select(
+        "clip_id", "dur_ms"
+    )
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    clips = df.select(idx.alias("cid"), "dur_ms")
+    out = bucket_batches(
+        clips, F.col("dur_ms"), id_col="cid", batch_size=8,
+        bucket_len=250, sub_width=64,
+    )
+    bucketed = out.agg(
+        F.sum("pad_len").alias("pad"), F.sum("n_rows").alias("n")
+    ).collect()[0]
+    flat = (
+        bucket_batches(
+            clips, F.col("dur_ms"), id_col="cid", batch_size=8,
+            bucket_len=1 << 40, sub_width=64,
+        )
+        .agg(F.sum("pad_len").alias("pad"))
+        .collect()[0]
+    )
+    assert bucketed.n == 512, f"row conservation violated: {bucketed.n}"
+    assert bucketed.pad <= flat.pad, (
+        f"bucketing increased padding: {bucketed.pad} > {flat.pad}"
+    )
+    return out
+
+
 def _q_sample_hash(spark, sf_dir):
     from lakehouse.sampling import hash_sample
 
@@ -1110,6 +1165,74 @@ def _q_audio_dup_detection(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # row-level DML, refs/WAP, rollback, incremental/CDC
+
+
+def _q_audio_augment(spark, sf_dir):
+    """Self-verifying: seeded training-data augmentation. Invariants
+    asserted inside the builder so the driver's rows-only gate proves
+    correctness: (1) noise-only augmentation at a 20 dB target lands
+    within +/-1.5 dB of target measured against the original payload
+    (pair_snr_db — quantization adds <0.1 dB at 20 dB); (2) speed
+    perturbation scales duration by 1/s within rounding; (3) the run is
+    deterministic — re-running yields byte-identical payloads."""
+    from lakehouse.audio import augment_clips, pair_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 192, seed=42, n_days=4).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    noisy = augment_clips(df, seed=7, noise_snr_db=20.0)
+    both = df.select("clip_id", F.col("bytes").alias("orig")).join(
+        noisy.select("clip_id", "bytes"), "clip_id"
+    )
+    snr_stats = both.select(
+        pair_snr_db(F.col("orig"), F.col("bytes")).alias("snr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("snr") < 18.5) | (F.col("snr") > 21.5)).cast("int")
+        ).alias("n_off_target"),
+    ).collect()[0]
+    assert snr_stats.n == 192 and snr_stats.n_off_target == 0, (
+        f"noise SNR off target: {snr_stats}"
+    )
+
+    full = augment_clips(
+        df, seed=7, noise_snr_db=25.0, gain_db_range=(-6.0, 6.0),
+        speed_range=(0.9, 1.1),
+    )
+    dur_chk = (
+        df.select("clip_id", F.col("dur_ms").alias("dur0"))
+        .join(full.select("clip_id", "dur_ms", "speed"), "clip_id")
+        .withColumn(
+            "expect", F.round(F.col("dur0") / F.col("speed"))
+        )
+        .filter(
+            F.abs(F.col("dur_ms") - F.col("expect")) > 2
+        )
+        .count()
+    )
+    assert dur_chk == 0, f"{dur_chk} clips broke the speed/duration law"
+
+    rerun = augment_clips(
+        df, seed=7, noise_snr_db=25.0, gain_db_range=(-6.0, 6.0),
+        speed_range=(0.9, 1.1),
+    )
+    diff = (
+        full.select("clip_id", F.sha1("bytes").alias("h"))
+        .join(
+            rerun.select("clip_id", F.sha1("bytes").alias("h2")), "clip_id"
+        )
+        .filter(F.col("h") != F.col("h2"))
+        .count()
+    )
+    assert diff == 0, f"augmentation not deterministic: {diff} clips differ"
+    return full.select(
+        "clip_id", "sr_hz", "dur_ms",
+        F.round("speed", 4).alias("speed"),
+        F.round("gain_db", 4).alias("gain_db"),
+        "noise_snr_db",
+    )
 
 
 def _q_lh_delete(spark, sf_dir):
@@ -2000,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "length_bucket_batches": _q_length_bucket_batches,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_sample_mixture,
@@ -2022,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_split_on_silence": _q_audio_split_on_silence,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
+        "audio_duration_batches": _q_audio_duration_batches,
+        "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
         "audio_dominant_freq": _q_audio_dominant_freq,
@@ -2070,7 +2196,10 @@ def oracle_sql() -> dict[str, str]:
         sessionize_oracle_sql,
         windowed_rollup_oracle_sql,
     )
-    from lakehouse.packing import pack_sequences_oracle_sql
+    from lakehouse.packing import (
+        bucket_batches_oracle_sql,
+        pack_sequences_oracle_sql,
+    )
     from lakehouse.textops import (
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
@@ -2325,6 +2454,9 @@ def oracle_sql() -> dict[str, str]:
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
         ),
         "pack_sequences": pack_sequences_oracle_sql(capacity=128),
+        "length_bucket_batches": bucket_batches_oracle_sql(
+            batch_size=16, bucket_len=64
+        ),
         "sample_hash": _sampling_oracles()[0],
         "sample_stratified": _sampling_oracles()[1],
         "sample_mixture": _sampling_oracles()[2],

@@ -942,3 +942,114 @@ def split_on_silence_clips(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(gen, SEGMENTS_TYPE)
+
+
+AUGMENTED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("speed", T.DoubleType()),
+        T.StructField("gain_db", T.DoubleType()),
+        T.StructField("noise_snr_db", T.DoubleType()),
+    ]
+)
+
+
+def make_augment_udf(
+    noise_snr_db: float | None = 20.0,
+    gain_db_range: tuple[float, float] = (0.0, 0.0),
+    speed_range: tuple[float, float] = (1.0, 1.0),
+):
+    """Vectorized training-data augmentation (the standard ASR recipe:
+    speed perturbation + gain perturbation + additive noise at a target
+    SNR — cf. Kaldi/SpecAugment-era pipelines). One decode → perturb →
+    re-encode pass per Arrow batch; NO per-row Python at the boundary.
+
+    Determinism at any parallelism: the per-clip RNG is seeded from the
+    ``seed64`` column (computed JVM-side, e.g. ``xxhash64(clip_id,
+    lit(run_seed))``), never from batch position — the same clip gets
+    the same perturbation on any cluster size, partitioning, or retry
+    (the same property the engine's hash sampling relies on).
+
+    Steps per clip (each skipped when its range is degenerate):
+    speed s ~ U[speed_range] via linear-interp time-stretch (dur scales
+    by 1/s, sr unchanged); gain g ~ U[gain_db_range] dB; additive white
+    Gaussian noise scaled so signal-power / noise-power equals
+    ``noise_snr_db`` exactly (then hard-limited into [-1, 1)).
+    """
+
+    @F.pandas_udf(AUGMENTED_TYPE)
+    def augment_udf(raw: pd.Series, seed64: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {f.name: [] for f in AUGMENTED_TYPE.fields}
+        for b, sd in zip(raw, seed64):
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                for k in out:
+                    out[k].append(None)
+                continue
+            rng = np.random.default_rng(np.uint64(np.int64(sd)))
+            s = float(rng.uniform(*speed_range))
+            y = x.astype(np.float64)
+            if s != 1.0 and len(y) > 1:
+                n_out = max(1, int(round(len(y) / s)))
+                pos = np.arange(n_out, dtype=np.float64) * s
+                y = np.interp(pos, np.arange(len(y), dtype=np.float64), y)
+            g_db = float(rng.uniform(*gain_db_range))
+            if g_db != 0.0:
+                y = y * (10.0 ** (g_db / 20.0))
+            snr = None
+            if noise_snr_db is not None and len(y):
+                snr = float(noise_snr_db)
+                p_sig = float(np.mean(y**2))
+                if p_sig > 0:
+                    sigma = np.sqrt(p_sig / (10.0 ** (snr / 10.0)))
+                    y = y + rng.normal(0.0, sigma, size=len(y))
+            y = np.clip(y, -0.99997, 0.99997).astype(np.float32)
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+            out["speed"].append(s)
+            out["gain_db"].append(g_db)
+            out["noise_snr_db"].append(snr)
+        return pd.DataFrame(out)
+
+    return augment_udf
+
+
+def augment_clips(
+    df,
+    seed: int = 0,
+    noise_snr_db: float | None = 20.0,
+    gain_db_range: tuple[float, float] = (0.0, 0.0),
+    speed_range: tuple[float, float] = (1.0, 1.0),
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+):
+    """Augment every clip (payload swap in one projection; perturbation
+    parameters kept as lineage columns). Seeded per (seed, clip_id), so
+    repeated runs and retried tasks produce identical bytes."""
+    seed64 = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    a = make_augment_udf(noise_snr_db, gain_db_range, speed_range)(
+        F.col(bytes_col), seed64
+    ).alias("__a")
+    others = [
+        c
+        for c in df.columns
+        if c
+        not in ("bytes", "sr_hz", "dur_ms", "codec", "speed", "gain_db",
+                "noise_snr_db")
+    ]
+    return df.select(*others, a).select(
+        *others,
+        F.col("__a.bytes").alias("bytes"),
+        F.col("__a.sr_hz").alias("sr_hz"),
+        F.col("__a.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.col("__a.speed").alias("speed"),
+        F.col("__a.gain_db").alias("gain_db"),
+        F.col("__a.noise_snr_db").alias("noise_snr_db"),
+    )

@@ -115,6 +115,106 @@ def pack_sequences(
     )
 
 
+def bucket_batches(
+    df: DataFrame,
+    length_col,
+    id_col: str = "doc_id",
+    batch_size: int = 16,
+    bucket_len: int = 64,
+    sub_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Length-bucketed training-batch assembly (padding minimization).
+
+    Training loaders pad every sequence in a batch to the batch max, so
+    batching unsorted corpora wastes compute proportional to the length
+    spread. The standard fix (ASR and LLM SFT loaders alike) buckets
+    rows by length, then cuts each bucket into fixed-``batch_size``
+    batches in deterministic ``id_col`` order. Output is one row per
+    batch: ``(bucket, batch_id, n_rows, sum_len, max_len, pad_len)``
+    where ``pad_len = n_rows*max_len - sum_len`` is the exact padding
+    the batch costs — all integers, so the DuckDB twin is bit-exact.
+
+    Scale design — the per-bucket row numbering is the same two-pass
+    distributed prefix sum as :func:`pack_sequences` (a bare
+    ``Window.partitionBy(bucket)`` would put an entire popular length
+    bucket on ONE task): rank locally within ``(bucket, id DIV
+    sub_width)`` sub-buckets, cumsum the tiny per-sub-bucket counts,
+    broadcast the offsets back. Buckets are fixed-width integer ranges
+    (``len DIV bucket_len``) — integer division only, no float log
+    whose boundary rounding could diverge between engines.
+
+    ``length_col`` is a Column expression (e.g. ``token_count_ws(...)``
+    for text, ``F.col("dur_ms")`` for audio clips).
+    """
+    if batch_size <= 0 or bucket_len <= 0:
+        raise ValueError("batch_size and bucket_len must be positive")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(length_col).cast("long").alias("_len")
+        if isinstance(length_col, str)
+        else length_col.cast("long").alias("_len"),
+    ).select(
+        "_id",
+        "_len",
+        F.expr(f"_len DIV {int(bucket_len)}").alias("bucket"),
+        F.expr(f"CAST(_id AS BIGINT) DIV {int(sub_width)}").alias("_sub"),
+    )
+    local = Window.partitionBy("bucket", "_sub").orderBy("_id")
+    ranked = base.withColumn("_rn_local", F.row_number().over(local))
+    sub_order = Window.partitionBy("bucket").orderBy("_sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        base.groupBy("bucket", "_sub")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off", F.sum("_cnt").over(sub_order) - F.col("_cnt")
+        )
+        .select("bucket", "_sub", "_off")
+    )
+    placed = ranked.join(F.broadcast(offsets), ["bucket", "_sub"]).select(
+        "bucket",
+        "_len",
+        F.expr(f"(_off + _rn_local - 1) DIV {int(batch_size)}").alias(
+            "batch_id"
+        ),
+    )
+    return placed.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_len").alias("sum_len"),
+        F.max("_len").alias("max_len"),
+        (
+            F.count(F.lit(1)) * F.max("_len") - F.sum("_len")
+        ).alias("pad_len"),
+    )
+
+
+def bucket_batches_oracle_sql(
+    batch_size: int = 16,
+    bucket_len: int = 64,
+    table: str = "documents",
+    length_sql: str = "CAST(len(string_split(text, ' ')) AS BIGINT)",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin: plain per-bucket row_number formulation."""
+    bs, bl = int(batch_size), int(bucket_len)
+    return f"""
+    WITH t AS (
+        SELECT {id_sql} AS id, {length_sql} AS len FROM {table}
+    ),
+    b AS (SELECT id, len, len // {bl} AS bucket FROM t),
+    r AS (
+        SELECT bucket, len,
+               row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+        FROM b
+    )
+    SELECT bucket, (rn - 1) // {bs} AS batch_id,
+           count(*) AS n_rows, sum(len) AS sum_len, max(len) AS max_len,
+           count(*) * max(len) - sum(len) AS pad_len
+    FROM r GROUP BY 1, 2
+    """
+
+
 def pack_sequences_oracle_sql(
     capacity: int = 512, table: str = "documents"
 ) -> str:

@@ -579,3 +579,88 @@ def test_split_on_silence_is_mapside_only(spark, clips_pdf_small):
     df = split_on_silence_clips(synth_clips_df(spark, 8, seed=6, n_days=1))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_augment_noise_hits_target_snr(spark):
+    """Noise-only augmentation must land the measured SNR (vs the
+    original payload) within +/-1.5 dB of the requested target."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import augment_clips, pair_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 48, seed=11, n_days=2).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    for target in (15.0, 30.0):
+        aug = augment_clips(df, seed=3, noise_snr_db=target)
+        got = (
+            df.select("clip_id", F.col("bytes").alias("orig"))
+            .join(aug.select("clip_id", "bytes"), "clip_id")
+            .select(pair_snr_db(F.col("orig"), F.col("bytes")).alias("s"))
+            .agg(F.min("s"), F.max("s"))
+            .collect()[0]
+        )
+        assert target - 1.5 <= got[0] and got[1] <= target + 1.5, (
+            target,
+            got,
+        )
+
+
+def test_augment_deterministic_and_partitioning_invariant(spark):
+    """Same seed => byte-identical output, regardless of partitioning
+    (the RNG is keyed on xxhash64(clip_id, seed), not batch position)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import augment_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 32, seed=5, n_days=2).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    a = augment_clips(
+        df, seed=9, noise_snr_db=22.0, gain_db_range=(-3.0, 3.0),
+        speed_range=(0.95, 1.05),
+    ).select("clip_id", F.sha1("bytes").alias("h"))
+    b = augment_clips(
+        df.repartition(7), seed=9, noise_snr_db=22.0,
+        gain_db_range=(-3.0, 3.0), speed_range=(0.95, 1.05),
+    ).select("clip_id", F.sha1("bytes").alias("h2"))
+    assert a.join(b, "clip_id").filter("h != h2").count() == 0
+    # and a different seed actually perturbs differently
+    c = augment_clips(
+        df, seed=10, noise_snr_db=22.0, gain_db_range=(-3.0, 3.0),
+        speed_range=(0.95, 1.05),
+    ).select("clip_id", F.sha1("bytes").alias("h2"))
+    assert a.join(c, "clip_id").filter("h != h2").count() > 0
+
+
+def test_augment_speed_scales_duration(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import augment_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 32, seed=7, n_days=2).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    aug = augment_clips(
+        df, seed=1, noise_snr_db=None, speed_range=(0.8, 1.25)
+    )
+    bad = (
+        df.select("clip_id", F.col("dur_ms").alias("dur0"))
+        .join(aug.select("clip_id", "dur_ms", "speed"), "clip_id")
+        .filter(
+            F.abs(
+                F.col("dur_ms") - F.round(F.col("dur0") / F.col("speed"))
+            )
+            > 2
+        )
+        .count()
+    )
+    assert bad == 0
+    # speeds actually span the range (not all 1.0)
+    spread = aug.agg(
+        (F.max("speed") - F.min("speed")).alias("d")
+    ).collect()[0].d
+    assert spread > 0.1

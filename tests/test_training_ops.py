@@ -477,6 +477,79 @@ def test_pack_sequences_invariants(spark):
     packed.unpersist()
 
 
+def test_bucket_batches_matches_oracle(spark, oracle):
+    from pyspark.sql import functions as F
+
+    from lakehouse.packing import bucket_batches, bucket_batches_oracle_sql
+    from lakehouse.textops import token_count_ws
+
+    # sub_width 16 exercises the two-pass row numbering over many
+    # sub-buckets; the oracle is the single-window formulation
+    assert_matches_oracle(
+        bucket_batches(
+            _docs(spark),
+            token_count_ws(F.col("text")),
+            batch_size=8,
+            bucket_len=32,
+            sub_width=16,
+        ),
+        oracle,
+        bucket_batches_oracle_sql(batch_size=8, bucket_len=32),
+    )
+
+
+def test_bucket_batches_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.packing import bucket_batches
+    from lakehouse.textops import token_count_ws
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    out = bucket_batches(
+        docs, token_count_ws(F.col("text")), batch_size=8,
+        bucket_len=32, sub_width=16,
+    ).cache()
+    # row conservation: every doc lands in exactly one batch
+    assert out.agg(F.sum("n_rows")).collect()[0][0] == n_docs
+    # batches never exceed batch_size; per bucket at most one partial
+    assert out.filter(F.col("n_rows") > 8).count() == 0
+    partials = (
+        out.filter(F.col("n_rows") < 8)
+        .groupBy("bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert partials == 0
+    # max_len consistent with the bucket's integer range
+    bad_range = out.filter(
+        (F.col("max_len") < F.col("bucket") * 32)
+        | (F.col("max_len") >= (F.col("bucket") + 1) * 32)
+    ).count()
+    assert bad_range == 0
+    # padding identity holds row-for-row
+    assert (
+        out.filter(
+            F.col("pad_len")
+            != F.col("n_rows") * F.col("max_len") - F.col("sum_len")
+        ).count()
+        == 0
+    )
+    # bucketing strictly reduces (or at worst matches) padding vs the
+    # single-bucket baseline on the same batch size
+    flat_pad = (
+        bucket_batches(
+            docs, token_count_ws(F.col("text")), batch_size=8,
+            bucket_len=1 << 40, sub_width=16,
+        )
+        .agg(F.sum("pad_len"))
+        .collect()[0][0]
+    )
+    assert out.agg(F.sum("pad_len")).collect()[0][0] <= flat_pad
+    out.unpersist()
+
+
 def test_sampling_deterministic_and_oracle(spark, oracle):
     from lakehouse.sampling import (
         hash_sample,
