@@ -452,6 +452,33 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(train, ev, k=8, min_hits=1)
 
 
+def _q_transcript_wer(spark, sf_dir):
+    """Word error rate of a deterministically corrupted hypothesis
+    (drop every 5th word, reverse every 3rd kept word) against each
+    document — the distributed DP verified word-for-word by the
+    DuckDB byte-encoded levenshtein twin."""
+    from lakehouse.transcripts import corrupt_transcript, wer_pairs
+
+    pairs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        corrupt_transcript(F.col("text"), 5, reverse_every=3).alias("hyp"),
+    )
+    return wer_pairs(pairs)
+
+
+def _q_transcript_cer(spark, sf_dir):
+    """Character error rate — pure-Catalyst levenshtein projection."""
+    from lakehouse.transcripts import cer_pairs, corrupt_transcript
+
+    pairs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        corrupt_transcript(F.col("text"), 4, reverse_every=2).alias("hyp"),
+    )
+    return cer_pairs(pairs)
+
+
 def _q_pack_sequences(spark, sf_dir):
     from lakehouse.packing import pack_sequences
 
@@ -2123,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "transcript_wer": _q_transcript_wer,
+        "transcript_cer": _q_transcript_cer,
         "length_bucket_batches": _q_length_bucket_batches,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
@@ -2196,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         sessionize_oracle_sql,
         windowed_rollup_oracle_sql,
     )
+    from lakehouse import transcripts
     from lakehouse.packing import (
         bucket_batches_oracle_sql,
         pack_sequences_oracle_sql,
@@ -2454,6 +2484,12 @@ def oracle_sql() -> dict[str, str]:
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
         ),
         "pack_sequences": pack_sequences_oracle_sql(capacity=128),
+        "transcript_wer": transcripts.wer_oracle_sql(
+            drop_every=5, reverse_every=3
+        ),
+        "transcript_cer": transcripts.cer_oracle_sql(
+            drop_every=4, reverse_every=2
+        ),
         "length_bucket_batches": bucket_batches_oracle_sql(
             batch_size=16, bucket_len=64
         ),

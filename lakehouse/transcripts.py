@@ -1,0 +1,257 @@
+"""ASR transcript scoring: distributed CER / WER at corpus scale.
+
+The reference's data model pairs every audio clip with a transcript
+(`/root/reference/README.md` schema; BASELINE input_hint: per-row
+invariant includes transcript equality). ASR curation pipelines filter
+and grade clips by the error rate of a hypothesis transcript (a cheap
+model's output, a second annotator, a round-tripped normalization)
+against the stored reference — at 10^12 clips the scorer must be a
+pure map over the pair, never a driver loop.
+
+Three operators:
+
+- :func:`cer_pairs` — character error rate. Pure Catalyst
+  (``F.levenshtein`` is a JVM built-in), stays inside whole-stage
+  codegen; one narrow projection, zero shuffles.
+- :func:`wer_pairs` — word error rate. Word-level edit distance has no
+  Spark built-in, so the DP runs in ONE Arrow-batched pandas UDF:
+  words are dictionary-encoded per row with ``np.unique`` so the inner
+  comparison is int ==, and the DP inner loop is vectorized numpy (the
+  serial "insertion" dependency is folded into a prefix-min:
+  ``cur[j] = j + min_{k<=j}(base[k] - k)``). Zero shuffles; scales as
+  a pure map like every other Arrow boundary in this engine.
+- :func:`corrupt_transcript` — deterministic hypothesis synthesizer
+  (drop every k-th word) as a pure built-in expression. Used by the
+  gate queries so the Spark job and the DuckDB oracle corrupt
+  identically (Spark's 0-based lambda index + 1 == DuckDB's 1-based
+  ``list_filter`` index).
+
+Oracle strategy (``wer_oracle_sql``): DuckDB has no word-level edit
+distance, and its ``levenshtein`` counts BYTES (probed: chr(256) vs
+'a' scores 2) — so the twin dictionary-encodes every word as ONE
+single-byte character via a per-document ``dense_rank`` (ranks 1..127
+are 1-byte UTF-8), making byte levenshtein equal word-level distance
+exactly. The dictionary is per (ref, hyp) pair, so the bound is 127
+DISTINCT WORDS PER PAIR, independent of corpus size; exceeding it
+breaks the encoding loudly (the comparison against the Spark DP
+fails), never silently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def corrupt_transcript(col, drop_every: int = 5, reverse_every: int = 0):
+    """Deterministic hypothesis synthesizer. Drops every
+    ``drop_every``-th word (1-based positions); with ``reverse_every``
+    > 0 additionally reverses every ``reverse_every``-th KEPT word
+    (a substitution, exercising the DP's substitution path).
+
+    With ``reverse_every=0`` the corrupted text is a subsequence of
+    the original, so word-level edit distance is EXACTLY
+    ``n_ref - n_hyp`` (all deletions; levenshtein >= |n-m| always, and
+    n-m deletions suffice) — a planted ground truth."""
+    k = int(drop_every)
+    if k <= 1:
+        raise ValueError("drop_every must be >= 2")
+    kept = F.filter(F.split(col, " "), lambda w, i: ((i + F.lit(1)) % k) != 0)
+    if reverse_every:
+        m = int(reverse_every)
+        kept = F.transform(
+            kept,
+            lambda w, i: F.when(
+                ((i + F.lit(1)) % m) == 0, F.reverse(w)
+            ).otherwise(w),
+        )
+    return F.array_join(kept, " ")
+
+
+def cer_pairs(
+    df: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ref_chars, dist, cer) — char-level edit distance, fully
+    JVM-side. ``cer`` is NULL for an empty reference (0/0)."""
+    ref, hyp = F.col(ref_col), F.col(hyp_col)
+    dist = F.levenshtein(ref, hyp)
+    n = F.length(ref)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_ref_chars"),
+        dist.alias("dist"),
+        F.when(n > 0, F.round(dist / n, 4)).alias("cer"),
+    )
+
+
+WER_TYPE = T.StructType(
+    [
+        T.StructField("n_ref", T.IntegerType()),
+        T.StructField("n_hyp", T.IntegerType()),
+        T.StructField("dist", T.IntegerType()),
+    ]
+)
+
+
+def _word_edit_distance(r: np.ndarray, h: np.ndarray) -> int:
+    """Levenshtein over int-encoded word arrays; numpy row DP.
+
+    prev/cur are DP rows; the left-neighbor (insertion) recurrence is
+    serialized via a prefix-min on ``value - index``:
+    cur[j] = min(base[j], min_{k<j}(cur[k] + (j-k)))
+           = j + cummin(base - arange)[j].
+    """
+    n, m = len(r), len(h)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, n + 1):
+        base = np.empty(m + 1, dtype=np.int64)
+        base[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (h != r[i - 1]), out=base[1:])
+        prev = np.minimum.accumulate(base - idx) + idx
+    return int(prev[m])
+
+
+def make_wer_udf():
+    @F.pandas_udf(WER_TYPE)
+    def wer_udf(ref: pd.Series, hyp: pd.Series) -> pd.DataFrame:
+        out = {"n_ref": [], "n_hyp": [], "dist": []}
+        for r_txt, h_txt in zip(ref, hyp):
+            # ''.split(' ') == [''] matches Spark's split and DuckDB's
+            # string_split on the empty string — one empty-string word
+            rw = (r_txt or "").split(" ")
+            hw = (h_txt or "").split(" ")
+            # dictionary-encode both sides together: word == becomes
+            # int == inside the DP
+            vocab, codes = np.unique(np.array(rw + hw), return_inverse=True)
+            del vocab
+            r = codes[: len(rw)]
+            h = codes[len(rw):]
+            out["n_ref"].append(len(rw))
+            out["n_hyp"].append(len(hw))
+            out["dist"].append(_word_edit_distance(r, h))
+        return pd.DataFrame(out)
+
+    return wer_udf
+
+
+def wer_pairs(
+    df: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_ref, n_hyp, dist, wer) — word-level edit distance via one
+    Arrow batch pass. ``wer`` is NULL for an empty reference."""
+    w = make_wer_udf()(F.col(ref_col), F.col(hyp_col)).alias("__w")
+    return df.select(F.col(id_col), w).select(
+        id_col,
+        F.col("__w.n_ref").alias("n_ref"),
+        F.col("__w.n_hyp").alias("n_hyp"),
+        F.col("__w.dist").alias("dist"),
+        F.when(
+            F.col("__w.n_ref") > 0,
+            F.round(F.col("__w.dist") / F.col("__w.n_ref"), 4),
+        ).alias("wer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+
+
+def _hyp_sql(
+    drop_every: int, reverse_every: int = 0, text_sql: str = "text"
+) -> str:
+    """1-based list_filter/list_transform index == Spark's 0-based
+    lambda index + 1."""
+    kept = (
+        f"list_filter(string_split({text_sql}, ' '), "
+        f"(w, i) -> i % {int(drop_every)} != 0)"
+    )
+    if reverse_every:
+        kept = (
+            f"list_transform({kept}, (w, i) -> CASE WHEN "
+            f"i % {int(reverse_every)} = 0 THEN reverse(w) ELSE w END)"
+        )
+    return f"array_to_string({kept}, ' ')"
+
+
+def cer_oracle_sql(
+    drop_every: int = 5,
+    reverse_every: int = 0,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+) -> str:
+    return f"""
+    WITH t AS (
+        SELECT {id_sql} AS doc_id, text AS ref,
+               {_hyp_sql(drop_every, reverse_every)} AS hyp
+        FROM {table}
+    )
+    SELECT doc_id,
+           length(ref) AS n_ref_chars,
+           levenshtein(ref, hyp) AS dist,
+           CASE WHEN length(ref) > 0
+                THEN round(levenshtein(ref, hyp) * 1.0 / length(ref), 4)
+           END AS cer
+    FROM t
+    """
+
+
+def wer_oracle_sql(
+    drop_every: int = 5,
+    reverse_every: int = 0,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+) -> str:
+    """Word-level WER via single-byte dictionary encoding (module doc:
+    DuckDB levenshtein is byte-based, so each word must encode to ONE
+    byte — dense_rank per document pair, ranks 1..127)."""
+    return f"""
+    WITH t AS (
+        SELECT {id_sql} AS doc_id,
+               string_split(text, ' ') AS rw,
+               string_split({_hyp_sql(drop_every, reverse_every)}, ' ') AS hw
+        FROM {table}
+    ),
+    words AS (
+        SELECT doc_id, 'r' AS side, unnest(rw) AS w,
+               generate_subscripts(rw, 1) AS pos
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'h', unnest(hw), generate_subscripts(hw, 1)
+        FROM t
+    ),
+    ranked AS (
+        SELECT doc_id, side, pos,
+               dense_rank() OVER (PARTITION BY doc_id ORDER BY w) AS rk
+        FROM words
+    ),
+    enc AS (
+        SELECT doc_id, side,
+               string_agg(chr(CAST(rk AS INTEGER)), '' ORDER BY pos) AS s,
+               count(*) AS n
+        FROM ranked
+        GROUP BY doc_id, side
+    )
+    SELECT r.doc_id,
+           CAST(r.n AS INTEGER) AS n_ref,
+           CAST(h.n AS INTEGER) AS n_hyp,
+           levenshtein(r.s, h.s) AS dist,
+           CASE WHEN r.n > 0
+                THEN round(levenshtein(r.s, h.s) * 1.0 / r.n, 4)
+           END AS wer
+    FROM enc r JOIN enc h
+      ON r.doc_id = h.doc_id AND r.side = 'r' AND h.side = 'h'
+    """

@@ -725,3 +725,112 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     df = unigram_logprob(_docs(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_wer_matches_oracle(spark, oracle):
+    from pyspark.sql import functions as F
+
+    from lakehouse.transcripts import (
+        corrupt_transcript,
+        wer_oracle_sql,
+        wer_pairs,
+    )
+
+    pairs = _docs(spark).select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        corrupt_transcript(F.col("text"), 5, reverse_every=3).alias("hyp"),
+    )
+    assert_matches_oracle(
+        wer_pairs(pairs),
+        oracle,
+        wer_oracle_sql(drop_every=5, reverse_every=3),
+    )
+
+
+def test_cer_matches_oracle(spark, oracle):
+    from pyspark.sql import functions as F
+
+    from lakehouse.transcripts import (
+        cer_oracle_sql,
+        cer_pairs,
+        corrupt_transcript,
+    )
+
+    pairs = _docs(spark).select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        corrupt_transcript(F.col("text"), 4, reverse_every=2).alias("hyp"),
+    )
+    assert_matches_oracle(
+        cer_pairs(pairs), oracle, cer_oracle_sql(drop_every=4, reverse_every=2)
+    )
+
+
+def test_wer_dp_against_planted_truths(spark):
+    """The numpy DP vs hand-computed distances, including the pure-
+    deletion law dist == n_ref - n_hyp for subsequence hypotheses."""
+    import numpy as np
+
+    from lakehouse.transcripts import _word_edit_distance, wer_pairs
+
+    def d(a, b):
+        words = sorted(set(a.split() + b.split()))
+        enc = {w: i for i, w in enumerate(words)}
+        return _word_edit_distance(
+            np.array([enc[w] for w in a.split()], dtype=np.int64),
+            np.array([enc[w] for w in b.split()], dtype=np.int64),
+        )
+
+    assert d("a b c", "a b c") == 0
+    assert d("a b c", "a x c") == 1          # substitution
+    assert d("a b c", "a c") == 1            # deletion
+    assert d("a b c", "a b x c") == 1        # insertion
+    assert d("a b c d e", "e d c b a") == 4
+    assert d("x", "a b c") == 3
+    # empty-vs-k
+    assert _word_edit_distance(
+        np.array([], dtype=np.int64), np.array([0, 1], dtype=np.int64)
+    ) == 2
+    # brute-force cross-check on random small word arrays
+    rng = np.random.default_rng(7)
+    import itertools
+
+    def brute(r, h):
+        # classic O(n*m) python DP as the independent reference
+        n, m = len(r), len(h)
+        prev = list(range(m + 1))
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (r[i - 1] != h[j - 1]),
+                )
+            prev = cur
+        return prev[m]
+
+    for _ in range(50):
+        r = rng.integers(0, 4, size=rng.integers(0, 9))
+        h = rng.integers(0, 4, size=rng.integers(0, 9))
+        assert _word_edit_distance(
+            r.astype(np.int64), h.astype(np.int64)
+        ) == brute(list(r), list(h))
+
+    # distributed path: pure-deletion corruption obeys dist == n_ref-n_hyp
+    from pyspark.sql import functions as F
+
+    from lakehouse.transcripts import corrupt_transcript
+
+    pairs = _docs(spark).select(
+        "doc_id",
+        F.col("text").alias("ref"),
+        corrupt_transcript(F.col("text"), 5).alias("hyp"),
+    )
+    bad = (
+        wer_pairs(pairs)
+        .filter(F.col("dist") != F.col("n_ref") - F.col("n_hyp"))
+        .count()
+    )
+    assert bad == 0
