@@ -171,24 +171,50 @@ def ngram_jaccard_oracle_sql(
 # MinHash + LSH
 
 
+_MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 2024):
+    """Deterministic affine-family coefficients (a, b), embedded as
+    literals in BOTH the Spark plan and the oracle SQL. a < 2^31 and
+    x < 2^32 keep a*x + b < 2^63 — no BIGINT overflow in either
+    engine."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 31), rnd.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
-    md5(i || ':' || shingle). Lexicographic min over hex strings is a
-    valid minhash (md5 is uniform on hex strings) and is reproducible
-    verbatim in SQL — no platform-specific 64-bit hash needed."""
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
+    (a_i * x + b_i) mod p, where x is the first 32 bits of md5(shingle)
+    and p = 4294967311 (the classic MinHash affine family).
+
+    Cost shape: ONE md5 per shingle row (the r1 implementation paid
+    ``num_hashes`` md5s per shingle — 16x the hash work); the family
+    members are four integer ops each, all inside whole-stage codegen.
+    Portability: hex-slice parsing is ``conv(s,16,10)`` in Spark and
+    ``'0x'||s :: BIGINT`` in DuckDB — probed identical; modulo of
+    non-negative BIGINTs agrees in both engines."""
     sh = _shingles(df, content_col, k)
-    hashed = sh.select(
+    x = F.expr(
+        "CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+    ).alias("x")
+    hashed = sh.select("doc_id", x).select(
         "doc_id",
         *[
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(
+            ((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(
                 f"h{i}"
             )
-            for i in range(num_hashes)
+            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
         ],
     )
     return hashed.groupBy("doc_id").agg(
@@ -225,7 +251,11 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                                "|",
+                                *[
+                                    F.col("sig")[b * r + j].cast("string")
+                                    for j in range(r)
+                                ],
                             )
                         ).alias("bkey"),
                     )
@@ -289,18 +319,25 @@ def minhash_lsh_oracle_sql(
 ) -> str:
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    p = _MINHASH_PRIME
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"md5({' || chr(124) || '.join(f'h{b * r + j}' for j in range(r))}) AS bkey "
+        f"md5({' || chr(124) || '.join(f'CAST(h{b * r + j} AS VARCHAR)' for j in range(r))}) AS bkey "
         "FROM sigs"
         for b in range(bands)
     )
     return f"""
     WITH sh AS ({_shingles_sql(table, k)}),
-    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    shx AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS x
+        FROM sh
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM shx GROUP BY doc_id),
     band_rows AS ({band_selects}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
