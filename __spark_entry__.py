@@ -1526,6 +1526,51 @@ def _q_lh_rollup_incremental(spark, sf_dir):
     )
 
 
+def _q_lh_transform_incremental(spark, sf_dir):
+    """Incrementally-maintained derived FEATURE table (row-level
+    sibling of the rollup): initial full compute, then an append and a
+    merge-on-read delete folded in purely from the CDC delta — refresh
+    reads only changed files, writes only changed keys (the 10^12-row
+    alternative to recomputing features for the whole corpus). Oracle =
+    the same projection over the post-DML row set; the builder also
+    asserts incremental == the engine's own full recompute."""
+    from lakehouse.transform import MaterializedTransform
+
+    t = _events_table(spark, sf_dir, appends=2)
+    mt = MaterializedTransform.create(
+        spark,
+        tempfile.mkdtemp(prefix="lh_feat_") + "/features",
+        t,
+        key="event_id",
+        columns=["event_id", "event_type", "value", "ts"],
+        exprs={
+            "etype": "event_type",
+            "v2": "round(value * 2.0, 4)",
+            "ehour": "CAST(date_trunc('hour', ts) AS STRING)",
+        },
+    )
+    assert mt.refresh().mode == "full"
+
+    ev = _events(spark, sf_dir)
+    t.append(
+        ev.filter(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 13 == 0)
+        ).withColumn("event_id", F.col("event_id") + 40_000_000)
+    )
+    t.delete(
+        "event_type = 'error' AND user_id % 5 = 0", mode="mor", key="event_id"
+    )
+    res = mt.refresh()
+    assert res.mode == "incremental", res
+    assert res.rows_upserted > 0 and res.rows_deleted > 0, res
+
+    exp = mt.expected()
+    got = mt.scan()
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    return got
+
+
 def _q_lh_datasource_scan(spark, sf_dir):
     """Registered-format read surface: ``spark.read.format("lakehouse")``
     over a table with a pending merge-on-read delete. The WHERE clause is
@@ -2122,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_convert": _q_lh_delete_convert,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
+        "lh_transform_incremental": _q_lh_transform_incremental,
         "lh_rollup_hourly": _q_lh_rollup_hourly,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
@@ -2350,6 +2396,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS cnt, MIN(user_id) AS min_user, "
             "MAX(user_id) AS max_user FROM (" + EVENTS_OUT_SQL + ") "
             "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
+        ),
+        "lh_transform_incremental": (
+            "WITH rows AS ("
+            "SELECT * FROM events "
+            "WHERE NOT (event_type = 'error' AND user_id % 5 = 0) "
+            "UNION ALL "
+            "SELECT event_id + 40000000 AS event_id, ts, user_id, "
+            "event_type, value, props FROM events "
+            "WHERE event_type = 'signup' AND user_id % 13 = 0) "
+            "SELECT event_id, event_type AS etype, "
+            "round(value * 2.0, 4) AS v2, "
+            "CAST(date_trunc('hour', ts) AS VARCHAR) AS ehour "
+            "FROM rows"
         ),
         "lh_rollup_incremental": (
             "WITH rows AS ("
