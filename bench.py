@@ -338,6 +338,44 @@ def main() -> None:
                 )
 
             timed("transcode_mulaw", transcode_mulaw)
+
+            # derived feature table: full build (one decode pass over
+            # every payload) vs incremental refresh after a 1/32 append
+            # — the pair prices CDC-driven feature maintenance against
+            # recompute, the core 100 TB feature-pipeline claim
+            from lakehouse.transform import MaterializedTransform
+
+            mt_holder = {}
+
+            def feature_transform_full():
+                mt = MaterializedTransform.create(
+                    spark,
+                    _tf.mkdtemp(prefix="lh_bench_feat_") + "/f",
+                    t,
+                    key="clip_id",
+                    columns=["clip_id", "bytes"],
+                    transform="audio_stats",
+                )
+                assert mt.refresh().mode == "full"
+                mt_holder["m"] = mt
+
+            timed("feature_transform_full", feature_transform_full)
+
+            n_new = per // 2
+            t.append(
+                synth_clips_df(
+                    spark, n_new, start=10 * N_CLIPS, seed=77, n_days=8,
+                    num_partitions=CPUS,
+                ),
+                target_file_count=max(1, FILES_PER_APPEND // 2),
+            )
+
+            def feature_transform_incremental():
+                res = mt_holder["m"].refresh()
+                assert res.mode == "incremental", res
+                assert res.rows_upserted == n_new, res
+
+            timed("feature_transform_incremental", feature_transform_incremental)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)

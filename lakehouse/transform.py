@@ -209,7 +209,39 @@ class MaterializedTransform:
             self.table.set_properties(transform_synced_snapshot=to_id)
             return TransformRefreshResult("full", None, to_id, -1, 0)
 
-        from .errors import SnapshotNotFoundError
+        from .errors import LakehouseError, SnapshotNotFoundError
+
+        # append-only fast path: when every snapshot in (synced, to] is
+        # an append, the delta IS the added files — no multiset diff, no
+        # payload shuffle, no delete handling. Features for the new rows
+        # append straight in (base keys are unique, so an appended base
+        # row is a new key by invariant). This is the common case a
+        # 100 TB feature pipeline lives in: refresh cost ∝ new data.
+        ins = None
+        try:
+            # the chain walk is driver-side and raises here, before any
+            # distributed work, when the delta is not append-only
+            ins = base.incremental_scan(
+                from_snapshot_id=synced, to_snapshot_id=to_id
+            ).select(*cols)
+        except SnapshotNotFoundError:
+            return self._full_resync(base, to_id, synced)
+        except LakehouseError:
+            pass  # row-changing snapshots in the chain: full CDC below
+        if ins is not None:
+            from pyspark import StorageLevel
+
+            ups = self._apply(ins).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                n_up = ups.count()
+                if n_up:
+                    self.table.append(ups)
+            finally:
+                ups.unpersist()
+            self.table.set_properties(transform_synced_snapshot=to_id)
+            return TransformRefreshResult(
+                "incremental", synced, to_id, n_up, 0
+            )
 
         try:
             delta = base.row_changes(
