@@ -259,6 +259,37 @@ def _q_lh_partition_pruned(spark, sf_dir):
     )
 
 
+def _q_lh_sorted_scan(spark, sf_dir):
+    """Write-time sort order (Iceberg SortOrder analog): appends range-
+    partition + sort on event_id, so a key-range scan prunes to the few
+    files whose min/max overlap it — the builder asserts the kept set
+    shrank vs the live set AND that kept ranges are disjoint per
+    partition. Oracle = the same range predicate in SQL (layout is
+    row-invisible)."""
+    from lakehouse import Table
+    from lakehouse.synth import synth_clips_df  # noqa: F401 (parity of import style)
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_entry_")
+    t = Table.create(spark, os.path.join(root, "events_sorted"), df.schema)
+    t.set_sort_order(["event_id"])
+    for i in range(2):
+        t.append(df.filter(F.col("event_id") % 2 == i), target_file_count=8)
+
+    n_live = len(t.live_files())
+    lo, hi = 1000, 3000
+    plan = t.plan(filter=[("event_id", ">=", lo), ("event_id", "<=", hi)])
+    kept = plan.files
+    # the 2000-wide key range is ~1/8 of the id space: sorted runs must
+    # prune the kept set to a minority of live files (unsorted appends
+    # keep ~all of them — gated head-to-head in tests/test_sortorder.py)
+    assert 0 < len(kept) <= n_live // 2, (len(kept), n_live)
+    assert all(e.sort_order == "sorted(event_id)" for e in kept)
+    return _events_out(
+        t.scan(filter=[("event_id", ">=", lo), ("event_id", "<=", hi)])
+    )
+
+
 def _q_lh_expire_gc(spark, sf_dir):
     import time
 
@@ -2154,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
         "lh_timetravel_scan": _q_lh_timetravel,
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
+        "lh_sorted_scan": _q_lh_sorted_scan,
         "lh_expire_gc_scan_parity": _q_lh_expire_gc,
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
@@ -2348,6 +2380,9 @@ def oracle_sql() -> dict[str, str]:
         "lh_cluster_zorder_parity": EVENTS_OUT_SQL,
         "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,
         "lh_timetravel_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 0",
+        "lh_sorted_scan": (
+            EVENTS_OUT_SQL + " WHERE event_id >= 1000 AND event_id <= 3000"
+        ),
         "lh_partition_pruned_scan": EVENTS_OUT_SQL
         + " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'",
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,

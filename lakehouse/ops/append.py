@@ -172,10 +172,20 @@ def write_data_files(
     # fails the job BEFORE any snapshot commit (lakehouse/constraints.py)
     from ..constraints import constraints_of, enforce
     from ..meta.snapshots import load_metadata
+    from ..sortorder import provenance_tag, sort_order_of
 
-    checks = constraints_of(load_metadata(table_root).properties)
+    props = load_metadata(table_root).properties
+    checks = constraints_of(props)
     if checks:
         out = enforce(out, checks)
+
+    # table sort order (lakehouse/sortorder.py): applied unless the
+    # caller stamped its own layout provenance (cluster's zorder/hilbert
+    # tags, MoR delete-file tags)
+    order_cols = sort_order_of(props) if not sort_order else []
+    order_cols = [c for c in order_cols if c in out.columns]
+    if order_cols:
+        sort_order = provenance_tag(order_cols)
 
     out, part_cols = with_partition_columns(out, spec)
 
@@ -201,10 +211,24 @@ def write_data_files(
         n = target_file_count or 1
         if salt_col:
             n = max(n, files_per_partition)
-        if keys:
+        if order_cols:
+            # range-partition on (partition cols, sort cols): files in
+            # one partition dir cover DISJOINT sort-key ranges, so
+            # min/max stats prune like an index; a hot partition value
+            # splits by key range (no salt needed)
+            rng = keys + [F.col(c) for c in order_cols]
+            out = out.repartitionByRange(n, *rng).sortWithinPartitions(
+                *rng
+            )
+        elif keys:
             out = out.repartition(n, *keys)
         else:
             out = out.repartition(n)
+    elif order_cols:
+        # no-shuffle path (streaming appends): task-local sort only
+        out = out.sortWithinPartitions(
+            *(part_cols + order_cols) if part_cols else order_cols
+        )
 
     job_rel = job_dir or f"data/job-{uuid.uuid4().hex}"
     writer = out.write.mode("error").format("parquet")

@@ -936,6 +936,28 @@ class Table:
 
         S.commit(self.root, apply)
 
+    # --- write-time sort order (lakehouse/sortorder.py) --------------------
+
+    def set_sort_order(self, columns) -> None:
+        """Set (or clear with ``[]``/``None``) the table's write-time
+        sort order — future appends/rewrites range-partition and sort
+        on these columns so min/max file stats prune like an index.
+        Metadata-only commit; existing files are untouched (compact/
+        cluster rewrites migrate them as a side effect of rewriting)."""
+        from .sortorder import sort_order_property
+
+        cols = list(columns or [])
+        names = [f.name for f in self.schema.fields]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"sort-order columns not in schema: {missing}")
+        self.set_properties(**sort_order_property(cols))
+
+    def sort_order(self) -> list:
+        from .sortorder import sort_order_of
+
+        return sort_order_of(self.meta.properties)
+
     # --- CHECK constraints (lakehouse/constraints.py) ---------------------
 
     def check_constraints(self) -> dict[str, str]:
