@@ -168,6 +168,28 @@ def append_with_rollup_batch(
     return _inner
 
 
+def append_with_transform_batch(
+    table, transform, *, target_file_count: Optional[int] = None
+):
+    """foreachBatch callback: idempotent append + incremental derived-
+    feature refresh (`lakehouse.transform.MaterializedTransform`) — the
+    streaming feature pipeline: every micro-batch's new clips get their
+    features computed and appended to the derived table via the
+    append-only fast path (no diff, no payload shuffle).
+
+    Idempotency composes exactly like the rollup sink: a replayed batch
+    skips the append and the refresh no-ops on a synced base; a crash
+    between append and refresh is caught up by the next batch.
+    """
+    inner_append = append_batch(table, target_file_count=target_file_count)
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        inner_append(batch_df, batch_id)
+        transform.refresh()
+
+    return _inner
+
+
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split on vectorized audio validation.
 

@@ -164,3 +164,38 @@ def test_append_if_absent_batch_key_dedup(spark, clips_table):
     cb(overlap.unionByName(fresh), 1)
     cb(synth_clips_df(spark, 20, seed=7, n_days=2), 2)
     assert clips_table.scan().count() == 40
+
+
+def test_stream_maintained_feature_transform(spark, clips_table, tmp_path):
+    """Streaming feature pipeline: the foreachBatch sink appends AND
+    refreshes a derived feature table; each batch takes the append-only
+    fast path, replays change nothing, and the features equal the full
+    recompute after every batch."""
+    from lakehouse.streaming import append_with_transform_batch
+    from lakehouse.transform import MaterializedTransform
+
+    mt = MaterializedTransform.create(
+        spark,
+        str(tmp_path / "feat"),
+        clips_table,
+        key="clip_id",
+        columns=["clip_id", "bytes"],
+        transform="audio_stats",
+    )
+    cb = append_with_transform_batch(clips_table, mt)
+
+    def check():
+        got, exp = mt.scan(), mt.expected()
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+    b0 = synth_clips_df(spark, 24, seed=7, n_days=2)
+    cb(b0, 0)
+    check()
+    assert mt.scan().count() == 24
+    cb(b0, 0)  # replay: append skipped, refresh no-ops
+    assert len(committed_batch_ids(clips_table)) == 1
+    check()
+    cb(synth_clips_df(spark, 16, start=24, seed=7, n_days=3), 1)
+    check()
+    assert mt.scan().count() == 40
+    assert mt.scan().filter("NOT ok").count() == 0
