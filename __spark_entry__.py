@@ -1293,6 +1293,56 @@ def _q_audio_augment(spark, sf_dir):
     )
 
 
+def _q_audio_qc_detection(spark, sf_dir):
+    """Self-verifying audio QC screen: plant hard-clipped clips (via a
+    +16 dB deterministic gain) and DC-biased clips (+0.25 shift) in a
+    clean corpus, run the vectorized feature screen, and assert the
+    flagged sets equal the planted sets EXACTLY in both directions
+    (recall and precision) — the mis-biased-ADC / hot-gain-stage
+    detector a 10^12-clip ingest fleet runs before training."""
+    from lakehouse.audio import (
+        audio_features_ext,
+        augment_clips,
+        shift_dc_clips,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 154, seed=31, n_days=3).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    is_clip = idx % 7 == 0
+    is_dc = (idx % 7 != 0) & (idx % 11 == 0)
+    clean = df.filter(~is_clip & ~is_dc)
+    hot = augment_clips(
+        df.filter(is_clip), seed=1, noise_snr_db=None,
+        gain_db_range=(16.0, 16.0),
+    ).select(*clean.columns)
+    biased = shift_dc_clips(df.filter(is_dc), 0.25).select(*clean.columns)
+    corpus = clean.unionByName(hot).unionByName(biased)
+
+    feats = corpus.select(
+        "clip_id",
+        idx.alias("i"),
+        audio_features_ext(F.col("bytes")).alias("f"),
+    ).select(
+        "clip_id",
+        "i",
+        (F.col("f.clipping_ratio") > 0.05).alias("flag_clipping"),
+        (F.abs(F.col("f.dc_offset")) > 0.1).alias("flag_dc"),
+        F.round("f.clipping_ratio", 4).alias("clipping_ratio"),
+        F.round("f.dc_offset", 4).alias("dc_offset"),
+    )
+    wrong = feats.filter(
+        (F.col("flag_clipping") != (F.col("i") % 7 == 0))
+        | (F.col("flag_dc") != ((F.col("i") % 7 != 0) & (F.col("i") % 11 == 0)))
+    ).count()
+    assert wrong == 0, f"{wrong} clips mis-flagged"
+    n = feats.count()
+    assert n == 154, n
+    return feats.drop("i")
+
+
 def _q_lh_delete(spark, sf_dir):
     """Copy-on-write DELETE: drops error-rows for every 3rd user; the
     post-delete scan must equal plain SQL with the negated predicate."""
@@ -2253,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_split_on_silence": _q_audio_split_on_silence,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
+        "audio_qc_detection": _q_audio_qc_detection,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

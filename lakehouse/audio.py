@@ -165,6 +165,7 @@ AUDIO_FEATURES_EXT_TYPE = T.StructType(
         T.StructField("zcr", T.DoubleType()),          # zero-crossing rate
         T.StructField("silence_ratio", T.DoubleType()),  # |x| < 1% FS
         T.StructField("clipping_ratio", T.DoubleType()),  # |x| > 99% FS
+        T.StructField("dc_offset", T.DoubleType()),      # mean sample value
     ]
 )
 
@@ -172,9 +173,14 @@ AUDIO_FEATURES_EXT_TYPE = T.StructType(
 @F.pandas_udf(AUDIO_FEATURES_EXT_TYPE)
 def audio_features_ext(raw: pd.Series) -> pd.DataFrame:
     """Batch quality features for training-data curation: peak level,
-    zero-crossing rate, silence and clipping ratios — all numpy reductions
-    over the decoded batch, no per-row Python beyond the decode loop."""
-    out = {"peak": [], "zcr": [], "silence_ratio": [], "clipping_ratio": []}
+    zero-crossing rate, silence/clipping ratios and DC offset — the
+    standard audio-QC screen (a mis-biased ADC shows as dc_offset, a
+    hot gain stage as clipping_ratio) — all numpy reductions over the
+    decoded batch, no per-row Python beyond the decode loop."""
+    out = {
+        "peak": [], "zcr": [], "silence_ratio": [], "clipping_ratio": [],
+        "dc_offset": [],
+    }
     for b in raw:
         try:
             _sr, x = decode_wav(b)
@@ -191,7 +197,40 @@ def audio_features_ext(raw: pd.Series) -> pd.DataFrame:
         out["zcr"].append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))))
         out["silence_ratio"].append(float(np.mean(np.abs(x) < 0.01)))
         out["clipping_ratio"].append(float(np.mean(np.abs(x) > 0.99)))
+        out["dc_offset"].append(float(np.mean(x)))
     return pd.DataFrame(out)
+
+
+def make_shift_dc_udf(offset: float):
+    """DC bias shift (x + offset, hard-limited): the injection half of
+    DC handling — used to synthesize mis-biased-ADC fixtures for QC
+    gates; pair with ``audio_features_ext.dc_offset`` for detection and
+    ``normalize_clips`` for correction."""
+
+    @F.pandas_udf(T.BinaryType())
+    def shift_dc(raw: pd.Series) -> pd.Series:
+        from .synth import wrap_wav
+
+        out = []
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out.append(None)
+                continue
+            y = np.clip(
+                x.astype(np.float64) + offset, -0.99997, 0.99997
+            ).astype(np.float32)
+            out.append(wrap_wav(y, sr, "pcm16"))
+        return pd.Series(out)
+
+    return shift_dc
+
+
+def shift_dc_clips(df, offset: float, bytes_col: str = "bytes"):
+    return df.withColumn(
+        bytes_col, make_shift_dc_udf(offset)(F.col(bytes_col))
+    ).withColumn("codec", F.lit("pcm16"))
 
 
 def _resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
