@@ -82,7 +82,8 @@ def cmd_synth(args):
     for i in range(args.appends):
         # each append synthesizes a disjoint index slice executor-side
         df = synth_clips_df(
-            spark, per, start=i * per, seed=args.seed, n_days=args.days
+            spark, per, start=args.start + i * per, seed=args.seed,
+            n_days=args.days,
         )
         snap = t.append(df, target_file_count=args.files_per_append)
         total += snap.summary.get("added_records", 0)
@@ -434,6 +435,51 @@ def cmd_rollup(args):
     )
 
 
+def cmd_set_sort_order(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    cols = args.columns.split(",") if args.columns else None
+    t.set_sort_order(cols)
+    _emit({"op": "set-sort-order", "sort_order": t.sort_order()})
+
+
+def cmd_features(args):
+    """Create-if-absent + refresh an incrementally-maintained derived
+    feature table (decode stats per clip via the audio_stats
+    transform, or --transform to pick another registered extractor)."""
+    from lakehouse.errors import TableNotFoundError
+    from lakehouse.transform import MaterializedTransform
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    try:
+        from lakehouse.table import Table as _T
+
+        _T.load(spark, args.features_root)
+        mt = MaterializedTransform(spark, args.features_root)
+    except TableNotFoundError:
+        mt = MaterializedTransform.create(
+            spark,
+            args.features_root,
+            t,
+            key="clip_id",
+            columns=["clip_id", "bytes"],
+            transform=args.transform,
+        )
+    t0 = time.time()
+    res = mt.refresh()
+    _emit(
+        {
+            "op": "features",
+            "mode": res.mode,
+            "rows_upserted": res.rows_upserted,
+            "rows_deleted": res.rows_deleted,
+            "feature_rows": mt.scan().count(),
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_sql(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -655,6 +701,8 @@ def main():
     s.add_argument("--files-per-append", type=int, default=8)
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--days", type=int, default=8)
+    s.add_argument("--start", type=int, default=0,
+                   help="first clip index (disjoint ranges => unique ids)")
     s = sub.add_parser("compact")
     t(s)
     s.add_argument("--target-file-size", type=int, default=128 * 1024 * 1024)
@@ -755,6 +803,14 @@ def main():
     s = sub.add_parser("dedup-clips")
     t(s)
     s.add_argument("--max-hamming", type=int, default=3)
+    s = sub.add_parser("set-sort-order")
+    t(s)
+    s.add_argument("--columns", default=None,
+                   help="comma-separated; empty to clear")
+    s = sub.add_parser("features")
+    t(s)
+    s.add_argument("--features-root", required=True)
+    s.add_argument("--transform", default="audio_stats")
     s = sub.add_parser("catalog")
     s.add_argument("action",
                    choices=["create", "register", "unregister", "tables", "sql"])
@@ -796,6 +852,8 @@ def main():
         "branch": cmd_branch,
         "cdc": cmd_cdc,
         "dedup-clips": cmd_dedup_clips,
+        "set-sort-order": cmd_set_sort_order,
+        "features": cmd_features,
         "catalog": cmd_catalog,
     }[args.cmd](args)
 
