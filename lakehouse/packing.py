@@ -24,7 +24,8 @@ the classic two-pass distributed scan:
    bucket (hash-partitioned window — parallel, one shuffle);
 2. aggregate per-bucket totals (tiny: |docs| / bucket_width rows),
    exclusive-cumsum THEM on a single partition that is ~10^6× smaller
-   than the data, and broadcast-join the offsets back.
+   than the data, and join the offsets back (no broadcast
+   hint — AQE broadcasts while tiny, shuffles when not).
 
 Everything is JVM built-ins (split/size/sequence/explode/DIV) — no
 Python UDF, no row ordering assumptions beyond the deterministic
@@ -87,7 +88,11 @@ def pack_sequences(
         .select("bkt", "boff")
     )
     # exclusive global offset of each doc's first token in the stream
-    placed = with_local.join(F.broadcast(offsets), "bkt").select(
+    # no broadcast HINT: AQE auto-broadcasts the tiny offsets frame at
+    # bench scale, and falls back to a shuffle join when the bucket
+    # count itself is huge (10^12 docs / width) — a forced broadcast
+    # would OOM the driver exactly at the scale this op exists for
+    placed = with_local.join(offsets, "bkt").select(
         "doc_id",
         "tok",
         (F.col("boff") + F.col("cum_local") - F.col("tok")).alias("s"),
@@ -139,7 +144,8 @@ def bucket_batches(
     ``Window.partitionBy(bucket)`` would put an entire popular length
     bucket on ONE task): rank locally within ``(bucket, id DIV
     sub_width)`` sub-buckets, cumsum the tiny per-sub-bucket counts,
-    broadcast the offsets back. Buckets are fixed-width integer ranges
+    join the offsets back (AQE-chosen broadcast). Buckets are
+    fixed-width integer ranges
     (``len DIV bucket_len``) — integer division only, no float log
     whose boundary rounding could diverge between engines.
 
@@ -172,7 +178,9 @@ def bucket_batches(
         )
         .select("bucket", "_sub", "_off")
     )
-    placed = ranked.join(F.broadcast(offsets), ["bucket", "_sub"]).select(
+    # same no-hint rationale as pack_sequences: AQE picks broadcast vs
+    # shuffle by the offsets frame's actual size
+    placed = ranked.join(offsets, ["bucket", "_sub"]).select(
         "bucket",
         "_len",
         F.expr(f"(_off + _rn_local - 1) DIV {int(batch_size)}").alias(
