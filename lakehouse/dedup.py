@@ -576,7 +576,10 @@ def curate_documents(
         threshold=threshold,
     )
     victims = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = uniq.join(F.broadcast(victims), "doc_id", "left_anti")
+    # no broadcast hint: web-scale dedup can victimize 30-50% of the
+    # corpus, so the victim set is NOT presumed driver-sized — AQE
+    # broadcasts while small and shuffles the anti-join when not
+    kept = uniq.join(victims, "doc_id", "left_anti")
     from .textops import token_count_ws
 
     return kept.filter(token_count_ws(t) >= min_tokens)
