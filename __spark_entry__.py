@@ -1343,6 +1343,53 @@ def _q_audio_qc_detection(spark, sf_dir):
     return feats.drop("i")
 
 
+def _q_audio_mfcc_invariance(spark, sf_dir):
+    """Self-verifying MFCC embedding: volume-scaled (-12 dB) copies of
+    every clip land on the SAME level-invariant embedding (cosine >=
+    0.999 after pcm16 re-quantization), while distinct clips stay
+    apart (mean cross-cosine well below the match bar) — the property
+    that makes mfcc[1:] the right key for loudness-normalized dedup."""
+    from lakehouse.audio import augment_clips, with_mfcc_embedding
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=17, n_days=2).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    scaled = augment_clips(
+        df, seed=1, noise_snr_db=None, gain_db_range=(-12.0, -12.0)
+    ).select("clip_id", "bytes")
+    a = with_mfcc_embedding(df.select("clip_id", "bytes")).select(
+        "clip_id", F.col("embedding").alias("ea")
+    )
+    b = with_mfcc_embedding(scaled).select(
+        "clip_id", F.col("embedding").alias("eb")
+    )
+    cos = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    j = a.join(b, "clip_id").select(
+        "clip_id", F.round(cos, 4).alias("cos_same")
+    )
+    n_bad = j.filter(F.col("cos_same") < 0.999).count()
+    assert n_bad == 0, f"{n_bad} scaled copies failed to self-match"
+    # distinct clips: shifted join pairs clip i with a different clip
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    a2 = a.select(idx.alias("i"), "ea")
+    b2 = b.select(((idx + 1) % 96).alias("i"), F.col("eb").alias("eo"))
+    cross = a2.join(b2, "i").select(
+        F.aggregate(
+            F.zip_with("ea", "eo", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("c")
+    )
+    mean_cross = cross.agg(F.avg("c")).collect()[0][0]
+    assert mean_cross < 0.9, f"cross-clip cosine too high: {mean_cross}"
+    return j
+
+
 def _q_lh_delete(spark, sf_dir):
     """Copy-on-write DELETE: drops error-rows for every 3rd user; the
     post-delete scan must equal plain SQL with the negated predicate."""
@@ -2304,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,
         "audio_qc_detection": _q_audio_qc_detection,
+        "audio_mfcc_invariance": _q_audio_mfcc_invariance,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

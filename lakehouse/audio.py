@@ -749,6 +749,112 @@ def with_spectral_embedding(
     return df.withColumn(out_col, emb).drop("spectral")
 
 
+# --- MFCC (mel-frequency cepstral coefficients; pure numpy) ------------------
+
+MFCC_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("mfcc", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _mel_filterbank(n_bins: int, sr: int, n_mels: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, 2595*log10(1+f/700))
+    over rfft bins of an ``n_fft = 2*(n_bins-1)`` transform. Rows are
+    unit-area triangles; degenerate (empty) filters stay all-zero."""
+    n_fft = 2 * (n_bins - 1)
+    f_max = sr / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(0.0, mel(f_max), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(np.int64)
+    bins = np.clip(bins, 0, n_bins - 1)
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        if mid > lo:
+            fb[m, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+        if hi > mid:
+            fb[m, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+    return fb
+
+
+def _dct2_orthonormal(n_out: int, n_in: int) -> np.ndarray:
+    """DCT-II matrix with orthonormal scaling (scipy.fft.dct norm=
+    'ortho' equivalent; scipy is not in env). Row 0 is the constant
+    basis vector — which is why a uniform gain change moves ONLY c0."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    m = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in))
+    m *= np.sqrt(2.0 / n_in)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def mfcc_features(
+    x: np.ndarray,
+    sr: int,
+    *,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 24,
+    n_mfcc: int = 13,
+) -> list:
+    """MFCCs of the frame-averaged power spectrum: mel filterbank →
+    log → orthonormal DCT-II, first ``n_mfcc`` coefficients. The ASR
+    classic; a uniform gain g scales every mel energy by g^2, shifting
+    log-mel by a constant — so mfcc[1:] is EXACTLY gain-invariant
+    (gated) while c0 carries level."""
+    if len(x) < n_fft:
+        x = np.pad(x.astype(np.float64), (0, n_fft - len(x)))
+    else:
+        x = x.astype(np.float64)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft)
+    p = np.mean(np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2, axis=0)
+    melE = _mel_filterbank(len(p), sr, n_mels) @ p
+    log_mel = np.log(np.maximum(melE, 1e-30))
+    c = _dct2_orthonormal(n_mfcc, n_mels) @ log_mel
+    return [float(v) for v in c]
+
+
+@F.pandas_udf(MFCC_TYPE)
+def audio_mfcc(raw: pd.Series) -> pd.DataFrame:
+    out = {"ok": [], "mfcc": []}
+    for b in raw:
+        try:
+            sr, x = decode_wav(b)
+            out["ok"].append(True)
+            out["mfcc"].append(mfcc_features(x, sr))
+        except (ValueError, struct.error):
+            out["ok"].append(False)
+            out["mfcc"].append(None)
+    return pd.DataFrame(out)
+
+
+def with_mfcc_embedding(
+    df, bytes_col: str = "bytes", out_col: str = "embedding"
+):
+    """L2-normalized mfcc[1:] as ``array<float>`` — a LEVEL-INVARIANT
+    clip embedding (c0 carries gain, so it is dropped) feeding the
+    similarity module: volume-renormalized copies of a clip match
+    exactly, unlike the raw band-energy embedding."""
+    df = df.withColumn("__m", audio_mfcc(F.col(bytes_col)))
+    tail = F.slice(F.col("__m.mfcc"), 2, 100000)
+    norm = F.sqrt(
+        F.aggregate(tail, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    emb = F.transform(
+        tail,
+        lambda v: (v / F.when(norm > 0, norm).otherwise(F.lit(1.0))).cast(
+            "float"
+        ),
+    )
+    return df.withColumn(out_col, emb).drop("__m")
+
+
 # --- dominant-frequency estimation (FFT peak + parabolic interpolation) ------
 
 DOMINANT_TYPE = T.StructType(

@@ -70,6 +70,14 @@ def _builtin_transforms():
                 "clip_id", "embedding"
             )
 
+    if "mfcc_embedding" not in _TRANSFORMS:
+
+        @register_transform("mfcc_embedding")
+        def _mfcc(df: DataFrame) -> DataFrame:
+            from .audio import with_mfcc_embedding
+
+            return with_mfcc_embedding(df).select("clip_id", "embedding")
+
     if "audio_stats" not in _TRANSFORMS:
 
         @register_transform("audio_stats")

@@ -664,3 +664,86 @@ def test_augment_speed_scales_duration(spark):
         (F.max("speed") - F.min("speed")).alias("d")
     ).collect()[0].d
     assert spread > 0.1
+
+
+def test_mfcc_gain_invariance_and_structure(spark):
+    """mfcc[1:] must be exactly gain-invariant (a uniform gain shifts
+    log-mel by a constant, which the orthonormal DCT routes entirely
+    into c0); c0 itself must move with gain."""
+    import numpy as np
+
+    from lakehouse.audio import mfcc_features
+    from lakehouse.synth import synth_pcm
+
+    x = synth_pcm(5, 3, 16000, 16000)
+    a = np.array(mfcc_features(x, 16000))
+    b = np.array(mfcc_features((0.25 * x).astype(np.float32), 16000))
+    assert np.allclose(a[1:], b[1:], atol=1e-6), (a[1:] - b[1:])
+    assert abs(a[0] - b[0]) > 0.1  # level lives in c0
+    # distinct content separates
+    y = synth_pcm(9, 4, 16000, 16000)
+    c = np.array(mfcc_features(y, 16000))
+    assert not np.allclose(a[1:], c[1:], atol=1e-3)
+
+
+def test_dct_matrix_is_orthonormal():
+    import numpy as np
+
+    from lakehouse.audio import _dct2_orthonormal
+
+    m = _dct2_orthonormal(24, 24)
+    assert np.allclose(m @ m.T, np.eye(24), atol=1e-12)
+
+
+def test_mel_filterbank_covers_spectrum():
+    """Every rfft bin from the first filter's start to Nyquist is
+    touched by at least one filter (no dead bands mid-spectrum)."""
+    import numpy as np
+
+    from lakehouse.audio import _mel_filterbank
+
+    fb = _mel_filterbank(257, 16000, 24)
+    support = fb.sum(axis=0)
+    lo = np.argmax(support > 0)
+    hi = 256
+    # interior coverage (edges may be zero by triangle construction)
+    assert np.all(support[lo: hi - 1] > 0), np.where(
+        support[lo: hi - 1] == 0
+    )
+
+
+def test_mfcc_embedding_matches_gain_scaled_copy(spark):
+    """with_mfcc_embedding: a volume-scaled copy of a clip lands on the
+    SAME embedding (cosine 1), distinct clips do not."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import with_mfcc_embedding
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 12, seed=8, n_days=1).select(
+        "clip_id", "bytes"
+    )
+    from lakehouse.audio import augment_clips
+
+    scaled = augment_clips(
+        df.withColumn("sr_hz", F.lit(16000))
+        .withColumn("dur_ms", F.lit(0))
+        .withColumn("codec", F.lit("pcm16")),
+        seed=1,
+        noise_snr_db=None,
+        gain_db_range=(-12.0, -12.0),
+    ).select("clip_id", "bytes")
+    a = with_mfcc_embedding(df).select("clip_id", F.col("embedding").alias("ea"))
+    b = with_mfcc_embedding(scaled).select(
+        "clip_id", F.col("embedding").alias("eb")
+    )
+    j = a.join(b, "clip_id").select(
+        "clip_id",
+        F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("cos"),
+    )
+    bad = j.filter(F.col("cos") < 0.999).count()
+    assert bad == 0, j.collect()

@@ -165,3 +165,20 @@ def test_create_validation(spark, tmp_path):
             spark, str(tmp_path / "x"), base, key="clip_id",
             columns=["clip_id", "bytes"], transform="drops_key",
         )
+
+
+def test_mfcc_transform_registered(spark, tmp_path):
+    base = _mk_base(spark, tmp_path, n=12)
+    mt = MaterializedTransform.create(
+        spark,
+        str(tmp_path / "emb"),
+        base,
+        key="clip_id",
+        columns=["clip_id", "bytes"],
+        transform="mfcc_embedding",
+    )
+    assert mt.refresh().mode == "full"
+    rows = mt.scan().select("clip_id", "embedding").collect()
+    assert len(rows) == 12
+    assert all(r.embedding is not None and len(r.embedding) == 12
+               for r in rows)  # 13 mfcc - c0
