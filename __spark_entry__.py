@@ -290,6 +290,29 @@ def _q_lh_sorted_scan(spark, sf_dir):
     )
 
 
+def _q_lh_lineage_scan(spark, sf_dir):
+    """Row lineage metadata columns (Iceberg _file/_pos analog): every
+    row names its data file, its row position, and the snapshot that
+    committed it. The builder asserts the lineage is exact — snapshot
+    ids match the append commits, files match the live manifest — then
+    returns the logical rows, which must equal plain SQL (lineage is
+    read-side only, zero row perturbation)."""
+    t = _events_table(spark, sf_dir, appends=3)
+    df = t.scan_with_lineage()
+    snaps = {s.snapshot_id for s in t.snapshots()}
+    got_snaps = {
+        r._snapshot_id
+        for r in df.select("_snapshot_id").distinct().collect()
+    }
+    assert got_snaps <= snaps and len(got_snaps) == 3, (got_snaps, snaps)
+    live = {e.file_path for e in t.live_files()}
+    got_files = {
+        r._file for r in df.select("_file").distinct().collect()
+    }
+    assert got_files == live, (len(got_files), len(live))
+    return _events_out(df.drop("_file", "_pos", "_snapshot_id"))
+
+
 def _q_lh_expire_gc(spark, sf_dir):
     import time
 
@@ -2283,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_timetravel_scan": _q_lh_timetravel,
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
         "lh_sorted_scan": _q_lh_sorted_scan,
+        "lh_lineage_scan": _q_lh_lineage_scan,
         "lh_expire_gc_scan_parity": _q_lh_expire_gc,
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
@@ -2482,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "lh_sorted_scan": (
             EVENTS_OUT_SQL + " WHERE event_id >= 1000 AND event_id <= 3000"
         ),
+        "lh_lineage_scan": EVENTS_OUT_SQL,
         "lh_partition_pruned_scan": EVENTS_OUT_SQL
         + " WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'",
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,

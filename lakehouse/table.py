@@ -508,6 +508,60 @@ class Table:
             self.spark, self.root, meta, plan, columns=columns
         )
 
+    def scan_with_lineage(
+        self,
+        *,
+        filter=None,  # noqa: A002
+        snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """Scan with Iceberg-style metadata columns: every row carries
+        ``_file`` (root-relative data file path), ``_pos`` (row index
+        within the file) and ``_snapshot_id`` (the commit that ADDED
+        the file — entries are stamped with the committing snapshot id
+        at commit time). The root-cause surface 10^12-row debugging
+        needs: which commit produced a bad row, which file to rewrite,
+        what to ``rollback`` to. ``_file``/``_pos`` come from the
+        Parquet reader's ``_metadata`` column — no join; ``_snapshot_
+        id`` is a per-file-group literal (bounded by commit count).
+
+        Pending merge-on-read deletes are refused (run
+        ``materialize_deletes()`` first): lineage rows for logically
+        deleted data would be ambiguous.
+        """
+        from pyspark.sql import functions as F
+
+        from .errors import LakehouseError
+        from .meta.scan import _union_seq_groups, seq_schema_groups
+
+        plan = self.plan(filter=filter, snapshot_id=snapshot_id)
+        if plan.delete_files:
+            raise LakehouseError(
+                "scan_with_lineage: table has pending merge-on-read "
+                "deletes; run materialize_deletes() first"
+            )
+        schema = self.schema
+        out_cols = [f.name for f in schema.fields]
+        if not plan.files:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.select(
+                *out_cols,
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
+                F.lit(None).cast("long").alias("_snapshot_id"),
+            )
+        groups = seq_schema_groups(self.root, self.meta, plan.files)
+        df = _union_seq_groups(
+            self.spark, schema, groups, rel_prefix=self.root, meta=self.meta
+        )
+        if plan.residual_sql:
+            df = df.filter(plan.residual_sql)
+        return df.select(
+            *out_cols,
+            F.col("__path").alias("_file"),
+            F.col("__pos").alias("_pos"),
+            F.col("__seq").cast("long").alias("_snapshot_id"),
+        )
+
     def live_files(self, snapshot_id: Optional[int] = None) -> list[DataFileEntry]:
         return self.plan(snapshot_id=snapshot_id).files
 
