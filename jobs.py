@@ -682,6 +682,23 @@ def cmd_catalog(args):
             "action": "sql",
             "rows": [r.asDict(recursive=True) for r in rows],
         })
+    elif args.action == "maintain-all":
+        spark = _spark(args)
+        out = cat.maintain_all(spark, dry_run=args.dry_run)
+        _emit({
+            "op": "catalog",
+            "action": "maintain-all",
+            "results": {
+                k: (
+                    v.mode
+                    if hasattr(v, "mode")
+                    else [a["action"] for a in v.actions]
+                    if hasattr(v, "actions")
+                    else v
+                )
+                for k, v in out.items()
+            },
+        })
 
 
 def main():
@@ -813,8 +830,10 @@ def main():
     s.add_argument("--transform", default="audio_stats")
     s = sub.add_parser("catalog")
     s.add_argument("action",
-                   choices=["create", "register", "unregister", "tables", "sql"])
+                   choices=["create", "register", "unregister", "tables",
+                            "sql", "maintain-all"])
     s.add_argument("--catalog", required=True)
+    s.add_argument("--dry-run", action="store_true")
     s.add_argument("--name", default=None)
     s.add_argument("--table-root", default=None)
     s.add_argument("--replace", action="store_true")

@@ -212,6 +212,49 @@ class Catalog:
 
         return Table.load(spark, self.resolve(name))
 
+    # --- warehouse-wide maintenance --------------------------------------------
+
+    def maintain_all(self, spark, *, dry_run: bool = False, **maintain_kw):
+        """One call keeps the whole warehouse healthy: run the
+        maintenance autopilot on every registered table, and refresh
+        every registered DERIVED table (rollup / feature transform —
+        detected by the base-root marker in its own properties) from
+        its base's CDC delta. Derived tables refresh FIRST, then their
+        base is maintained: the refresh reads the CDC chain that a
+        subsequent aggressive expiry might truncate (a truncated chain
+        still self-heals via full resync — this ordering just keeps
+        the cheap incremental path the common case).
+
+        Returns {name: report-or-refresh-result}. Failures propagate:
+        warehouse maintenance is a batch job, and a half-silent sweep
+        is worse than a loud one.
+        """
+        from .rollup import MaterializedRollup
+        from .table import Table
+        from .transform import MaterializedTransform
+
+        out: dict[str, Any] = {}
+        tables = self.tables()
+        derived, plain = {}, {}
+        for name, root in sorted(tables.items()):
+            props = Table(spark, root).meta.properties
+            if props.get("rollup_base_root"):
+                derived[name] = MaterializedRollup(spark, root)
+            elif props.get("transform_base_root"):
+                derived[name] = MaterializedTransform(spark, root)
+            else:
+                plain[name] = root
+        for name, d in derived.items():
+            if dry_run:
+                out[name] = {"action": "refresh", "dry_run": True}
+            else:
+                out[name] = d.refresh()
+        for name, root in plain.items():
+            out[name] = Table.load(spark, root).maintain(
+                dry_run=dry_run, **maintain_kw
+            )
+        return out
+
     # --- SQL surface ----------------------------------------------------------
 
     def register_views(

@@ -140,3 +140,55 @@ def test_concurrent_registration_cas(warehouse, spark, tmp_path):
         th.join()
     assert not errs
     assert set(warehouse.tables()) == {"t0", "t1"}
+
+
+def test_maintain_all_sweeps_tables_and_derived(spark, tmp_path):
+    """One call: autopilot on plain tables, refresh on registered
+    rollups and feature transforms — refresh result modes prove the
+    derived tables actually folded in the base's delta."""
+    from lakehouse import Table
+    from lakehouse.catalog import Catalog
+    from lakehouse.rollup import MaterializedRollup
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+    from lakehouse.transform import MaterializedTransform
+
+    cat = Catalog.create(str(tmp_path / "wh"))
+    base = Table.create(spark, str(tmp_path / "wh" / "clips"), CLIPS_SCHEMA)
+    cat.register("clips", base.root)
+    # lots of small files so the autopilot has something to compact
+    for i in range(3):
+        base.append(
+            synth_clips_df(spark, 16, seed=i, n_days=2, start=i * 1000),
+            target_file_count=4,
+        )
+    roll = MaterializedRollup.create(
+        spark, str(tmp_path / "wh" / "roll"), base,
+        group_by=["event_date"],
+        aggs={"n": ("count", None)},
+    )
+    cat.register("clips_rollup", roll.table.root)
+    mt = MaterializedTransform.create(
+        spark, str(tmp_path / "wh" / "feat"), base,
+        key="clip_id", columns=["clip_id", "dur_ms"],
+        exprs={"dur_s": "dur_ms / 1000.0"},
+    )
+    cat.register("clips_features", mt.table.root)
+
+    out = cat.maintain_all(spark)
+    assert out["clips_rollup"].mode == "full"
+    assert out["clips_features"].mode == "full"
+    assert any(a["action"] == "compact" for a in out["clips"].actions)
+
+    # second sweep after new data: derived go incremental, base settles
+    base.append(synth_clips_df(spark, 8, seed=9, n_days=2, start=9000))
+    out2 = cat.maintain_all(spark)
+    assert out2["clips_rollup"].mode == "incremental"
+    assert out2["clips_features"].mode == "incremental"
+    # derived parity
+    got, exp = mt.scan(), mt.expected()
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+    # dry-run reports without acting
+    dr = cat.maintain_all(spark, dry_run=True)
+    assert dr["clips_rollup"] == {"action": "refresh", "dry_run": True}
