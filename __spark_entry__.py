@@ -533,6 +533,21 @@ def _q_transcript_cer(spark, sf_dir):
     return cer_pairs(pairs)
 
 
+def _q_transcript_align(spark, sf_dir):
+    """Uniform forced alignment (deterministic aligner stand-in): one
+    row per word with integer-exact time windows partitioning [0, dur).
+    Duration is synthesized as length(text)*50 identically in the
+    oracle (test tables carry no audio duration)."""
+    from lakehouse.transcripts import align_uniform
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("clip_id"),
+        "text",
+        (F.length("text") * 50).alias("dur_ms"),
+    )
+    return align_uniform(docs, transcript_col="text")
+
+
 def _q_pack_sequences(spark, sf_dir):
     from lakehouse.packing import pack_sequences
 
@@ -2351,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "transcript_wer": _q_transcript_wer,
         "transcript_cer": _q_transcript_cer,
+        "transcript_align_uniform": _q_transcript_align,
         "length_bucket_batches": _q_length_bucket_batches,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
@@ -2708,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_cer": transcripts.cer_oracle_sql(
             drop_every=4, reverse_every=2
         ),
+        "transcript_align_uniform": transcripts.align_uniform_oracle_sql(),
         "length_bucket_batches": bucket_batches_oracle_sql(
             batch_size=16, bucket_len=64
         ),

@@ -166,6 +166,41 @@ def wer_pairs(
     )
 
 
+def align_uniform(
+    df: DataFrame,
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Uniform forced alignment: each transcript word gets a time
+    window proportional to its position — ``t_start = (dur * i) DIV n``
+    for word i of n (exact integer arithmetic, engine-portable). The
+    deterministic stand-in for a real aligner (this container ships no
+    acoustic model): windows partition [0, dur) exactly, are
+    monotonic, and downstream ops (``segment_clips`` cropping,
+    per-word training examples) consume the same (id, pos, t_start,
+    t_end) shape a CTC aligner would emit.
+
+    Pure built-ins: posexplode over split — one narrow fan-out, no
+    shuffle, no Python.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.col(dur_col).cast("long").alias("_dur"),
+        F.posexplode(F.split(F.col(transcript_col), " ")).alias(
+            "pos", "word"
+        ),
+        F.size(F.split(F.col(transcript_col), " ")).alias("_n"),
+    )
+    return words.select(
+        id_col,
+        "pos",
+        "word",
+        F.expr("(_dur * pos) DIV _n").alias("t_start_ms"),
+        F.expr("(_dur * (pos + 1)) DIV _n").alias("t_end_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 
@@ -254,4 +289,28 @@ def wer_oracle_sql(
            END AS wer
     FROM enc r JOIN enc h
       ON r.doc_id = h.doc_id AND r.side = 'r' AND h.side = 'h'
+    """
+
+
+def align_uniform_oracle_sql(
+    table: str = "documents",
+    id_sql: str = "doc_id",
+    dur_sql: str = "length(text) * 50",
+) -> str:
+    """Twin of :func:`align_uniform` with a deterministic duration
+    expression (test tables carry no audio duration). DuckDB's
+    generate_subscripts is 1-based; Spark's posexplode 0-based."""
+    return f"""
+    WITH t AS (
+        SELECT {id_sql} AS clip_id,
+               CAST({dur_sql} AS BIGINT) AS dur,
+               string_split(text, ' ') AS ws
+        FROM {table}
+    )
+    SELECT clip_id,
+           generate_subscripts(ws, 1) - 1 AS pos,
+           unnest(ws) AS word,
+           (dur * (generate_subscripts(ws, 1) - 1)) // len(ws) AS t_start_ms,
+           (dur * generate_subscripts(ws, 1)) // len(ws) AS t_end_ms
+    FROM t
     """

@@ -834,3 +834,37 @@ def test_wer_dp_against_planted_truths(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_align_uniform_partitions_duration(spark, oracle):
+    from pyspark.sql import functions as F
+
+    from lakehouse.transcripts import align_uniform, align_uniform_oracle_sql
+
+    docs = _docs(spark).select(
+        F.col("doc_id").alias("clip_id"),
+        "text",
+        (F.length("text") * 50).alias("dur_ms"),
+    )
+    out = align_uniform(docs, transcript_col="text")
+    assert_matches_oracle(out, oracle, align_uniform_oracle_sql())
+    # windows partition [0, dur) exactly: per clip, sum of window
+    # lengths == dur, min start == 0, max end == dur, and windows chain
+    chk = (
+        out.groupBy("clip_id")
+        .agg(
+            F.sum(F.col("t_end_ms") - F.col("t_start_ms")).alias("tot"),
+            F.min("t_start_ms").alias("lo"),
+            F.max("t_end_ms").alias("hi"),
+        )
+        .join(
+            docs.select("clip_id", F.col("dur_ms").cast("long").alias("d")),
+            "clip_id",
+        )
+        .filter("tot != d OR lo != 0 OR hi != d")
+        .count()
+    )
+    assert chk == 0
+    # plan: narrow fan-out only, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
