@@ -1428,6 +1428,45 @@ def _q_audio_mfcc_invariance(spark, sf_dir):
     return j
 
 
+def _q_audio_word_crop(spark, sf_dir):
+    """Self-verifying ASR example extractor: one cropped payload per
+    aligned word. The builder asserts row fan-out equals the corpus
+    word count, every crop decodes to its window length (±1 ms), and
+    per clip the windows partition [0, dur) exactly. Zero shuffles —
+    the whole extractor is a map (plan-asserted)."""
+    from lakehouse.audio import word_crop_examples
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 128, seed=23, n_days=2)
+    out = word_crop_examples(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "word_crop_examples must stay a map"
+    n_words = df.select(
+        F.sum(F.size(F.split("transcript", " ")))
+    ).collect()[0][0]
+    stats = out.select(
+        "clip_id",
+        (F.abs(F.col("dur_ms") - (F.col("t_end_ms") - F.col("t_start_ms"))) > 1)
+        .cast("int")
+        .alias("bad"),
+        (F.col("t_end_ms") - F.col("t_start_ms")).alias("w"),
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bad").alias("n_bad")
+    ).collect()[0]
+    assert agg.n == n_words and agg.n_bad == 0, agg
+    per_clip = (
+        out.groupBy("clip_id").agg(F.sum(F.col("t_end_ms") - F.col("t_start_ms")).alias("tot"))
+        .join(df.select("clip_id", "dur_ms"), "clip_id")
+        .filter("tot != dur_ms")
+        .count()
+    )
+    assert per_clip == 0, f"{per_clip} clips' windows do not partition dur"
+    return out.select(
+        "clip_id", "pos", "word", "t_start_ms", "t_end_ms", "dur_ms"
+    )
+
+
 def _q_lh_delete(spark, sf_dir):
     """Copy-on-write DELETE: drops error-rows for every 3rd user; the
     post-delete scan must equal plain SQL with the negated predicate."""
@@ -2392,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_detection": _q_audio_dup_detection,
         "audio_qc_detection": _q_audio_qc_detection,
         "audio_mfcc_invariance": _q_audio_mfcc_invariance,
+        "audio_word_crop": _q_audio_word_crop,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

@@ -510,6 +510,86 @@ def segment_clips(df, start_ms: int, end_ms: int, bytes_col: str = "bytes"):
     )
 
 
+@F.pandas_udf(RESAMPLED_TYPE)
+def _crop_udf(raw: pd.Series, start_ms: pd.Series, end_ms: pd.Series) -> pd.DataFrame:
+    from .synth import wrap_wav
+
+    out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+    for b, s_ms, e_ms in zip(raw, start_ms, end_ms):
+        try:
+            sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            out["bytes"].append(None)
+            out["sr_hz"].append(None)
+            out["dur_ms"].append(None)
+            continue
+        lo = max(0, min(len(x), int(int(s_ms) * sr / 1000)))
+        hi = max(lo, min(len(x), int(int(e_ms) * sr / 1000)))
+        y = x[lo:hi]
+        out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+    return pd.DataFrame(out)
+
+
+def crop_clips(
+    df,
+    start_col="t_start_ms",
+    end_col="t_end_ms",
+    bytes_col: str = "bytes",
+):
+    """PER-ROW time-slice: each row supplies its own [start, end)
+    window (columns, not literals) — the shape a training-example
+    extractor needs (crop every aligned word / VAD segment in one
+    pass). ``segment_clips`` is the constant-window special case.
+    One Arrow batch pass; out-of-range windows clamp to the clip."""
+    s = _crop_udf(
+        F.col(bytes_col),
+        F.col(start_col).cast("long"),
+        F.col(end_col).cast("long"),
+    ).alias("__s")
+    others = [
+        c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")
+    ]
+    return df.select(*others, s).select(
+        *others,
+        F.col("__s.bytes").alias("bytes"),
+        F.col("__s.sr_hz").alias("sr_hz"),
+        F.col("__s.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )
+
+
+def word_crop_examples(
+    df,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+):
+    """ASR training-example extractor: align words uniformly
+    (`transcripts.align_uniform` arithmetic), then crop each word's
+    audio window — one row per (clip, word) carrying its OWN payload.
+    The posexplode fan-out keeps the clip bytes on every word row (no
+    join) and the crop is one Arrow pass: the whole extractor is a
+    map — zero shuffles at any corpus size."""
+    words = df.select(
+        F.col(id_col),
+        F.col("bytes"),
+        F.col("dur_ms").cast("long").alias("_dur"),
+        F.posexplode(F.split(F.col(transcript_col), " ")).alias(
+            "pos", "word"
+        ),
+        F.size(F.split(F.col(transcript_col), " ")).alias("_n"),
+    ).select(
+        id_col,
+        "pos",
+        "word",
+        "bytes",
+        F.expr("(_dur * pos) DIV _n").alias("t_start_ms"),
+        F.expr("(_dur * (pos + 1)) DIV _n").alias("t_end_ms"),
+    )
+    return crop_clips(words)
+
+
 # --- perceptual fingerprint + near-dup detection -------------------------------
 
 

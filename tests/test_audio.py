@@ -747,3 +747,66 @@ def test_mfcc_embedding_matches_gain_scaled_copy(spark):
     )
     bad = j.filter(F.col("cos") < 0.999).count()
     assert bad == 0, j.collect()
+
+
+def test_crop_clips_per_row_windows(spark):
+    """Per-row cropping: each row's own [start, end) window; decoded
+    duration equals the window (±1 ms rounding); concatenating the
+    crops of a partition of [0, dur) reconstructs the clip exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import crop_clips, decode_wav
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 6, seed=13, n_days=1)
+    halves = df.select(
+        "clip_id", "bytes",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("t_start_ms"),
+                         (F.col("dur_ms") / 2).cast("long").alias("t_end_ms")),
+                F.struct((F.col("dur_ms") / 2).cast("long").alias("t_start_ms"),
+                         F.col("dur_ms").cast("long").alias("t_end_ms")),
+            )
+        ).alias("w"),
+    ).select("clip_id", "bytes", "w.t_start_ms", "w.t_end_ms")
+    out = crop_clips(halves)
+    rows = out.select(
+        "clip_id", "t_start_ms", "t_end_ms", "bytes", "dur_ms"
+    ).collect()
+    originals = {
+        r.clip_id: decode_wav(r.bytes)[1]
+        for r in df.select("clip_id", "bytes").collect()
+    }
+    by_clip = {}
+    for r in rows:
+        want = r.t_end_ms - r.t_start_ms
+        assert abs(r.dur_ms - want) <= 1, (r.clip_id, r.dur_ms, want)
+        by_clip.setdefault(r.clip_id, []).append(r)
+    for cid, parts in by_clip.items():
+        parts.sort(key=lambda r: r.t_start_ms)
+        cat = np.concatenate([decode_wav(r.bytes)[1] for r in parts])
+        assert np.array_equal(cat, originals[cid])
+
+
+def test_word_crop_examples_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import word_crop_examples
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 8, seed=21, n_days=1)
+    out = word_crop_examples(df)
+    # one row per word; crop duration equals the aligned window
+    n_words = df.select(
+        F.sum(F.size(F.split("transcript", " ")))
+    ).collect()[0][0]
+    rows = out.collect()
+    assert len(rows) == n_words
+    assert all(
+        abs(r.dur_ms - (r.t_end_ms - r.t_start_ms)) <= 1 for r in rows
+    )
+    # the extractor is a pure map: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
