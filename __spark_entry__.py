@@ -1467,6 +1467,52 @@ def _q_audio_word_crop(spark, sf_dir):
     )
 
 
+def _q_lh_curate_clips(spark, sf_dir):
+    """Self-verifying one-call audio curation: plant near-duplicate,
+    hard-clipped, and DC-biased clips in a clean corpus stored as a
+    real lakehouse table, run curate_clips (QC screen + perceptual
+    dedup, ONE merge-on-read delete commit), and assert the survivor
+    id set is EXACTLY the clean originals."""
+    from lakehouse import Table
+    from lakehouse.audio import augment_clips, curate_clips, shift_dc_clips
+    from lakehouse.synth import synth_clips_df
+
+    clean = synth_clips_df(spark, 96, seed=29, n_days=3)
+    dups = (
+        clean.limit(6)
+        .withColumn("clip_id", F.concat(F.lit("zz-dup-"), F.col("clip_id")))
+    )
+    clipped = augment_clips(
+        synth_clips_df(spark, 5, seed=77, n_days=3, start=50_000),
+        seed=1, noise_snr_db=None, gain_db_range=(16.0, 16.0),
+    ).select(*clean.columns)
+    biased = shift_dc_clips(
+        synth_clips_df(spark, 5, seed=88, n_days=3, start=60_000), 0.25
+    ).select(*clean.columns)
+
+    root = tempfile.mkdtemp(prefix="lh_cur_")
+    t = Table.create(spark, os.path.join(root, "clips"), clean.schema)
+    t.append(clean, target_file_count=4)
+    t.append(dups.unionByName(clipped).unionByName(biased))
+
+    res = curate_clips(t)
+    assert res.keys_deleted == 16, res  # 6 dups + 5 clipped + 5 biased
+    got = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    want = {r.clip_id for r in clean.select("clip_id").collect()}
+    assert got == want, (len(got), len(want), got ^ want)
+    # curation is idempotent: a second pass finds nothing
+    assert curate_clips(t).keys_deleted == 0
+    return (
+        t.scan()
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dur_ms").alias("dur_sum"),
+        )
+        .select(F.col("event_date").cast("string").alias("d"), "n", "dur_sum")
+    )
+
+
 def _q_lh_delete(spark, sf_dir):
     """Copy-on-write DELETE: drops error-rows for every 3rd user; the
     post-delete scan must equal plain SQL with the negated predicate."""
@@ -2432,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_qc_detection": _q_audio_qc_detection,
         "audio_mfcc_invariance": _q_audio_mfcc_invariance,
         "audio_word_crop": _q_audio_word_crop,
+        "lh_audio_curate_clips": _q_lh_curate_clips,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

@@ -703,6 +703,46 @@ def dedup_clips(table, *, id_col: str = "clip_id", max_hamming: int = 3):
     return delete_mor_keys(table, victims, key=id_col)
 
 
+def curate_clips(
+    table,
+    *,
+    id_col: str = "clip_id",
+    max_hamming: int = 3,
+    clipping_max: float = 0.05,
+    dc_max: float = 0.1,
+    min_dur_ms: int = 0,
+):
+    """One-call audio corpus curation — the clips twin of
+    ``dedup.curate_documents``: QC screen (clipping ratio, DC offset,
+    minimum duration, decode failures) PLUS perceptual near-dup dedup,
+    committed as ONE merge-on-read equality delete (O(victims) write,
+    no data rewritten; folds in at the next maintenance pass).
+
+    One decode feeds both screens per clip-read: QC flags come from
+    ``audio_features_ext`` over the same scan the fingerprint pass
+    reads. Dedup victims are each detected pair's greater id, so a
+    duplicate cluster keeps its minimum SURVIVING id. Returns the
+    delete commit result (``keys_deleted`` = clips removed).
+    """
+    from .ops.mor import delete_mor_keys
+
+    scan = table.scan()
+    f = scan.select(
+        F.col(id_col), audio_features_ext(F.col("bytes")).alias("__f"),
+        F.col("dur_ms"),
+    )
+    qc_bad = f.filter(
+        F.col("__f.clipping_ratio").isNull()
+        | (F.col("__f.clipping_ratio") > clipping_max)
+        | (F.abs(F.col("__f.dc_offset")) > dc_max)
+        | (F.col("dur_ms") < min_dur_ms)
+    ).select(id_col)
+    pairs = audio_dup_pairs(scan, id_col=id_col, max_hamming=max_hamming)
+    dup_victims = pairs.select(F.col("clip_b").alias(id_col))
+    victims = qc_bad.unionByName(dup_victims).distinct()
+    return delete_mor_keys(table, victims, key=id_col)
+
+
 # --- spectral analysis (framed FFT; pure numpy — no audio libs in env) -------
 
 SPECTRAL_TYPE = T.StructType(
