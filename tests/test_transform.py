@@ -182,3 +182,30 @@ def test_mfcc_transform_registered(spark, tmp_path):
     assert len(rows) == 12
     assert all(r.embedding is not None and len(r.embedding) == 12
                for r in rows)  # 13 mfcc - c0
+
+
+def test_refresh_merge_kwargs_route_to_mor(spark, tmp_path):
+    """refresh(mode=\"mor\") routes the CDC fold-in through the
+    merge-on-read MERGE: same parity, zero data-file rewrites in the
+    refresh commit (deletes become delete files)."""
+    base = _mk_base(spark, tmp_path, n=48)
+    mt = MaterializedTransform.create(
+        spark,
+        str(tmp_path / "feat"),
+        base,
+        key="clip_id",
+        columns=["clip_id", "dur_ms"],
+        exprs={"dur_s": "dur_ms / 1000.0"},
+    )
+    mt.refresh()
+    files_before = {e.file_path for e in mt.table.live_files()}
+    # base churn that produces BOTH upserts and deletes
+    base.delete("dur_ms % 3 = 0", mode="mor", key="clip_id")
+    base.append(synth_clips_df(spark, 16, seed=9, n_days=4, start=100_000))
+    res = mt.refresh(mode="mor")
+    assert res.mode == "incremental"
+    assert res.rows_upserted > 0 and res.rows_deleted > 0
+    _assert_parity(mt)
+    # MoR refresh never rewrote a pre-existing derived data file
+    files_after = {e.file_path for e in mt.table.live_files()}
+    assert files_before <= files_after
