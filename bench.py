@@ -416,6 +416,8 @@ def main() -> None:
             "cosine_topk",
             "events_windowed_rollup",
             "events_sessionize",
+            "transcript_wer",
+            "length_bucket_batches",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 
