@@ -1467,6 +1467,42 @@ def _q_audio_word_crop(spark, sf_dir):
     )
 
 
+def _q_audio_spectrogram(spark, sf_dir):
+    """Self-verifying framed log-mel spectrogram materialization: every
+    clip decodes, the flat array length equals n_frames*n_mels, and
+    n_frames obeys the hop law 1 + (max(n,512)-512) DIV 256 derived
+    from dur_ms*sr — the sequence-model feature layout, asserted
+    end-to-end."""
+    from lakehouse.audio import with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 160, seed=37, n_days=3)
+    out = with_spectrogram(df).select(
+        "clip_id", "dur_ms", "sr_hz", "spectrogram.*"
+    )
+    n_samples = F.round(F.col("dur_ms") * F.col("sr_hz") / 1000).cast("long")
+    want_frames = (
+        F.lit(1) + (F.greatest(n_samples, F.lit(512)) - 512) / 256
+    ).cast("long")
+    bad = out.filter(
+        (~F.col("ok"))
+        | (F.size("logmel") != F.col("n_frames") * F.col("n_mels"))
+        | (F.col("n_frames") != want_frames)
+    ).count()
+    assert bad == 0, f"{bad} clips broke the spectrogram laws"
+    return out.select(
+        "clip_id",
+        "n_frames",
+        "n_mels",
+        F.round(
+            F.aggregate(
+                "logmel", F.lit(0.0), lambda a, v: a + v
+            ) / F.size("logmel"),
+            4,
+        ).alias("mean_logmel"),
+    )
+
+
 def _q_lh_curate_clips(spark, sf_dir):
     """Self-verifying one-call audio curation: plant near-duplicate,
     hard-clipped, and DC-biased clips in a clean corpus stored as a
@@ -2479,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc_invariance": _q_audio_mfcc_invariance,
         "audio_word_crop": _q_audio_word_crop,
         "lh_audio_curate_clips": _q_lh_curate_clips,
+        "audio_spectrogram": _q_audio_spectrogram,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

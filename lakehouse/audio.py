@@ -869,6 +869,83 @@ def with_spectral_embedding(
     return df.withColumn(out_col, emb).drop("spectral")
 
 
+# --- framed spectrogram materialization (sequence-model features) ------------
+
+SPECTROGRAM_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mels", T.IntegerType()),
+        # row-major [n_frames x n_mels] log-mel energies — flat so the
+        # column stays a primitive float array (Arrow/parquet friendly,
+        # slices cheaply by frame index)
+        T.StructField("logmel", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_spectrogram_udf(
+    n_fft: int = 512, hop: int = 256, n_mels: int = 24
+):
+    """Per-FRAME log-mel spectrogram (what a sequence model consumes —
+    contrast with ``audio_spectral``'s frame-AVERAGED features). One
+    vectorized rfft over all frames per clip; emitted flat row-major
+    with the (n_frames, n_mels) shape alongside."""
+
+    @F.pandas_udf(SPECTROGRAM_TYPE)
+    def spectrogram_udf(raw: pd.Series) -> pd.DataFrame:
+        out = {"ok": [], "n_frames": [], "n_mels": [], "logmel": []}
+        fb_cache: dict[int, np.ndarray] = {}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out["ok"].append(False)
+                out["n_frames"].append(None)
+                out["n_mels"].append(None)
+                out["logmel"].append(None)
+                continue
+            if len(x) < n_fft:
+                x = np.pad(x.astype(np.float64), (0, n_fft - len(x)))
+            else:
+                x = x.astype(np.float64)
+            n_frames = 1 + (len(x) - n_fft) // hop
+            idx = (
+                np.arange(n_fft)[None, :]
+                + hop * np.arange(n_frames)[:, None]
+            )
+            win = np.hanning(n_fft)
+            p = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+            if sr not in fb_cache:
+                fb_cache[sr] = _mel_filterbank(p.shape[1], sr, n_mels)
+            mel = p @ fb_cache[sr].T  # (n_frames, n_mels)
+            logmel = np.log(np.maximum(mel, 1e-30)).astype(np.float32)
+            out["ok"].append(True)
+            out["n_frames"].append(int(n_frames))
+            out["n_mels"].append(int(n_mels))
+            out["logmel"].append(logmel.reshape(-1))
+        return pd.DataFrame(out)
+
+    return spectrogram_udf
+
+
+def with_spectrogram(
+    df,
+    bytes_col: str = "bytes",
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 24,
+):
+    """Attach the framed log-mel spectrogram struct (one Arrow pass).
+    The flat float array plus (n_frames, n_mels) is the storage layout
+    a feature table wants: primitive parquet column, frame-sliceable,
+    and the MaterializedTransform registry serves it incrementally."""
+    return df.withColumn(
+        "spectrogram",
+        make_spectrogram_udf(n_fft, hop, n_mels)(F.col(bytes_col)),
+    )
+
+
 # --- MFCC (mel-frequency cepstral coefficients; pure numpy) ------------------
 
 MFCC_TYPE = T.StructType(

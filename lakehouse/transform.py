@@ -70,6 +70,19 @@ def _builtin_transforms():
                 "clip_id", "embedding"
             )
 
+    if "spectrogram" not in _TRANSFORMS:
+
+        @register_transform("spectrogram")
+        def _spectro(df: DataFrame) -> DataFrame:
+            from .audio import with_spectrogram
+
+            return with_spectrogram(df).select(
+                "clip_id",
+                F.col("spectrogram.n_frames").alias("n_frames"),
+                F.col("spectrogram.n_mels").alias("n_mels"),
+                F.col("spectrogram.logmel").alias("logmel"),
+            )
+
     if "mfcc_embedding" not in _TRANSFORMS:
 
         @register_transform("mfcc_embedding")

@@ -810,3 +810,58 @@ def test_word_crop_examples_end_to_end(spark):
     # the extractor is a pure map: no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_spectrogram_shape_and_frame_consistency(spark):
+    """Framed log-mel: flat array length == n_frames*n_mels; frame 0 of
+    the spectrogram equals an independently computed single-frame mel
+    (the per-frame path agrees with the reference numpy arithmetic);
+    frame count follows the hop law."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import _mel_filterbank, with_spectrogram
+    from lakehouse.synth import synth_clips_df, synth_pcm
+
+    df = synth_clips_df(spark, 6, seed=15, n_days=1)
+    out = with_spectrogram(df).select(
+        "clip_id", "dur_ms", "sr_hz", "spectrogram.*"
+    )
+    rows = out.collect()
+    assert all(r.ok for r in rows)
+    for r in rows:
+        assert len(r.logmel) == r.n_frames * r.n_mels
+        n_samples = int(round(r.dur_ms * r.sr_hz / 1000))
+        assert r.n_frames == 1 + (max(n_samples, 512) - 512) // 256
+
+    # reference check on one clip: recompute frame 0 in plain numpy
+    r0 = sorted(rows, key=lambda r: r.clip_id)[0]
+    idx = int(r0.clip_id.split("-")[1])
+    # seed/idx pairing mirrors synth_clips_df's generator
+    x = synth_pcm(15, idx, r0.sr_hz, int(round(r0.dur_ms * r0.sr_hz / 1000)))
+    frame = x[:512].astype(np.float64) * np.hanning(512)
+    p = np.abs(np.fft.rfft(frame)) ** 2
+    mel = _mel_filterbank(len(p), r0.sr_hz, r0.n_mels) @ p
+    want = np.log(np.maximum(mel, 1e-30))
+    got = np.array(r0.logmel[: r0.n_mels], dtype=np.float64)
+    # logmel is stored float32: ~1e-3 abs error after the log
+    assert np.allclose(got, want, atol=5e-3), (got - want)
+
+
+def test_spectrogram_registered_transform(spark, tmp_path):
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+    from lakehouse.transform import MaterializedTransform
+
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 8, seed=4, n_days=1))
+    mt = MaterializedTransform.create(
+        spark, str(tmp_path / "spec"), t,
+        key="clip_id", columns=["clip_id", "bytes"],
+        transform="spectrogram",
+    )
+    assert mt.refresh().mode == "full"
+    rows = mt.scan().collect()
+    assert len(rows) == 8
+    assert all(len(r.logmel) == r.n_frames * r.n_mels for r in rows)
