@@ -1873,6 +1873,10 @@ def _q_lh_datasource_scan(spark, sf_dir):
     t.delete(
         "event_type = 'error' AND user_id % 3 = 0", mode="mor", key="event_id"
     )
+    # runtime-settable; host harnesses may default it false, and we want
+    # the pushdown reader exercised here (register() degrades to the
+    # no-pushFilters reader only when this conf is off)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     df = (
         spark.read.format("lakehouse")

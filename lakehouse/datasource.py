@@ -92,8 +92,24 @@ DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
 
 def register(spark) -> None:
-    """Register the ``lakehouse`` format on a SparkSession (idempotent)."""
-    spark.dataSource.register(LakehouseDataSource)
+    """Register the ``lakehouse`` format on a SparkSession (idempotent).
+
+    Degrades gracefully in host sessions that disable Python-datasource
+    filter pushdown: Spark 4.1 hard-errors (``DATA_SOURCE_PUSHDOWN_DISABLED``)
+    if the reader class merely *defines* ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — so when the
+    active session has it off we register a variant whose batch reader
+    carries no ``pushFilters`` attribute at all. Pushdown here is a
+    file-skipping optimization (every filter is reported unsupported and
+    re-applied row-level by Spark), so rows are identical either way.
+    Per-read override: ``.option("pushdown", "false")``.
+    """
+    enabled = str(
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "true")
+    ).lower() == "true"
+    spark.dataSource.register(
+        LakehouseDataSource if enabled else LakehouseNoPushdownDataSource
+    )
 
 
 # --- option handling ----------------------------------------------------------
@@ -431,6 +447,14 @@ def _to_predicate(flt) -> Optional[Predicate]:
 
 
 class LakehouseBatchReader(DataSourceReader):
+    """Base batch reader — deliberately does NOT define ``pushFilters``:
+    Spark 4.1 refuses to construct a reader that merely has the attribute
+    when ``spark.sql.python.filterPushdown.enabled`` is false. File-level
+    pushdown lives in the :class:`LakehousePushdownBatchReader` subclass;
+    this base still does snapshot pinning, partition/stat pruning of
+    explicit scan options, and MoR delete application — rows are
+    identical with or without pushdown (Spark re-filters row-level)."""
+
     def __init__(self, root: str, options):
         self._root = root
         meta = load_metadata(root)
@@ -446,15 +470,6 @@ class LakehouseBatchReader(DataSourceReader):
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self._preds: list[Predicate] = []
-
-    def pushFilters(self, filters):
-        for flt in filters:
-            pred = _to_predicate(flt)
-            if pred is not None:
-                self._preds.append(pred)
-        # report everything unsupported: our pushdown prunes FILES
-        # (superset semantics); Spark keeps row-level responsibility
-        return filters
 
     def partitions(self):
         meta = load_metadata(self._root)
@@ -477,6 +492,19 @@ class LakehouseBatchReader(DataSourceReader):
 
     def read(self, partition: FilesPartition):
         yield from _read_partition(partition, self._schema)
+
+
+class LakehousePushdownBatchReader(LakehouseBatchReader):
+    """Batch reader + WHERE-clause file pruning (the default)."""
+
+    def pushFilters(self, filters):
+        for flt in filters:
+            pred = _to_predicate(flt)
+            if pred is not None:
+                self._preds.append(pred)
+        # report everything unsupported: our pushdown prunes FILES
+        # (superset semantics); Spark keeps row-level responsibility
+        return filters
 
 
 # --- stream reader ------------------------------------------------------------
@@ -923,6 +951,11 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
 class LakehouseDataSource(DataSource):
     """``spark.read.format("lakehouse").load(root)`` — see module doc."""
 
+    #: default reader flavor; ``register()`` swaps in the no-pushdown
+    #: variant when the session disables Python-datasource pushdown, and
+    #: any individual read can force it via .option("pushdown", "false")
+    PUSHDOWN_DEFAULT = True
+
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
@@ -934,7 +967,14 @@ class LakehouseDataSource(DataSource):
         return _snapshot_schema(meta, sid)
 
     def reader(self, schema: T.StructType) -> LakehouseBatchReader:
-        return LakehouseBatchReader(_table_root(self.options), self.options)
+        opt = self.options.get("pushdown")
+        pushdown = (
+            self.PUSHDOWN_DEFAULT
+            if opt is None
+            else str(opt).lower() == "true"
+        )
+        cls = LakehousePushdownBatchReader if pushdown else LakehouseBatchReader
+        return cls(_table_root(self.options), self.options)
 
     def streamReader(self, schema: T.StructType) -> LakehouseStreamReader:
         return LakehouseStreamReader(_table_root(self.options), self.options)
@@ -951,3 +991,11 @@ class LakehouseDataSource(DataSource):
                 "streaming.upsert_batch for update semantics"
             )
         return LakehouseStreamWriter(_table_root(self.options))
+
+
+class LakehouseNoPushdownDataSource(LakehouseDataSource):
+    """Same ``lakehouse`` format, batch reader without a ``pushFilters``
+    attribute — what ``register()`` installs when the host session runs
+    with ``spark.sql.python.filterPushdown.enabled=false``."""
+
+    PUSHDOWN_DEFAULT = False

@@ -14,7 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse import Table
-from lakehouse.datasource import LakehouseBatchReader, register
+from lakehouse.datasource import (
+    LakehouseBatchReader,
+    LakehousePushdownBatchReader,
+    register,
+)
 from lakehouse.schema import CLIPS_SCHEMA
 from lakehouse.synth import synth_clips_df
 
@@ -99,10 +103,10 @@ def test_filter_pushdown_prunes_files(spark, clips_table):
     files under a selective predicate, and results still match."""
     from pyspark.sql.datasource import EqualTo
 
-    reader = LakehouseBatchReader(clips_table.root, {})
+    reader = LakehousePushdownBatchReader(clips_table.root, {})
     all_files = sum(len(p.files) for p in reader.partitions())
 
-    pruned = LakehouseBatchReader(clips_table.root, {})
+    pruned = LakehousePushdownBatchReader(clips_table.root, {})
     one_day = clips_table.scan().select("event_date").first()[0]
     kept = pruned.pushFilters([EqualTo(("event_date",), one_day)])
     assert list(kept)  # everything reported back for row-level reapply
@@ -118,6 +122,50 @@ def test_filter_pushdown_prunes_files(spark, clips_table):
         F.col("event_date") == F.lit(one_day)
     )
     _assert_same_rows(df, native)
+
+
+def test_reads_when_host_session_disables_pushdown(spark, clips_table):
+    """Spark 4.1 refuses to build a reader that even *defines*
+    pushFilters while spark.sql.python.filterPushdown.enabled is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED). register() must detect the conf and
+    degrade to the no-pushFilters reader so the format works in ANY host
+    session — rows identical, pushdown is only a file-skipping
+    optimization. Mirrors the driver harness that surfaced this
+    (CORRECTNESS_r02 lh_datasource_scan)."""
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    try:
+        spark.conf.set(conf_key, "false")
+        register(spark)  # re-register: picks the no-pushdown variant
+        one_day = clips_table.scan().select("event_date").first()[0]
+        df = (
+            spark.read.format("lakehouse")
+            .load(clips_table.root)
+            .filter(F.col("event_date") == F.lit(one_day))
+        )
+        native = clips_table.scan().filter(
+            F.col("event_date") == F.lit(one_day)
+        )
+        _assert_same_rows(df, native)
+        # the degraded reader class must not OVERRIDE pushFilters (the
+        # exact check plan_data_source_read.py applies)
+        from pyspark.sql.datasource import DataSourceReader
+
+        assert (
+            LakehouseBatchReader.pushFilters is DataSourceReader.pushFilters
+        )
+        # per-read override works in a pushdown-enabled session too
+        spark.conf.set(conf_key, "true")
+        register(spark)
+        df2 = (
+            spark.read.format("lakehouse")
+            .option("pushdown", "false")
+            .load(clips_table.root)
+        )
+        _assert_same_rows(df2, clips_table.scan())
+    finally:
+        spark.conf.set(conf_key, prev)
+        register(spark)
 
 
 def test_time_travel_snapshot_and_ref(spark, clips_table):
