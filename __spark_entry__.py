@@ -1784,6 +1784,10 @@ def _q_lh_rollup_incremental(spark, sf_dir):
             "v_max": ("max", "value"),
         },
     )
+    # the MoR delete below touches every file's key range at this data
+    # size, so the resync cost guard would (correctly) switch to a full
+    # recompute; this query exercises the incremental algebra itself
+    roll.table.set_properties(rollup_resync_cost_ratio="off")
     assert roll.refresh().mode == "full"
 
     ev = _events(spark, sf_dir)
@@ -1836,6 +1840,7 @@ def _q_lh_transform_incremental(spark, sf_dir):
             "ehour": "CAST(date_trunc('hour', ts) AS STRING)",
         },
     )
+    mt.table.set_properties(transform_resync_cost_ratio="off")
     assert mt.refresh().mode == "full"
 
     ev = _events(spark, sf_dir)
@@ -1955,6 +1960,7 @@ def _q_lh_rollup_hourly(spark, sf_dir):
             "v_sum": ("sum", "CAST(value AS DECIMAL(18,4))"),
         },
     )
+    roll.table.set_properties(rollup_resync_cost_ratio="off")
     assert roll.refresh().mode == "full"
     ev = _events(spark, sf_dir)
     t.append(

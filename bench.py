@@ -310,8 +310,12 @@ def main() -> None:
             timed("delete_pos_1pct", delete_pos_1pct)
 
             def rollup_incremental():
+                # the positional-delete materialization above rewrote
+                # every file: the CDC diff would read 2x the table, so
+                # the manifest-arithmetic cost guard must pick the
+                # 1x-read full-resync (r2 verdict item 4)
                 res = roll_holder["r"].refresh()
-                assert res.mode == "incremental"
+                assert res.mode == "full-resync", res
 
             timed("rollup_incremental", rollup_incremental)
 

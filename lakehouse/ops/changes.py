@@ -207,6 +207,85 @@ def row_changes(
     return inserts.unionByName(deletes)
 
 
+def diff_read_bytes(
+    table,
+    *,
+    from_snapshot_id: Optional[int],
+    to_snapshot_id: Optional[int] = None,
+) -> tuple[int, int]:
+    """Manifest-only cost estimate for ``row_changes``: returns
+    ``(diff_bytes, live_bytes)`` where ``diff_bytes`` is the total data
+    bytes the CDC diff would read (both sides of the file-set symmetric
+    difference, plus delete-affected files when either endpoint carries
+    MoR deletes — the exact set ``row_changes`` plans) and
+    ``live_bytes`` is the data bytes of a full scan at ``to``. Zero
+    I/O: pure arithmetic over the same manifests the planner already
+    loaded. Incremental consumers use it to fall back to a full
+    recompute when a table-wide change makes the diff read MORE than
+    the table (e.g. a positional-delete materialization rewrites every
+    file: diff reads old+new of everything = 2x, recompute reads 1x).
+    """
+    meta = table.meta
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta.current_snapshot_id
+    )
+
+    def _plan_of(sid):
+        return None if sid is None else table.plan(snapshot_id=sid)
+
+    old_plan, new_plan = _plan_of(from_snapshot_id), _plan_of(to_id)
+    old_entries = {e.file_path: e for e in (old_plan.files if old_plan else [])}
+    new_entries = {e.file_path: e for e in (new_plan.files if new_plan else [])}
+    live_bytes = sum(e.file_size_bytes for e in new_entries.values())
+    old_dels = old_plan.delete_files if old_plan else []
+    new_dels = new_plan.delete_files if new_plan else []
+
+    if not old_dels and not new_dels:
+        diff_bytes = sum(
+            e.file_size_bytes
+            for p, e in old_entries.items()
+            if p not in new_entries
+        ) + sum(
+            e.file_size_bytes
+            for p, e in new_entries.items()
+            if p not in old_entries
+        )
+        return diff_bytes, live_bytes
+
+    from ..ops.mor import _pos_delete_touches, _range_intersects
+
+    all_dels = {d.file_path: d for d in old_dels + new_dels}.values()
+
+    def _affected(e) -> bool:
+        return any(
+            e.seq < d.seq
+            and (
+                _pos_delete_touches(e, d)
+                if d.is_pos_delete
+                else _range_intersects(
+                    e.stats.get(d.delete_key) or {},
+                    d.stats.get(d.delete_key) or {},
+                )
+            )
+            for d in all_dels
+        )
+
+    def _side_bytes(entries, other) -> int:
+        return sum(
+            e.file_size_bytes
+            for p, e in entries.items()
+            if p not in other or _affected(e)
+        )
+
+    return (
+        _side_bytes(old_entries, new_entries)
+        + _side_bytes(new_entries, old_entries),
+        live_bytes,
+    )
+
+
 def changelog_view(
     table,
     *,

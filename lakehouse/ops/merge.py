@@ -431,6 +431,7 @@ def merge_into(
     strategy: str = "auto",
     broadcast_threshold: int = 32 * 1024 * 1024,
     extra_summary: Optional[dict] = None,
+    set_props: Optional[dict] = None,
 ) -> MergeResult:
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise MergeError(f"unknown merge strategy: {strategy!r}")
@@ -577,6 +578,7 @@ def merge_into(
             "rows_written": rows_written,
             **(extra_summary or {}),
         },
+        set_props=set_props,
     )
     log.finish_task(
         "merge",

@@ -251,6 +251,7 @@ def merge_into_mor(
     target_file_count: Optional[int] = None,
     job_id: Optional[str] = None,
     extra_summary: Optional[dict] = None,
+    set_props: Optional[dict] = None,
 ):
     """MERGE INTO — merge-on-read. ONE commit carrying an equality
     delete file of EVERY source key plus appended data files for the
@@ -360,6 +361,7 @@ def merge_into_mor(
                 "rows_written": rows_written,
                 **(extra_summary or {}),
             },
+            set_props=set_props,
         )
         log.finish_task(
             "merge_mor", del_entries + data_entries, files_in=[], bytes_in=0

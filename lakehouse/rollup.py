@@ -271,11 +271,56 @@ class MaterializedRollup:
                     *gnames, _gkey_expr(gnames), *_agg_out_cols(aggs)
                 )
             )
-            self.table.append(full)
-            self.table.set_properties(rollup_synced_snapshot=to_id)
+            # marker rides the SAME commit as the data: a crash can
+            # never leave rows without the marker (replay would append
+            # the full build a second time)
+            self.table.append(
+                full, set_props={"rollup_synced_snapshot": to_id}
+            )
             return RefreshResult("full", None, to_id, -1, 0)
 
-        from .errors import SnapshotNotFoundError
+        from .errors import LakehouseError, SnapshotNotFoundError
+
+        # data-neutral shortcut (zero reads): compaction, clustering,
+        # and manifest rewrites change no logical rows — their CDC diff
+        # would read 2x the rewritten bytes only for every row to
+        # cancel. Recognize the chain from the snapshot log alone and
+        # just advance the marker.
+        try:
+            from .ops.changes import DATA_NEUTRAL_OPS, _chain
+
+            chain = _chain(base.meta, synced, to_id)
+            if chain and all(
+                s.operation in DATA_NEUTRAL_OPS for s in chain
+            ):
+                self.table.set_properties(rollup_synced_snapshot=to_id)
+                return RefreshResult("incremental", synced, to_id, 0, 0)
+        except LakehouseError:
+            pass  # broken/expired chain: recovery paths below decide
+
+        # cost guard (manifest arithmetic, zero I/O): after a table-wide
+        # change (e.g. a positional-delete materialization rewrote every
+        # file, or an equality delete whose key range touches every
+        # file) the CDC diff reads old+new of everything — up to 2x the
+        # table — while a recompute reads it once. When the diff would
+        # read >= ratio x a full scan, take the resync path. Tunable per
+        # table: rollup_resync_cost_ratio = float ("off" disables; tests
+        # exercising the incremental algebra on tiny many-times-touched
+        # tables turn it off).
+        guard = str(self._props.get("rollup_resync_cost_ratio", "1.0"))
+        try:
+            if guard.lower() not in ("off", "none", ""):
+                from .ops.changes import diff_read_bytes
+
+                diff_b, live_b = diff_read_bytes(
+                    base, from_snapshot_id=synced, to_snapshot_id=to_id
+                )
+                if live_b > 0 and diff_b >= float(guard) * live_b:
+                    return self._full_resync(
+                        base, to_id, group_by, aggs, synced
+                    )
+        except SnapshotNotFoundError:
+            return self._full_resync(base, to_id, group_by, aggs, synced)
 
         try:
             delta = base.row_changes(
@@ -302,11 +347,21 @@ class MaterializedRollup:
             return self._full_resync(base, to_id, group_by, aggs, synced)
         try:
             if n_groups:
-                self.table.merge(src, key=GKEY, **merge_kw)
+                # old+delta values are NOT replay-idempotent: stamp the
+                # marker inside the merge commit itself
+                self.table.merge(
+                    src,
+                    key=GKEY,
+                    set_props={"rollup_synced_snapshot": to_id},
+                    **merge_kw,
+                )
+            else:
+                # no data change: a metadata-only stamp (replaying an
+                # empty diff is harmless either way)
+                self.table.set_properties(rollup_synced_snapshot=to_id)
         finally:
             for c in cached:
                 c.unpersist()
-        self.table.set_properties(rollup_synced_snapshot=to_id)
         return RefreshResult(
             "incremental", synced, to_id, n_groups, n_recomputed
         )
@@ -348,8 +403,8 @@ class MaterializedRollup:
             entries,
             [e.file_path for e in prior],
             summary={"mode": "rollup-full-resync", "base_snapshot": to_id},
+            set_props={"rollup_synced_snapshot": to_id},
         )
-        t.set_properties(rollup_synced_snapshot=to_id)
         return RefreshResult("full-resync", synced, to_id, -1, 0)
 
     def _incremental_source(self, delta, group_by, aggs, base, to_id):

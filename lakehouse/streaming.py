@@ -111,13 +111,15 @@ def append_if_absent_batch(
     existing rows are never touched — contrast ``upsert_batch``).
 
     Scale shape: the batch's key set (micro-batch-bounded, collected to
-    the driver) drives a planned point-lookup — min/max stats AND Bloom
-    sidecars prune the probe to the files that could contain any batch
-    key, whose key column alone is read; the present-key set (≤ batch
-    size) broadcasts into a left-anti join. A batch too large to probe
-    by key list falls back to a full key-column scan. Batch-id
-    idempotency as in ``append_batch``; duplicate keys WITHIN a batch
-    collapse to one arbitrary row first.
+    the driver ONLY after a limit-probe confirms it is under
+    ``max_probe_keys``) drives a planned point-lookup — min/max stats
+    AND Bloom sidecars prune the probe to the files that could contain
+    any batch key, whose key column alone is read; that bounded
+    present-key set broadcasts into a left-anti join. A batch too large
+    to probe by key list falls back to a full key-column scan with NO
+    broadcast hint (the table's key set is corpus-scaled — AQE decides).
+    Batch-id idempotency as in ``append_batch``; duplicate keys WITHIN
+    a batch collapse to one arbitrary row first.
     """
 
     def _inner(batch_df: DataFrame, batch_id: int) -> None:
@@ -126,12 +128,17 @@ def append_if_absent_batch(
         if batch_df.isEmpty():
             return
         batch = batch_df.dropDuplicates([key])
-        keys = [r[0] for r in batch.select(key).collect()]
-        if len(keys) <= max_probe_keys:
+        # probe the size BEFORE collecting: an oversized micro-batch
+        # must never pay an unbounded driver collect just to learn it
+        # should fall back (limit k+1 bounds the probe at k+1 rows)
+        probe = batch.select(key).limit(max_probe_keys + 1).collect()
+        if len(probe) <= max_probe_keys:
+            keys = [r[0] for r in probe]
             existing = table.scan(filter=[(key, "in", keys)]).select(key)
+            src = batch.join(F.broadcast(existing), key, "left_anti")
         else:
             existing = table.scan().select(key)
-        src = batch.join(F.broadcast(existing), key, "left_anti")
+            src = batch.join(existing, key, "left_anti")
         if src.isEmpty():
             # nothing new: no snapshot to carry the batch id, and none
             # needed — a replay re-derives the same empty set

@@ -110,11 +110,18 @@ class Table:
         summary: Optional[dict[str, Any]] = None,
         new_schema: Optional[T.StructType] = None,
         branch: Optional[str] = None,
+        set_props: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
         """Build snapshot N+1 = parent − removed + added, with manifest
         rewrite: any parent manifest touched by a removal is rewritten
         without the removed entries; untouched manifests are reused as-is
         (cheap commits, bounded metadata churn).
+
+        ``set_props``: property updates applied IN THE SAME commit as the
+        data change (``None`` value removes a key). Derived-table refresh
+        stamps its synced-snapshot marker this way so a crash can never
+        separate the data write from the marker (a stale marker would
+        replay the same delta and double-apply it).
 
         Conflict detection for rebases: every ``removed_path`` must still
         be live in the parent we end up committing against — if a
@@ -241,6 +248,14 @@ class Table:
             result_holder["snap"] = snap
             if branch is not None:
                 refs[branch] = {"snapshot_id": sid, "type": "branch"}
+            props = base.properties
+            if set_props:
+                props = dict(props)
+                for k, v in set_props.items():
+                    if v is None:
+                        props.pop(k, None)
+                    else:
+                        props[k] = v
             return S.TableMetadata(
                 table_uuid=base.table_uuid,
                 location=base.location,
@@ -255,7 +270,7 @@ class Table:
                     sid if branch is None else base.current_snapshot_id
                 ),
                 snapshots=base.snapshots + [snap],
-                properties=base.properties,
+                properties=props,
                 refs=refs,
             )
 
@@ -382,6 +397,7 @@ class Table:
         new_schema: Optional[T.StructType] = None,
         extra_summary: Optional[dict[str, Any]] = None,
         branch: Optional[str] = None,
+        set_props: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
         """ACID append: write partitioned Parquet + commit a new snapshot.
 
@@ -412,7 +428,7 @@ class Table:
         )
         return self._commit_files(
             "append", entries, (), new_schema=new_schema,
-            summary=extra_summary, branch=branch,
+            summary=extra_summary, branch=branch, set_props=set_props,
         )
 
     # --- read path ------------------------------------------------------------

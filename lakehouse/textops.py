@@ -357,17 +357,19 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-wide.
 
     Scale shape: two passes. Pass 1 builds the token count table (one
-    shuffle keyed on token — vocabulary-sized output, tiny next to the
-    corpus). Pass 2 re-explodes tokens and BROADCASTS the vocab, so the
-    corpus-sized side is scored map-side; the only corpus-keyed shuffle
-    is the final per-doc mean on unique doc_id (skew-free).
+    shuffle keyed on token — vocabulary-sized output, small next to the
+    corpus but NOT bounded: vocabulary grows with corpus size (Heaps'
+    law — URLs/typos at 100 TB mean billions of distinct tokens), so the
+    vocab side carries no broadcast hint; AQE picks broadcast when the
+    measured size allows and a shuffle join when it doesn't. The one-row
+    grand total IS bounded by construction and broadcasts explicitly.
     """
     tok = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
-    scored = tok.join(F.broadcast(cnt), "w").crossJoin(F.broadcast(tot))
+    scored = tok.join(cnt, "w").crossJoin(F.broadcast(tot))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(

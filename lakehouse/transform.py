@@ -226,8 +226,12 @@ class MaterializedTransform:
             full = self._apply(
                 base.scan(snapshot_id=to_id, columns=cols)
             )
-            self.table.append(full)
-            self.table.set_properties(transform_synced_snapshot=to_id)
+            # marker rides the SAME commit: plain appends are not
+            # replay-idempotent, so a crash between data and marker
+            # would duplicate every feature row on the next refresh
+            self.table.append(
+                full, set_props={"transform_synced_snapshot": to_id}
+            )
             return TransformRefreshResult("full", None, to_id, -1, 0)
 
         from .errors import LakehouseError, SnapshotNotFoundError
@@ -256,15 +260,36 @@ class MaterializedTransform:
             try:
                 n_up = ups.count()
                 if n_up:
-                    self.table.append(ups)
+                    self.table.append(
+                        ups,
+                        set_props={"transform_synced_snapshot": to_id},
+                    )
+                else:
+                    self.table.set_properties(
+                        transform_synced_snapshot=to_id
+                    )
             finally:
                 ups.unpersist()
-            self.table.set_properties(transform_synced_snapshot=to_id)
             return TransformRefreshResult(
                 "incremental", synced, to_id, n_up, 0
             )
 
+        # cost guard (manifest arithmetic, zero I/O): when a table-wide
+        # change makes the CDC diff read >= ratio x a full scan,
+        # recompute once instead of diffing twice the table. Tunable:
+        # transform_resync_cost_ratio = float ("off" disables).
+        guard = str(
+            self._props.get("transform_resync_cost_ratio", "1.0")
+        )
         try:
+            if guard.lower() not in ("off", "none", ""):
+                from .ops.changes import diff_read_bytes
+
+                diff_b, live_b = diff_read_bytes(
+                    base, from_snapshot_id=synced, to_snapshot_id=to_id
+                )
+                if live_b > 0 and diff_b >= float(guard) * live_b:
+                    return self._full_resync(base, to_id, synced)
             delta = base.row_changes(
                 from_snapshot_id=synced,
                 to_snapshot_id=to_id,
@@ -295,19 +320,28 @@ class MaterializedTransform:
                 n_up = ups.count()
                 n_del = src.filter(F.col("op") == "delete").count()
                 if n_up + n_del:
-                    self.table.merge(src, key=key, **merge_kw)
+                    self.table.merge(
+                        src,
+                        key=key,
+                        set_props={"transform_synced_snapshot": to_id},
+                        **merge_kw,
+                    )
+                else:
+                    self.table.set_properties(
+                        transform_synced_snapshot=to_id
+                    )
             finally:
                 src.unpersist()
         finally:
             delta.unpersist()
-        self.table.set_properties(transform_synced_snapshot=to_id)
         return TransformRefreshResult(
             "incremental", synced, to_id, n_up, n_del
         )
 
     def _full_resync(self, base, to_id, synced) -> TransformRefreshResult:
-        """The synced snapshot expired — recompute everything and swap
-        it in with ONE atomic overwrite commit."""
+        """Recompute everything and swap it in with ONE atomic overwrite
+        commit — taken when the synced snapshot expired (CDC chain gone)
+        or when the cost guard finds the diff would read >= the table."""
         from .ops.append import write_data_files
 
         full = self._apply(base.scan(snapshot_id=to_id, columns=self.columns))
@@ -330,8 +364,8 @@ class MaterializedTransform:
                 "mode": "transform-full-resync",
                 "base_snapshot": to_id,
             },
+            set_props={"transform_synced_snapshot": to_id},
         )
-        t.set_properties(transform_synced_snapshot=to_id)
         return TransformRefreshResult("full-resync", synced, to_id, -1, 0)
 
 

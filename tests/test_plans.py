@@ -321,3 +321,46 @@ def test_sorted_append_write_plan_uses_range_partitioning(spark, tmp_path):
     # provenance proves the write took the sorted path; disjointness is
     # gated in test_sortorder.py — here we check the tag end-to-end
     assert all(e.sort_order == "sorted(clip_id)" for e in t.live_files())
+
+
+def test_no_broadcast_hints_on_corpus_scaled_frames():
+    """Plan-hygiene rule (BASELINE.md): F.broadcast is allowed ONLY on
+    frames bounded by construction (query sets, quantile cuts, file
+    maps, bounded key/delete sets, one-row totals) — never on frames
+    whose size scales with the corpus (vocabularies, victim sets, full
+    key scans). This snapshot gate enumerates every F.broadcast call
+    site in the package; a new site must be audited for boundedness and
+    added here with its justification."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "lakehouse"
+    allowed = {
+        # file: {arg snippet: why it is bounded}
+        "dedup.py": {"eval_sh"},          # eval set, bounded input
+        "rollup.py": {"keys"},            # CDC-delta group keys of one refresh
+        "similarity.py": {"q", "probes"}, # bounded query/probe sets
+        "streaming.py": {"existing"},     # probe-capped key lookup (<= max_probe_keys)
+        "textops.py": {"tot"},            # one-row grand total
+        "ops/cluster.py": {"cuts_df"},    # quantile cut points (n_buckets rows)
+        "ops/compact.py": {"map_df"},     # file->bin map (metadata-bounded)
+        "ops/merge.py": {"keys"},         # bounded-set MERGE strategy keys
+        "ops/mor.py": {"keys_df", "ddf"}, # bounded equality-delete key sets
+        "meta/scan.py": {"ddf"},          # pending MoR delete keys/positions
+                                          # (maintenance folds them in before
+                                          # they can grow corpus-scaled)
+    }
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)")
+    seen: dict[str, set[str]] = {}
+    for py in pkg.rglob("*.py"):
+        rel = str(py.relative_to(pkg))
+        for m in pat.finditer(py.read_text()):
+            arg = m.group(1).split(".")[0]
+            seen.setdefault(rel, set()).add(arg)
+    for rel, args in seen.items():
+        extra = args - allowed.get(rel, set())
+        assert not extra, (
+            f"unaudited F.broadcast site(s) in lakehouse/{rel}: {extra} — "
+            "broadcast is only for frames bounded by construction; audit "
+            "and extend the allowlist, or drop the hint and let AQE decide"
+        )

@@ -78,6 +78,10 @@ def test_append_delta_is_incremental(spark, pair):
 
 def test_delete_delta_recomputes_minmax_groups(pair):
     t, r = pair
+    # at 4-file test scale this delete is "table-wide" and the cost
+    # guard would (correctly) resync; disable it to exercise the
+    # min/max recompute algebra itself
+    r.table.set_properties(rollup_resync_cost_ratio="off")
     r.refresh()
     t.delete("dur_ms <= 1200", mode="mor", key="clip_id")
     res = r.refresh()
@@ -89,6 +93,7 @@ def test_delete_delta_recomputes_minmax_groups(pair):
 
 def test_count_reaches_zero_drops_group(spark, pair):
     t, r = pair
+    r.table.set_properties(rollup_resync_cost_ratio="off")
     r.refresh()
     # wipe one whole group (every row of one (event_date, sr_hz) pair)
     row = t.scan().select("event_date", "sr_hz").first()
@@ -118,6 +123,7 @@ def test_compaction_is_data_neutral(pair):
 
 def test_cow_merge_delta(spark, pair):
     t, r = pair
+    r.table.set_properties(rollup_resync_cost_ratio="off")
     r.refresh()
     src = (
         t.scan()
@@ -160,6 +166,7 @@ def test_sum_goes_null_when_all_nonnull_inputs_deleted(spark, tmp_path):
             ),
         },
     )
+    r.table.set_properties(rollup_resync_cost_ratio="off")
     r.refresh()
     _check(r)
     t.delete("dur_ms > 2000", mode="cow")
@@ -212,6 +219,7 @@ def test_derived_group_keys(spark, tmp_path):
             "dur_min": ("min", "dur_ms"),
         },
     )
+    r.table.set_properties(rollup_resync_cost_ratio="off")
     assert r.refresh().mode == "full"
     _check(r)
     assert "day_hour" in r.scan().columns
@@ -222,4 +230,63 @@ def test_derived_group_keys(spark, tmp_path):
     t.delete("dur_ms <= 1000", mode="mor", key="clip_id")
     res = r.refresh()
     assert res.mode == "incremental" and res.groups_changed > 0
+    _check(r)
+
+
+def test_table_wide_rewrite_takes_cost_guarded_full_resync(pair):
+    """A positional-delete materialization rewrites every base file; the
+    CDC diff would read old+new of everything (2x the table) while a
+    recompute reads it once. The manifest-arithmetic cost guard must
+    pick the full-resync overwrite — and the result still equals the
+    full recompute."""
+    t, r = pair
+    r.refresh()
+    t.delete("dur_ms <= 1400", mode="mor-pos")
+    t.materialize_deletes()
+    res = r.refresh()
+    assert res.mode == "full-resync"
+    _check(r)
+    assert r.refresh().mode == "noop"
+
+
+def test_data_neutral_chain_refreshes_without_reading(spark, pair, monkeypatch):
+    """Compaction-only deltas advance the marker from the snapshot log
+    alone — no scan, no diff (the 100 TB property: maintenance on the
+    base must not cost the rollup a 2x read)."""
+    t, r = pair
+    r.refresh()
+    t.compact()
+    import lakehouse.ops.changes as changes
+
+    def boom(*a, **kw):
+        raise AssertionError("data-neutral refresh must not build a CDC diff")
+
+    monkeypatch.setattr(changes, "row_changes", boom)
+    res = r.refresh()
+    assert res.mode == "incremental" and res.groups_changed == 0
+    _check(r)
+
+
+def test_sync_marker_is_atomic_with_refresh_commits(spark, pair, monkeypatch):
+    """The synced-snapshot marker must ride the SAME commit as the
+    refresh's data write: with any separate properties-only stamp
+    disabled (simulating a crash right after the data commit), a replay
+    refresh must still be a noop — never a double-apply."""
+    from lakehouse.synth import synth_clips_pdf
+
+    t, r = pair
+    r.refresh()  # full build
+    pdf = synth_clips_pdf(range(300, 330), seed=9, n_days=4)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA))
+
+    monkeypatch.setattr(
+        Table, "set_properties",
+        lambda self, **kw: (_ for _ in ()).throw(
+            AssertionError("data-changing refresh used a separate stamp")
+        ),
+    )
+    res = r.refresh()  # incremental merge: marker inside the merge commit
+    assert res.mode == "incremental" and res.groups_changed > 0
+    monkeypatch.undo()
+    assert r.refresh().mode == "noop"  # marker landed with the merge
     _check(r)

@@ -166,6 +166,44 @@ def test_append_if_absent_batch_key_dedup(spark, clips_table):
     assert clips_table.scan().count() == 40
 
 
+def test_append_if_absent_oversized_batch_bounds_driver_collect(
+    spark, clips_table, monkeypatch
+):
+    """A micro-batch LARGER than max_probe_keys must take the full-scan
+    fallback without ever collecting the whole batch key set to the
+    driver — the size probe is limit(max_probe_keys+1), so the driver
+    sees at most cap+1 rows regardless of batch size. Results are
+    identical to the point-lookup path."""
+    from pyspark.sql.classic import dataframe as classic_dataframe
+
+    from lakehouse.streaming import append_if_absent_batch
+
+    cap = 8
+    max_seen = 0
+    orig = classic_dataframe.DataFrame.collect
+
+    def counting_collect(self):
+        nonlocal max_seen
+        rows = orig(self)
+        if self.columns == ["clip_id"]:  # the key-probe collects only
+            max_seen = max(max_seen, len(rows))
+        return rows
+
+    monkeypatch.setattr(
+        classic_dataframe.DataFrame, "collect", counting_collect
+    )
+    cb = append_if_absent_batch(clips_table, key="clip_id", max_probe_keys=cap)
+    cb(synth_clips_df(spark, 30, seed=7, n_days=2), 0)  # 30 > cap → fallback
+    assert clips_table.scan().count() == 30
+    # overlap (keys [20,30)) + 25 fresh, still oversized → fallback again
+    cb(synth_clips_df(spark, 35, start=20, seed=7, n_days=2), 1)
+    assert clips_table.scan().count() == 55
+    assert max_seen <= cap + 1, (
+        f"driver collected {max_seen} rows; the probe must bound every "
+        f"collect at max_probe_keys+1={cap + 1}"
+    )
+
+
 def test_stream_maintained_feature_transform(spark, clips_table, tmp_path):
     """Streaming feature pipeline: the foreachBatch sink appends AND
     refreshes a derived feature table; each batch takes the append-only

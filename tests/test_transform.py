@@ -52,6 +52,10 @@ def test_expr_transform_incremental_parity(spark, tmp_path):
             "n_words": "size(split(transcript, ' '))",
         },
     )
+    # the MoR delete below is "table-wide" at this file count and the
+    # cost guard would (correctly) resync; disable it to exercise the
+    # incremental CDC fold-in itself
+    mt.table.set_properties(transform_resync_cost_ratio="off")
     assert mt.refresh().mode == "full"
     _assert_parity(mt)
     # second refresh with no base change is a no-op
@@ -197,6 +201,7 @@ def test_refresh_merge_kwargs_route_to_mor(spark, tmp_path):
         columns=["clip_id", "dur_ms"],
         exprs={"dur_s": "dur_ms / 1000.0"},
     )
+    mt.table.set_properties(transform_resync_cost_ratio="off")
     mt.refresh()
     files_before = {e.file_path for e in mt.table.live_files()}
     # base churn that produces BOTH upserts and deletes
