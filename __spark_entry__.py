@@ -2280,6 +2280,49 @@ def _q_lh_files_metadata(spark, sf_dir):
     )
 
 
+def _q_lh_commit_metrics(spark, sf_dir):
+    """Ops-metrics surface (the reference ships monitoring as a
+    first-class chapter — CloudWatch metrics + alarms over the Glue
+    stream, /root/reference/README.md:319-329; here it's a queryable
+    per-commit metadata view, zero data I/O): append twice, COW-delete,
+    compact, then read Table.metrics(). The deterministic columns
+    (commit ordinal, operation, files/records added-removed) must match
+    the SQL oracle computing the same ledger from the events data; the
+    non-deterministic ones (commit_ms, job_id link) are asserted
+    in-builder."""
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_entry_")
+    # unpartitioned + target_file_count=1 => each commit's file ledger
+    # is exactly predictable from row counts alone
+    t = Table.create(spark, os.path.join(root, "metrics_tbl"), df.schema)
+    t.append(df.filter(F.col("event_type") != "purchase"),
+             target_file_count=1)
+    t.append(df.filter(F.col("event_type") == "purchase"),
+             target_file_count=1)
+    # only file 1 holds 'error' rows: the probe-planned COW rewrite
+    # touches exactly that file
+    t.delete("event_type = 'error'", mode="cow")
+    t.compact()  # 2 small files -> 1 bin -> one replace commit
+
+    m = t.metrics()
+    rows = {r["commit_seq"]: r for r in m.collect()}
+    assert len(rows) == 4, sorted(rows)
+    assert all(r["commit_ms"] is not None for r in rows.values())
+    assert rows[4]["operation"] == "replace" and rows[4]["job_id"], (
+        "maintenance commits must carry their lineage job link"
+    )
+    import os as _os
+    assert _os.path.isdir(
+        _os.path.join(t.root, "metadata", "lineage", rows[4]["job_id"])
+    ), "job_id must point at the on-disk lineage log"
+    return m.select(
+        "commit_seq", "operation", "added_files", "removed_files",
+        "added_records", "removed_records",
+    ).orderBy("commit_seq")
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -2483,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
+        "lh_commit_metrics": _q_lh_commit_metrics,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -2836,6 +2880,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
                    1 AS file_count, count(*) AS record_count
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "lh_commit_metrics": """
+            WITH c AS (
+                SELECT count(*) AS n,
+                       count(*) FILTER (WHERE event_type <> 'purchase') AS np,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS p,
+                       count(*) FILTER (WHERE event_type = 'error') AS e
+                FROM events
+            )
+            SELECT 1 AS commit_seq, 'append' AS operation,
+                   1 AS added_files, 0 AS removed_files,
+                   np AS added_records, 0 AS removed_records FROM c
+            UNION ALL
+            SELECT 2, 'append', 1, 0, p, 0 FROM c
+            UNION ALL
+            SELECT 3, 'delete', 1, 1, np - e, np FROM c
+            UNION ALL
+            SELECT 4, 'replace', 1, 2, n - e, n - e FROM c
+            ORDER BY commit_seq
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -206,6 +206,23 @@ def cmd_snapshots(args):
     )
 
 
+def cmd_metrics(args):
+    """Ops-metrics history: one row per commit from snapshot summaries
+    (rows/bytes/files added-removed, commit wall, lineage job link) —
+    the queryable form of the reference's monitoring chapter."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    df = t.metrics()
+    if args.sql_filter:
+        df = df.filter(args.sql_filter)
+    _emit(
+        {
+            "op": "metrics",
+            "commits": [r.asDict() for r in df.collect()],
+        }
+    )
+
+
 def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -738,6 +755,11 @@ def main():
     t(s)
     s.add_argument("--snapshot", type=int, default=None)
     t(sub.add_parser("snapshots"))
+    s = sub.add_parser("metrics")
+    t(s)
+    s.add_argument("--sql-filter", default=None,
+                   help="SQL predicate over the metrics view, e.g. "
+                        "\"operation = 'replace'\"")
     s = sub.add_parser("stream-demo")
     t(s)
     s.add_argument("--batches", type=int, default=3)
@@ -850,6 +872,7 @@ def main():
         "merge-demo": cmd_merge_demo,
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
+        "metrics": cmd_metrics,
         "stream-demo": cmd_stream_demo,
         "delete": cmd_delete,
         "materialize-deletes": cmd_materialize_deletes,

@@ -15,6 +15,7 @@ capability the jar provided is a module here (SURVEY.md §2 second table).
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from typing import Any, Optional, Sequence
 
@@ -136,9 +137,11 @@ class Table:
         """
         removed = set(removed_paths)
         result_holder: dict[str, S.Snapshot] = {}
+        commit_t0 = time.monotonic()
 
         def apply(base: S.TableMetadata) -> S.TableMetadata:
             sid = S.next_snapshot_id(base)
+            removed_records = removed_bytes = 0
             refs = dict(base.refs)
             if branch is None:
                 head_id = base.current_snapshot_id
@@ -163,6 +166,8 @@ class Table:
                     still_to_remove.difference_update(
                         e.file_path for e in hit
                     )
+                    removed_records += sum(e.record_count for e in hit)
+                    removed_bytes += sum(e.file_size_bytes for e in hit)
                     survivors = [
                         e for e in entries if e.file_path not in removed
                     ]
@@ -242,6 +247,11 @@ class Table:
                     "removed_files": len(removed),
                     "added_records": sum(e.record_count for e in added),
                     "added_bytes": sum(e.file_size_bytes for e in added),
+                    "removed_records": removed_records,
+                    "removed_bytes": removed_bytes,
+                    # manifest rewrite + commit wall so far; CAS retries
+                    # re-enter apply() and fold the lost attempts in
+                    "commit_ms": int((time.monotonic() - commit_t0) * 1000),
                     **(summary or {}),
                 },
             )
@@ -1220,6 +1230,63 @@ class Table:
             "snapshot_id bigint, parent_snapshot_id bigint, "
             "timestamp_ms bigint, operation string, added_files bigint, "
             "removed_files bigint, added_records bigint, added_bytes bigint",
+        )
+
+    def metrics(self) -> DataFrame:
+        """Queryable ops-metrics view — one row per commit, built purely
+        from snapshot summaries already on disk (zero data I/O). The
+        engine-side form of the reference's monitoring chapter
+        (/root/reference/README.md:319-329: CloudWatch metrics + alarms
+        over the Glue stream): per-commit operation, rows/bytes/files
+        added and removed, commit wall time, and the lineage job link
+        (``metadata/lineage/<job_id>/``) for maintenance commits.
+
+        ``commit_seq`` is the 1-based commit ordinal (ordered by
+        snapshot id) — the deterministic key tests and oracles use;
+        snapshot ids and timestamps vary run to run. ``removed_records``
+        / ``removed_bytes`` / ``commit_ms`` are recorded from this
+        version on; commits written by older versions surface NULL.
+        """
+        rows = [
+            (
+                i + 1,
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                int(s.summary.get("added_files", 0)),
+                int(s.summary.get("removed_files", 0)),
+                int(s.summary.get("added_records", 0)),
+                int(s.summary.get("added_bytes", 0)),
+                (
+                    int(s.summary["removed_records"])
+                    if "removed_records" in s.summary
+                    else None
+                ),
+                (
+                    int(s.summary["removed_bytes"])
+                    if "removed_bytes" in s.summary
+                    else None
+                ),
+                (
+                    int(s.summary["commit_ms"])
+                    if "commit_ms" in s.summary
+                    else None
+                ),
+                s.summary.get("job_id"),
+                s.summary.get("mode"),
+            )
+            for i, s in enumerate(
+                sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "commit_seq int, snapshot_id bigint, parent_snapshot_id bigint, "
+            "timestamp_ms bigint, operation string, added_files bigint, "
+            "removed_files bigint, added_records bigint, added_bytes bigint, "
+            "removed_records bigint, removed_bytes bigint, commit_ms bigint, "
+            "job_id string, mode string",
         )
 
     def history(self) -> list[dict[str, Any]]:
