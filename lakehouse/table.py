@@ -499,7 +499,7 @@ class Table:
         ref: Optional[str] = None,
         as_of=None,
         columns: Optional[Sequence[str]] = None,
-        distributed_planning: bool = False,
+        distributed_planning: Optional[bool] = None,
     ) -> DataFrame:
         """Pruned snapshot read; ``snapshot_id`` = time travel,
         ``ref`` = read a named branch/tag head, ``as_of`` = timestamp
@@ -509,6 +509,12 @@ class Table:
         pruning runs as a Spark job over the manifests AND the kept-file
         set stays a DataFrame — the driver only ever sees bounded chunks
         of bare paths, never the full entry list (VERDICT.md §wrong 2).
+        The default (``None``) AUTO-selects it when the snapshot tracks
+        more entries than ``scan_lazy_threshold`` (table property,
+        default 100k) — the count comes from manifest-list summaries
+        already in memory, so the decision is free and the default path
+        never driver-materializes a huge file list. ``False`` forces the
+        driver planner.
         """
         meta = self.meta
         if as_of is not None:
@@ -517,11 +523,18 @@ class Table:
                     "pass only one of snapshot_id / ref / as_of"
                 )
             snapshot_id = self.snapshot_as_of(as_of)
+        if ref is not None:
+            if snapshot_id is not None:
+                raise RefError("pass either snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(meta, ref)
+        if distributed_planning is None:
+            threshold = int(
+                meta.properties.get("scan_lazy_threshold", 100_000)
+            )
+            distributed_planning = (
+                self._tracked_entry_count(meta, snapshot_id) >= threshold
+            )
         if distributed_planning:
-            if ref is not None:
-                if snapshot_id is not None:
-                    raise RefError("pass either snapshot_id or ref, not both")
-                snapshot_id = self._resolve_ref(meta, ref)
             lplan = plan_scan_lazy(
                 self.spark, self.root, meta,
                 filter=filter, snapshot_id=snapshot_id,
@@ -529,9 +542,28 @@ class Table:
             return read_lazy_plan(
                 self.spark, self.root, meta, lplan, columns=columns
             )
-        plan = self.plan(filter=filter, snapshot_id=snapshot_id, ref=ref)
+        plan = self.plan(filter=filter, snapshot_id=snapshot_id)
         return read_plan(
             self.spark, self.root, meta, plan, columns=columns
+        )
+
+    def _tracked_entry_count(
+        self, meta: S.TableMetadata, snapshot_id: Optional[int]
+    ) -> int:
+        """Pre-pruning manifest entry count of the target snapshot, from
+        manifest-list summaries alone (one small JSON read, no manifest
+        opened) — drives the auto lazy-planning decision."""
+        sid = (
+            snapshot_id if snapshot_id is not None
+            else meta.current_snapshot_id
+        )
+        if sid is None:
+            return 0
+        manifests = S.read_manifest_list(
+            self.root, meta.snapshot(sid).manifest_list
+        )
+        return sum(
+            m.get("summary", {}).get("entry_count", 0) for m in manifests
         )
 
     def scan_with_lineage(

@@ -179,6 +179,56 @@ def test_distributed_scan_matches_driver_scan(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_default_scan_auto_selects_lazy_planner(spark, tmp_path, monkeypatch):
+    """scan() with no distributed_planning argument must take the lazy
+    path on its own once the snapshot tracks more entries than
+    scan_lazy_threshold — the default API never driver-materializes a
+    huge file list (VERDICT r2 item 7). Rows must equal the forced
+    driver-planner scan."""
+    import lakehouse.table as table_mod
+    from lakehouse.synth import synth_clips_df
+
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark, root, CLIPS_SCHEMA, partition_spec=DATE_SPEC,
+        properties={"scan_lazy_threshold": "2"},
+    )
+    # partitioned append: one file per event_date => 3 entries tracked
+    t.append(synth_clips_df(spark, 60, seed=5, n_days=3), target_file_count=6)
+
+    lazy_calls = []
+    orig = table_mod.plan_scan_lazy
+
+    def spy(*a, **kw):
+        lazy_calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(table_mod, "plan_scan_lazy", spy)
+    f = [("dur_ms", ">", 800)]
+    auto = sorted(
+        r.clip_id for r in t.scan(filter=f).select("clip_id").collect()
+    )
+    assert lazy_calls, (
+        "3 files >= threshold 2: the default scan must auto-select the "
+        "lazy planner"
+    )
+    eager = sorted(
+        r.clip_id
+        for r in t.scan(filter=f, distributed_planning=False)
+        .select("clip_id")
+        .collect()
+    )
+    assert auto == eager and len(auto) > 0
+    # under the threshold (or by default) the driver planner is used
+    lazy_calls.clear()
+    t2 = Table.create(
+        spark, str(tmp_path / "t2"), CLIPS_SCHEMA, partition_spec=DATE_SPEC
+    )
+    t2.append(synth_clips_df(spark, 20, seed=5, n_days=2), target_file_count=2)
+    t2.scan().count()
+    assert not lazy_calls
+
+
 def test_time_travel_pins_virtual_snapshots(big_meta_table):
     t = big_meta_table
     snaps = t.snapshots()
