@@ -2323,6 +2323,109 @@ def _q_lh_commit_metrics(spark, sf_dir):
     ).orderBy("commit_seq")
 
 
+def _q_lh_streaming_pipeline(spark, sf_dir):
+    """The reference's full ingest-to-analyst arc in engine terms
+    (etl/glue_stream.py lifecycle §3.1: Kinesis tail → transform →
+    Delta append → Athena rollup): an upstream lakehouse table is
+    tailed through the REGISTERED streaming source with snapshot rate
+    limiting (max_snapshots_per_batch=1), every micro-batch lands in a
+    downstream table via the idempotent foreachBatch sink WITH an
+    incremental derived-feature refresh, and an incremental rollup
+    serves the analyst query. Self-verifying along the way: the
+    checkpointed restart delivers a late upstream append exactly once
+    (counts asserted after each drain); the returned rollup is
+    oracle-checked against plain SQL over the full events data."""
+    from lakehouse import Table
+    from lakehouse.datasource import register
+    from lakehouse.rollup import MaterializedRollup
+    from lakehouse.streaming import append_with_transform_batch
+    from lakehouse.transform import MaterializedTransform
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_entry_")
+    src = Table.create(spark, os.path.join(root, "src"), ev.schema)
+    for i in range(3):  # upstream ingest history: 3 commits
+        src.append(
+            ev.filter(F.col("event_id") % 4 == i), target_file_count=2
+        )
+
+    dst = Table.create(spark, os.path.join(root, "dst"), ev.schema)
+    feat = MaterializedTransform.create(
+        spark, os.path.join(root, "feat"), dst,
+        key="event_id",
+        columns=["event_id", "value"],
+        exprs={"v2": "value * 2.0"},
+    )
+    ckpt = os.path.join(root, "ckpt")
+    sink = append_with_transform_batch(dst, feat)
+
+    def drain():
+        # Python stream sources fall back to single-batch execution
+        # under availableNow, so each drain advances at most ONE
+        # snapshot (the rate limit) from the checkpointed offset
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("start", "beginning")
+            .option("max_snapshots_per_batch", "1")
+            .load(src.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def drain_until_caught_up(limit=10):
+        prev = -1
+        for _ in range(limit):
+            drain()
+            cur = dst.scan().count()
+            if cur == prev:
+                return cur
+            prev = cur
+        raise AssertionError(f"stream never caught up (limit {limit})")
+
+    n3 = src.scan().count()
+    assert drain_until_caught_up() == n3
+    assert feat.scan().count() == n3, "derived table must track the sink"
+    # late upstream data, then resume from the checkpoint: exactly once
+    src.append(ev.filter(F.col("event_id") % 4 == 3), target_file_count=2)
+    total = ev.count()
+    assert drain_until_caught_up() == total
+    assert feat.scan().count() == total
+    drain()  # nothing new: replay must not duplicate
+    assert dst.scan().count() == total
+    # rate limiting really split the catch-up into per-snapshot batches
+    offsets = [
+        n
+        for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if not n.startswith(".")
+    ]
+    assert len(offsets) >= 4, offsets
+
+    roll = MaterializedRollup.create(
+        spark, os.path.join(root, "roll"), dst,
+        group_by=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "v_sum": ("sum", "CAST(value AS DECIMAL(18,4))"),
+        },
+    )
+    assert roll.refresh().mode == "full"
+    return (
+        roll.scan()
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("v_sum").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -2527,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         "lh_commit_metrics": _q_lh_commit_metrics,
+        "lh_streaming_pipeline": _q_lh_streaming_pipeline,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -2899,6 +3003,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 4, 'replace', 1, 2, n - e, n - e FROM c
             ORDER BY commit_seq
+        """,
+        "lh_streaming_pipeline": """
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),
