@@ -703,6 +703,45 @@ def dedup_clips(table, *, id_col: str = "clip_id", max_hamming: int = 3):
     return delete_mor_keys(table, victims, key=id_col)
 
 
+CURATE_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("clipping_ratio", T.DoubleType()),
+        T.StructField("dc_offset", T.DoubleType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(CURATE_FEATURES_TYPE)
+def curate_features(raw: pd.Series) -> pd.DataFrame:
+    """ONE decode per clip serving BOTH curation screens: the QC stats
+    (clipping ratio, DC offset) and the 64-bit perceptual fingerprint.
+    Undecodable clips yield all-null (the QC screen flags the null)."""
+    clip, dc, afp = [], [], []
+    for b in raw:
+        try:
+            _sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            clip.append(None)
+            dc.append(None)
+            afp.append(None)
+            continue
+        if len(x) == 0:
+            clip.append(0.0)
+            dc.append(0.0)
+        else:
+            clip.append(float(np.mean(np.abs(x) > 0.99)))
+            dc.append(float(np.mean(x)))
+        afp.append(fingerprint64(x))
+    return pd.DataFrame(
+        {
+            "clipping_ratio": pd.Series(clip, dtype="float64"),
+            "dc_offset": pd.Series(dc, dtype="float64"),
+            "afp": pd.Series(afp, dtype="Int64"),
+        }
+    )
+
+
 def curate_clips(
     table,
     *,
@@ -718,29 +757,58 @@ def curate_clips(
     committed as ONE merge-on-read equality delete (O(victims) write,
     no data rewritten; folds in at the next maintenance pass).
 
-    One decode feeds both screens per clip-read: QC flags come from
-    ``audio_features_ext`` over the same scan the fingerprint pass
-    reads. Dedup victims are each detected pair's greater id, so a
-    duplicate cluster keeps its minimum SURVIVING id. Returns the
-    delete commit result (``keys_deleted`` = clips removed).
+    One decode pass feeds both screens AND both sides of the dedup
+    self-join: ``curate_features`` extracts QC stats and the
+    fingerprint together per clip-read, and the resulting NARROW frame
+    (id, dur, 2 floats, 1 long — payloads dropped) is persisted, so the
+    QC filter and the pigeonhole Hamming join read the cached ~40-byte
+    rows, never the audio again. At extreme scale, write that narrow
+    frame to its own table instead (see ``audio_dup_pairs`` docstring).
+    Dedup victims are each detected pair's greater id, so a duplicate
+    cluster keeps its minimum SURVIVING id. Returns the delete commit
+    result (``keys_deleted`` = clips removed).
     """
+    from pyspark import StorageLevel
+
+    from .dedup import hamming_pairs64
     from .ops.mor import delete_mor_keys
 
-    scan = table.scan()
-    f = scan.select(
-        F.col(id_col), audio_features_ext(F.col("bytes")).alias("__f"),
-        F.col("dur_ms"),
+    narrow = (
+        table.scan()
+        .select(
+            F.col(id_col),
+            F.col("dur_ms"),
+            curate_features(F.col("bytes")).alias("__c"),
+        )
+        .select(
+            id_col,
+            "dur_ms",
+            F.col("__c.clipping_ratio").alias("clipping_ratio"),
+            F.col("__c.dc_offset").alias("dc_offset"),
+            F.col("__c.afp").alias("afp"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    qc_bad = f.filter(
-        F.col("__f.clipping_ratio").isNull()
-        | (F.col("__f.clipping_ratio") > clipping_max)
-        | (F.abs(F.col("__f.dc_offset")) > dc_max)
-        | (F.col("dur_ms") < min_dur_ms)
-    ).select(id_col)
-    pairs = audio_dup_pairs(scan, id_col=id_col, max_hamming=max_hamming)
-    dup_victims = pairs.select(F.col("clip_b").alias(id_col))
-    victims = qc_bad.unionByName(dup_victims).distinct()
-    return delete_mor_keys(table, victims, key=id_col)
+    try:
+        qc_bad = narrow.filter(
+            F.col("clipping_ratio").isNull()
+            | (F.col("clipping_ratio") > clipping_max)
+            | (F.abs(F.col("dc_offset")) > dc_max)
+            | (F.col("dur_ms") < min_dur_ms)
+        ).select(id_col)
+        pairs = hamming_pairs64(
+            narrow.filter(F.col("afp").isNotNull()).select(id_col, "afp"),
+            id_col,
+            "afp",
+            max_hamming=max_hamming,
+            out_a="clip_a",
+            out_b="clip_b",
+        )
+        dup_victims = pairs.select(F.col("clip_b").alias(id_col))
+        victims = qc_bad.unionByName(dup_victims).distinct()
+        return delete_mor_keys(table, victims, key=id_col)
+    finally:
+        narrow.unpersist()
 
 
 # --- spectral analysis (framed FFT; pure numpy — no audio libs in env) -------

@@ -219,11 +219,17 @@ class Catalog:
         maintenance autopilot on every registered table, and refresh
         every registered DERIVED table (rollup / feature transform —
         detected by the base-root marker in its own properties) from
-        its base's CDC delta. Derived tables refresh FIRST, then their
-        base is maintained: the refresh reads the CDC chain that a
+        its base's CDC delta, THEN maintain the derived table itself
+        (it is an ordinary lakehouse table: streaming-refreshed feature
+        and rollup tables accumulate small files and snapshots exactly
+        like bases do). Derived tables refresh FIRST, then everything
+        is maintained: the refresh reads the CDC chain that a
         subsequent aggressive expiry might truncate (a truncated chain
         still self-heals via full resync — this ordering just keeps
         the cheap incremental path the common case).
+
+        Returns per-name results; a derived table's entry is
+        ``{"refresh": RefreshResult, "maintain": report}``.
 
         Returns {name: report-or-refresh-result}. Failures propagate:
         warehouse maintenance is a batch job, and a half-silent sweep
@@ -246,9 +252,17 @@ class Catalog:
                 plain[name] = root
         for name, d in derived.items():
             if dry_run:
-                out[name] = {"action": "refresh", "dry_run": True}
+                out[name] = {
+                    "refresh": {"action": "refresh", "dry_run": True},
+                    "maintain": d.table.maintain(dry_run=True, **maintain_kw),
+                }
             else:
-                out[name] = d.refresh()
+                out[name] = {
+                    "refresh": d.refresh(),
+                    # derived tables are ordinary tables: compact the
+                    # small files their per-batch refreshes accumulate
+                    "maintain": d.table.maintain(**maintain_kw),
+                }
         for name, root in plain.items():
             out[name] = Table.load(spark, root).maintain(
                 dry_run=dry_run, **maintain_kw

@@ -151,6 +151,17 @@ def bucket_batches(
 
     ``length_col`` is a Column expression (e.g. ``token_count_ws(...)``
     for text, ``F.col("dur_ms")`` for audio clips).
+
+    ``id_col`` MUST be numeric or castable to BIGINT (and, for numeric
+    strings, zero-padded to fixed width so numeric and lexicographic
+    order agree): the sub-bucket derivation is ``id DIV sub_width``, and
+    sub-bucket order must refine id order for the distributed rank to
+    equal the plain per-bucket ``row_number``. A non-castable id (e.g.
+    ``clip-00042``) fails LOUDLY at execution — TRY_CAST plus a
+    raise_error poison on the unmatched join side, identical in ANSI
+    and non-ANSI sessions — instead of silently dropping rows through
+    the null-rejecting offsets join (extract a numeric id first, as the
+    audio duration-batch query does).
     """
     if batch_size <= 0 or bucket_len <= 0:
         raise ValueError("batch_size and bucket_len must be positive")
@@ -163,7 +174,9 @@ def bucket_batches(
         "_id",
         "_len",
         F.expr(f"_len DIV {int(bucket_len)}").alias("bucket"),
-        F.expr(f"CAST(_id AS BIGINT) DIV {int(sub_width)}").alias("_sub"),
+        F.expr(f"TRY_CAST(_id AS BIGINT) DIV {int(sub_width)}").alias(
+            "_sub"
+        ),
     )
     local = Window.partitionBy("bucket", "_sub").orderBy("_id")
     ranked = base.withColumn("_rn_local", F.row_number().over(local))
@@ -179,13 +192,25 @@ def bucket_batches(
         .select("bucket", "_sub", "_off")
     )
     # same no-hint rationale as pack_sequences: AQE picks broadcast vs
-    # shuffle by the offsets frame's actual size
-    placed = ranked.join(offsets, ["bucket", "_sub"]).select(
+    # shuffle by the offsets frame's actual size. LEFT join + poison:
+    # a NULL _sub (id not castable to BIGINT) never equi-matches, so it
+    # surfaces as a NULL _off here and raises at execution time — no
+    # extra validation pass over the corpus, no silent row drop.
+    placed = ranked.join(offsets, ["bucket", "_sub"], "left").select(
         "bucket",
         "_len",
-        F.expr(f"(_off + _rn_local - 1) DIV {int(batch_size)}").alias(
-            "batch_id"
-        ),
+        F.when(
+            F.col("_off").isNull(),
+            F.expr(
+                "raise_error('bucket_batches: id_col must be numeric or "
+                "castable to BIGINT (got an id TRY_CAST could not "
+                "convert); extract a numeric id first')"
+            ).cast("long"),
+        )
+        .otherwise(
+            F.expr(f"(_off + _rn_local - 1) DIV {int(batch_size)}")
+        )
+        .alias("batch_id"),
     )
     return placed.groupBy("bucket", "batch_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -298,52 +298,79 @@ class MaterializedRollup:
         except LakehouseError:
             pass  # broken/expired chain: recovery paths below decide
 
-        # cost guard (manifest arithmetic, zero I/O): after a table-wide
-        # change (e.g. a positional-delete materialization rewrote every
-        # file, or an equality delete whose key range touches every
-        # file) the CDC diff reads old+new of everything — up to 2x the
-        # table — while a recompute reads it once. When the diff would
-        # read >= ratio x a full scan, take the resync path. Tunable per
-        # table: rollup_resync_cost_ratio = float ("off" disables; tests
-        # exercising the incremental algebra on tiny many-times-touched
-        # tables turn it off).
-        guard = str(self._props.get("rollup_resync_cost_ratio", "1.0"))
+        # append-only fast path (appends mixed with data-neutral
+        # maintenance): when every ROW-CHANGING snapshot in (synced, to]
+        # is an append, the delta IS the appended files read once —
+        # insert-only, no multiset diff, no delete algebra. Refresh cost
+        # stays ∝ new data even when a compaction rewrote the whole base
+        # in between (the diff/resync paths below would read the table
+        # once or twice for rows that all cancel).
+        delta = None
         try:
-            if guard.lower() not in ("off", "none", ""):
-                from .ops.changes import diff_read_bytes
-
-                diff_b, live_b = diff_read_bytes(
-                    base, from_snapshot_id=synced, to_snapshot_id=to_id
-                )
-                if live_b > 0 and diff_b >= float(guard) * live_b:
-                    return self._full_resync(
-                        base, to_id, group_by, aggs, synced
-                    )
+            ins = base.incremental_scan(
+                from_snapshot_id=synced, to_snapshot_id=to_id
+            ).select(
+                *_needed_columns(base.schema, group_by, aggs, group_exprs)
+            )
+            delta = ins.withColumn("_change_type", F.lit("insert"))
         except SnapshotNotFoundError:
             return self._full_resync(base, to_id, group_by, aggs, synced)
+        except LakehouseError:
+            pass  # row-changing non-append snapshots: CDC/resync below
+
+        if delta is None:
+            # cost guard (manifest arithmetic, zero I/O): after a
+            # table-wide change (e.g. a positional-delete
+            # materialization rewrote every file, or an equality delete
+            # whose key range touches every file) the CDC diff reads
+            # old+new of everything — up to 2x the table — while a
+            # recompute reads it once. When the diff would read >=
+            # ratio x a full scan, take the resync path. Tunable per
+            # table: rollup_resync_cost_ratio = float ("off" disables;
+            # tests exercising the incremental algebra on tiny
+            # many-times-touched tables turn it off).
+            guard = str(
+                self._props.get("rollup_resync_cost_ratio", "1.0")
+            )
+            try:
+                if guard.lower() not in ("off", "none", ""):
+                    from .ops.changes import diff_read_bytes
+
+                    diff_b, live_b = diff_read_bytes(
+                        base, from_snapshot_id=synced, to_snapshot_id=to_id
+                    )
+                    if live_b > 0 and diff_b >= float(guard) * live_b:
+                        return self._full_resync(
+                            base, to_id, group_by, aggs, synced
+                        )
+                delta = base.row_changes(
+                    from_snapshot_id=synced,
+                    to_snapshot_id=to_id,
+                    # project the CDC diff to the columns the algebra
+                    # reads: payload columns (audio bytes) never enter
+                    # the diff's scan or exchange, and projection
+                    # commutes with the multiset diff for signed-delta
+                    # aggregation (a pair cancelled only under
+                    # projection contributes +1/-1 to every agg anyway)
+                    columns=_needed_columns(
+                        base.schema, group_by, aggs, group_exprs
+                    ),
+                )
+            except SnapshotNotFoundError:
+                # the synced base snapshot has EXPIRED — the CDC chain
+                # to it is gone, so the delta is unrecoverable. Recover
+                # with one atomic full resync (recompute + overwrite
+                # commit) instead of failing: the rollup lags expiry,
+                # never breaks on it.
+                return self._full_resync(
+                    base, to_id, group_by, aggs, synced
+                )
 
         try:
-            delta = base.row_changes(
-                from_snapshot_id=synced,
-            to_snapshot_id=to_id,
-                # project the CDC diff to the columns the algebra
-                # reads: payload columns (audio bytes) never enter the
-                # diff's scan or exchange, and projection commutes with
-                # the multiset diff for signed-delta aggregation (a
-                # pair cancelled only under projection contributes
-                # +1/-1 to every agg anyway)
-                columns=_needed_columns(
-                    base.schema, group_by, aggs, group_exprs
-                ),
-            )
             src, n_groups, n_recomputed, cached = self._incremental_source(
                 _with_groups(delta, group_exprs), gnames, aggs, base, to_id
             )
         except SnapshotNotFoundError:
-            # the synced base snapshot has EXPIRED — the CDC chain to it
-            # is gone, so the delta is unrecoverable. Recover with one
-            # atomic full resync (recompute + overwrite commit) instead
-            # of failing: the rollup lags expiry, never breaks on it.
             return self._full_resync(base, to_id, group_by, aggs, synced)
         try:
             if n_groups:

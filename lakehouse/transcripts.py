@@ -228,19 +228,42 @@ def cer_oracle_sql(
     table: str = "documents",
     id_sql: str = "doc_id",
 ) -> str:
+    """ASCII-ONLY oracle: DuckDB's ``levenshtein`` counts BYTES while
+    Spark's ``F.levenshtein`` counts codepoints (module docstring; WER
+    works around it with single-byte word encoding). The two agree only
+    when every ref/hyp byte is a single-byte codepoint, so the oracle
+    GUARDS the assumption: any multi-byte text raises a loud error
+    (division by zero via the octet-length check) instead of silently
+    diverging from the engine on a future non-ASCII corpus."""
     return f"""
     WITH t AS (
         SELECT {id_sql} AS doc_id, text AS ref,
                {_hyp_sql(drop_every, reverse_every)} AS hyp
         FROM {table}
+    ),
+    g AS (
+        -- ASCII guard: strlen (bytes) == length (chars) per row, else the
+        -- byte-based levenshtein is not comparable to Spark's
+        -- codepoint-based one; ERROR() makes the gate fail explicably
+        SELECT doc_id, ref, hyp,
+               CASE WHEN strlen(ref) = length(ref)
+                     AND strlen(hyp) = length(hyp)
+                    THEN 1
+                    ELSE ERROR('cer_oracle_sql: non-ASCII text — '
+                               'byte-based DuckDB levenshtein would '
+                               'diverge from codepoint-based Spark')
+               END AS ok
+        FROM t
     )
     SELECT doc_id,
            length(ref) AS n_ref_chars,
-           levenshtein(ref, hyp) AS dist,
+           -- ok is 1 by construction; multiplying keeps the guard
+           -- column live (an unreferenced CASE would be pruned away)
+           levenshtein(ref, hyp) * ok AS dist,
            CASE WHEN length(ref) > 0
-                THEN round(levenshtein(ref, hyp) * 1.0 / length(ref), 4)
+                THEN round(levenshtein(ref, hyp) * ok * 1.0 / length(ref), 4)
            END AS cer
-    FROM t
+    FROM g
     """
 
 

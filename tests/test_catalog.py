@@ -176,19 +176,58 @@ def test_maintain_all_sweeps_tables_and_derived(spark, tmp_path):
     cat.register("clips_features", mt.table.root)
 
     out = cat.maintain_all(spark)
-    assert out["clips_rollup"].mode == "full"
-    assert out["clips_features"].mode == "full"
+    assert out["clips_rollup"]["refresh"].mode == "full"
+    assert out["clips_features"]["refresh"].mode == "full"
     assert any(a["action"] == "compact" for a in out["clips"].actions)
 
     # second sweep after new data: derived go incremental, base settles
     base.append(synth_clips_df(spark, 8, seed=9, n_days=2, start=9000))
     out2 = cat.maintain_all(spark)
-    assert out2["clips_rollup"].mode == "incremental"
-    assert out2["clips_features"].mode == "incremental"
+    assert out2["clips_rollup"]["refresh"].mode == "incremental"
+    assert out2["clips_features"]["refresh"].mode == "incremental"
     # derived parity
     got, exp = mt.scan(), mt.expected()
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
 
     # dry-run reports without acting
     dr = cat.maintain_all(spark, dry_run=True)
-    assert dr["clips_rollup"] == {"action": "refresh", "dry_run": True}
+    assert dr["clips_rollup"]["refresh"] == {
+        "action": "refresh", "dry_run": True
+    }
+
+
+def test_maintain_all_compacts_derived_small_files(spark, tmp_path):
+    """Derived tables are ordinary tables: after many per-batch
+    refreshes pile up small files, the warehouse sweep must compact
+    the DERIVED table too, not only its base (ADVICE r2)."""
+    from lakehouse import Table
+    from lakehouse.catalog import Catalog
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+    from lakehouse.transform import MaterializedTransform
+
+    cat = Catalog.create(str(tmp_path / "wh"))
+    base = Table.create(spark, str(tmp_path / "wh" / "clips"), CLIPS_SCHEMA)
+    cat.register("clips", base.root)
+    mt = MaterializedTransform.create(
+        spark, str(tmp_path / "wh" / "feat"), base,
+        key="clip_id", columns=["clip_id", "dur_ms"],
+        exprs={"dur_s": "dur_ms / 1000.0"},
+    )
+    cat.register("clips_features", mt.table.root)
+    # simulate a streaming-refreshed derived table: one tiny file per
+    # micro-batch refresh
+    for i in range(4):
+        base.append(
+            synth_clips_df(spark, 12, seed=i, n_days=1, start=i * 100)
+        )
+        mt.refresh()
+    n_files_before = len(mt.table.live_files())
+    assert n_files_before >= 4
+    out = cat.maintain_all(spark)
+    rep = out["clips_features"]["maintain"]
+    assert any(a["action"] == "compact" for a in rep.actions), rep
+    assert len(mt.table.live_files()) < n_files_before
+    # rows unchanged by maintenance
+    got, exp = mt.scan(), mt.expected()
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()

@@ -550,6 +550,28 @@ def test_bucket_batches_invariants(spark):
     out.unpersist()
 
 
+def test_bucket_batches_rejects_noncastable_ids(spark):
+    """A non-numeric id_col must fail LOUDLY at execution (raise_error
+    poison on the unmatched offsets join), never silently drop rows —
+    identical in ANSI and non-ANSI sessions (ADVICE r2)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from lakehouse.packing import bucket_batches
+
+    df = spark.createDataFrame(
+        [("clip-001", "a b c"), ("clip-002", "d e")], "cid string, text string"
+    )
+    out = bucket_batches(
+        df, F.size(F.split("text", " ")).cast("long"), id_col="cid",
+        batch_size=2, bucket_len=4,
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "bucket_batches: id_col must be numeric" in str(ei.value)
+
+
 def test_sampling_deterministic_and_oracle(spark, oracle):
     from lakehouse.sampling import (
         hash_sample,
@@ -719,12 +741,17 @@ def test_unigram_logprob_ranks_rare_tokens_lower(spark):
 
 
 def test_unigram_logprob_broadcasts_vocab(spark):
-    """The corpus side must not shuffle for the vocab probe."""
+    """At small-vocab scale AQE must still choose a broadcast for the
+    vocab probe — with NO forced hint (the vocab grows with the corpus,
+    so the operator leaves the choice to AQE; plan-hygiene gate in
+    test_plans.py)."""
     from lakehouse.textops import unigram_logprob
 
     df = unigram_logprob(_docs(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt, "no forced broadcast hints allowed"
 
 
 def test_wer_matches_oracle(spark, oracle):
