@@ -290,6 +290,24 @@ def main() -> None:
 
             timed("rollup_full", rollup_full)
 
+            # the common 100 TB refresh: new data lands, the rollup
+            # folds in ONLY the appended files (append-only fast path —
+            # insert-only delta, no diff, no payload shuffle). The
+            # append itself is untimed: the stage prices the refresh.
+            t.append(
+                synth_clips_df(
+                    spark, per, start=20 * N_CLIPS, seed=88, n_days=8,
+                    num_partitions=CPUS,
+                ),
+                target_file_count=max(1, FILES_PER_APPEND // 2),
+            )
+
+            def rollup_append_delta():
+                res = roll_holder["r"].refresh()
+                assert res.mode == "incremental", res
+
+            timed("rollup_append_delta", rollup_append_delta)
+
             def expire_gc():
                 t.expire_snapshots(keep_last=1)
                 t.remove_orphan_files(
