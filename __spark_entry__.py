@@ -440,6 +440,20 @@ def _q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate-cluster ids over the MinHash-LSH
+    near-dup pair graph (min-label propagation, one |V|+|E| shuffle per
+    round, O(component diameter) rounds); oracle = recursive-CTE
+    transitive closure of the identical pair graph."""
+    from lakehouse.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from lakehouse.dedup import simhash64
 
@@ -546,6 +560,18 @@ def _q_transcript_align(spark, sf_dir):
         (F.length("text") * 50).alias("dur_ms"),
     )
     return align_uniform(docs, transcript_col="text")
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (RAG/long-doc layout): 24-token windows
+    advancing by 18 so sf docs (~40 tokens) produce several overlapping
+    chunks each; pure map plan (no shuffle) vs the identical DuckDB
+    window arithmetic."""
+    from lakehouse.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=24, overlap=6
+    )
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -992,6 +1018,60 @@ def _q_lh_audio_dedup_curation(spark, sf_dir):
     res2 = dedup_clips(t)
     assert res2.keys_deleted == 0 and res2.snapshot_id is None
     return out
+
+
+def _q_lh_wav_dir_ingest(spark, sf_dir):
+    """File-drop source (rows-only, self-verifying): write a tree of
+    raw .wav files (3 codecs + one corrupt), bulk-ingest through
+    Spark's binaryFile source into the clips schema, and assert
+    in-builder that payload bytes survive untouched, header fields
+    (sr/dur/codec) match the generator, the corrupt file routes to
+    quarantine via ingest_error, and the valid subset appends into a
+    lakehouse table whose scan equals the drop. Returns per-codec
+    counts + duration sums (deterministic)."""
+    from lakehouse import Table
+    from lakehouse.audio import ingest_wav_dir
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_pcm, wrap_wav
+
+    root = tempfile.mkdtemp(prefix="lh_wavdrop_")
+    drop = os.path.join(root, "drop", "day1")
+    os.makedirs(drop)
+    sr = 8000
+    originals = {}
+    for i in range(24):
+        codec = ["pcm16", "mulaw", "alaw"][i % 3]
+        x = synth_pcm(7, i, sr, sr // 4 + 100 * (i % 5))
+        raw = wrap_wav(x, sr, codec)
+        cid = f"clip-{i:03d}"
+        with open(os.path.join(drop, cid + ".wav"), "wb") as f:
+            f.write(raw)
+        originals[cid] = (codec, raw, len(x))
+    with open(os.path.join(drop, "broken.wav"), "wb") as f:
+        f.write(b"RIFFxxxxWAVEgarbage")
+
+    out = ingest_wav_dir(spark, os.path.join(root, "drop"))
+    rows = {r["clip_id"]: r for r in out.collect()}
+    assert set(rows) == set(originals) | {"broken"}
+    assert rows["broken"]["ingest_error"] and rows["broken"]["codec"] is None
+    for cid, (codec, raw, n) in originals.items():
+        r = rows[cid]
+        assert (r["codec"], r["sr_hz"]) == (codec, sr)
+        assert r["dur_ms"] == n * 1000 // sr
+        assert bytes(r["bytes"]) == raw, "payload must survive untouched"
+
+    t = Table.create(spark, os.path.join(root, "t"), CLIPS_SCHEMA)
+    t.append(out.filter("ingest_error IS NULL").drop("ingest_error"))
+    assert t.scan().count() == len(originals)
+    return (
+        t.scan()
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dur_ms").cast("long").alias("dur_sum"),
+        )
+        .orderBy("codec")
+    )
 
 
 def _q_lh_audio_roundtrip(spark, sf_dir):
@@ -2628,7 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "simhash_pairs": _q_simhash_pairs,
-        "decontaminate": _q_decontaminate,
+        "dedup_clusters": _q_dedup_clusters,
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
@@ -2637,7 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         # packing family
         "pack_sequences": _q_pack_sequences,
-        "length_bucket_batches": _q_length_bucket_batches,
+        "chunk_documents": _q_chunk_documents,
         # transcripts family
         "transcript_wer": _q_transcript_wer,
         "transcript_align_uniform": _q_transcript_align,
@@ -2664,12 +2744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
         "repetition_stats": _q_repetition_stats,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
         "profile_documents": _q_profile_documents,
         "transcript_cer": _q_transcript_cer,
+        "length_bucket_batches": _q_length_bucket_batches,
         "sample_mixture": _q_sample_mixture,
         "cosine_topk_arrow": _q_cosine_topk_arrow,
         "ann_lsh_topk": _q_ann_lsh,
@@ -2695,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dominant_freq": _q_audio_dominant_freq,
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
+        "lh_wav_dir_ingest": _q_lh_wav_dir_ingest,
     }
 
 
@@ -2721,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
     from lakehouse.dedup import (
         curate_documents_oracle_sql,
         decontaminate_oracle_sql,
+        dedup_clusters_oracle_sql,
         dedup_exact_oracle_sql,
         minhash_lsh_oracle_sql,
         ngram_jaccard_oracle_sql,
@@ -2741,6 +2825,7 @@ def oracle_sql() -> dict[str, str]:
     from lakehouse import transcripts
     from lakehouse.packing import (
         bucket_batches_oracle_sql,
+        chunk_documents_oracle_sql,
         pack_sequences_oracle_sql,
     )
     from lakehouse.textops import (
@@ -3032,6 +3117,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash64": simhash_oracle_sql(),
         "simhash_pairs": simhash_pairs_oracle_sql(max_hamming=2),
+        "dedup_clusters": dedup_clusters_oracle_sql(
+            k=3, num_hashes=16, bands=8, threshold=0.05
+        ),
         "text_quality": quality_oracle_sql(),
         "repetition_stats": repetition_oracle_sql(n=2),
         "unigram_logprob": unigram_logprob_oracle_sql(),
@@ -3039,6 +3127,9 @@ def oracle_sql() -> dict[str, str]:
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
         ),
         "pack_sequences": pack_sequences_oracle_sql(capacity=128),
+        "chunk_documents": chunk_documents_oracle_sql(
+            chunk_tokens=24, overlap=6
+        ),
         "transcript_wer": transcripts.wer_oracle_sql(
             drop_every=5, reverse_every=3
         ),

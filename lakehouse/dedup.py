@@ -361,6 +361,114 @@ def minhash_lsh_oracle_sql(
     """
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected-component duplicate-cluster assignment: one row per
+    document with ``cluster_id`` = the MINIMUM id reachable through the
+    near-dup pair graph (singletons label themselves). The standard
+    final step of web-scale dedup pipelines — pairwise victims
+    under-count transitive families; downstream policy ("keep one per
+    cluster", "weight by cluster size") needs the component id.
+
+    Scale shape: min-label propagation. Labels start as each node's own
+    id; every round equi-joins the label frame to the symmetrized edge
+    list (one shuffle keyed on node id, sized |V|+|E| — never the
+    corpus, never a cross join) and lowers each node's label to the min
+    over itself and its neighbours' labels. Labels only decrease, and
+    the component minimum spreads one hop per round, so the loop
+    converges in O(component diameter) rounds — near-dup components are
+    band-connected and dense, diameter 2-4 in practice. The fixpoint
+    test is a changed-label count (one metadata-sized action per
+    round); ``max_iters`` bounds pathological chain graphs. For graphs
+    with adversarial diameter, pre-contract with alternating
+    star-contraction rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) before propagating.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("v"), F.col(b_col).alias("u"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint per round TRUNCATES the plan lineage — iterative
+    # DataFrame loops otherwise stack one join-tree per round and
+    # re-analysis blows up long before the data does. (On a real
+    # cluster with executor loss concerns, set a reliable checkpoint
+    # dir and use .checkpoint() — same shape, durable storage.)
+    labels = (
+        df.select(F.col(id_col).alias("u"))
+        .distinct()
+        .withColumn("lbl", F.col("u"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new_labels = (
+                labels.withColumnRenamed("lbl", "old")
+                .join(neigh, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("old"), F.coalesce("nlbl", F.col("old"))
+                    ).alias("lbl"),
+                    "old",
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("lbl") != F.col("old")).count()
+            labels = new_labels.select("u", "lbl")
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("u").alias(id_col), F.col("lbl").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters_oracle_sql(
+    table: str = "documents",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB twin: transitive closure of the (same-parameter)
+    MinHash-LSH pair graph via a recursive CTE; cluster_id = min
+    reachable id. Near-dup components are tiny, so the closure is
+    cheap at oracle scale."""
+    pair_sql = minhash_lsh_oracle_sql(
+        table, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    return f"""
+    WITH RECURSIVE p AS ({pair_sql}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    walk(u, lbl) AS (
+        SELECT doc_id, doc_id FROM {table}
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

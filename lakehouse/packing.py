@@ -120,6 +120,96 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the other standard LLM
+    training-data layout (vs :func:`pack_sequences`' concat-and-chunk):
+    each document is cut into windows of ``chunk_tokens`` whitespace
+    tokens that advance by ``chunk_tokens - overlap``, so consecutive
+    chunks share ``overlap`` tokens of context (the RAG/embedding and
+    long-doc SFT recipe). Output: one row per chunk —
+    ``(doc_id, chunk_id, start_tok, n_tokens, chunk_text)``.
+
+    Scale shape: pure map — split once, ``sequence``+``explode`` the
+    chunk indices, ``slice`` the token array per chunk. No shuffle, no
+    Python; chunk fan-out stays inside the row's task. Empty documents
+    yield no chunks; a document shorter than one window yields exactly
+    one partial chunk.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    tok = F.split(F.col(text_col), " ")
+    n = F.size(tok)
+    # windows start at i*step while start < n: ceil((n-overlap)/step)
+    # chunks for n > overlap, else exactly one (partial) chunk
+    n_chunks = F.when(
+        n <= F.lit(overlap), F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"))
+    base = (
+        df.filter(F.length(F.col(text_col)) > 0)  # split('') is ['']
+        .select(
+            F.col(id_col), tok.alias("_tok"), n.alias("_n"),
+            n_chunks.alias("_nc"),
+        )
+    )
+    ch = base.select(
+        id_col,
+        "_tok",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * step
+    return ch.select(
+        id_col,
+        "chunk_id",
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_tok"), start + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin: identical window arithmetic over string_split
+    (1-based list_slice)."""
+    c, o = int(chunk_tokens), int(overlap)
+    step = c - o
+    return f"""
+    WITH t AS (
+        SELECT {id_sql} AS doc_id, string_split(text, ' ') AS tok
+        FROM {table} WHERE length(text) > 0
+    ),
+    b AS (
+        SELECT doc_id, tok, len(tok) AS n,
+               CASE WHEN len(tok) <= {o} THEN 1
+                    ELSE CAST(ceil((len(tok) - {o}) * 1.0 / {step}) AS INT)
+               END AS nc
+        FROM t WHERE len(tok) > 0
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           CAST(i * {step} AS BIGINT) AS start_tok,
+           CAST(least({c}, n - i * {step}) AS BIGINT) AS n_tokens,
+           list_aggregate(tok[i * {step} + 1 : i * {step} + {c}], 'string_agg', ' ')
+               AS chunk_text
+    FROM (SELECT b.*, unnest(range(nc)) AS i FROM b)
+    """
+
+
 def bucket_batches(
     df: DataFrame,
     length_col,

@@ -865,3 +865,52 @@ def test_spectrogram_registered_transform(spark, tmp_path):
     rows = mt.scan().collect()
     assert len(rows) == 8
     assert all(len(r.logmel) == r.n_frames * r.n_mels for r in rows)
+
+
+def test_ingest_wav_dir_end_to_end(spark, tmp_path):
+    """File-drop ingest: a directory of raw .wav files (mixed codecs,
+    one corrupt) lands as clips-schema rows — header fields parsed
+    without decoding samples, PCM roundtrip exact vs the originals,
+    corrupt file quarantinable via ingest_error, optional transcript join —
+    and appends cleanly into a lakehouse table."""
+    from lakehouse import CLIPS_SCHEMA, Table
+    from lakehouse.audio import decode_wav, ingest_wav_dir
+    from lakehouse.synth import synth_pcm, wrap_wav
+
+    d = tmp_path / "drop" / "day1"
+    d.mkdir(parents=True)
+    sr = 8000
+    originals = {}
+    for i, codec in enumerate(["pcm16", "mulaw", "alaw"]):
+        x = synth_pcm(42, i, sr, sr // 4)
+        raw = wrap_wav(x, sr, codec)
+        (d / f"clip-{i:03d}.wav").write_bytes(raw)
+        originals[f"clip-{i:03d}"] = (codec, raw)
+    (d / "broken.wav").write_bytes(b"RIFFxxxxWAVEgarbage")
+
+    out = ingest_wav_dir(spark, str(tmp_path / "drop")).cache()
+    rows = {r.clip_id: r for r in out.collect()}
+    assert set(rows) == set(originals) | {"broken"}
+    assert rows["broken"].ingest_error and rows["broken"].codec is None
+    for cid, (codec, raw) in originals.items():
+        r = rows[cid]
+        assert r.codec == codec and r.sr_hz == sr
+        assert r.dur_ms == (sr // 4) * 1000 // sr
+        assert bytes(r.bytes) == raw  # payload untouched
+        dsr, _ = decode_wav(bytes(r.bytes))
+        assert dsr == sr
+
+    # transcripts join + table append of the valid subset
+    tr = spark.createDataFrame(
+        [("clip-000", "hello world")], "clip_id string, transcript string"
+    )
+    good = (
+        ingest_wav_dir(spark, str(tmp_path / "drop"), transcripts=tr)
+        .filter("ingest_error IS NULL")
+        .drop("ingest_error")
+    )
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(good)
+    got = {r.clip_id: r.transcript for r in t.scan().collect()}
+    assert got == {"clip-000": "hello world", "clip-001": None, "clip-002": None}
+    out.unpersist()

@@ -91,6 +91,53 @@ def test_minhash_lsh(spark, oracle):
     )
 
 
+def test_dedup_clusters_matches_oracle(spark, oracle):
+    from lakehouse.dedup import (
+        dedup_clusters,
+        dedup_clusters_oracle_sql,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.1
+    )
+    assert_matches_oracle(
+        dedup_clusters(docs, pairs),
+        oracle,
+        dedup_clusters_oracle_sql(k=3, num_hashes=16, bands=8, threshold=0.1),
+    )
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Pairwise victims under-count transitive families; the component
+    id must be the min over the WHOLE chain, and singletons label
+    themselves."""
+    from lakehouse.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A pure chain is the diameter worst case: the min label must walk
+    the full length within max_iters."""
+    from lakehouse.dedup import dedup_clusters
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    out = dedup_clusters(docs, pairs).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+
+
 def test_simhash_and_pairs(spark, oracle):
     from lakehouse.dedup import (
         simhash64,
@@ -475,6 +522,60 @@ def test_pack_sequences_invariants(spark):
     )
     assert w_bad == 0
     packed.unpersist()
+
+
+def test_chunk_documents_matches_oracle(spark, oracle):
+    from lakehouse.packing import chunk_documents, chunk_documents_oracle_sql
+
+    assert_matches_oracle(
+        chunk_documents(_docs(spark), chunk_tokens=8, overlap=3),
+        oracle,
+        chunk_documents_oracle_sql(chunk_tokens=8, overlap=3),
+    )
+
+
+def test_chunk_documents_hand_cases(spark):
+    """Window arithmetic edge cases: doc shorter than one window (one
+    partial chunk), exact multiple, overlap continuity, empty text
+    (no chunks)."""
+    from lakehouse.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 toks, c=4 o=1 step=3 -> chunks @0,@3: 'a b c d','d e f g'
+            (2, "x y"),            # shorter than window -> one partial
+            (3, ""),               # empty -> none
+            (4, "p q r s"),        # exactly one window
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    assert out == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),
+        (2, 0, 0, 2, "x y"),
+        (4, 0, 0, 4, "p q r s"),
+    ]
+    # overlap continuity: chunk i's tail tokens == chunk i+1's head
+    assert out[0][4].split()[-1:] == out[1][4].split()[:1]
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """The chunk fan-out must stay inside the row's task: no exchange
+    anywhere in the plan (a per-doc window op that shuffles would move
+    the whole corpus at 100 TB)."""
+    from lakehouse.packing import chunk_documents
+
+    plan = (
+        chunk_documents(_docs(spark), chunk_tokens=8, overlap=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
 
 
 def test_bucket_batches_matches_oracle(spark, oracle):
