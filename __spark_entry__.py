@@ -484,6 +484,15 @@ _PII_ENRICH = (
 )
 
 
+def _q_text_normalize(spark, sf_dir):
+    """C4-style normalization (lowercase, punctuation→space, whitespace
+    collapse) as pure codegen projections; same literal patterns in the
+    DuckDB twin."""
+    from lakehouse.textops import normalize_text
+
+    return normalize_text(_read(spark, sf_dir, "documents"))
+
+
 def _q_pii_scrub(spark, sf_dir):
     from lakehouse.textops import pii_scrub
 
@@ -2751,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "profile_documents": _q_profile_documents,
         "transcript_cer": _q_transcript_cer,
+        "text_normalize": _q_text_normalize,
         "length_bucket_batches": _q_length_bucket_batches,
         "sample_mixture": _q_sample_mixture,
         "cosine_topk_arrow": _q_cosine_topk_arrow,
@@ -2835,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         quality_oracle_sql,
         repetition_oracle_sql,
         token_stats_oracle_sql,
+        normalize_text_oracle_sql,
         unigram_logprob_oracle_sql,
     )
 
@@ -3123,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality_oracle_sql(),
         "repetition_stats": repetition_oracle_sql(n=2),
         "unigram_logprob": unigram_logprob_oracle_sql(),
+        "text_normalize": normalize_text_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
         ),

@@ -440,6 +440,8 @@ def main() -> None:
             "events_sessionize",
             "transcript_wer",
             "length_bucket_batches",
+            "chunk_documents",
+            "dedup_clusters",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 

@@ -206,6 +206,34 @@ def cmd_snapshots(args):
     )
 
 
+def cmd_ingest_wav(args):
+    """Bulk-ingest a directory tree of raw .wav files into the table
+    (binaryFile source -> header-only Arrow parse -> clips rows);
+    malformed files are reported and skipped."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import ingest_wav_dir
+    from lakehouse.table import Table
+
+    spark = _spark(args)
+    t = _table(spark, args)
+    df = ingest_wav_dir(spark, args.source)
+    bad = df.filter(F.col("ingest_error").isNotNull()).select(
+        "clip_id", "ingest_error"
+    )
+    rejected = [r.asDict() for r in bad.limit(20).collect()]
+    good = df.filter(F.col("ingest_error").isNull()).drop("ingest_error")
+    snap = t.append(good)
+    _emit(
+        {
+            "op": "ingest-wav",
+            "snapshot_id": snap.snapshot_id,
+            "rows": int(snap.summary.get("added_records", 0)),
+            "rejected_sample": rejected,
+        }
+    )
+
+
 def cmd_metrics(args):
     """Ops-metrics history: one row per commit from snapshot summaries
     (rows/bytes/files added-removed, commit wall, lineage job link) —
@@ -755,6 +783,10 @@ def main():
     t(s)
     s.add_argument("--snapshot", type=int, default=None)
     t(sub.add_parser("snapshots"))
+    s = sub.add_parser("ingest-wav")
+    t(s)
+    s.add_argument("--source", required=True,
+                   help="directory tree of .wav files")
     s = sub.add_parser("metrics")
     t(s)
     s.add_argument("--sql-filter", default=None,
@@ -873,6 +905,7 @@ def main():
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
         "metrics": cmd_metrics,
+        "ingest-wav": cmd_ingest_wav,
         "stream-demo": cmd_stream_demo,
         "delete": cmd_delete,
         "materialize-deletes": cmd_materialize_deletes,

@@ -390,3 +390,70 @@ def unigram_logprob_oracle_sql(table: str = "documents") -> str:
     FROM tok JOIN cnt USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """
+
+
+# --- normalization (the C4/Gopher pre-dedup cleanup) --------------------------
+
+# one literal char class shared verbatim by both engines (an explicit
+# ASCII set, NOT \p{Punct}/[[:punct:]], whose unicode memberships differ
+# between the JVM and DuckDB regex engines)
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"""
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    strip_punct: bool = True,
+) -> DataFrame:
+    """Canonicalize text before dedup/quality scoring — the standard
+    C4-style cleanup: lowercase, strip ASCII punctuation (to spaces, so
+    token boundaries survive ``don't`` → ``don t``), collapse runs of
+    whitespace, trim. Output: ``(doc_id, norm_text, n_tokens)`` with
+    ``n_tokens`` counted on the normalized form, so exact dedup over
+    ``norm_text`` catches case/punctuation near-dups for free.
+
+    Scale shape: pure ``lower``/``regexp_replace``/``trim`` projections
+    — fully codegen'd, zero shuffle. Unicode NFC folding is
+    deliberately out of scope: Spark SQL has no built-in normalizer and
+    a per-row Python pass is the forbidden slow path; corpora needing
+    NFC should fold at ingest (Arrow batch) instead.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    if strip_punct:
+        t = F.regexp_replace(t, _PUNCT_CLASS, " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def normalize_text_oracle_sql(
+    table: str = "documents",
+    lowercase: bool = True,
+    strip_punct: bool = True,
+) -> str:
+    """DuckDB twin: identical literal patterns, global-flag replaces."""
+    expr = "text"
+    if lowercase:
+        expr = f"lower({expr})"
+    if strip_punct:
+        lit = _PUNCT_CLASS.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH n AS (SELECT doc_id, {expr} AS norm_text FROM {table})
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN length(norm_text) = 0 THEN 0
+                     ELSE len(string_split(norm_text, ' ')) END AS BIGINT)
+               AS n_tokens
+    FROM n
+    """

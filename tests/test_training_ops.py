@@ -720,6 +720,37 @@ def test_sampling_deterministic_and_oracle(spark, oracle):
         assert r["count"] == min(7, full[r.lang])
 
 
+def test_normalize_text_matches_oracle(spark, oracle):
+    from lakehouse.textops import normalize_text, normalize_text_oracle_sql
+
+    assert_matches_oracle(
+        normalize_text(_docs(spark)),
+        oracle,
+        normalize_text_oracle_sql(),
+    )
+
+
+def test_normalize_text_hand_cases(spark):
+    """Case folding, punctuation->space (token boundaries survive),
+    whitespace collapse, empty results counted as 0 tokens; exact dedup
+    over norm_text catches case/punct near-dups."""
+    from lakehouse.textops import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  don't STOP..."),
+            (2, "hello world don t stop"),
+            (3, "..."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.norm_text, r.n_tokens)
+           for r in normalize_text(docs).collect()}
+    assert out[1] == ("hello world don t stop", 5)
+    assert out[1] == out[2]  # near-dup now exact
+    assert out[3] == ("", 0)
+
+
 def test_repetition_stats_hand_computed(spark):
     from lakehouse.textops import repetition_stats
 
