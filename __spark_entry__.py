@@ -709,6 +709,36 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(_read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5)
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 per-vector quantization (8 B/dim -> 1 B/dim; the
+    100 TB similarity working-set lever); scale + integer self-norm
+    match the bit-exact DuckDB twin."""
+    from lakehouse.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(spark, sf_dir, "embeddings")).select(
+        "vec_id", "scale", "qnorm2"
+    )
+
+
+def _q_cosine_topk_int8(spark, sf_dir):
+    """Top-k cosine over int8-quantized vectors (scales cancel: integer
+    dot / sqrt of integer norms — no dequantization). Oracle-exact vs
+    the same quantized arithmetic in DuckDB; the builder additionally
+    asserts recall@5 >= 0.9 against the float-exact cosine_topk."""
+    from lakehouse.similarity import cosine_topk, cosine_topk_int8
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_topk_int8(emb, QUERY_VEC_IDS, k=5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, QUERY_VEC_IDS, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    recall = len(got & exact) / max(1, len(exact))
+    assert recall >= 0.9, f"int8 recall@5 vs exact = {recall}"
+    return out
+
+
 def _q_ann_ivf(spark, sf_dir):
     from lakehouse.similarity import ann_ivf_topk
 
@@ -2764,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": _q_length_bucket_batches,
         "sample_mixture": _q_sample_mixture,
         "cosine_topk_arrow": _q_cosine_topk_arrow,
+        "embedding_quantize": _q_embedding_quantize,
+        "cosine_topk_int8": _q_cosine_topk_int8,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2824,8 +2856,10 @@ def oracle_sql() -> dict[str, str]:
     from lakehouse.similarity import (
         ann_ivf_oracle_sql,
         ann_lsh_oracle_sql,
+        cosine_topk_int8_oracle_sql,
         cosine_topk_oracle_sql,
         embedding_near_dup_oracle_sql,
+        quantize_embeddings_oracle_sql,
         semantic_dedup_oracle_sql,
     )
     from lakehouse.streaming_agg import (
@@ -3164,6 +3198,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": token_stats_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(k=8),
         "cosine_topk": cosine_topk_oracle_sql(QUERY_VEC_IDS, k=5),
+        "embedding_quantize": quantize_embeddings_oracle_sql(),
+        "cosine_topk_int8": cosine_topk_int8_oracle_sql(QUERY_VEC_IDS, k=5),
         "ann_lsh_topk": ann_lsh_oracle_sql(
             QUERY_VEC_IDS, k=5, n_bits=8, multiprobe=2
         ),

@@ -803,3 +803,165 @@ def semantic_dedup_oracle_sql(
     FROM assigned s
     WHERE s.vid NOT IN (SELECT vid FROM victims)
     """
+
+
+# --- int8 quantization (the 4x memory lever for 100 TB ANN) -------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = floor(x[i]/s +
+    0.5)`` with ``s = max|x|/127`` — array<double> (8 B/dim) becomes
+    array<tinyint> (1 B/dim) + one scale, an 8x storage / shuffle cut
+    for the similarity working set. Cosine between quantized vectors
+    needs NO dequantization: the per-vector scales cancel, so scoring
+    is pure integer dot / sqrt(int norms) — which also makes the DuckDB
+    twin bit-exact (identical IEEE divisions, identical floor).
+    All JVM higher-order functions (transform/aggregate) — no Python,
+    no shuffle. All-zero vectors quantize to zeros with scale 0.
+
+    Output: ``(id, q8 array<tinyint>, scale, qnorm2 bigint)`` —
+    ``qnorm2`` precomputed so pair scoring never re-reduces the self
+    norm per candidate pair.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    s = maxabs / F.lit(127.0)
+    q = F.when(
+        s > 0,
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    base = emb.select(
+        F.col(id_col), q.alias("_q"), F.round(s, 6).alias("scale")
+    )
+    return base.select(
+        id_col,
+        F.col("_q").cast("array<tinyint>").alias("q8"),
+        "scale",
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("qnorm2"),
+    )
+
+
+def quantize_embeddings_oracle_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of the quantization arithmetic (scale + integer
+    self-norm; the q8 array itself is checked through the top-k twin)."""
+    return f"""
+    WITH s AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   / 127.0 AS sc
+        FROM {table}
+    ),
+    q AS (
+        SELECT vec_id, sc,
+               CASE WHEN sc > 0
+                    THEN list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+               END AS qv
+        FROM s
+    )
+    SELECT vec_id, round(sc, 6) AS scale,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qnorm2
+    FROM q
+    """
+
+
+def cosine_topk_int8(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine over int8-quantized vectors — same join shape
+    as :func:`cosine_topk` (broadcast bounded query set, map-side
+    scoring, per-query top-k window) but the corpus side carries 1-byte
+    components and a precomputed integer self-norm: the score is
+    ``int_dot / sqrt(qnorm2_a * qnorm2_b)`` (scales cancel — no
+    dequantization, no float arrays in the exchange).
+    """
+    qt = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    q = qt.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q8").cast("array<long>").alias("qa"),
+        F.col("qnorm2").alias("na"),
+    )
+    c = qt.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q8").cast("array<long>").alias("qb"),
+        F.col("qnorm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 4
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_int8_oracle_sql(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   / 127.0 AS sc
+        FROM {table}
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN sc > 0
+                    THEN list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+               END AS qv
+        FROM s
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               list_aggregate(list_transform(qv, x -> x * x), 'sum') AS n2
+        FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_dot_product(a.qv, b.qv)
+                     / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 4) AS cosine
+        FROM n a, n b
+        WHERE a.vec_id IN ({ids}) AND a.vec_id <> b.vec_id
+          AND a.n2 > 0 AND b.n2 > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """

@@ -198,6 +198,68 @@ def test_cosine_topk_and_ann(spark, oracle):
     )
 
 
+def test_quantize_embeddings_matches_oracle(spark, oracle):
+    from lakehouse.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_oracle_sql,
+    )
+
+    assert_matches_oracle(
+        quantize_embeddings(_embs(spark)).select("vec_id", "scale", "qnorm2"),
+        oracle,
+        quantize_embeddings_oracle_sql(),
+    )
+
+
+def test_cosine_topk_int8_matches_oracle_and_recall(spark, oracle):
+    """int8 top-k is bit-exact vs the DuckDB twin (scales cancel —
+    pure integer arithmetic) AND a faithful stand-in for the float
+    ranking: recall@5 vs exact cosine_topk >= 0.9."""
+    from lakehouse.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+        cosine_topk_int8_oracle_sql,
+    )
+
+    emb = _embs(spark)
+    qids = list(range(8))
+    assert_matches_oracle(
+        cosine_topk_int8(emb, qids, k=5),
+        oracle,
+        cosine_topk_int8_oracle_sql(qids, k=5),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_int8(emb, qids, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_quantize_embeddings_edge_cases(spark):
+    """Zero vectors quantize to zeros with scale 0 (and never reach the
+    scored set); components are bounded to [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -1.0]), (2, [0.5, 0.25])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert list(rows[0].q8) == [0, 0] and rows[0].scale == 0.0
+    assert rows[0].qnorm2 == 0
+    assert list(rows[1].q8) == [127, -127]
+    assert list(rows[2].q8) == [127, 64]  # 0.25/ (0.5/127) = 63.5 -> 64
+    assert all(
+        -127 <= v <= 127 for r in rows.values() for v in r.q8
+    )
+
+
 def test_embedding_near_dup(spark, oracle):
     from lakehouse.similarity import (
         embedding_near_dup_oracle_sql,
