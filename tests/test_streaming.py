@@ -237,3 +237,74 @@ def test_stream_maintained_feature_transform(spark, clips_table, tmp_path):
     check()
     assert mt.scan().count() == 40
     assert mt.scan().filter("NOT ok").count() == 0
+
+
+def test_kafka_envelope_decode_batch_and_stream(spark, tmp_path):
+    """The Kafka-shaped adapter decodes the EXACT format('kafka')
+    source schema into typed rows with bus lineage; corrupt values
+    surface decode_error instead of vanishing. The streaming twin runs
+    the same transform over a file-source stand-in carrying the same
+    envelope schema through a checkpointed restart into an idempotent
+    table sink (swap the stand-in for readStream.format('kafka') on a
+    real broker — one line)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from lakehouse import Table
+    from lakehouse.streaming import (
+        KAFKA_SOURCE_SCHEMA,
+        append_batch,
+        kafka_envelope_decode,
+    )
+
+    def envelope(i, payload_bytes):
+        return (
+            str(i).encode(), payload_bytes, "clicks", i % 3, i,
+            __import__("datetime").datetime(2024, 1, 1, 0, 0, i % 60), 0,
+        )
+
+    rows = [
+        envelope(i, json.dumps({"event_id": i, "kind": "click"}).encode())
+        for i in range(20)
+    ] + [envelope(99, b"{not json")]
+    src = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+    out = kafka_envelope_decode(src, "event_id BIGINT, kind STRING")
+    assert out.filter("decode_error IS NOT NULL").count() == 1
+    good = out.filter("decode_error IS NULL")
+    assert good.count() == 20
+    r = good.filter("event_id = 7").collect()[0]
+    assert (r.kind, r.kafka_topic, r.kafka_partition, r.kafka_offset) == (
+        "click", "clicks", 1, 7,
+    )
+
+    # streaming twin: same envelope schema via the file source stand-in
+    src_dir, ckpt = str(tmp_path / "bus"), str(tmp_path / "ckpt")
+    src.write.parquet(src_dir)
+    schema = T.StructType.fromDDL(
+        "event_id BIGINT, kind STRING, decode_error STRING, "
+        "kafka_topic STRING, kafka_partition INT, kafka_offset BIGINT, "
+        "arrival_ts TIMESTAMP"
+    )
+    t = Table.create(spark, str(tmp_path / "t"), schema)
+    sdf = kafka_envelope_decode(
+        spark.readStream.schema(
+            T.StructType.fromDDL(KAFKA_SOURCE_SCHEMA)
+        ).parquet(src_dir),
+        "event_id BIGINT, kind STRING",
+    )
+
+    def drain():
+        q = (
+            sdf.writeStream.foreachBatch(append_batch(t))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert t.scan().count() == 21  # corrupt row lands WITH decode_error
+    drain()  # restart with nothing new: idempotent
+    assert t.scan().count() == 21
+    assert t.scan().filter("decode_error IS NOT NULL").count() == 1
