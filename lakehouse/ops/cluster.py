@@ -94,7 +94,17 @@ def cluster(
     partition_filter=None,
     job_id: Optional[str] = None,
     fault_injector=None,
+    quantile_sample_rows: Optional[int] = 4_000_000,
 ) -> ClusterResult:
+    """See module docstring. ``quantile_sample_rows`` bounds the rows the
+    narrow cut-estimation pass aggregates: when the manifest row count
+    exceeds it, the pass samples ``quantile_sample_rows/total_rows`` of
+    the table (seeded) and scales the per-partition counts back up —
+    at 10^12 rows the quantile state would otherwise be fed by every
+    row (this is how ``repartitionByRange`` itself picks bounds:
+    reservoir sample, not a full pass). Cuts only steer FILE LAYOUT,
+    never row content, so scan results are byte-identical under any
+    sample; ``None`` disables sampling."""
     if curve not in ("zorder", "hilbert"):
         raise ValueError("curve must be 'zorder' or 'hilbert'")
     spark = table.spark
@@ -201,6 +211,14 @@ def cluster(
         )
         narrow, _ = with_pk(base.select(*narrow_cols))
         narrow = with_zkey(narrow)
+        # bounded cut estimation: fraction chosen from MANIFEST counts
+        # (zero extra I/O); counts are scaled back so output sizing
+        # still targets the true per-partition row volume
+        sample_scale = 1.0
+        if quantile_sample_rows and total_rows > quantile_sample_rows:
+            frac = quantile_sample_rows / total_rows
+            narrow = narrow.sample(False, frac, seed=8421)
+            sample_scale = 1.0 / frac
         probs = [j / GRID for j in range(1, GRID)]
         # per-__pk quantiles AND row counts in one pass: output sizing
         # derives from the RECOMPUTED partition values (row count ×
@@ -222,6 +240,7 @@ def cluster(
                 1,
                 round(
                     r["__n"]
+                    * sample_scale
                     * avg_row_by_pk.get(r["__pk"], avg_row)
                     / target_file_size
                 ),

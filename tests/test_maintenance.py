@@ -446,3 +446,30 @@ def test_merge_bucket_partition_pruning(spark, table_root):
     victim = base["clip_id"].iloc[0]
     assert got[victim] == upd["transcript"].iloc[0]
     assert len(got) == 160
+
+
+def test_cluster_sampled_quantile_pass(spark, table_root):
+    """Forcing the bounded cut-estimation sample (quantile_sample_rows
+    far below the row count) must keep the north-rule invariant — scans
+    byte-identical — and still yield effective pruning cuts: the cuts
+    steer file LAYOUT only. Counts scale back up, so output sizing
+    still tracks true partition volume (multiple files per partition
+    at a small target size)."""
+    t = make_small_file_table(spark, table_root, rows=400, appends=4)
+    before_fp = scan_fingerprint(t)
+    pred = [("sr_hz", "=", 8000)]
+    plan_before = t.plan(filter=pred)
+
+    res = t.cluster(
+        ["sr_hz", "dur_ms"],
+        target_file_size=256 * 1024,
+        quantile_sample_rows=64,  # 400 rows -> 16% sample
+    )
+    assert res.snapshot_id is not None
+    assert scan_fingerprint(t) == before_fp  # byte-identical row set
+    # sizing survived the scale-back: more than one output file
+    assert res.files_created > 1
+    plan_after = t.plan(filter=pred)
+    ratio_before = len(plan_before.files) / max(1, plan_before.candidate_files)
+    ratio_after = len(plan_after.files) / max(1, plan_after.candidate_files)
+    assert ratio_after < ratio_before  # sampled cuts still prune
