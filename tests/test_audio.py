@@ -914,3 +914,48 @@ def test_ingest_wav_dir_end_to_end(spark, tmp_path):
     got = {r.clip_id: r.transcript for r in t.scan().collect()}
     assert got == {"clip-000": "hello world", "clip-001": None, "clip-002": None}
     out.unpersist()
+
+
+def test_specaugment_masks_exactly_and_deterministically(spark):
+    """SpecAugment invariants: (1) cells OUTSIDE the recorded mask spans
+    are bit-identical to the input spectrogram; (2) cells INSIDE a span
+    equal the clip's mean fill value; (3) the same (seed, clip_id)
+    yields bit-identical masks on a rerun; (4) a different seed moves
+    the masks somewhere in the corpus."""
+    from lakehouse.audio import specaugment, with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 24, seed=5, n_days=2))
+    aug = specaugment(df, seed=3, max_t=8, max_f=3)
+    rows = aug.select("clip_id", "spectrogram", "spectrogram_aug").collect()
+    assert rows and all(r.spectrogram_aug.ok for r in rows)
+    any_masked = False
+    for r in rows:
+        nf, nm = r.spectrogram.n_frames, r.spectrogram.n_mels
+        orig = np.asarray(r.spectrogram.logmel, np.float32).reshape(nf, nm)
+        got = np.asarray(r.spectrogram_aug.logmel, np.float32).reshape(nf, nm)
+        fill = np.float32(orig.mean())
+        masked = np.zeros((nf, nm), dtype=bool)
+        for t0, t in r.spectrogram_aug.time_masks:
+            masked[t0 : t0 + t, :] = True
+        for f0, f in r.spectrogram_aug.freq_masks:
+            masked[:, f0 : f0 + f] = True
+        assert np.array_equal(got[~masked], orig[~masked])  # (1)
+        assert np.all(got[masked] == fill)  # (2)
+        any_masked = any_masked or masked.any()
+    assert any_masked
+
+    again = {
+        r.clip_id: r.spectrogram_aug.logmel
+        for r in specaugment(df, seed=3, max_t=8, max_f=3)
+        .select("clip_id", "spectrogram_aug")
+        .collect()
+    }
+    assert all(again[r.clip_id] == r.spectrogram_aug.logmel for r in rows)  # (3)
+    other = {
+        r.clip_id: r.spectrogram_aug.logmel
+        for r in specaugment(df, seed=4, max_t=8, max_f=3)
+        .select("clip_id", "spectrogram_aug")
+        .collect()
+    }
+    assert any(other[r.clip_id] != r.spectrogram_aug.logmel for r in rows)  # (4)
