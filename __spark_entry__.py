@@ -682,6 +682,19 @@ def _q_sample_mixture(spark, sf_dir):
     )
 
 
+def _q_split_assign(spark, sf_dir):
+    from lakehouse.sampling import split_assign
+
+    # deterministic train/val/test labels: disjoint + exhaustive by
+    # construction (cumulative thresholds over ONE hash draw); a row's
+    # split never depends on the rest of the corpus
+    return split_assign(
+        _read(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=13,
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from lakehouse.textops import lang_id
 
@@ -2807,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_align_uniform": _q_transcript_align,
         # sampling family
         "sample_hash": _q_sample_hash,
+        "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
         # similarity family
         "cosine_topk": _q_cosine_topk,
@@ -2869,9 +2883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _sampling_oracles() -> tuple[str, str, str]:
+def _sampling_oracles() -> tuple[str, str, str, str]:
     from lakehouse.sampling import (
         hash_sample_oracle_sql,
+        split_assign_oracle_sql,
         stratified_fractions_oracle_sql,
         stratified_sample_oracle_sql,
     )
@@ -2884,6 +2899,9 @@ def _sampling_oracles() -> tuple[str, str, str]:
             {"src0": 1.0, "src1": 0.5, "src2": 0.25},
             seed=7,
             default_fraction=0.1,
+        ),
+        split_assign_oracle_sql(
+            {"train": 0.9, "val": 0.05, "test": 0.05}, seed=13
         ),
     )
 
@@ -3233,6 +3251,7 @@ def oracle_sql() -> dict[str, str]:
             batch_size=16, bucket_len=64
         ),
         "sample_hash": _sampling_oracles()[0],
+        "split_assign": _sampling_oracles()[3],
         "sample_stratified": _sampling_oracles()[1],
         "sample_mixture": _sampling_oracles()[2],
         "pii_scrub": pii_scrub_oracle_sql(

@@ -172,3 +172,66 @@ def stratified_fractions_oracle_sql(
     return (
         f"SELECT * FROM {table} WHERE {_hash_sql(seed, id_col)} < {case}"
     )
+
+
+def _split_bounds(splits: Mapping[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-threshold-hex) pairs in declaration order; the last
+    bound is the keep-all sentinel so assignment is EXHAUSTIVE no matter
+    how the fractions round."""
+    fracs = list(splits.values())
+    if any(f < 0 for f in fracs):
+        raise ValueError("split fractions must be >= 0")
+    total = sum(fracs)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(splits.keys())
+    bounds, acc = [], 0.0
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        acc += frac
+        bounds.append((name, _threshold_hex(min(acc, 1.0))))
+    bounds.append((names[-1], "g"))
+    return bounds
+
+
+def split_assign(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``out_col`` label
+    per row, a pure function of (seed, id) — DISJOINT and EXHAUSTIVE by
+    construction (cumulative thresholds over one hash draw), stable
+    across cluster size, partitioning, retries, and incremental
+    arrivals (a new row's split never depends on what else is in the
+    corpus — the property eval-set hygiene needs). One codegen'd
+    projection, no shuffle; ``splits`` is ordered ``{name: fraction}``
+    summing to 1."""
+    h = _hash_hex(seed, F.col(id_col))
+    bounds = _split_bounds(splits)
+    expr = None
+    for name, thr in bounds[:-1]:
+        cond = h < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(bounds[-1][0])
+    expr = expr.otherwise(last) if expr is not None else last
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_oracle_sql(
+    splits: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+    table: str = "documents",
+) -> str:
+    bounds = _split_bounds(splits)
+    h = _hash_sql(seed, id_col)
+    whens = " ".join(
+        f"WHEN {h} < '{thr}' THEN '{name}'" for name, thr in bounds[:-1]
+    )
+    case = f"(CASE {whens} ELSE '{bounds[-1][0]}' END)" if whens else (
+        f"'{bounds[-1][0]}'"
+    )
+    return f"SELECT *, {case} AS {out_col} FROM {table}"

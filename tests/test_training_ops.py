@@ -1089,3 +1089,37 @@ def test_align_uniform_partitions_duration(spark, oracle):
     # plan: narrow fan-out only, no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark, oracle):
+    from lakehouse.sampling import split_assign, split_assign_oracle_sql
+
+    docs = _docs(spark)
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(docs, splits, seed=11)
+    assert_matches_oracle(
+        out, oracle, split_assign_oracle_sql(splits, seed=11)
+    )
+    n = docs.count()
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n  # exhaustive (one label per row)
+    assert set(counts) <= set(splits)
+    # proportions roughly honored (Bernoulli tolerance at corpus size)
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # a row's split is f(seed, id) only: invariant under repartitioning
+    # AND under corpus growth (drop half the corpus, labels unchanged)
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_assign(docs.repartition(7), splits, seed=11).collect()
+    }
+    assert a == b
+    half = docs.filter("doc_id % 2 = 0")
+    c = {r.doc_id: r.split for r in split_assign(half, splits, seed=11).collect()}
+    assert all(a[k] == v for k, v in c.items())
+    # degenerate fractions rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(docs, {"train": 0.5, "val": 0.2}, seed=11)
