@@ -473,3 +473,52 @@ def test_cluster_sampled_quantile_pass(spark, table_root):
     ratio_before = len(plan_before.files) / max(1, plan_before.candidate_files)
     ratio_after = len(plan_after.files) / max(1, plan_after.candidate_files)
     assert ratio_after < ratio_before  # sampled cuts still prune
+
+
+def test_cluster_resume_after_crash(spark, table_root):
+    """Cluster's coarse-resume path: a crash AFTER the rewrite but
+    BEFORE the commit leaves the table untouched; re-running with the
+    same job_id finds the 'rewrite-complete' sentinel, reuses every
+    recorded output file (no second rewrite), and commits — scans stay
+    byte-identical and no duplicate or dangling files appear."""
+    t = make_small_file_table(spark, table_root, rows=200, appends=5)
+    before_fp = scan_fingerprint(t)
+    version_before = t.meta.version
+
+    def crash(stage):
+        raise RuntimeError("injected crash before cluster commit")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.cluster(
+            ["sr_hz", "dur_ms"],
+            target_file_size=2 * 1024 * 1024,
+            job_id="cluster-resume-test",
+            fault_injector=crash,
+        )
+    assert t.meta.version == version_before  # nothing committed
+    assert scan_fingerprint(t) == before_fp
+
+    from lakehouse.lineage import LineageLog
+
+    rec = LineageLog(t.root, "cluster-resume-test").done_tasks()
+    assert "rewrite-complete" in rec
+    outs_recorded = {
+        e.file_path
+        for k, r in rec.items()
+        if k != "rewrite-complete"
+        for e in r.out_entries()
+    }
+    assert outs_recorded
+
+    res = t.cluster(
+        ["sr_hz", "dur_ms"],
+        target_file_size=2 * 1024 * 1024,
+        job_id="cluster-resume-test",
+    )
+    assert res.snapshot_id is not None
+    assert scan_fingerprint(t) == before_fp
+    # the resumed run committed the FIRST run's outputs, not a re-rewrite
+    live = {e.file_path for e in t.live_files()}
+    assert live == outs_recorded
+    for rel in live:
+        assert os.path.exists(os.path.join(t.root, rel))
