@@ -1680,6 +1680,125 @@ def _q_audio_specaugment(spark, sf_dir):
     )
 
 
+def _q_audio_cmvn(spark, sf_dir):
+    """Self-verifying CMVN (cepstral mean/variance normalization, the
+    Kaldi apply-cmvn step) over the framed log-mel layout. Per-clip
+    path: after with_cmvn every clip's per-dim mean is ~0 and std is ~1
+    (full bounded corpus, numpy-checked). Corpus path: apply_cmvn with
+    cmvn_corpus_stats literals is pure Catalyst (plan-asserted: no
+    Arrow/Python eval node), and recomputing corpus stats on its output
+    yields mean ~0 / std ~1 per dim."""
+    import numpy as np
+
+    from lakehouse.audio import (
+        apply_cmvn,
+        cmvn_corpus_stats,
+        with_cmvn,
+        with_spectrogram,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 96, seed=43, n_days=3))
+    df.persist()
+    try:
+        # --- per-clip CMVN ---------------------------------------------------
+        rows = with_cmvn(df).select("clip_id", "spectrogram_cmvn").collect()
+        assert len(rows) == 96 and all(r.spectrogram_cmvn.ok for r in rows)
+        for r in rows:
+            nf, nm = r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels
+            m = np.asarray(r.spectrogram_cmvn.logmel, np.float64).reshape(
+                nf, nm
+            )
+            assert np.abs(m.mean(axis=0)).max() < 1e-4, r.clip_id
+            if nf > 1:
+                # dims floored by the variance floor are legitimately ≠1
+                std = m.std(axis=0)
+                assert np.abs(std[std > 0.5] - 1.0).max() < 1e-3, r.clip_id
+
+        # --- corpus-level CMVN ----------------------------------------------
+        n, mean, std = cmvn_corpus_stats(df)
+        assert n == sum(
+            r.n for r in df.select(
+                F.col("spectrogram.n_frames").alias("n")
+            ).collect()
+        )
+        normed = apply_cmvn(df, mean, std)
+        # plan-gate: everything ABOVE the cached spectrogram scan (the
+        # apply_cmvn projection itself) is pure Catalyst — the cached
+        # relation's recipe below the InMemoryTableScan boundary is the
+        # only place a Python eval node may appear.
+        plan = normed._jdf.queryExecution().executedPlan().toString()
+        above = plan.split("InMemoryTableScan")[0]
+        assert "EvalPython" not in above and "transform(" in above, above
+        n2, mean2, std2 = cmvn_corpus_stats(normed, "spectrogram_cmvn")
+        assert n2 == n
+        assert np.abs(mean2).max() < 1e-4, mean2
+        assert np.abs(std2 - 1.0).max() < 1e-3, std2
+        return with_cmvn(df).select(
+            "clip_id",
+            F.col("spectrogram_cmvn.n_frames").alias("n_frames"),
+            F.col("spectrogram_cmvn.n_mels").alias("n_mels"),
+            F.round(
+                F.aggregate(
+                    "spectrogram_cmvn.logmel", F.lit(0.0), lambda a, v: a + v
+                )
+                / F.size("spectrogram_cmvn.logmel"),
+                4,
+            ).alias("mean_cmvn"),
+        )
+    finally:
+        df.unpersist()
+
+
+def _q_audio_deltas(spark, sf_dir):
+    """Self-verifying delta / delta-delta regression features (Kaldi
+    add-deltas; HTK §5.10): the operator's output matches an
+    independent numpy re-derivation on the full bounded corpus, and
+    delta-delta equals the delta operator applied twice."""
+    import numpy as np
+
+    from lakehouse.audio import _delta_frames, with_deltas, with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    df = with_deltas(
+        with_spectrogram(synth_clips_df(spark, 96, seed=47, n_days=3)),
+        width=2,
+    )
+    rows = df.select("clip_id", "spectrogram", "spectrogram_delta").collect()
+    assert len(rows) == 96 and all(r.spectrogram_delta.ok for r in rows)
+    for r in rows:
+        nf, nm = r.spectrogram.n_frames, r.spectrogram.n_mels
+        m = np.asarray(r.spectrogram.logmel, np.float64).reshape(nf, nm)
+        want1 = _delta_frames(m, 2)
+        want2 = _delta_frames(want1, 2)
+        got1 = np.asarray(r.spectrogram_delta.delta, np.float32).reshape(
+            nf, nm
+        )
+        got2 = np.asarray(r.spectrogram_delta.delta2, np.float32).reshape(
+            nf, nm
+        )
+        assert np.allclose(got1, want1, atol=1e-4), r.clip_id
+        assert np.allclose(got2, want2, atol=1e-4), r.clip_id
+        # edge replication: a constant-over-time dim has zero delta
+        assert np.allclose(got1[:, m.std(axis=0) == 0], 0.0)
+    return df.select(
+        "clip_id",
+        F.col("spectrogram_delta.n_frames").alias("n_frames"),
+        F.round(
+            F.aggregate(
+                "spectrogram_delta.delta", F.lit(0.0), lambda a, v: a + v
+            ),
+            4,
+        ).alias("delta_sum"),
+        F.round(
+            F.aggregate(
+                "spectrogram_delta.delta2", F.lit(0.0), lambda a, v: a + v
+            ),
+            4,
+        ).alias("delta2_sum"),
+    )
+
+
 def _q_lh_curate_clips(spark, sf_dir):
     """Self-verifying one-call audio curation: plant near-duplicate,
     hard-clipped, and DC-biased clips in a clean corpus stored as a
@@ -2872,6 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_audio_curate_clips": _q_lh_curate_clips,
         "audio_spectrogram": _q_audio_spectrogram,
         "audio_specaugment": _q_audio_specaugment,
+        "audio_cmvn": _q_audio_cmvn,
+        "audio_deltas": _q_audio_deltas,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
         "audio_spectral_features": _q_audio_spectral,

@@ -1697,3 +1697,253 @@ def specaugment(
             seed64,
         ),
     )
+
+
+# --- CMVN + delta features (tail of the standard ASR feature recipe) --------
+
+# Cepstral mean (and variance) normalization plus delta / delta-delta
+# regression features are the last two steps of the classic ASR front
+# end (Kaldi's apply-cmvn + add-deltas; HTK book §5.9-5.10).  Both
+# operate on the engine's framed layout (flat row-major float array +
+# (n_frames, n_mels) shape) so they compose after
+# :func:`with_spectrogram` / :func:`specaugment` and register as
+# incremental feature extractors.
+
+CMVN_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mels", T.IntegerType()),
+        T.StructField("logmel", T.ArrayType(T.FloatType())),
+    ]
+)
+
+#: Variance floor: dims whose per-clip std falls below this are scaled
+#: by 1/CMVN_STD_FLOOR instead of exploding to inf (Kaldi's variance
+#: floor plays the same role).
+CMVN_STD_FLOOR = 1e-5
+
+
+def make_cmvn_udf(var_norm: bool = True):
+    """Per-clip (per-utterance) CMVN over the framed feature layout:
+    subtract the per-dim mean over time; with ``var_norm`` also divide
+    by the per-dim std (floored at :data:`CMVN_STD_FLOOR`). Pure
+    Arrow-batched numpy — two reductions and one broadcast op on the
+    (n_frames, n_mels) view per clip, no per-row Python boundary."""
+
+    @F.pandas_udf(CMVN_TYPE)
+    def cmvn_udf(
+        logmel: pd.Series, n_frames: pd.Series, n_mels: pd.Series
+    ) -> pd.DataFrame:
+        out = {f.name: [] for f in CMVN_TYPE.fields}
+        for flat, nf, nm in zip(logmel, n_frames, n_mels):
+            if flat is None or nf is None or nm is None:
+                for k in out:
+                    out[k].append(None if k != "ok" else False)
+                continue
+            nf, nm = int(nf), int(nm)
+            m = np.asarray(flat, dtype=np.float64).reshape(nf, nm)
+            m = m - m.mean(axis=0)
+            if var_norm:
+                m = m / np.maximum(m.std(axis=0), CMVN_STD_FLOOR)
+            out["ok"].append(True)
+            out["n_frames"].append(nf)
+            out["n_mels"].append(nm)
+            out["logmel"].append(m.astype(np.float32).reshape(-1))
+        return pd.DataFrame(out)
+
+    return cmvn_udf
+
+
+def with_cmvn(
+    df,
+    spec_col: str = "spectrogram",
+    out_col: str = "spectrogram_cmvn",
+    var_norm: bool = True,
+):
+    """Attach a per-clip-CMVN-normalized twin of a framed feature
+    struct column (compose after :func:`with_spectrogram`)."""
+    return df.withColumn(
+        out_col,
+        make_cmvn_udf(var_norm)(
+            F.col(f"{spec_col}.logmel"),
+            F.col(f"{spec_col}.n_frames"),
+            F.col(f"{spec_col}.n_mels"),
+        ),
+    )
+
+
+_CMVN_PARTIAL_TYPE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("ss", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def cmvn_corpus_stats(df, spec_col: str = "spectrogram"):
+    """Corpus-level (global) CMVN statistics: per-dim mean and std over
+    EVERY frame of every clip.
+
+    Scale shape: one Arrow pass computes a per-clip partial
+    ``(n_frames, sum[dim], sumsq[dim])`` — frames never leave the
+    executor — then the partials explode to O(clips × n_mels) tiny rows
+    and a single groupBy(dim) reduces them (map-side partial agg, one
+    narrow shuffle of doubles). The result is n_mels rows collected to
+    the driver: metadata-bounded by construction, independent of corpus
+    size. Returns ``(total_frames, mean ndarray, std ndarray)``.
+    """
+
+    @F.pandas_udf(_CMVN_PARTIAL_TYPE)
+    def partial_udf(logmel: pd.Series, n_frames: pd.Series,
+                    n_mels: pd.Series) -> pd.DataFrame:
+        out = {"n": [], "s": [], "ss": []}
+        for flat, nf, nm in zip(logmel, n_frames, n_mels):
+            if flat is None or nf is None or nm is None:
+                out["n"].append(None)
+                out["s"].append(None)
+                out["ss"].append(None)
+                continue
+            m = np.asarray(flat, dtype=np.float64).reshape(int(nf), int(nm))
+            out["n"].append(int(nf))
+            out["s"].append(m.sum(axis=0))
+            out["ss"].append((m * m).sum(axis=0))
+        return pd.DataFrame(out)
+
+    p = (
+        df.select(
+            partial_udf(
+                F.col(f"{spec_col}.logmel"),
+                F.col(f"{spec_col}.n_frames"),
+                F.col(f"{spec_col}.n_mels"),
+            ).alias("p")
+        )
+        .where(F.col("p.n").isNotNull())
+    )
+    per_dim = (
+        p.select("p.n", F.posexplode("p.s").alias("dim", "s"), "p.ss")
+        .select("n", "dim", "s", F.expr("ss[dim]").alias("ss"))
+        .groupBy("dim")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    if not per_dim:
+        return 0, np.zeros(0), np.ones(0)
+    n = int(per_dim[0]["n"])
+    mean = np.array([r["s"] / r["n"] for r in per_dim])
+    var = np.array(
+        [max(r["ss"] / r["n"] - (r["s"] / r["n"]) ** 2, 0.0) for r in per_dim]
+    )
+    return n, mean, np.maximum(np.sqrt(var), CMVN_STD_FLOOR)
+
+
+def apply_cmvn(
+    df,
+    mean,
+    std,
+    spec_col: str = "spectrogram",
+    out_col: str = "spectrogram_cmvn",
+):
+    """Apply precomputed (corpus-level) CMVN stats as a PURE CATALYST
+    projection — ``transform`` with an index lambda over the flat
+    row-major array; the n_mels-length mean/std vectors ride as array
+    literals, so the hot path is whole-stage codegen with zero Python.
+    """
+    nm = len(mean)
+    mean_arr = F.array(*[F.lit(float(v)) for v in mean])
+    std_arr = F.array(*[F.lit(float(v)) for v in std])
+    norm = F.transform(
+        F.col(f"{spec_col}.logmel"),
+        lambda x, i: (
+            (x - F.element_at(mean_arr, (i % F.lit(nm)) + 1))
+            / F.element_at(std_arr, (i % F.lit(nm)) + 1)
+        ).cast("float"),
+    )
+    return df.withColumn(
+        out_col,
+        F.struct(
+            F.col(f"{spec_col}.ok").alias("ok"),
+            F.col(f"{spec_col}.n_frames").alias("n_frames"),
+            F.col(f"{spec_col}.n_mels").alias("n_mels"),
+            norm.alias("logmel"),
+        ),
+    )
+
+
+DELTA_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mels", T.IntegerType()),
+        T.StructField("delta", T.ArrayType(T.FloatType())),
+        T.StructField("delta2", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _delta_frames(m: np.ndarray, width: int) -> np.ndarray:
+    """Kaldi/HTK regression deltas over the time axis with edge
+    replication: d_t = Σ_{n=1..N} n·(c_{t+n} − c_{t−n}) / (2·Σ n²)."""
+    nf = m.shape[0]
+    pad = np.pad(m, ((width, width), (0, 0)), mode="edge")
+    denom = 2.0 * sum(n * n for n in range(1, width + 1))
+    d = np.zeros_like(m, dtype=np.float64)
+    for n in range(1, width + 1):
+        d += n * (pad[width + n : width + n + nf]
+                  - pad[width - n : width - n + nf])
+    return d / denom
+
+
+def make_delta_udf(width: int = 2):
+    """Delta + delta-delta regression features over the framed layout
+    (delta-delta = the delta operator applied twice). Arrow-batched
+    numpy; the regression is two shifted-slice subtractions per order,
+    vectorized over all frames of a clip at once."""
+
+    @F.pandas_udf(DELTA_TYPE)
+    def delta_udf(
+        logmel: pd.Series, n_frames: pd.Series, n_mels: pd.Series
+    ) -> pd.DataFrame:
+        out = {f.name: [] for f in DELTA_TYPE.fields}
+        for flat, nf, nm in zip(logmel, n_frames, n_mels):
+            if flat is None or nf is None or nm is None:
+                for k in out:
+                    out[k].append(None if k != "ok" else False)
+                continue
+            nf, nm = int(nf), int(nm)
+            m = np.asarray(flat, dtype=np.float64).reshape(nf, nm)
+            d1 = _delta_frames(m, width)
+            d2 = _delta_frames(d1, width)
+            out["ok"].append(True)
+            out["n_frames"].append(nf)
+            out["n_mels"].append(nm)
+            out["delta"].append(d1.astype(np.float32).reshape(-1))
+            out["delta2"].append(d2.astype(np.float32).reshape(-1))
+        return pd.DataFrame(out)
+
+    return delta_udf
+
+
+def with_deltas(
+    df,
+    spec_col: str = "spectrogram",
+    out_col: str = "spectrogram_delta",
+    width: int = 2,
+):
+    """Attach delta/delta-delta regression features for a framed
+    feature struct column (compose after :func:`with_spectrogram` or
+    :func:`with_cmvn`)."""
+    return df.withColumn(
+        out_col,
+        make_delta_udf(width)(
+            F.col(f"{spec_col}.logmel"),
+            F.col(f"{spec_col}.n_frames"),
+            F.col(f"{spec_col}.n_mels"),
+        ),
+    )

@@ -959,3 +959,101 @@ def test_specaugment_masks_exactly_and_deterministically(spark):
         .collect()
     }
     assert any(other[r.clip_id] != r.spectrogram_aug.logmel for r in rows)  # (4)
+
+
+def test_cmvn_per_clip_zero_mean_unit_var(spark):
+    """Per-clip CMVN: post-normalization per-dim mean ~0 and std ~1 on
+    every clip; dims pinned by the variance floor stay finite."""
+    from lakehouse.audio import with_cmvn, with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    df = with_cmvn(with_spectrogram(synth_clips_df(spark, 16, seed=9)))
+    rows = df.select("spectrogram_cmvn").collect()
+    assert rows and all(r.spectrogram_cmvn.ok for r in rows)
+    for r in rows:
+        nf, nm = r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels
+        m = np.asarray(r.spectrogram_cmvn.logmel, np.float64).reshape(nf, nm)
+        assert np.isfinite(m).all()
+        assert np.abs(m.mean(axis=0)).max() < 1e-4
+        if nf > 1:
+            std = m.std(axis=0)
+            assert np.abs(std[std > 0.5] - 1.0).max() < 1e-3
+
+
+def test_cmvn_corpus_stats_match_numpy_and_apply_is_catalyst(spark):
+    """Corpus CMVN: cmvn_corpus_stats equals a direct numpy reduction
+    over every frame; apply_cmvn is a pure-Catalyst projection (no
+    Python eval node above the scan) and bit-matches numpy."""
+    from lakehouse.audio import (
+        apply_cmvn,
+        cmvn_corpus_stats,
+        with_spectrogram,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 12, seed=21))
+    rows = df.select("spectrogram").collect()
+    frames = np.vstack(
+        [
+            np.asarray(r.spectrogram.logmel, np.float64).reshape(
+                r.spectrogram.n_frames, r.spectrogram.n_mels
+            )
+            for r in rows
+        ]
+    )
+    n, mean, std = cmvn_corpus_stats(df)
+    assert n == frames.shape[0]
+    np.testing.assert_allclose(mean, frames.mean(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(std, frames.std(axis=0), rtol=1e-9)
+
+    df.persist()
+    try:
+        df.count()
+        normed = apply_cmvn(df, mean, std)
+        plan = normed._jdf.queryExecution().executedPlan().toString()
+        above = plan.split("InMemoryTableScan")[0]
+        assert "EvalPython" not in above
+        got = normed.select("spectrogram_cmvn").collect()
+        want = ((frames - mean) / std).astype(np.float32)
+        got_frames = np.vstack(
+            [
+                np.asarray(r.spectrogram_cmvn.logmel, np.float32).reshape(
+                    r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels
+                )
+                for r in got
+            ]
+        )
+        np.testing.assert_allclose(got_frames, want, atol=1e-6)
+    finally:
+        df.unpersist()
+
+
+def test_delta_features_match_reference_and_ramp_slope(spark):
+    """Deltas: operator output equals the numpy regression reference;
+    a linear-in-time ramp dim yields a constant interior delta equal to
+    its slope (the regression formula is exact on linear signals)."""
+    from lakehouse.audio import _delta_frames, with_deltas, with_spectrogram
+    from lakehouse.synth import synth_clips_df
+
+    w = 2
+    df = with_deltas(
+        with_spectrogram(synth_clips_df(spark, 12, seed=33)), width=w
+    )
+    rows = df.select("spectrogram", "spectrogram_delta").collect()
+    assert rows and all(r.spectrogram_delta.ok for r in rows)
+    for r in rows:
+        nf, nm = r.spectrogram.n_frames, r.spectrogram.n_mels
+        m = np.asarray(r.spectrogram.logmel, np.float64).reshape(nf, nm)
+        d1 = np.asarray(r.spectrogram_delta.delta, np.float32).reshape(nf, nm)
+        d2 = np.asarray(r.spectrogram_delta.delta2, np.float32).reshape(
+            nf, nm
+        )
+        assert np.allclose(d1, _delta_frames(m, w), atol=1e-4)
+        assert np.allclose(d2, _delta_frames(_delta_frames(m, w), w), atol=1e-4)
+
+    # closed-form check, pure numpy: linear ramp -> constant slope inside
+    ramp = np.outer(np.arange(10, dtype=np.float64), np.array([2.0, -0.5]))
+    d = _delta_frames(ramp, w)
+    assert np.allclose(d[w:-w, 0], 2.0) and np.allclose(d[w:-w, 1], -0.5)
+    # edge replication: a constant signal has identically zero delta
+    assert np.allclose(_delta_frames(np.ones((6, 3)), w), 0.0)
