@@ -2739,6 +2739,53 @@ def _q_events_windowed_rollup(spark, sf_dir):
     )
 
 
+def _q_lh_add_files_scan(spark, sf_dir):
+    """Metadata-only parquet adoption (Iceberg add_files): write the
+    events corpus as a FOREIGN Spark hive layout (partitionBy drops the
+    partition column from data pages), adopt it into a fresh table with
+    ONE footer-harvested commit, and scan. In-builder asserts: every
+    file hardlinked (zero data bytes moved — inodes shared with the
+    source), every entry carries the fill flag for the dropped column,
+    and the partition-pruned scan skips files. The scan output must
+    hash-match DuckDB reading the ORIGINAL events parquet."""
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_adopt_")
+    ext = os.path.join(root, "external")
+    df.repartition(4, "event_id").write.partitionBy("event_date").parquet(ext)
+
+    from lakehouse import Table
+
+    t = Table.create(
+        spark,
+        os.path.join(root, "events_table"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity",
+             "source": "event_date"}
+        ],
+    )
+    snap = t.add_files(ext)
+    assert snap.summary["zero-copy-links"] == snap.summary["adopted-files"]
+    live = t.live_files()
+    src_inodes = {
+        os.stat(os.path.join(dp, fn)).st_ino
+        for dp, _dirs, fns in os.walk(ext)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert all(
+        os.stat(os.path.join(t.root, e.file_path)).st_ino in src_inodes
+        for e in live
+    )
+    assert all(
+        e.stats.get("event_date", {}).get("fill") for e in live
+    )
+    d = sorted(e.partition["event_date"] for e in live)[0]
+    plan = t.plan(filter=[("event_date", "=", d)])
+    assert len(plan.files) < plan.candidate_files
+    return _events_out(t.scan())
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Gap-based sessions (30 min) per user — lag/cumsum over ONE
     exchange on user_id, no Python boundary."""
@@ -2920,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_commit_metrics": _q_lh_commit_metrics,
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
+        "lh_add_files_scan": _q_lh_add_files_scan,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -2940,9 +2988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling family
         "sample_hash": _q_sample_hash,
         "split_assign": _q_split_assign,
-        "sample_stratified": _q_sample_stratified,
         # similarity family
         "cosine_topk": _q_cosine_topk,
+        "sample_stratified": _q_sample_stratified,
         # audio family (rows-only, self-verifying)
         "audio_qc_detection": _q_audio_qc_detection,
         # --- tail: variants + the rest (replica-checked) -------------
@@ -3127,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,
+        "lh_add_files_scan": EVENTS_OUT_SQL,
         "lh_cluster_zorder_parity": EVENTS_OUT_SQL,
         "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,
         "lh_timetravel_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 0",

@@ -243,6 +243,8 @@ def _partitions_for(
             gid = max(g for g in ren_by_gid if g >= 0)  # current
         return ren_by_gid[gid]
 
+    from .meta.scan import entry_fills
+
     out = []
     for members in _bin_pack(plan.files, target_bytes):
         files = [
@@ -251,6 +253,9 @@ def _partitions_for(
                 "rel": e.file_path,
                 "seq": e.seq,
                 "ren": _ren(e),
+                # adopted non-self-contained files: per-file constant
+                # column fills (ops/adopt.py; see meta/scan.entry_fills)
+                "fill": entry_fills(e.stats) or None,
             }
             for e in members
         ]
@@ -340,6 +345,19 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
     for f in part.files:
         pf = pq.ParquetFile(f["path"])
         have = set(pf.schema_arrow.names)
+        # adopted non-self-contained file: its fill constants override
+        # the schema-level defaults for THIS file's missing columns
+        fdefaults = defaults
+        fill = f.get("fill") if isinstance(f, dict) else None
+        if fill:
+            fdefaults = dict(defaults)
+            for c, v in fill.items():
+                if c in names and v is not None:
+                    try:
+                        v = pa.array([v]).cast(target.field(c).type)[0].as_py()
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                    fdefaults[c] = v
         ren = f.get("ren") if isinstance(f, dict) else None
         if ren is not None:
             # field-id mapped file: read the view's columns under their
@@ -406,7 +424,7 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
                 # a null key can never match an equality delete -> keep
                 tbl = tbl.filter(pc.fill_null(keep, True))
             yield from _conform_arrow_table(
-                tbl, target, defaults=defaults
+                tbl, target, defaults=fdefaults
             ).to_batches()
 
 

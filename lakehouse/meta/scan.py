@@ -319,6 +319,87 @@ def seq_schema_groups(
     return by
 
 
+def entry_fills(stats) -> dict[str, Any]:
+    """Adopted-file column fills: ``{col: const}`` for stats entries
+    flagged ``fill`` (ops/adopt.py — the column is physically ABSENT
+    from the file's data pages, its value proven constant by the source
+    layout; min==max carries the constant, so stats pruning works at
+    full power)."""
+    return {
+        c: st.get("min")
+        for c, st in (stats or {}).items()
+        if isinstance(st, dict) and st.get("fill")
+    }
+
+
+def fills_of_entries(
+    entries: Sequence[DataFileEntry],
+) -> dict[str, dict[str, Any]]:
+    """rel_path → {col: const} over fill-flagged entries only."""
+    out: dict[str, dict[str, Any]] = {}
+    for e in entries:
+        m = entry_fills(e.stats)
+        if m:
+            out[e.file_path] = m
+    return out
+
+
+_FILL_PATH = "__fillp"
+
+
+def _fill_path_expr(table_root: str):
+    """Root-relative file path of each row, computed by the parquet
+    reader itself (``_metadata.file_path`` = "file:" + absolute path —
+    same normalization as the positional-delete ``__path``)."""
+    from pyspark.sql import functions as F
+
+    plen = len("file:" + os.path.abspath(table_root) + "/")
+    return F.expr(f"substring(_metadata.file_path, {plen + 1})").alias(
+        _FILL_PATH
+    )
+
+
+def _apply_entry_fills(
+    spark: SparkSession,
+    schema: T.StructType,
+    df: DataFrame,
+    fills: dict[str, dict[str, Any]],
+) -> DataFrame:
+    """Inject per-file constants for adopted files that are not
+    self-contained (hive layouts drop the partition column from data
+    pages). ONE broadcast left-join keyed on the reader-computed
+    ``__fillp`` path — bounded by the count of fill-flagged FILES, not
+    rows; rows from self-contained files coalesce to their stored
+    values. The first rewrite touching such a file (compaction,
+    clustering, MERGE) reads through here and writes self-contained
+    output, so fills age out under normal maintenance."""
+    from pyspark.sql import functions as F
+
+    cols = sorted({c for m in fills.values() for c in m})
+    rows = [
+        tuple(
+            [p]
+            + [None if m.get(c) is None else str(m[c]) for c in cols]
+        )
+        for p, m in sorted(fills.items())
+    ]
+    fschema = T.StructType(
+        [T.StructField(_FILL_PATH, T.StringType())]
+        + [T.StructField(f"__fill_{c}", T.StringType()) for c in cols]
+    )
+    fdf = spark.createDataFrame(rows, fschema)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    df = df.join(F.broadcast(fdf), _FILL_PATH, "left")
+    for c in cols:
+        df = df.withColumn(
+            c,
+            F.coalesce(
+                F.col(c), F.col(f"__fill_{c}").cast(by_name[c])
+            ),
+        )
+    return df.drop(_FILL_PATH, *[f"__fill_{c}" for c in cols])
+
+
 def read_entries(
     spark: SparkSession,
     meta: TableMetadata,
@@ -331,18 +412,29 @@ def read_entries(
     of ``spark.read.schema(table.schema).parquet(*paths)``: identical
     plan on tables that never renamed/dropped a column, per-write-
     schema grouped reads (physical names resolved by field id) once
-    they have."""
+    they have. Adopted-file fills (``entry_fills``) are applied here,
+    so every rewrite op regains self-contained output for free."""
     schema = logical_schema or T.StructType.fromJson(meta.schema_json)
     if not entries:
         return spark.createDataFrame([], schema)
+    fills = fills_of_entries(entries)
     groups = seq_schema_groups(table_root, meta, entries)
     if all(isinstance(k, int) for k in groups):
         paths = [os.path.join(table_root, e.file_path) for e in entries]
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        if fills:
+            df = _apply_entry_fills(
+                spark, schema,
+                df.select("*", _fill_path_expr(table_root)), fills,
+            )
+        return df
     flat: dict = {}
     for (_seq, gid), paths in groups.items():
         flat.setdefault((0, gid), []).extend(paths)
-    return _union_seq_groups(spark, schema, flat, meta=meta).drop("__seq")
+    return _union_seq_groups(
+        spark, schema, flat, meta=meta,
+        fills=fills or None, fill_root=table_root,
+    ).drop("__seq")
 
 
 def _union_seq_groups(
@@ -352,6 +444,8 @@ def _union_seq_groups(
     *,
     rel_prefix: Optional[str] = None,
     meta: Optional[TableMetadata] = None,
+    fills: Optional[dict] = None,
+    fill_root: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Union of per-commit-seq parquet reads, each group carrying its
     seq as a literal ``__seq`` column (no per-row path join; distinct
@@ -381,6 +475,9 @@ def _union_seq_groups(
             ).alias("__path"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
+    fill_cols = []
+    if fills:
+        fill_cols = [_fill_path_expr(fill_root)]
     df = None
     for key in sorted(by_seq):
         if isinstance(key, tuple):
@@ -391,9 +488,11 @@ def _union_seq_groups(
         part = (
             spark.read.schema(read_schema)
             .parquet(*by_seq[key])
-            .select(*sel, F.lit(seq).alias("__seq"), *pos_cols)
+            .select(*sel, F.lit(seq).alias("__seq"), *pos_cols, *fill_cols)
         )
         df = part if df is None else df.unionByName(part)
+    if df is not None and fills:
+        df = _apply_entry_fills(spark, schema, df, fills)
     return df
 
 
@@ -430,6 +529,7 @@ def _apply_mor_deletes(
     when positional deletes are actually pending — the equality-only
     path is byte-identical to round 2."""
     eq, pos = _split_delete_kinds(delete_files)
+    fills = fills_of_entries(data_files)
     if meta is not None:
         by_seq = seq_schema_groups(table_root, meta, data_files)
     else:
@@ -444,6 +544,8 @@ def _apply_mor_deletes(
         by_seq,
         rel_prefix=table_root if pos else None,
         meta=meta,
+        fills=fills or None,
+        fill_root=table_root,
     )
     if pos:
         df = _anti_join_pos_deletes(spark, table_root, df, pos)
@@ -478,6 +580,7 @@ def read_plan(
             meta=meta,
         )
     else:
+        fills = fills_of_entries(plan.files)
         groups = seq_schema_groups(table_root, meta, plan.files)
         if all(isinstance(k, int) for k in groups):
             # un-mapped table: single multi-path read, same as ever
@@ -485,12 +588,18 @@ def read_plan(
                 os.path.join(table_root, e.file_path) for e in plan.files
             ]
             df = spark.read.schema(schema).parquet(*paths)
+            if fills:
+                df = _apply_entry_fills(
+                    spark, schema,
+                    df.select("*", _fill_path_expr(table_root)), fills,
+                )
         else:
             flat = {}  # drop the seq dimension — only schema groups matter
             for (_seq, gid), paths in groups.items():
                 flat.setdefault((0, gid), []).extend(paths)
             df = _union_seq_groups(
-                spark, schema, flat, meta=meta
+                spark, schema, flat, meta=meta,
+                fills=fills or None, fill_root=table_root,
             ).drop("__seq")
     if plan.residual_sql:
         df = df.filter(plan.residual_sql)
@@ -625,16 +734,22 @@ class LazyScanPlan:
     delete_files: list[DataFileEntry] = field(default_factory=list)
 
     def iter_path_chunks(self, table_root: str, chunk_size: int = 100_000):
-        """Yield lists of ≤``chunk_size`` (absolute path, seq) pairs;
-        driver memory is bounded by one chunk (toLocalIterator streams
-        partitions)."""
+        """Yield lists of ≤``chunk_size`` (absolute path, seq, gid,
+        rel path, fills) tuples; driver memory is bounded by one chunk
+        (toLocalIterator streams partitions). ``fills`` is the adopted
+        non-self-contained column map (``entry_fills``) or None —
+        parsed only when the stats JSON carries the flag, so the common
+        path pays one substring probe per row."""
         cols = ["file_path"] + (
             ["seq"] if "seq" in self.files_df.columns else []
         )
         has_gid = "schema_id" in self.files_df.columns
         if has_gid:
             cols.append("schema_id")
-        chunk: list[tuple[str, int, int]] = []
+        has_stats = "stats_json" in self.files_df.columns
+        if has_stats:
+            cols.append("stats_json")
+        chunk: list[tuple[str, int, int, str, Optional[dict]]] = []
         for row in (
             self.files_df.select(*cols).toLocalIterator(
                 prefetchPartitions=True
@@ -646,8 +761,17 @@ class LazyScanPlan:
                 if has_gid and row.schema_id is not None
                 else -1
             )
+            fills = None
+            if has_stats and row.stats_json and '"fill"' in row.stats_json:
+                fills = entry_fills(json.loads(row.stats_json)) or None
             chunk.append(
-                (os.path.join(table_root, row.file_path), seq, gid)
+                (
+                    os.path.join(table_root, row.file_path),
+                    seq,
+                    gid,
+                    row.file_path,
+                    fills,
+                )
             )
             if len(chunk) >= chunk_size:
                 yield chunk
@@ -721,22 +845,32 @@ def read_lazy_plan(
     eq, pos = _split_delete_kinds(plan.delete_files)
     df = None
     for chunk in plan.iter_path_chunks(table_root, chunk_size):
+        fills = {
+            rel: fl for _p, _s, _g, rel, fl in chunk if fl
+        }
         if mor or mapped:
             by_seq: dict = {}
-            for p, seq, gid in chunk:
+            for p, seq, gid, _rel, _fl in chunk:
                 key = (seq, gid) if mapped else seq
                 by_seq.setdefault(key, []).append(p)
             part = _union_seq_groups(
                 spark, schema, by_seq,
                 rel_prefix=table_root if pos else None,
                 meta=meta,
+                fills=fills or None,
+                fill_root=table_root,
             )
             if not mor:
                 part = part.drop("__seq")
         else:
             part = spark.read.schema(schema).parquet(
-                *[p for p, _s, _g in chunk]
+                *[p for p, _s, _g, _r, _f in chunk]
             )
+            if fills:
+                part = _apply_entry_fills(
+                    spark, schema,
+                    part.select("*", _fill_path_expr(table_root)), fills,
+                )
         df = part if df is None else df.unionByName(part)
     if df is None:
         df = spark.createDataFrame([], schema)

@@ -722,6 +722,15 @@ class Table:
 
         return _gc(self, **kw)
 
+    def add_files(self, src, **kw):
+        """Metadata-only adoption of EXISTING parquet (Iceberg
+        ``add_files``): hardlink external files into the table and
+        commit one footer-harvested append snapshot — zero data bytes
+        read or rewritten (lakehouse/ops/adopt.py)."""
+        from .ops.adopt import add_files as _adopt
+
+        return _adopt(self, src, **kw)
+
     def maintain(self, **kw):
         """One-call maintenance autopilot: metadata-only decisions
         (small-file counts, pending-delete volume, layout staleness,
