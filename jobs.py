@@ -234,6 +234,26 @@ def cmd_ingest_wav(args):
     )
 
 
+def cmd_add_files(args):
+    """Metadata-only adoption of existing parquet (Iceberg add_files):
+    hardlink external files into the table + ONE footer-harvested
+    commit — zero data bytes read or rewritten (lakehouse/ops/adopt.py)."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    snap = t.add_files(
+        args.source, allow_extra_columns=args.allow_extra_columns
+    )
+    _emit(
+        {
+            "op": "add-files",
+            "snapshot_id": snap.snapshot_id,
+            "adopted_files": snap.summary.get("adopted-files"),
+            "zero_copy_links": snap.summary.get("zero-copy-links"),
+            "rows": int(snap.summary.get("added_records", 0)),
+        }
+    )
+
+
 def cmd_metrics(args):
     """Ops-metrics history: one row per commit from snapshot summaries
     (rows/bytes/files added-removed, commit wall, lineage job link) —
@@ -787,6 +807,11 @@ def main():
     t(s)
     s.add_argument("--source", required=True,
                    help="directory tree of .wav files")
+    s = sub.add_parser("add-files")
+    t(s)
+    s.add_argument("--source", required=True,
+                   help="external parquet file or directory to adopt")
+    s.add_argument("--allow-extra-columns", action="store_true")
     s = sub.add_parser("metrics")
     t(s)
     s.add_argument("--sql-filter", default=None,
@@ -906,6 +931,7 @@ def main():
         "snapshots": cmd_snapshots,
         "metrics": cmd_metrics,
         "ingest-wav": cmd_ingest_wav,
+        "add-files": cmd_add_files,
         "stream-demo": cmd_stream_demo,
         "delete": cmd_delete,
         "materialize-deletes": cmd_materialize_deletes,
