@@ -398,6 +398,49 @@ def main() -> None:
                 assert res.rows_upserted == n_new, res
 
             timed("feature_transform_incremental", feature_transform_incremental)
+
+            # metadata-only adoption of a foreign hive layout (Iceberg
+            # add_files): the timed stage is the adoption itself — link
+            # pass + footer harvest + one commit; the external write is
+            # setup, not engine work
+            ext = os.path.join(work, f"adopt_src_r{round_i}")
+            synth_clips_df(
+                spark, per, seed=55, n_days=8, num_partitions=CPUS,
+            ).repartition(FILES_PER_APPEND, "clip_id").write.partitionBy(
+                "event_date"
+            ).parquet(ext)
+            t_adopt = Table.create(
+                spark,
+                os.path.join(work, f"adopted_r{round_i}"),
+                CLIPS_SCHEMA,
+                partition_spec=[
+                    {
+                        "name": "event_date",
+                        "transform": "identity",
+                        "source": "event_date",
+                    }
+                ],
+            )
+
+            def adopt_hive():
+                snap = t_adopt.add_files(ext)
+                meta_state["adopted_files"] = snap.summary["adopted-files"]
+                assert (
+                    snap.summary["zero-copy-links"]
+                    == snap.summary["adopted-files"]
+                )
+
+            timed("adopt_hive", adopt_hive)
+
+            def adopted_scan():
+                n = (
+                    t_adopt.scan()
+                    .agg(F.count(F.lit(1)), F.sum("dur_ms"))
+                    .collect()
+                )
+                assert n[0][0] == per, n
+
+            timed("adopted_scan", adopted_scan)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)
