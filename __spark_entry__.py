@@ -276,14 +276,27 @@ def _q_lh_sorted_scan(spark, sf_dir):
     for i in range(2):
         t.append(df.filter(F.col("event_id") % 2 == i), target_file_count=8)
 
-    n_live = len(t.live_files())
-    lo, hi = 1000, 3000
+    live = t.live_files()
+    n_live = len(live)
+    # probe a 20%-wide band of the ACTUAL id domain (sf-independent —
+    # fixed constants silently probe an empty range at small sf, where
+    # kept==0 is CORRECT pruning and the gate below misfires); max id
+    # comes from manifest stats, zero data reads. Oracle twin uses the
+    # same 10%..30% arithmetic in SQL.
+    mx = max(e.stats["event_id"]["max"] for e in live)
+    lo, hi = mx // 10, (3 * mx) // 10
     plan = t.plan(filter=[("event_id", ">=", lo), ("event_id", "<=", hi)])
     kept = plan.files
     # the 2000-wide key range is ~1/8 of the id space: sorted runs must
     # prune the kept set to a minority of live files (unsorted appends
-    # keep ~all of them — gated head-to-head in tests/test_sortorder.py)
-    assert 0 < len(kept) <= n_live // 2, (len(kept), n_live)
+    # keep ~all of them — gated head-to-head in tests/test_sortorder.py).
+    # On failure, dump every file's event_id stats — kept==0 would mean
+    # stats exclude rows that exist (a real bug, not a flaky layout).
+    assert 0 < len(kept) <= n_live // 2, (
+        len(kept),
+        n_live,
+        [(e.file_path, e.stats.get("event_id")) for e in live],
+    )
     assert all(e.sort_order == "sorted(event_id)" for e in kept)
     return _events_out(
         t.scan(filter=[("event_id", ">=", lo), ("event_id", "<=", hi)])
@@ -3180,7 +3193,9 @@ def oracle_sql() -> dict[str, str]:
         "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,
         "lh_timetravel_scan": EVENTS_OUT_SQL + " WHERE event_id % 2 = 0",
         "lh_sorted_scan": (
-            EVENTS_OUT_SQL + " WHERE event_id >= 1000 AND event_id <= 3000"
+            EVENTS_OUT_SQL
+            + " WHERE event_id >= (SELECT MAX(event_id) // 10 FROM events)"
+            + " AND event_id <= (SELECT 3 * MAX(event_id) // 10 FROM events)"
         ),
         "lh_lineage_scan": EVENTS_OUT_SQL,
         "lh_partition_pruned_scan": EVENTS_OUT_SQL

@@ -464,7 +464,11 @@ def delete_mor_positional(
     if not plan.files:
         log.finish_job({"snapshot_id": None, "keys_deleted": 0})
         return MorDeleteResult(log.job_id, None, 0, None)
-    from ..meta.scan import _union_seq_groups, seq_schema_groups
+    from ..meta.scan import (
+        _union_seq_groups,
+        fills_of_entries,
+        seq_schema_groups,
+    )
 
     meta = table.meta
     by_seq = seq_schema_groups(table.root, meta, plan.files)
@@ -477,6 +481,8 @@ def delete_mor_positional(
         _union_seq_groups(
             table.spark, table.schema, by_seq, rel_prefix=table.root,
             meta=meta,
+            fills=fills_of_entries(plan.files) or None,
+            fill_root=table.root,
         )
         .filter(F.expr(pred_sql))
         .select(
@@ -648,12 +654,19 @@ def convert_deletes(
             reduced = T.StructType(
                 [f for f in table.schema.fields if f.name in need]
             )
-            from ..meta.scan import seq_schema_groups
+            from ..meta.scan import fills_of_entries, seq_schema_groups
 
             meta = table.meta
             by_seq = seq_schema_groups(table.root, meta, affected)
+            # adopted-file fills restricted to the reduced key schema
+            fills = {
+                p: kept
+                for p, m in fills_of_entries(affected).items()
+                if (kept := {c: v for c, v in m.items() if c in need})
+            }
             df = _union_seq_groups(
-                spark, reduced, by_seq, rel_prefix=table.root, meta=meta
+                spark, reduced, by_seq, rel_prefix=table.root, meta=meta,
+                fills=fills or None, fill_root=table.root,
             )
             for key in need:
                 ddf = None
@@ -813,7 +826,7 @@ def materialize_deletes(
         from ..partitioning import with_partition_columns
 
         eq_dels, pos_dels = _split_delete_kinds(dels)
-        from ..meta.scan import seq_schema_groups
+        from ..meta.scan import fills_of_entries, seq_schema_groups
 
         _meta = table.meta
         by_seq = seq_schema_groups(table.root, _meta, files)
@@ -823,6 +836,8 @@ def materialize_deletes(
             by_seq,
             rel_prefix=table.root if pos_dels else None,
             meta=_meta,
+            fills=fills_of_entries(files) or None,
+            fill_root=table.root,
         )
         if pos_dels:
             df = _anti_join_pos_deletes(table.spark, table.root, df, pos_dels)

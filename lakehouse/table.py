@@ -607,9 +607,12 @@ class Table:
                 F.lit(None).cast("long").alias("_pos"),
                 F.lit(None).cast("long").alias("_snapshot_id"),
             )
+        from .meta.scan import fills_of_entries
+
         groups = seq_schema_groups(self.root, self.meta, plan.files)
         df = _union_seq_groups(
-            self.spark, schema, groups, rel_prefix=self.root, meta=self.meta
+            self.spark, schema, groups, rel_prefix=self.root, meta=self.meta,
+            fills=fills_of_entries(plan.files) or None, fill_root=self.root,
         )
         if plan.residual_sql:
             df = df.filter(plan.residual_sql)

@@ -120,6 +120,35 @@ def test_add_files_hive_layout_fills_every_reader(spark, tmp_path):
     assert got.count() == 360
     assert got.filter(F.col("d").isNull()).count() == 0
 
+    # positional delete whose PREDICATE references the FILLED column —
+    # the match pass must see injected values, not nulls
+    res = t.delete(
+        "d = DATE'2024-01-02' AND k % 2 = 1", mode="mor-pos"
+    )
+    assert res.keys_deleted > 0
+    want_gone = df.filter(
+        "(k % 10 = 0) OR (d = DATE'2024-01-02' AND k % 2 = 1)"
+    ).count()
+    assert t.scan().count() == 400 - want_gone
+
+    # materialize rewrites the surviving rows: the filled column must
+    # land as REAL values in the new self-contained files, never null
+    t.materialize_deletes()
+    live2 = t.live_files()
+    assert not any(
+        st.get("fill")
+        for e in live2
+        for st in e.stats.values()
+        if isinstance(st, dict)
+    )
+    got = t.scan()
+    assert got.count() == 400 - want_gone
+    assert got.filter(F.col("d").isNull()).count() == 0
+    want = df.filter(
+        "NOT ((k % 10 = 0) OR (d = DATE'2024-01-02' AND k % 2 = 1))"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
 
 def test_add_files_fills_age_out_under_compaction(spark, tmp_path):
     """Compaction reads through the fill join and writes SELF-CONTAINED
