@@ -1763,6 +1763,95 @@ def _q_audio_cmvn(spark, sf_dir):
         df.unpersist()
 
 
+def _q_audio_cmvn_group(spark, sf_dir):
+    """Self-verifying per-group CMVN (the Kaldi per-speaker apply-cmvn
+    step between per-clip and corpus-global). cmvn_group_stats keeps
+    the stats DISTRIBUTED (one row per group — speaker counts scale
+    with the corpus, nothing collected); this gate re-derives every
+    group's mean/std in numpy on the bounded corpus and asserts the
+    operator matches, then checks apply_cmvn_grouped normalized every
+    clip with ITS group's stats (per-group recomputed mean ~0 / std ~1)
+    and quarantines clips whose group has no stats (ok=false)."""
+    import numpy as np
+
+    from lakehouse.audio import (
+        apply_cmvn_grouped,
+        cmvn_group_stats,
+        with_spectrogram,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 96, seed=47, n_days=3))
+    df = df.withColumn(
+        "speaker",
+        F.concat(
+            F.lit("spk"), F.pmod(F.xxhash64("clip_id"), F.lit(4)).cast("string")
+        ),
+    )
+    df.persist()
+    try:
+        rows = df.select("clip_id", "speaker", "spectrogram").collect()
+        by_grp: dict = {}
+        for r in rows:
+            m = np.asarray(r.spectrogram.logmel, np.float64).reshape(
+                r.spectrogram.n_frames, r.spectrogram.n_mels
+            )
+            by_grp.setdefault(r.speaker, []).append(m)
+        stats = cmvn_group_stats(df, "speaker")
+        srows = {r.speaker: r for r in stats.collect()}
+        assert set(srows) == set(by_grp) and len(srows) == 4
+        for g, ms in by_grp.items():
+            frames = np.vstack(ms)
+            assert srows[g].n_frames_total == frames.shape[0], g
+            assert (
+                np.abs(np.array(srows[g].mean) - frames.mean(axis=0)).max()
+                < 1e-8
+            ), g
+            assert (
+                np.abs(np.array(srows[g].std) - frames.std(axis=0)).max()
+                < 1e-7
+            ), g
+
+        normed = apply_cmvn_grouped(df, stats, "speaker")
+        got = normed.select("speaker", "spectrogram_cmvn").collect()
+        assert len(got) == 96 and all(r.spectrogram_cmvn.ok for r in got)
+        regrp: dict = {}
+        for r in got:
+            m = np.asarray(r.spectrogram_cmvn.logmel, np.float64).reshape(
+                r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels
+            )
+            regrp.setdefault(r.speaker, []).append(m)
+        for g, ms in regrp.items():
+            frames = np.vstack(ms)
+            assert np.abs(frames.mean(axis=0)).max() < 1e-4, g
+            std = frames.std(axis=0)
+            assert np.abs(std[std > 0.5] - 1.0).max() < 1e-3, g
+
+        # a group absent from the stats frame quarantines, never passes
+        # unnormalized features silently
+        miss = apply_cmvn_grouped(
+            df.limit(4).withColumn("speaker", F.lit("spk_unknown")),
+            stats,
+            "speaker",
+        ).select("spectrogram_cmvn.ok").collect()
+        assert all(not r.ok for r in miss)
+
+        return (
+            stats.select(
+                "speaker",
+                "n_frames_total",
+                F.round(
+                    F.aggregate("mean", F.lit(0.0), lambda a, v: a + v)
+                    / F.size("mean"),
+                    4,
+                ).alias("grand_mean"),
+            )
+            .orderBy("speaker")
+        )
+    finally:
+        df.unpersist()
+
+
 def _q_audio_deltas(spark, sf_dir):
     """Self-verifying delta / delta-delta regression features (Kaldi
     add-deltas; HTK §5.10): the operator's output matches an
@@ -3053,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrogram": _q_audio_spectrogram,
         "audio_specaugment": _q_audio_specaugment,
         "audio_cmvn": _q_audio_cmvn,
+        "audio_cmvn_group": _q_audio_cmvn_group,
         "audio_deltas": _q_audio_deltas,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,

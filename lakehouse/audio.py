@@ -1782,18 +1782,11 @@ _CMVN_PARTIAL_TYPE = T.StructType(
 )
 
 
-def cmvn_corpus_stats(df, spec_col: str = "spectrogram"):
-    """Corpus-level (global) CMVN statistics: per-dim mean and std over
-    EVERY frame of every clip.
-
-    Scale shape: one Arrow pass computes a per-clip partial
-    ``(n_frames, sum[dim], sumsq[dim])`` — frames never leave the
-    executor — then the partials explode to O(clips × n_mels) tiny rows
-    and a single groupBy(dim) reduces them (map-side partial agg, one
-    narrow shuffle of doubles). The result is n_mels rows collected to
-    the driver: metadata-bounded by construction, independent of corpus
-    size. Returns ``(total_frames, mean ndarray, std ndarray)``.
-    """
+def _cmvn_partial_udf():
+    """Arrow-batched per-clip CMVN partial: ``(n_frames, sum[dim],
+    sumsq[dim])`` computed entirely executor-side — frames never leave
+    the task that decoded them. Shared by the corpus and per-group
+    stats paths."""
 
     @F.pandas_udf(_CMVN_PARTIAL_TYPE)
     def partial_udf(logmel: pd.Series, n_frames: pd.Series,
@@ -1810,6 +1803,23 @@ def cmvn_corpus_stats(df, spec_col: str = "spectrogram"):
             out["s"].append(m.sum(axis=0))
             out["ss"].append((m * m).sum(axis=0))
         return pd.DataFrame(out)
+
+    return partial_udf
+
+
+def cmvn_corpus_stats(df, spec_col: str = "spectrogram"):
+    """Corpus-level (global) CMVN statistics: per-dim mean and std over
+    EVERY frame of every clip.
+
+    Scale shape: one Arrow pass computes a per-clip partial
+    ``(n_frames, sum[dim], sumsq[dim])`` — frames never leave the
+    executor — then the partials explode to O(clips × n_mels) tiny rows
+    and a single groupBy(dim) reduces them (map-side partial agg, one
+    narrow shuffle of doubles). The result is n_mels rows collected to
+    the driver: metadata-bounded by construction, independent of corpus
+    size. Returns ``(total_frames, mean ndarray, std ndarray)``.
+    """
+    partial_udf = _cmvn_partial_udf()
 
     p = (
         df.select(
@@ -1874,6 +1884,111 @@ def apply_cmvn(
             norm.alias("logmel"),
         ),
     )
+
+
+def cmvn_group_stats(df, group_col: str, spec_col: str = "spectrogram"):
+    """Per-group CMVN statistics — the Kaldi per-speaker ``apply-cmvn``
+    middle ground between per-clip and corpus-global normalization.
+
+    Scale shape: the same Arrow per-clip partial as
+    :func:`cmvn_corpus_stats` (frames never leave the executor), then a
+    single ``groupBy(group, dim)`` over O(clips × n_mels) tiny double
+    rows — one narrow shuffle keyed by the group, so a group's stats
+    co-locate. The result STAYS distributed (one row per group): group
+    counts scale with the corpus (millions of speakers at 10^12 clips),
+    so nothing is ever collected to the driver.
+
+    Returns a DataFrame ``(group_col, n_frames_total, mean
+    array<double>, std array<double>)`` (std floored at
+    ``CMVN_STD_FLOOR``) ready for :func:`apply_cmvn_grouped`.
+    """
+    partial_udf = _cmvn_partial_udf()
+    p = (
+        df.select(
+            F.col(group_col).alias("__grp"),
+            partial_udf(
+                F.col(f"{spec_col}.logmel"),
+                F.col(f"{spec_col}.n_frames"),
+                F.col(f"{spec_col}.n_mels"),
+            ).alias("p"),
+        )
+        .where(F.col("p.n").isNotNull())
+    )
+    per_dim = (
+        p.select("__grp", "p.n", F.posexplode("p.s").alias("dim", "s"), "p.ss")
+        .select("__grp", "n", "dim", "s", F.expr("ss[dim]").alias("ss"))
+        .groupBy("__grp", "dim")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
+    std = F.greatest(F.sqrt(var), F.lit(CMVN_STD_FLOOR))
+    return (
+        per_dim.select(
+            "__grp",
+            "n",
+            F.struct(F.col("dim"), mean.alias("mean"), std.alias("std")).alias(
+                "d"
+            ),
+        )
+        .groupBy("__grp")
+        .agg(
+            F.max("n").alias("n_frames_total"),
+            F.array_sort(F.collect_list("d")).alias("__ds"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_frames_total",
+            F.transform("__ds", lambda d: d["mean"]).alias("mean"),
+            F.transform("__ds", lambda d: d["std"]).alias("std"),
+        )
+    )
+
+
+def apply_cmvn_grouped(
+    df,
+    stats,
+    group_col: str,
+    spec_col: str = "spectrogram",
+    out_col: str = "spectrogram_cmvn",
+):
+    """Apply :func:`cmvn_group_stats` output per group: ONE equi-join on
+    the group key (no forced broadcast — group counts scale with the
+    corpus, AQE picks a broadcast when the stats side is actually
+    small), then the identical pure-Catalyst ``transform`` as
+    :func:`apply_cmvn` with the joined mean/std arrays — zero Python in
+    the normalization hot path. Rows whose group has no stats keep a
+    null ``logmel`` with ``ok=false`` so downstream QC can quarantine
+    them instead of silently passing unnormalized features."""
+    st = stats.select(
+        F.col(group_col).alias("__cmvn_grp"),
+        F.col("mean").alias("__cmvn_mean"),
+        F.col("std").alias("__cmvn_std"),
+    )
+    j = df.join(st, df[group_col] == st["__cmvn_grp"], "left")
+    nm = F.col(f"{spec_col}.n_mels")
+    norm = F.transform(
+        F.col(f"{spec_col}.logmel"),
+        lambda x, i: (
+            (x - F.element_at(F.col("__cmvn_mean"), (i % nm) + 1))
+            / F.element_at(F.col("__cmvn_std"), (i % nm) + 1)
+        ).cast("float"),
+    )
+    return j.withColumn(
+        out_col,
+        F.struct(
+            (
+                F.col(f"{spec_col}.ok") & F.col("__cmvn_mean").isNotNull()
+            ).alias("ok"),
+            F.col(f"{spec_col}.n_frames").alias("n_frames"),
+            F.col(f"{spec_col}.n_mels").alias("n_mels"),
+            norm.alias("logmel"),
+        ),
+    ).drop("__cmvn_grp", "__cmvn_mean", "__cmvn_std")
 
 
 DELTA_TYPE = T.StructType(

@@ -1028,6 +1028,78 @@ def test_cmvn_corpus_stats_match_numpy_and_apply_is_catalyst(spark):
         df.unpersist()
 
 
+def test_cmvn_group_stats_match_numpy_and_apply_is_catalyst(spark):
+    """Per-group (speaker-style) CMVN: cmvn_group_stats equals a numpy
+    per-group reduction; apply_cmvn_grouped normalizes each clip with
+    ITS group's stats via one equi-join + pure-Catalyst transform (no
+    Python eval node above the cached scan), and a clip whose group is
+    missing from the stats comes back ok=false with null frames."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import (
+        apply_cmvn_grouped,
+        cmvn_group_stats,
+        with_spectrogram,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = with_spectrogram(synth_clips_df(spark, 16, seed=27)).withColumn(
+        "speaker", F.pmod(F.xxhash64("clip_id"), F.lit(3)).cast("string")
+    )
+    rows = df.select("clip_id", "speaker", "spectrogram").collect()
+    by_grp = {}
+    for r in rows:
+        m = np.asarray(r.spectrogram.logmel, np.float64).reshape(
+            r.spectrogram.n_frames, r.spectrogram.n_mels
+        )
+        by_grp.setdefault(r.speaker, []).append(m)
+
+    stats = cmvn_group_stats(df, "speaker")
+    srows = {r.speaker: r for r in stats.collect()}
+    assert set(srows) == set(by_grp)
+    want_stats = {}
+    for g, ms in by_grp.items():
+        frames = np.vstack(ms)
+        want_stats[g] = (frames.mean(axis=0), frames.std(axis=0))
+        assert srows[g].n_frames_total == frames.shape[0]
+        np.testing.assert_allclose(
+            srows[g].mean, want_stats[g][0], rtol=1e-10
+        )
+        np.testing.assert_allclose(srows[g].std, want_stats[g][1], rtol=1e-9)
+
+    df.persist()
+    try:
+        df.count()
+        normed = apply_cmvn_grouped(df, stats, "speaker")
+        plan = normed._jdf.queryExecution().executedPlan().toString()
+        above = plan.split("InMemoryTableScan")[0]
+        assert "EvalPython" not in above.split("Join")[0]
+        got = normed.select("clip_id", "speaker", "spectrogram_cmvn").collect()
+        src = {r.clip_id: r for r in rows}
+        for r in got:
+            assert r.spectrogram_cmvn.ok
+            mean, std = want_stats[r.speaker]
+            s = src[r.clip_id].spectrogram
+            m = np.asarray(s.logmel, np.float64).reshape(s.n_frames, s.n_mels)
+            want = ((m - mean) / std).astype(np.float32)
+            got_m = np.asarray(
+                r.spectrogram_cmvn.logmel, np.float32
+            ).reshape(r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels)
+            np.testing.assert_allclose(got_m, want, atol=1e-6)
+
+        # missing-group clips are quarantined, not silently passed through
+        missing = apply_cmvn_grouped(
+            df.withColumn("speaker", F.lit("nobody")), stats, "speaker"
+        ).select("spectrogram_cmvn").collect()
+        assert all(not r.spectrogram_cmvn.ok for r in missing)
+        assert all(
+            all(v is None for v in r.spectrogram_cmvn.logmel)
+            for r in missing
+        )
+    finally:
+        df.unpersist()
+
+
 def test_delta_features_match_reference_and_ramp_slope(spark):
     """Deltas: operator output equals the numpy regression reference;
     a linear-in-time ramp dim yields a constant interior delta equal to

@@ -346,9 +346,14 @@ def test_no_broadcast_hints_on_corpus_scaled_frames():
         "ops/compact.py": {"map_df"},     # file->bin map (metadata-bounded)
         "ops/merge.py": {"keys"},         # bounded-set MERGE strategy keys
         "ops/mor.py": {"keys_df", "ddf"}, # bounded equality-delete key sets
-        "meta/scan.py": {"ddf"},          # pending MoR delete keys/positions
-                                          # (maintenance folds them in before
-                                          # they can grow corpus-scaled)
+        "meta/scan.py": {"ddf", "fdf"},   # ddf: pending MoR delete keys/
+                                          # positions (maintenance folds them
+                                          # in before they can grow corpus-
+                                          # scaled); fdf: adopted-file fill
+                                          # constants, a driver-local dict
+                                          # already materialized (one row per
+                                          # fill-flagged FILE, aged out by the
+                                          # first rewrite)
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)")
     seen: dict[str, set[str]] = {}
