@@ -726,6 +726,42 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_read(spark, sf_dir, "documents"), k=8)
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Self-verifying distributed BPE tokenizer training (Sennrich 2016
+    as map-reduce; lakehouse/bpe.py). The GATE bounds the corpus (a
+    deterministic doc_id slice) so the pure-Python reference trainer can
+    re-derive the merge sequence on the identical word frequencies —
+    the distributed trainer must match merge-for-merge including
+    tie-breaks; encoding every sampled doc with the learned table must
+    detokenize back to the normalized text. The operator itself keeps
+    the word table distributed (one corpus shuffle; one argmax row to
+    the driver per merge)."""
+    from collections import Counter
+
+    from lakehouse.bpe import END_OF_WORD, bpe_encode, bpe_train, py_bpe_train
+
+    docs = _read(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    merges_df = bpe_train(docs, num_merges=24, min_freq=2)
+
+    texts = [r.text for r in docs.select("text").collect()]
+    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    want = py_bpe_train(dict(wf), num_merges=24, min_freq=2)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == want, (got[:5], want[:5])
+    assert len(got) == 24, len(got)
+
+    sample = docs.where("doc_id % 35 = 0")
+    enc = bpe_encode(sample, merges_df).select("doc_id", "text", "bpe_tokens")
+    for r in enc.collect():
+        detok = "".join(r.bpe_tokens).replace(END_OF_WORD, " ").strip()
+        assert detok == " ".join(r.text.lower().split()), r.doc_id
+
+    return merges_df.orderBy("rank")
+
+
 QUERY_VEC_IDS = list(range(10))
 
 
@@ -3116,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
+        "bpe_train": _q_bpe_train,
         "profile_documents": _q_profile_documents,
         "transcript_cer": _q_transcript_cer,
         "text_normalize": _q_text_normalize,

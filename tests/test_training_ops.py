@@ -1123,3 +1123,76 @@ def test_split_assign_disjoint_exhaustive_stable(spark, oracle):
 
     with pytest.raises(ValueError):
         split_assign(docs, {"train": 0.5, "val": 0.2}, seed=11)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE trainer learns the EXACT merge sequence (rank,
+    left, right, freq) of the published reference algorithm run in pure
+    Python on the same word frequencies — including tie-breaks."""
+    from collections import Counter
+
+    from lakehouse.bpe import bpe_train, py_bpe_train
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new new new"),
+        (3, "wide wider widest wide"),
+        (4, "low new wide lower newer"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    wf = Counter(w for _, t in corpus for w in t.lower().split())
+    want = py_bpe_train(dict(wf), num_merges=14, min_freq=2)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train(df, num_merges=14, min_freq=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 6
+
+
+def test_bpe_encode_roundtrip_and_training_parity(spark):
+    """Rank-greedy encoding of every training word reproduces the final
+    symbol table the trainer converged to, and detokenization (strip
+    the end-of-word marker) reconstructs the normalized text."""
+    from collections import Counter
+
+    from lakehouse.bpe import (
+        END_OF_WORD,
+        _py_merge,
+        bpe_encode,
+        bpe_train,
+        py_bpe_train,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on the mats"),
+        (3, "a cat and a mat and a hat"),
+        (4, "the hat on the cat"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges_df = bpe_train(df, num_merges=10, min_freq=2)
+    out = bpe_encode(df, merges_df).collect()
+    texts = dict(corpus)
+    for r in out:
+        detok = "".join(r.bpe_tokens).replace(END_OF_WORD, " ").strip()
+        assert detok == " ".join(texts[r.doc_id].lower().split())
+
+    # final symbol table parity: re-run the reference trainer, apply its
+    # merge sequence to each distinct word, compare with the encoder
+    wf = Counter(w for _, t in corpus for w in t.lower().split())
+    merges = py_bpe_train(dict(wf), num_merges=10, min_freq=2)
+    final = {}
+    for w in wf:
+        syms = list(w) + [END_OF_WORD]
+        for _, a, b, _c in merges:
+            syms = _py_merge(syms, a, b)
+        final[w] = syms
+    enc_rows = bpe_encode(
+        spark.createDataFrame([(w, w) for w in wf], "w string, text string"),
+        merges_df,
+    ).collect()
+    for r in enc_rows:
+        assert list(r.bpe_tokens) == final[r.w], r.w
