@@ -1444,6 +1444,70 @@ def _q_audio_dup_detection(spark, sf_dir):
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
 
+def _q_audio_reverb(spark, sf_dir):
+    """Self-verifying reverberation augmentation (Ko et al. 2017 recipe
+    with a per-clip synthesized velvet-noise RIR). Asserted in-builder:
+    (1) on a 16-clip sample the operator's FFT convolution matches an
+    independent DIRECT O(n^2) numpy convolution from the same seeded
+    RIR within PCM16 tolerance; (2) duration and sample rate are
+    preserved for every clip (alignment safety); (3) the drawn T60 stays
+    in range and DRR is finite; (4) re-running on a different
+    partitioning is byte-identical (seeded per clip_id, not batch
+    position)."""
+    import numpy as np
+
+    from lakehouse.audio import _synth_rir, decode_wav, reverb_clips
+    from lakehouse.synth import synth_clips_df
+
+    rt = (80.0, 160.0)
+    df = synth_clips_df(spark, 96, seed=31, n_days=3).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    out = reverb_clips(df, seed=9, rt60_range=rt)
+    rows = {r.clip_id: r for r in out.collect()}
+    orig = {r.clip_id: r for r in df.collect()}
+    assert set(rows) == set(orig) and len(rows) == 96
+    for cid, r in rows.items():
+        o = orig[cid]
+        assert r.sr_hz == o.sr_hz and r.dur_ms == o.dur_ms, cid
+        assert rt[0] <= r.rt60_ms <= rt[1], cid
+        assert r.drr_db is not None and np.isfinite(r.drr_db), cid
+
+    seeds = {
+        r.clip_id: r.s
+        for r in df.select(
+            "clip_id", F.xxhash64("clip_id", F.lit(9)).alias("s")
+        ).collect()
+    }
+    sample = sorted(rows)[::6]  # 16 clips get the expensive direct check
+    for cid in sample:
+        sr, x = decode_wav(orig[cid].bytes)
+        rng = np.random.default_rng(np.uint64(np.int64(seeds[cid])))
+        rt60 = float(rng.uniform(*rt))
+        h = _synth_rir(rng, sr, rt60)
+        y = np.convolve(x.astype(np.float64), h)[: len(x)]
+        peak = float(np.max(np.abs(y)))
+        if peak > 0.99997:
+            y = y * (0.99997 / peak)
+        _, got = decode_wav(rows[cid].bytes)
+        assert np.allclose(got, y.astype(np.float32), atol=2.5 / 32768.0), cid
+
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in reverb_clips(
+            df.repartition(7), seed=9, rt60_range=rt
+        ).collect()
+    }
+    assert all(again[c] == bytes(rows[c].bytes) for c in rows)
+
+    return out.select(
+        "clip_id",
+        "dur_ms",
+        F.round("rt60_ms", 2).alias("rt60_ms"),
+        F.round("drr_db", 2).alias("drr_db"),
+    ).orderBy("clip_id")
+
+
 def _q_audio_augment(spark, sf_dir):
     """Self-verifying: seeded training-data augmentation. Invariants
     asserted inside the builder so the driver's rows-only gate proves
@@ -3183,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_deltas": _q_audio_deltas,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
+        "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
         "audio_dominant_freq": _q_audio_dominant_freq,
