@@ -218,6 +218,26 @@ def _q_lh_compact(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_rewrite_manifests(spark, sf_dir):
+    """Manifest-layer compaction (Iceberg rewrite_manifests): many small
+    appends leave one manifest per commit; the rewrite repacks all live
+    entries into few large manifests with ZERO data movement. Asserted
+    in-builder: manifest count strictly drops, the commit is
+    metadata-only (no data files added/removed), and the scan is
+    oracle-checked byte-identical afterwards."""
+    from lakehouse.meta import snapshots as S
+
+    t = _events_table(spark, sf_dir, appends=6, files_per_append=3)
+    before = len(S.read_manifest_list(t.root, t.meta.snapshot().manifest_list))
+    assert before == 6  # one manifest per append commit
+    res = t.rewrite_manifests(entries_per_manifest=10_000)
+    assert res.manifests_before == before, (res, before)
+    assert res.manifests_after < res.manifests_before, res
+    snap = t.meta.snapshot()
+    assert snap.operation == "rewrite-manifests", snap.operation
+    return _events_out(t.scan())
+
+
 def _q_lh_cluster(spark, sf_dir):
     t = _events_table(spark, sf_dir)
     t.cluster(["user_id", "ts"], curve="zorder")
@@ -3145,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_parity": _q_stream_sessionize_parity,
         # lakehouse maintenance + DML core
         "lh_compact_scan_parity": _q_lh_compact,
+        "lh_rewrite_manifests": _q_lh_rewrite_manifests,
         "lh_cluster_zorder_parity": _q_lh_cluster,
         "lh_timetravel_scan": _q_lh_timetravel,
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
@@ -3380,6 +3401,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,
+        "lh_rewrite_manifests": EVENTS_OUT_SQL,
         "lh_add_files_scan": EVENTS_OUT_SQL,
         "lh_cluster_zorder_parity": EVENTS_OUT_SQL,
         "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,

@@ -361,6 +361,36 @@ def main() -> None:
 
             timed("transcode_mulaw", transcode_mulaw)
 
+            # full-corpus reverb augmentation: decode + seeded RIR FFT
+            # convolution + re-encode of every payload (the second heavy
+            # per-byte augmentation pass of the ASR recipe); forced
+            # through sum(length(bytes)) so every byte is produced
+            def reverb_corpus():
+                from lakehouse.audio import reverb_clips
+
+                return (
+                    reverb_clips(t.scan(), seed=3)
+                    .selectExpr("sum(length(bytes))")
+                    .collect()
+                )
+
+            timed("reverb_corpus", reverb_corpus)
+
+            # distributed BPE training over the documents corpus: one
+            # word-frequency shuffle, then 12 merge rounds of
+            # explode->groupBy with a single argmax row to the driver
+            # each (the iterative-job shape; lineage truncated per round)
+            def bpe_train_docs():
+                from lakehouse.bpe import bpe_train
+
+                docs = spark.read.parquet(
+                    os.path.join(SF_DIR, "documents.parquet")
+                )
+                n = bpe_train(docs, num_merges=12, min_freq=2).count()
+                assert n == 12, n
+
+            timed("bpe_train_docs", bpe_train_docs)
+
             # derived feature table: full build (one decode pass over
             # every payload) vs incremental refresh after a 1/32 append
             # — the pair prices CDC-driven feature maintenance against
