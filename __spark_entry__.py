@@ -541,6 +541,12 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    from lakehouse.textops import bigram_logprob
+
+    return bigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from lakehouse.textops import repetition_stats
 
@@ -3200,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # textops family
         "text_quality": _q_text_quality,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
         # packing family
@@ -3340,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         token_stats_oracle_sql,
         normalize_text_oracle_sql,
         unigram_logprob_oracle_sql,
+        bigram_logprob_oracle_sql,
     )
 
     return {
@@ -3631,6 +3639,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality_oracle_sql(),
         "repetition_stats": repetition_oracle_sql(n=2),
         "unigram_logprob": unigram_logprob_oracle_sql(),
+        "bigram_logprob": bigram_logprob_oracle_sql(),
         "text_normalize": normalize_text_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1

@@ -392,6 +392,86 @@ def unigram_logprob_oracle_sql(table: str = "documents") -> str:
     """
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the CORPUS bigram
+    model with add-k smoothing — one step up from
+    :func:`unigram_logprob` toward the perplexity filtering of
+    CCNet-style LLM data pipelines (Wenzek et al. 2020): incoherent
+    word salads score low even when every individual token is common.
+
+    ``log P(w | w_prev) = ln((c(w_prev, w) + k) / (c(w_prev) + k·V))``
+
+    Scale shape: the pair stream comes from one window keyed on doc_id
+    (unique key — one skew-free shuffle); bigram and unigram count
+    tables are vocabulary-scaled, so neither carries a broadcast hint
+    (Heaps' law — AQE decides); the one-row vocabulary size IS bounded
+    by construction and broadcasts explicitly. Documents with fewer
+    than two tokens have no bigrams and drop out (same in the oracle).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.withColumn("w_prev", F.lag("w").over(w)).where(
+        F.col("w_prev").isNotNull()
+    )
+    big = pairs.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        pairs.join(big, ["w_prev", "w"])
+        .join(
+            uni.select(
+                F.col("w").alias("w_prev"), F.col("cu").alias("cprev")
+            ),
+            "w_prev",
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("cb") + F.lit(float(k)))
+        / (F.col("cprev") + F.lit(float(k)) * F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp), 4).alias("bigram_logprob"),
+    )
+
+
+def bigram_logprob_oracle_sql(table: str = "documents", k: float = 0.5) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(ws) AS w,
+                        generate_subscripts(ws, 1) AS ord
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM {table})),
+         pairs AS (SELECT * FROM (
+                     SELECT doc_id,
+                            lag(w) OVER (PARTITION BY doc_id
+                                         ORDER BY ord) AS w_prev,
+                            w
+                     FROM tok)
+                   WHERE w_prev IS NOT NULL),
+         big AS (SELECT w_prev, w, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+         voc AS (SELECT count(*) AS v FROM uni)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((cb + {k}) / (cu_prev + {k} * v))), 4)
+             AS bigram_logprob
+    FROM pairs
+    JOIN big USING (w_prev, w)
+    JOIN (SELECT w AS w_prev, cu AS cu_prev FROM uni) USING (w_prev)
+    CROSS JOIN voc
+    GROUP BY doc_id
+    """
+
+
 # --- normalization (the C4/Gopher pre-dedup cleanup) --------------------------
 
 # one literal char class shared verbatim by both engines (an explicit

@@ -1196,3 +1196,39 @@ def test_bpe_encode_roundtrip_and_training_parity(spark):
     ).collect()
     for r in enc_rows:
         assert list(r.bpe_tokens) == final[r.w], r.w
+
+
+def test_bigram_logprob_matches_oracle(spark, oracle):
+    from lakehouse.textops import bigram_logprob, bigram_logprob_oracle_sql
+
+    assert_matches_oracle(
+        bigram_logprob(_docs(spark)), oracle, bigram_logprob_oracle_sql()
+    )
+
+
+def test_bigram_logprob_ranks_word_salad_lower(spark):
+    """A scrambled document scores below the coherent one even when both
+    use the SAME tokens (the unigram model cannot see this)."""
+    from lakehouse.textops import bigram_logprob, unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the fast row has the fast row and the fast row"),
+            (2, "row the and fast has row the fast row fast the"),
+        ],
+        "doc_id long, text string",
+    )
+    bi = {r.doc_id: r.bigram_logprob for r in bigram_logprob(df).collect()}
+    un = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+    assert bi[2] < bi[1]
+    assert abs(un[1] - un[2]) < 1e-9  # same bag of words
+
+
+def test_bigram_logprob_no_forced_broadcast_on_counts(spark):
+    """The vocabulary-scaled bigram/unigram count joins carry no hint
+    (plan-hygiene rule); only the one-row vocab total broadcasts."""
+    from lakehouse.textops import bigram_logprob
+
+    df = bigram_logprob(_docs(spark))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("ResolvedHint") <= 1, opt
