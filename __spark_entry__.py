@@ -2027,6 +2027,119 @@ def _q_audio_deltas(spark, sf_dir):
     )
 
 
+def _q_lh_asr_pipeline(spark, sf_dir):
+    """Self-verifying END-TO-END ASR data pipeline over a real lakehouse
+    table — the whole arc a training job runs in one query: ingest a
+    corpus with planted defects → curate_clips (QC screen + perceptual
+    dedup, ONE MoR delete commit) → framed log-mel spectrograms →
+    per-speaker CMVN → seeded SpecAugment → duration-bucketed batch
+    assembly. Asserted in-builder: curation removes EXACTLY the planted
+    defects; every survivor flows ok=true through features, grouped
+    CMVN, and SpecAugment; per-speaker recomputed stats are mean~0/
+    std~1; batch assembly conserves survivors exactly (sum n_rows ==
+    survivor count). Returns the per-stage ledger."""
+    import numpy as np
+
+    from lakehouse import Table
+    from lakehouse.audio import (
+        apply_cmvn_grouped,
+        augment_clips,
+        cmvn_group_stats,
+        curate_clips,
+        shift_dc_clips,
+        specaugment,
+        with_spectrogram,
+    )
+    from lakehouse.packing import bucket_batches
+    from lakehouse.synth import synth_clips_df
+
+    clean = synth_clips_df(spark, 128, seed=53, n_days=3)
+    dups = (
+        clean.limit(4)
+        .withColumn("clip_id", F.concat(F.lit("zz-dup-"), F.col("clip_id")))
+    )
+    clipped = augment_clips(
+        synth_clips_df(spark, 4, seed=71, n_days=3, start=50_000),
+        seed=1, noise_snr_db=None, gain_db_range=(16.0, 16.0),
+    ).select(*clean.columns)
+    biased = shift_dc_clips(
+        synth_clips_df(spark, 4, seed=83, n_days=3, start=60_000), 0.25
+    ).select(*clean.columns)
+
+    root = tempfile.mkdtemp(prefix="lh_asr_")
+    t = Table.create(spark, os.path.join(root, "clips"), clean.schema)
+    t.append(clean, target_file_count=4)
+    t.append(dups.unionByName(clipped).unionByName(biased))
+    ingested = t.scan().count()
+    assert ingested == 140, ingested
+
+    res = curate_clips(t)
+    assert res.keys_deleted == 12, res
+    survivors = t.scan().count()
+    assert survivors == 128, survivors
+
+    feats = with_spectrogram(t.scan()).withColumn(
+        "speaker",
+        F.concat(
+            F.lit("spk"), F.pmod(F.xxhash64("clip_id"), F.lit(4)).cast("string")
+        ),
+    )
+    feats.persist()
+    try:
+        stats = cmvn_group_stats(feats, "speaker")
+        normed = apply_cmvn_grouped(feats, stats, "speaker")
+        aug = specaugment(
+            normed, seed=13, spec_col="spectrogram_cmvn"
+        ).select("clip_id", "speaker", "dur_ms", "spectrogram_aug")
+        rows = aug.collect()
+        assert len(rows) == 128 and all(r.spectrogram_aug.ok for r in rows)
+        by_spk: dict = {}
+        for r in rows:
+            m = np.asarray(
+                r.spectrogram_aug.logmel, np.float64
+            ).reshape(r.spectrogram_aug.n_frames, r.spectrogram_aug.n_mels)
+            by_spk.setdefault(r.speaker, 0)
+            by_spk[r.speaker] += m.shape[0]
+        # per-speaker CMVN held BEFORE masking: recompute on the
+        # normalized (unmasked) twin
+        recheck: dict = {}
+        for r in normed.select("speaker", "spectrogram_cmvn").collect():
+            m = np.asarray(
+                r.spectrogram_cmvn.logmel, np.float64
+            ).reshape(r.spectrogram_cmvn.n_frames, r.spectrogram_cmvn.n_mels)
+            recheck.setdefault(r.speaker, []).append(m)
+        for g, ms in recheck.items():
+            fr = np.vstack(ms)
+            assert np.abs(fr.mean(axis=0)).max() < 1e-4, g
+            std = fr.std(axis=0)
+            assert np.abs(std[std > 0.5] - 1.0).max() < 1e-3, g
+
+        idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+        batches = bucket_batches(
+            feats.select(idx.alias("cid"), "dur_ms"),
+            F.col("dur_ms"),
+            id_col="cid",
+            batch_size=8,
+            bucket_len=250,
+            sub_width=64,
+        )
+        agg = batches.agg(
+            F.sum("n_rows").alias("n"), F.count(F.lit(1)).alias("b")
+        ).collect()[0]
+        assert agg["n"] == 128, agg
+        ledger = [
+            ("1_ingested", ingested),
+            ("2_curated_survivors", survivors),
+            ("3_defects_removed", int(res.keys_deleted)),
+            ("4_speakers", len(by_spk)),
+            ("5_aug_frames", int(sum(by_spk.values()))),
+            ("6_batches", int(agg["b"])),
+        ]
+        return spark.createDataFrame(ledger, "stage string, rows long")
+    finally:
+        feats.unpersist()
+
+
 def _q_lh_curate_clips(spark, sf_dir):
     """Self-verifying one-call audio curation: plant near-duplicate,
     hard-clipped, and DC-biased clips in a clean corpus stored as a
@@ -3268,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc_invariance": _q_audio_mfcc_invariance,
         "audio_word_crop": _q_audio_word_crop,
         "lh_audio_curate_clips": _q_lh_curate_clips,
+        "lh_asr_pipeline": _q_lh_asr_pipeline,
         "audio_spectrogram": _q_audio_spectrogram,
         "audio_specaugment": _q_audio_specaugment,
         "audio_cmvn": _q_audio_cmvn,
