@@ -3276,7 +3276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_pipeline": _q_events_json_pipeline,
         "hourly_rollup": _q_hourly_rollup,
         "q1_pricing_summary": _q_q1_pricing,
-        "window_top_purchase": _q_window_top_purchase,
         # event-time operators (batch twins + streaming parity)
         "events_windowed_rollup": _q_events_windowed_rollup,
         "events_sessionize": _q_events_sessionize,
@@ -3291,7 +3290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_delete_mor": _q_lh_delete_mor,
-        "lh_delete_convert": _q_lh_delete_convert,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
         "lh_transform_incremental": _q_lh_transform_incremental,
@@ -3313,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "curate_documents": _q_curate_documents,
         # textops family
@@ -3321,13 +3318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "lang_id": _q_lang_id,
-        "pii_scrub": _q_pii_scrub,
+        # tokenizer family (rows-only, self-verifying)
+        "bpe_train": _q_bpe_train,
         # packing family
         "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_documents,
         # transcripts family
         "transcript_wer": _q_transcript_wer,
-        "transcript_align_uniform": _q_transcript_align,
         # sampling family
         "sample_hash": _q_sample_hash,
         "split_assign": _q_split_assign,
@@ -3336,7 +3332,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         # audio family (rows-only, self-verifying)
         "audio_qc_detection": _q_audio_qc_detection,
+        "lh_asr_pipeline": _q_lh_asr_pipeline,
         # --- tail: variants + the rest (replica-checked) -------------
+        "window_top_purchase": _q_window_top_purchase,
+        "lh_delete_convert": _q_lh_delete_convert,
+        "simhash_pairs": _q_simhash_pairs,
+        "pii_scrub": _q_pii_scrub,
+        "chunk_documents": _q_chunk_documents,
+        "transcript_align_uniform": _q_transcript_align,
         "segment_revenue": _q_segment_revenue,
         "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
         "lh_sorted_scan": _q_lh_sorted_scan,
@@ -3357,7 +3360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
-        "bpe_train": _q_bpe_train,
         "profile_documents": _q_profile_documents,
         "transcript_cer": _q_transcript_cer,
         "text_normalize": _q_text_normalize,
@@ -3381,7 +3383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc_invariance": _q_audio_mfcc_invariance,
         "audio_word_crop": _q_audio_word_crop,
         "lh_audio_curate_clips": _q_lh_curate_clips,
-        "lh_asr_pipeline": _q_lh_asr_pipeline,
         "audio_spectrogram": _q_audio_spectrogram,
         "audio_specaugment": _q_audio_specaugment,
         "audio_cmvn": _q_audio_cmvn,
