@@ -12,6 +12,7 @@ Launch surface (north rule): the engine runs as standalone Spark jobs,
     spark-submit ... jobs.py cluster --table /data/clips \
         --columns clip_id,ingest_ts --curve hilbert
     spark-submit ... jobs.py expire  --table /data/clips --keep-last 2 --gc
+    spark-submit ... jobs.py rewrite-manifests --table /data/clips
     spark-submit ... jobs.py merge-demo --table /data/clips --frac 10
     spark-submit ... jobs.py scan    --table /data/clips [--snapshot N]
     spark-submit ... jobs.py snapshots --table /data/clips
@@ -143,6 +144,23 @@ def cmd_expire(args):
         )
         out["gc_deleted_files"] = len(gc.deleted_files)
     _emit(out)
+
+
+def cmd_rewrite_manifests(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    res = t.rewrite_manifests(
+        entries_per_manifest=args.entries_per_manifest
+    )
+    _emit(
+        {
+            "op": "rewrite-manifests",
+            "snapshot_id": res.snapshot_id,
+            "manifests_before": res.manifests_before,
+            "manifests_after": res.manifests_after,
+            "entries": res.entries,
+        }
+    )
 
 
 def cmd_merge_demo(args):
@@ -796,6 +814,9 @@ def main():
     t(s)
     s.add_argument("--keep-last", type=int, default=1)
     s.add_argument("--gc", action="store_true")
+    s = sub.add_parser("rewrite-manifests")
+    t(s)
+    s.add_argument("--entries-per-manifest", type=int, default=100_000)
     s = sub.add_parser("merge-demo")
     t(s)
     s.add_argument("--frac", type=int, default=10)
@@ -926,6 +947,7 @@ def main():
         "compact": cmd_compact,
         "cluster": cmd_cluster,
         "expire": cmd_expire,
+        "rewrite-manifests": cmd_rewrite_manifests,
         "merge-demo": cmd_merge_demo,
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
