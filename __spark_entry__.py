@@ -238,6 +238,29 @@ def _q_lh_rewrite_manifests(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_clone(spark, sf_dir):
+    """Zero-copy CLONE (Delta SHALLOW CLONE / Iceberg snapshot-migrate
+    counterpart, lakehouse/ops/clone.py): clone the events table in
+    metadata time — every byte hardlinked, asserted files_copied == 0 —
+    then hammer the SOURCE with the full mutation ladder (MoR delete,
+    compaction rewrite, snapshot expiry, orphan GC that unlinks the
+    source's old directory entries). The CLONE's scan must still be
+    byte-identical to the pre-churn events oracle: shared inodes
+    survive source-side GC and the two tables share no metadata."""
+    t = _events_table(spark, sf_dir)
+    c = t.clone_to(os.path.join(tempfile.mkdtemp(prefix="lh_clone_"), "c"))
+    assert c.meta.table_uuid != t.meta.table_uuid
+    last = c.snapshots()[-1]
+    assert last.operation == "clone", last.operation
+    assert last.summary["files_copied"] == 0, last.summary  # pure links
+    # churn the source: none of this may reach the clone
+    t.delete("user_id % 3 = 0", mode="mor", key="event_id")
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files(older_than_ms=0)
+    return _events_out(c.scan())
+
+
 def _q_lh_cluster(spark, sf_dir):
     t = _events_table(spark, sf_dir)
     t.cluster(["user_id", "ts"], curve="zorder")
@@ -3295,7 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_transform_incremental": _q_lh_transform_incremental,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
-        "lh_update_mor": _q_lh_update_mor,
+        "lh_clone_scan_parity": _q_lh_clone,
         "lh_wap_publish": _q_lh_wap_publish,
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
@@ -3352,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_rollup_hourly": _q_lh_rollup_hourly,
         "lh_update_cow": _q_lh_update,
+        "lh_update_mor": _q_lh_update_mor,
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -3525,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,
         "lh_rewrite_manifests": EVENTS_OUT_SQL,
+        "lh_clone_scan_parity": EVENTS_OUT_SQL,
         "lh_add_files_scan": EVENTS_OUT_SQL,
         "lh_cluster_zorder_parity": EVENTS_OUT_SQL,
         "lh_cluster_hilbert_parity": EVENTS_OUT_SQL,

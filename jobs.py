@@ -163,6 +163,27 @@ def cmd_rewrite_manifests(args):
     )
 
 
+def cmd_clone(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    from lakehouse.ops.clone import clone_table
+
+    res = clone_table(
+        t, args.dest, snapshot_id=args.snapshot
+    )
+    _emit(
+        {
+            "op": "clone",
+            "dest": res.dest_root,
+            "snapshot_id": res.snapshot_id,
+            "files_linked": res.files_linked,
+            "files_copied": res.files_copied,
+            "manifests": res.manifests,
+            "bytes_referenced": res.bytes_referenced,
+        }
+    )
+
+
 def cmd_merge_demo(args):
     from pyspark.sql import functions as F
 
@@ -817,6 +838,12 @@ def main():
     s = sub.add_parser("rewrite-manifests")
     t(s)
     s.add_argument("--entries-per-manifest", type=int, default=100_000)
+    s = sub.add_parser("clone")
+    t(s)
+    s.add_argument("--dest", required=True,
+                   help="root directory for the new zero-copy table")
+    s.add_argument("--snapshot", type=int, default=None,
+                   help="pin the clone at an older snapshot id")
     s = sub.add_parser("merge-demo")
     t(s)
     s.add_argument("--frac", type=int, default=10)
@@ -948,6 +975,7 @@ def main():
         "cluster": cmd_cluster,
         "expire": cmd_expire,
         "rewrite-manifests": cmd_rewrite_manifests,
+        "clone": cmd_clone,
         "merge-demo": cmd_merge_demo,
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,

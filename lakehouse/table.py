@@ -1219,6 +1219,15 @@ class Table:
 
         return _rw(self, **kw)
 
+    def clone_to(self, dest_root: str, **kw) -> "Table":
+        """Zero-copy clone into ``dest_root`` (lakehouse/ops/clone.py):
+        hardlinked files, verbatim manifests, fresh table identity.
+        Returns the new independent Table."""
+        from .ops.clone import clone_table
+
+        clone_table(self, dest_root, **kw)
+        return Table.load(self.spark, dest_root)
+
     # --- metadata tables (Iceberg files/snapshots/history counterpart) --------
 
     def files_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
