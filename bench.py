@@ -471,6 +471,16 @@ def main() -> None:
                 assert n[0][0] == per, n
 
             timed("adopted_scan", adopted_scan)
+
+            # zero-copy CLONE: metadata-time snapshot of the full clips
+            # table (post-maintenance history) — O(files) link syscalls,
+            # zero data bytes; the assert pins the zero-copy claim
+            def clone_zero_copy():
+                c = t.clone_to(os.path.join(work, f"clone_r{round_i}"))
+                s = c.snapshots()[-1].summary
+                assert s["files_copied"] == 0, s
+
+            timed("clone_zero_copy", clone_zero_copy)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)
