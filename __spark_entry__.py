@@ -865,6 +865,31 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_pq_topk(spark, sf_dir):
+    from lakehouse.similarity import pq_topk
+
+    # product-quantized ADC top-k: the corpus side of the scoring join
+    # carries ONLY (id, 8 tinyints) — 32x less than raw float32; the
+    # oracle twin regenerates the seeded codebooks and re-runs the
+    # identical encode + lookup arithmetic
+    return pq_topk(_read(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5)
+
+
+def _q_ann_ivfpq(spark, sf_dir):
+    from lakehouse.similarity import ann_ivfpq_topk
+
+    # the FAISS IVFPQ architecture: coarse lists prune to nprobe/16 of
+    # the corpus, PQ codes score the survivors — both computed in ONE
+    # projection pass over the raw vectors
+    return ann_ivfpq_topk(
+        _read(spark, sf_dir, "embeddings"),
+        QUERY_VEC_IDS,
+        k=5,
+        n_coarse=16,
+        nprobe=4,
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     from lakehouse.similarity import ann_lsh_topk
 
@@ -3394,6 +3419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_int8": _q_cosine_topk_int8,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "pq_topk": _q_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         # audio payload (rows-only)
@@ -3460,10 +3487,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from lakehouse.similarity import (
         ann_ivf_oracle_sql,
+        ann_ivfpq_oracle_sql,
         ann_lsh_oracle_sql,
         cosine_topk_int8_oracle_sql,
         cosine_topk_oracle_sql,
         embedding_near_dup_oracle_sql,
+        pq_topk_oracle_sql,
         quantize_embeddings_oracle_sql,
         semantic_dedup_oracle_sql,
     )
@@ -3818,6 +3847,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_topk": ann_ivf_oracle_sql(
             QUERY_VEC_IDS, k=5, n_centroids=16, nprobe=4
+        ),
+        "pq_topk": pq_topk_oracle_sql(QUERY_VEC_IDS, k=5),
+        "ann_ivfpq_topk": ann_ivfpq_oracle_sql(
+            QUERY_VEC_IDS, k=5, n_coarse=16, nprobe=4
         ),
         "embedding_near_dup": embedding_near_dup_oracle_sql(
             threshold=0.45, n_bits=16, n_bands=4

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Three paths, mirroring what a 100 TB training-data pipeline needs:
+Four paths, mirroring what a 100 TB training-data pipeline needs:
 
 - **brute-force cosine top-k** — the exact baseline: broadcast the
   (small) query set against the corpus, dot products via ``zip_with`` +
@@ -15,8 +15,13 @@ Three paths, mirroring what a 100 TB training-data pipeline needs:
   nearest lists. Seeded unit-vector centroids keep the oracle twin
   exact; ``train_ivf_centroids`` refines them with sample-based
   spherical k-means when index quality matters (the FAISS recipe).
+- **product quantization (PQ/ADC, and IVF+PQ composed)** — the memory
+  scale path: corpus vectors collapse to ``m`` codebook ids (32× less
+  than float32 at the defaults); queries score candidates from a
+  per-query lookup table without ever touching raw corpus vectors
+  again. See the PQ section at the bottom of this module.
 
-Recall < 1 by construction for both ANN paths; the oracle runs the
+Recall < 1 by construction for the ANN paths; the oracle runs the
 identical bucketed algorithm so correctness-of-implementation is still
 exactly checkable.
 
@@ -964,4 +969,472 @@ def cosine_topk_int8_oracle_sql(
         FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze & Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+# IVFPQ index architecture.
+#
+# The corpus vector is split into ``m`` contiguous sub-vectors; each
+# sub-vector is replaced by the id of its nearest codeword in a
+# per-subspace codebook of ``n_cent`` entries. A 64-dim float32 vector
+# (256 B) becomes ``m`` tinyints (8 B at the defaults) — a 32× cut in
+# what the similarity working set stores, shuffles, and scans. Queries
+# stay full-precision: the asymmetric-distance (ADC) score is
+# ``sum_s <q_s, codeword(code_s)>``, a table lookup per subspace —
+# scoring never touches raw corpus vectors again.
+#
+# 10^12-row shape: encoding is ONE codegen'd projection pass (m·n_cent
+# literal-folded dot products, no shuffle, no Python); ADC top-k is a
+# broadcast of the bounded query set against the codes-only corpus +
+# one per-query window. Codebook training (the only driver-side step)
+# reads a bounded sample, exactly like ``train_ivf_centroids``.
+#
+# Oracle discipline (same as IVF/LSH): the default codebooks are a
+# pure function of the seed, embedded as double literals into BOTH the
+# Spark plan and the DuckDB twin, with argmin ties broken to the
+# lowest codeword id via a first-match CASE over identical
+# left-to-right literal arithmetic — assignments agree bit-for-bit.
+# ``train_pq_codebooks`` refines them on a sample when quantization
+# error matters more than a SQL-checkable twin (the recall pytest).
+
+PQ_SEED = 1105
+PQ_M = 8
+PQ_NCENT = 16
+
+
+def pq_codebooks(
+    dim: int = LSH_DIM, m: int = PQ_M, n_cent: int = PQ_NCENT,
+    seed: int = PQ_SEED, scale: float = 0.12,
+) -> list[list[list[float]]]:
+    """Deterministic seeded codebooks: ``m`` subspaces × ``n_cent``
+    codewords × ``dim/m`` dims, Gaussian draws scaled to the synthetic
+    embeddings' component spread and rounded to 6 decimals (literal
+    embedding discipline). Data-oblivious — training replaces these
+    when recall matters; parity queries keep them so the DuckDB twin
+    can regenerate the identical literals from the seed."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((m, n_cent, dim // m)) * scale
+    return [
+        [[float(round(v, 6)) for v in row] for row in sub] for sub in c
+    ]
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    n_cent: int = PQ_NCENT,
+    iters: int = 8,
+    seed: int = PQ_SEED,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means (squared L2) on a bounded driver
+    sample — the standard PQ training recipe (FAISS trains PQ exactly
+    this way). Deterministic: the sample is the ``sample`` LOWEST ids,
+    init is Forgy over evenly-strided sample rows, fixed iteration
+    count, empty clusters keep their previous codeword."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("i"), _dbl(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        init_idx = np.linspace(0, len(xs) - 1, n_cent).astype(int)
+        c = xs[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_cent):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        out.append([[float(round(v, 6)) for v in row] for row in c])
+    return out
+
+
+def _sub_dot(vec, row: list[float], offset: int):
+    """JVM-side dot(vec[offset:offset+len(row)], row) as a plain
+    left-assoc +-chain of literal multiplies — textually identical
+    evaluation order to the SQL twin (1-based element_at)."""
+    expr = None
+    for j, v in enumerate(row):
+        term = F.lit(v) * F.element_at(vec, offset + j + 1)
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def _sub_dot_sql(row: list[float], offset: int, vec_sql: str) -> str:
+    return " + ".join(
+        f"({v!r} * {vec_sql}[{offset + j + 1}])" for j, v in enumerate(row)
+    )
+
+
+def _pq_scores(vec, sub: list[list[float]], offset: int):
+    """Codeword scores for one subspace: ``<v_s, c_j> - |c_j|^2/2``
+    (argmax of this == argmin squared-L2; the constant is folded to a
+    literal so both engines evaluate the identical expression)."""
+    return [
+        _sub_dot(vec, row, offset)
+        - F.lit(round(sum(v * v for v in row) / 2.0, 12))
+        for row in sub
+    ]
+
+
+def _pq_scores_sql(sub: list[list[float]], offset: int, vec_sql: str):
+    return [
+        f"({_sub_dot_sql(row, offset, vec_sql)}) - "
+        f"{round(sum(v * v for v in row) / 2.0, 12)!r}"
+        for row in sub
+    ]
+
+
+def _argmax_pos(scores):
+    """Argmax as ``array_position(arr, array_max(arr)) - 1`` — each
+    score is evaluated ONCE (the greatest+CASE form re-evaluates every
+    score inside each WHEN and blows the 64 KB codegen method limit at
+    m·n_cent scale: measured 7.5× slower under the interpreted
+    fallback, byte-identical codes). Ties → lowest codeword id (first
+    occurrence), matching the oracle's ``list_position``."""
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def _argmax_pos_sql(scores: list[str]) -> str:
+    arr = "[" + ", ".join(f"({s})" for s in scores) + "]"
+    return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One codegen'd projection pass: ``(id, pq_code array<tinyint>)``.
+    The code column is what a real deployment materializes (a
+    MaterializedTransform over this projection); everything downstream
+    reads codes only."""
+    cb = codebooks if codebooks is not None else pq_codebooks()
+    dsub = len(cb[0][0])
+    v = _dbl(vec_col)
+    codes = [
+        _argmax_pos(_pq_scores(v, sub, s * dsub))
+        for s, sub in enumerate(cb)
+    ]
+    return emb.select(
+        F.col(id_col),
+        F.array(*codes).cast("array<tinyint>").alias("pq_code"),
+    )
+
+
+def _adc_lut(qvec, cb: list[list[list[float]]]):
+    """The ADC lookup table, the actual Jégou trick: an m × n_cent
+    array-of-arrays of ``<q_s, c_j>`` partial dots, computed ONCE per
+    query row. Per-candidate scoring then costs m array lookups
+    instead of re-folding m·n_cent·dsub literal terms per pair."""
+    dsub = len(cb[0][0])
+    return F.array(
+        *[
+            F.array(*[_sub_dot(qvec, row, s * dsub) for row in sub])
+            for s, sub in enumerate(cb)
+        ]
+    )
+
+
+def _adc_score(lut_col, codes_col, m: int):
+    """ADC inner-product score: sum of per-subspace LUT lookups
+    (left-assoc +, matching the SQL twin)."""
+    total = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(lut_col, s + 1),
+            F.element_at(codes_col, s + 1).cast("int") + 1,
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate inner-product top-k via PQ/ADC: encode the corpus
+    (one projection), broadcast the bounded full-precision query set,
+    score = per-subspace codeword lookup, rank per query. The corpus
+    side of the join carries ONLY ``(id, m tinyints)``."""
+    cb = codebooks if codebooks is not None else pq_codebooks()
+    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _adc_lut(_dbl(vec_col), cb).alias("lut"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _adc_score(F.col("lut"), F.col("pq_code"), len(cb)), 4
+            ).alias("adc"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def _pq_encode_sql(cb: list[list[list[float]]], vec_sql: str) -> str:
+    dsub = len(cb[0][0])
+    return (
+        "["
+        + ", ".join(
+            _argmax_pos_sql(_pq_scores_sql(sub, s * dsub, vec_sql))
+            for s, sub in enumerate(cb)
+        )
+        + "]"
+    )
+
+
+def _adc_lut_sql(cb: list[list[list[float]]], qvec_sql: str) -> str:
+    """SQL twin of :func:`_adc_lut` — the m × n_cent list-of-lists of
+    partial dots, built once per query row."""
+    dsub = len(cb[0][0])
+    return (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                f"({_sub_dot_sql(row, s * dsub, qvec_sql)})" for row in sub
+            )
+            + "]"
+            for s, sub in enumerate(cb)
+        )
+        + "]"
+    )
+
+
+def _adc_score_sql(m: int, lut_sql: str, code_sql: str) -> str:
+    """SQL twin of :func:`_adc_score` — m 1-based LUT lookups."""
+    return " + ".join(
+        f"{lut_sql}[{s + 1}][{code_sql}[{s + 1}] + 1]" for s in range(m)
+    )
+
+
+def pq_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = LSH_DIM,
+    m: int = PQ_M,
+    n_cent: int = PQ_NCENT,
+    seed: int = PQ_SEED,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin: regenerates the seeded codebooks and runs the
+    identical encode + ADC arithmetic over DOUBLE[] casts (float→double
+    promotion is exact, so every multiply/add matches the engine's
+    double evaluation bit-for-bit — raw REAL indexing would evaluate
+    the ADC sum in float and drift in the 4th decimal)."""
+    cb = pq_codebooks(dim, m, n_cent, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH codes AS (
+        SELECT vec_id AS neighbor_id,
+               {_pq_encode_sql(cb, "cv")} AS pq_code
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM {table})
+    ),
+    q AS (
+        SELECT query_id, {_adc_lut_sql(cb, "qv")} AS lut
+        FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM {table} WHERE vec_id IN ({ids}))
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({_adc_score_sql(m, "lut", "pq_code")}, 4) AS adc
+        FROM q, codes
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    centroids: Optional[list[list[float]]] = None,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ architecture: the coarse
+    quantizer prunes the corpus to ``nprobe`` inverted lists per query,
+    PQ/ADC scores the survivors from codes alone. The corpus pass
+    computes BOTH the coarse assignment and the PQ code in ONE codegen
+    projection; nothing else ever reads the raw corpus vectors.
+
+    At 10^12 rows each query scores ~corpus·nprobe/n_coarse candidate
+    CODES (8 B each at the defaults) — the scan, the shuffle, and the
+    scoring working set are all ~32× smaller than raw float32."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_coarse, seed
+    )
+    cb = codebooks if codebooks is not None else pq_codebooks(dim)
+    dsub = len(cb[0][0])
+    v = _dbl(vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _ivf_assign(v, cents).alias("cid"),
+        F.array(
+            *[
+                _argmax_pos(_pq_scores(v, sub, s * dsub))
+                for s, sub in enumerate(cb)
+            ]
+        ).cast("array<tinyint>").alias("pq_code"),
+    )
+    qdots = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), d.alias("dot"))
+            for i, d in enumerate(_ivf_dots(_dbl(vec_col), cents))
+        ]
+    )
+    from pyspark.sql.window import Window
+
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _adc_lut(_dbl(vec_col), cb).alias("lut"),
+            F.explode(qdots).alias("p"),
+        )
+        .select("query_id", "lut", F.col("p.cid").alias("cid"),
+                F.col("p.dot").alias("dot"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("prank") <= nprobe)
+        .drop("dot", "prank")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _adc_score(F.col("lut"), F.col("pq_code"), len(cb)), 4
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ann_ivfpq_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    dim: int = LSH_DIM,
+    m: int = PQ_M,
+    n_cent: int = PQ_NCENT,
+    ivf_seed: int = IVF_SEED,
+    pq_seed: int = PQ_SEED,
+    table: str = "embeddings",
+) -> str:
+    cents = ivf_centroids(dim, n_coarse, ivf_seed)
+    cb = pq_codebooks(dim, m, n_cent, pq_seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    assign = _ivf_assign_sql(cents, "embedding")
+    cid_rows = ", ".join(f"({i})" for i in range(n_coarse))
+    qdot_case = " ".join(
+        f"WHEN {i} THEN ({_ivf_dot_sql(row, 'e')})"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id AS neighbor_id, {assign} AS cid,
+               {_pq_encode_sql(cb, "cv")} AS pq_code
+        FROM (SELECT vec_id, embedding,
+                     embedding::DOUBLE[] AS cv FROM {table})
+    ),
+    qraw AS (SELECT vec_id AS query_id, embedding AS e,
+                    {_adc_lut_sql(cb, "(embedding::DOUBLE[])")} AS lut
+             FROM {table} WHERE vec_id IN ({ids})),
+    qdots AS (
+        SELECT query_id, lut, c.cid AS cid,
+               (CASE c.cid {qdot_case} END) AS dot
+        FROM qraw CROSS JOIN (VALUES {cid_rows}) c(cid)
+    ),
+    probes AS (
+        SELECT query_id, lut, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, cid) AS prank
+            FROM qdots
+        ) WHERE prank <= {nprobe}
+    ),
+    scored AS (
+        SELECT query_id, corpus.neighbor_id,
+               round({_adc_score_sql(m, "lut", "pq_code")}, 4) AS adc
+        FROM probes JOIN corpus USING (cid)
+        WHERE query_id <> corpus.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc, rank FROM ranked WHERE rank <= {k}
     """

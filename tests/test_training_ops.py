@@ -1232,3 +1232,88 @@ def test_bigram_logprob_no_forced_broadcast_on_counts(spark):
     df = bigram_logprob(_docs(spark))
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("ResolvedHint") <= 1, opt
+
+
+def test_pq_topk_matches_oracle(spark, oracle):
+    from lakehouse.similarity import pq_topk, pq_topk_oracle_sql
+
+    ids = list(range(8))
+    assert_matches_oracle(
+        pq_topk(_embs(spark), ids, k=3),
+        oracle,
+        pq_topk_oracle_sql(ids, k=3),
+    )
+
+
+def test_ann_ivfpq_matches_oracle(spark, oracle):
+    from lakehouse.similarity import ann_ivfpq_oracle_sql, ann_ivfpq_topk
+
+    ids = list(range(8))
+    assert_matches_oracle(
+        ann_ivfpq_topk(_embs(spark), ids, k=3, n_coarse=8, nprobe=3),
+        oracle,
+        ann_ivfpq_oracle_sql(ids, k=3, n_coarse=8, nprobe=3),
+    )
+
+
+def test_pq_recall_training_and_structure(spark):
+    """PQ/ADC invariants: codes live in [0, n_cent); encoding is
+    partitioning-invariant; both seeded and sample-trained codebooks
+    beat chance recall by a wide margin against an exact-dot baseline;
+    IVFPQ probing EVERY coarse list degenerates to plain PQ exactly."""
+    import numpy as np
+
+    from lakehouse.similarity import (
+        PQ_NCENT,
+        ann_ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _embs(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    pos = {v: i for i, v in enumerate(ids)}
+    Q = list(range(10))
+    exact = {}
+    for q in Q:
+        d = X @ X[pos[q]]
+        order = sorted(
+            range(len(ids)), key=lambda i: (-round(d[i], 6), ids[i])
+        )
+        exact[q] = {ids[i] for i in order if ids[i] != q}
+        exact[q] = set(list(sorted(
+            (i for i in exact[q]),
+            key=lambda nid: (-round(float(X[pos[nid]] @ X[pos[q]]), 6), nid),
+        ))[:5])
+
+    def recall(**kw):
+        got = {}
+        for r in pq_topk(emb, Q, k=5, **kw).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[q] & exact[q]) for q in Q) / (5 * len(Q))
+
+    # chance recall@5 over 500 vectors is ~0.01; seeded codebooks
+    # measured 0.16, trained 0.20 — floor at 6x chance with margin
+    assert recall() >= 0.06
+    trained = train_pq_codebooks(emb, iters=4, sample=400)
+    assert recall(codebooks=trained) >= 0.06
+
+    codes = pq_encode(emb).collect()
+    flat = [c for r in codes for c in r.pq_code]
+    assert min(flat) >= 0 and max(flat) < PQ_NCENT
+    again = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(emb.repartition(7, "vec_id")).collect()
+    }
+    assert {r.vec_id: list(r.pq_code) for r in codes} == again
+
+    # probing all coarse lists IS plain PQ (same scored set, same ranks)
+    full = {
+        tuple(r)
+        for r in ann_ivfpq_topk(emb, Q, k=5, n_coarse=8, nprobe=8).collect()
+    }
+    plain = {tuple(r) for r in pq_topk(emb, Q, k=5).collect()}
+    assert full == plain
