@@ -2502,6 +2502,79 @@ def _q_lh_rollup_incremental(spark, sf_dir):
     )
 
 
+def _pq_index_oracle_sql() -> str:
+    """Seeded PQ encode over the post-DML embeddings row set (the
+    lh_pq_index_incremental twin): union the synthetic append, drop the
+    MoR-deleted ids, encode with the identical seeded codebooks."""
+    from lakehouse.similarity import _pq_encode_sql, pq_codebooks
+
+    enc = _pq_encode_sql(pq_codebooks(), "cv")
+    cols = ", ".join(
+        f"CAST(pq_code[{i + 1}] AS INTEGER) AS c{i + 1}" for i in range(8)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+        WHERE vec_id % 7 = 0
+    ),
+    live AS (SELECT * FROM base WHERE NOT (vec_id % 11 = 3)),
+    codes AS (
+        SELECT vec_id, {enc} AS pq_code
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM live)
+    )
+    SELECT vec_id, {cols} FROM codes
+    """
+
+
+def _q_lh_pq_index(spark, sf_dir):
+    """The ANN index as an incrementally-maintained lakehouse table:
+    embeddings land in an ACID table, a MaterializedTransform with the
+    registered ``pq_code`` extractor materializes the PQ codes, and an
+    append + MoR delete fold in from the CDC delta alone — new vectors
+    encode, deleted vectors' codes vanish, nothing re-encodes. Oracle =
+    the seeded PQ encode over the post-DML row set."""
+    from lakehouse import Table
+    from lakehouse.transform import MaterializedTransform
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="lh_pqidx_")
+    t = Table.create(spark, os.path.join(root, "emb"), emb.schema)
+    t.append(emb)
+    mt = MaterializedTransform.create(
+        spark,
+        os.path.join(root, "pq_index"),
+        t,
+        key="vec_id",
+        columns=["vec_id", "embedding"],
+        transform="pq_code",
+    )
+    # pin the CDC path: at sf-test scale the DML touches most bytes and
+    # the cost guard would (correctly) pick full-resync; the query's
+    # point is the incremental fold-in
+    mt.table.set_properties(transform_resync_cost_ratio="off")
+    assert mt.refresh().mode == "full"
+
+    t.append(
+        emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+    )
+    t.delete("vec_id % 11 = 3", mode="mor", key="vec_id")
+    res = mt.refresh()
+    assert res.mode == "incremental", res
+    assert res.rows_upserted > 0 and res.rows_deleted > 0, res
+
+    return mt.scan().select(
+        "vec_id",
+        *[
+            F.element_at("pq_code", i + 1).cast("int").alias(f"c{i + 1}")
+            for i in range(8)
+        ],
+    )
+
+
 def _q_lh_transform_incremental(spark, sf_dir):
     """Incrementally-maintained derived FEATURE table (row-level
     sibling of the rollup): initial full compute, then an append and a
@@ -3403,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_update_mor": _q_lh_update_mor,
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
+        "lh_pq_index_incremental": _q_lh_pq_index,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
@@ -3849,6 +3923,7 @@ def oracle_sql() -> dict[str, str]:
             QUERY_VEC_IDS, k=5, n_centroids=16, nprobe=4
         ),
         "pq_topk": pq_topk_oracle_sql(QUERY_VEC_IDS, k=5),
+        "lh_pq_index_incremental": _pq_index_oracle_sql(),
         "ann_ivfpq_topk": ann_ivfpq_oracle_sql(
             QUERY_VEC_IDS, k=5, n_coarse=16, nprobe=4
         ),

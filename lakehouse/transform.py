@@ -91,6 +91,22 @@ def _builtin_transforms():
 
             return with_mfcc_embedding(df).select("clip_id", "embedding")
 
+    if "pq_code" not in _TRANSFORMS:
+
+        @register_transform("pq_code")
+        def _pq(df: DataFrame) -> DataFrame:
+            # ANN index as a derived table: PQ codes (similarity.py)
+            # maintained incrementally from the base table's CDC delta —
+            # appends encode only the new vectors, deletes drop only
+            # their codes; the 10^12-row alternative to rebuilding the
+            # index. Seeded default codebooks keep the transform a pure
+            # function of the row (restart-safe across sessions);
+            # deployments with trained codebooks register their own
+            # closure under a distinct name.
+            from .similarity import pq_encode
+
+            return pq_encode(df)
+
     if "audio_stats" not in _TRANSFORMS:
 
         @register_transform("audio_stats")

@@ -214,3 +214,53 @@ def test_refresh_merge_kwargs_route_to_mor(spark, tmp_path):
     # MoR refresh never rewrote a pre-existing derived data file
     files_after = {e.file_path for e in mt.table.live_files()}
     assert files_before <= files_after
+
+
+def test_pq_code_transform_incremental_index(spark, tmp_path):
+    """The registered ``pq_code`` extractor maintains a PQ ANN index as
+    a derived table: appends encode only the new vectors (incremental
+    mode), deletes drop their codes, and the final index equals a fresh
+    full encode of the live base rows."""
+    from lakehouse.similarity import pq_encode
+
+    emb = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.sin(F.col("id").cast("double") * i.cast("double"))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    base = Table.create(spark, str(tmp_path / "emb"), emb.schema)
+    base.append(emb)
+    mt = MaterializedTransform.create(
+        spark,
+        str(tmp_path / "pq"),
+        base,
+        key="vec_id",
+        columns=["vec_id", "embedding"],
+        transform="pq_code",
+    )
+    mt.table.set_properties(transform_resync_cost_ratio="off")
+    assert mt.refresh().mode == "full"
+
+    base.append(
+        emb.filter(F.col("vec_id") < 30).withColumn(
+            "vec_id", F.col("vec_id") + 1000
+        )
+    )
+    base.delete("vec_id % 10 = 1", mode="mor", key="vec_id")
+    res = mt.refresh()
+    assert res.mode == "incremental", res
+    assert res.rows_upserted == 27 and res.rows_deleted > 0, res
+
+    got = {
+        r.vec_id: list(r.pq_code) for r in mt.scan().collect()
+    }
+    fresh = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(base.scan()).collect()
+    }
+    assert got == fresh and len(got) == 120 + 30 - 12 - 3
+    _assert_parity(mt)
