@@ -2785,6 +2785,43 @@ def _q_lh_wap_publish(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_cherry_pick(spark, sf_dir):
+    """WAP publish AFTER main has moved (Iceberg cherrypick_snapshot):
+    stage a third of the events on an audit branch, advance main with
+    another append AND an equality delete that would match the staged
+    keys, then cherry-pick. The picked rows must land re-sequenced
+    ABOVE the delete (MoR ordering), so the oracle is: evens, minus the
+    mid-flight delete, plus the full staged third — fast_forward would
+    refuse this publish outright (asserted)."""
+    from lakehouse import Table
+    from lakehouse.errors import RefError
+
+    df = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_cp_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "cp"),
+        df.schema,
+        partition_spec=[
+            {"name": "event_date", "transform": "identity", "source": "event_date"}
+        ],
+    )
+    t.append(df.filter(F.col("event_id") % 3 == 0))
+    staged = t.append(df.filter(F.col("event_id") % 3 == 1), branch="audit")
+    t.append(df.filter(F.col("event_id") % 3 == 2))  # main moves
+    # mid-flight delete: hits evens on main AND would match staged keys
+    t.delete("event_id % 10 < 2", mode="mor", key="event_id")
+    try:
+        t.fast_forward("audit")
+        raise AssertionError("fast_forward must refuse a diverged publish")
+    except RefError:
+        pass
+    snap = t.cherry_pick(staged.snapshot_id)
+    assert snap.operation == "cherry-pick", snap.operation
+    assert snap.summary["source_snapshot"] == staged.snapshot_id
+    return _events_out(t.scan())
+
+
 def _q_lh_default_column(spark, sf_dir):
     """Iceberg-v3-style DEFAULT column values: a metadata-only ADD
     COLUMN with a default (zero rewrites) makes every pre-existing row
@@ -3477,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         "lh_pq_index_incremental": _q_lh_pq_index,
+        "lh_cherry_pick": _q_lh_cherry_pick,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
@@ -3806,6 +3844,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "lh_wap_publish": EVENTS_OUT_SQL,
+        # staged third survives in full (picked rows re-sequence above
+        # the mid-flight delete); the rest loses event_id % 10 < 2
+        "lh_cherry_pick": EVENTS_OUT_SQL
+        + " WHERE (event_id % 3 = 1) OR (event_id % 10 >= 2)",
         "lh_constraint_enforcement": EVENTS_OUT_SQL,
         "lh_autopilot_scan_parity": (
             EVENTS_OUT_SQL + " WHERE event_id % 10 != 7"

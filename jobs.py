@@ -701,6 +701,24 @@ def cmd_branch(args):
         t.create_tag(args.name, snapshot_id=args.snapshot)
     elif args.action == "publish":
         t.fast_forward(args.name, drop=args.drop)
+    elif args.action == "cherry-pick":
+        # publish a staged branch head onto a MOVED main (fast_forward
+        # refuses diverged publishes; this is the other half of WAP)
+        snap = t.cherry_pick(
+            args.snapshot
+            if args.snapshot is not None
+            else t.refs()[args.name]["snapshot_id"]
+        )
+        if args.drop:
+            t.drop_ref(args.name)
+        _emit(
+            {
+                "op": "branch-cherry-pick",
+                "snapshot_id": snap.snapshot_id,
+                "summary": snap.summary,
+            }
+        )
+        return
     elif args.action == "drop":
         t.drop_ref(args.name)
     _emit({"op": f"branch-{args.action}", "refs": t.refs()})
@@ -936,7 +954,9 @@ def main():
     s.add_argument("--snapshot", type=int, required=True)
     s = sub.add_parser("branch")
     t(s)
-    s.add_argument("action", choices=["create", "tag", "publish", "drop"])
+    s.add_argument(
+        "action", choices=["create", "tag", "publish", "cherry-pick", "drop"]
+    )
     s.add_argument("name")
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--drop", action="store_true")

@@ -384,6 +384,129 @@ class Table:
         S.commit(self.root, apply)
         return published["sid"]
 
+    def cherry_pick(self, snapshot_id: int) -> S.Snapshot:
+        """Apply an append-type snapshot's NET additions onto the
+        current main head (Iceberg's ``cherrypick_snapshot``) — the WAP
+        publish path when main has MOVED since staging, where
+        ``fast_forward`` correctly refuses.
+
+        Metadata-only: the picked snapshot's added manifests (diff vs
+        its parent's manifest list) are re-sequenced to the new
+        snapshot id and appended to main's manifest list — re-sequencing
+        matters for MoR correctness, since an equality delete committed
+        on main between staging and publish applies only to strictly
+        OLDER sequence numbers and must never claim the picked rows.
+        Data files are shared, nothing is rewritten.
+
+        Picking a direct child of the current head degenerates to a
+        fast-forward (main moves, no new snapshot — same as Iceberg).
+        Guards: append-shape only (no removals), source parent not
+        expired, not already applied to main.
+        """
+        holder: dict[str, S.Snapshot] = {}
+
+        def apply(base: S.TableMetadata) -> S.TableMetadata:
+            pick = base.snapshot(snapshot_id)
+            if base.current_snapshot_id == snapshot_id:
+                raise RefError(f"snapshot {snapshot_id} is already current")
+            if pick.parent_snapshot_id == base.current_snapshot_id:
+                base.current_snapshot_id = snapshot_id
+                holder["snap"] = pick
+                return base
+            if pick.summary.get("removed_files", 0):
+                raise RefError(
+                    "only append-type snapshots (no removals) can be "
+                    f"cherry-picked; {snapshot_id} removed "
+                    f"{pick.summary['removed_files']} files"
+                )
+            # picked manifests are rewritten (re-sequenced), so the
+            # already-applied check keys on the recorded source id, not
+            # on manifest paths (Iceberg's published-wap-id discipline)
+            for s in base.snapshots:
+                if (
+                    s.operation == "cherry-pick"
+                    and s.summary.get("source_snapshot") == snapshot_id
+                ):
+                    raise RefError(
+                        f"snapshot {snapshot_id} was already cherry-picked "
+                        f"as {s.snapshot_id}"
+                    )
+            parent_paths: set = set()
+            if pick.parent_snapshot_id is not None:
+                try:
+                    parent = base.snapshot(pick.parent_snapshot_id)
+                except SnapshotNotFoundError:
+                    raise RefError(
+                        f"cherry-pick source parent "
+                        f"{pick.parent_snapshot_id} has expired; the net "
+                        f"additions of {snapshot_id} are unrecoverable"
+                    )
+                parent_paths = {
+                    m["path"]
+                    for m in S.read_manifest_list(
+                        self.root, parent.manifest_list
+                    )
+                }
+            added = [
+                m
+                for m in S.read_manifest_list(self.root, pick.manifest_list)
+                if m["path"] not in parent_paths
+            ]
+            if not added:
+                raise RefError(f"snapshot {snapshot_id} added nothing")
+            head_id = base.current_snapshot_id
+            head_list = (
+                []
+                if head_id is None
+                else S.read_manifest_list(
+                    self.root, base.snapshot(head_id).manifest_list
+                )
+            )
+            head_paths = {m["path"] for m in head_list}
+            if any(m["path"] in head_paths for m in added):
+                raise RefError(
+                    f"snapshot {snapshot_id} was already applied to main"
+                )
+            sid = S.next_snapshot_id(base)
+            picked_manifests = []
+            n_files = n_records = n_bytes = 0
+            for m in added:
+                entries = read_manifest(self.root, m["path"])
+                for e in entries:
+                    e.seq = sid
+                n_files += len(entries)
+                n_records += sum(e.record_count for e in entries)
+                n_bytes += sum(e.file_size_bytes for e in entries)
+                rel, summ = write_manifest(self.root, entries)
+                picked_manifests.append({"path": rel, "summary": summ})
+            manifest_list = S.write_manifest_list(
+                self.root, sid, head_list + picked_manifests
+            )
+            snap = S.Snapshot(
+                snapshot_id=sid,
+                parent_snapshot_id=head_id,
+                timestamp_ms=S.now_ms(),
+                operation="cherry-pick",
+                manifest_list=manifest_list,
+                schema_id=base.current_schema_id,
+                summary={
+                    "source_snapshot": snapshot_id,
+                    "added_files": n_files,
+                    "removed_files": 0,
+                    "added_records": n_records,
+                    "added_bytes": n_bytes,
+                    "removed_records": 0,
+                    "removed_bytes": 0,
+                },
+            )
+            base.current_snapshot_id = sid
+            base.snapshots = base.snapshots + [snap]
+            holder["snap"] = snap
+            return base
+
+        S.commit(self.root, apply)
+        return holder["snap"]
+
     def rollback(self, snapshot_id: int) -> None:
         """Point main back at an earlier live snapshot (metadata-only —
         the engine-side form of the reference's 'point-in-time recovery

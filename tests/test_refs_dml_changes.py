@@ -347,3 +347,87 @@ def test_changelog_view_update_pairing(spark, table_root):
     assert {r.clip_id for r in by_type["update_after"]} == {
         r.clip_id for r in by_type["update_before"]
     }
+
+
+# --- cherry-pick: WAP publish after main has moved ---------------------------
+
+
+def _staged_rows(spark, ids, seed=7):
+    from lakehouse.synth import synth_clips_pdf
+
+    return spark.createDataFrame(
+        synth_clips_pdf(ids, seed=seed, n_days=2), schema=CLIPS_SCHEMA
+    )
+
+
+def test_cherry_pick_after_main_moved(spark, table_root):
+    """Stage an append on an audit branch, let main advance, then
+    cherry-pick: fast_forward refuses (diverged), cherry_pick lands the
+    staged rows on top of main, re-sequenced to the new snapshot id."""
+    t = make_table(spark, table_root, rows=40, appends=2)
+    staged_df = _staged_rows(spark, range(1000, 1010))
+    staged_ids = {r.clip_id for r in staged_df.select("clip_id").collect()}
+    staged = t.append(staged_df, branch="audit")
+
+    t.append(_staged_rows(spark, range(2000, 2005), seed=9))  # main moves
+    with pytest.raises(RefError):
+        t.fast_forward("audit")
+
+    snap = t.cherry_pick(staged.snapshot_id)
+    assert snap.operation == "cherry-pick"
+    assert snap.summary["source_snapshot"] == staged.snapshot_id
+    assert t.scan().count() == 40 + 5 + 10
+    ids = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    assert staged_ids <= ids
+    # picked entries carry the NEW snapshot's sequence number
+    picked = [
+        e for e in t.live_files() if e.seq == snap.snapshot_id
+    ]
+    assert sum(e.record_count for e in picked) == 10
+
+
+def test_cherry_pick_mor_delete_cannot_claim_picked_rows(spark, table_root):
+    """An equality delete committed on main BETWEEN staging and publish
+    applies only to older sequence numbers: the picked rows survive the
+    older delete even when their keys match its predicate."""
+    t = make_table(spark, table_root, rows=40, appends=2)
+    staged_df = _staged_rows(spark, range(1000, 1010))
+    staged_ids = {r.clip_id for r in staged_df.select("clip_id").collect()}
+    staged = t.append(staged_df, branch="wip")
+    t.delete("dur_ms >= 0", mode="mor", key="clip_id")  # wipes main
+    assert t.scan().count() == 0
+
+    t.cherry_pick(staged.snapshot_id)
+    survivors = {r.clip_id for r in t.scan().select("clip_id").collect()}
+    # exactly the staged rows: the delete predates them in sequence order
+    assert survivors == staged_ids
+
+
+def test_cherry_pick_child_of_head_is_fast_forward(spark, table_root):
+    t = make_table(spark, table_root, rows=20, appends=1)
+    staged = t.append(_staged_rows(spark, range(500, 504)), branch="audit")
+    n_snaps = len(t.snapshots())
+    snap = t.cherry_pick(staged.snapshot_id)
+    assert snap.snapshot_id == staged.snapshot_id  # no new snapshot
+    assert len(t.snapshots()) == n_snaps
+    assert t.scan().count() == 24
+
+
+def test_cherry_pick_guards(spark, table_root):
+    t = make_table(spark, table_root, rows=30, appends=2)
+    staged = t.append(_staged_rows(spark, range(700, 705)), branch="audit")
+    t.append(_staged_rows(spark, range(800, 803), seed=3))
+    t.cherry_pick(staged.snapshot_id)
+    # double-pick
+    with pytest.raises(RefError):
+        t.cherry_pick(staged.snapshot_id)
+    # removal-shaped snapshots refuse
+    before = t.current_snapshot_id()
+    t.compact()
+    t.append(_staged_rows(spark, range(900, 902), seed=4))
+    rewrite = [s for s in t.snapshots() if s.operation == "replace"][-1]
+    with pytest.raises(RefError):
+        t.cherry_pick(rewrite.snapshot_id)
+    # picking the current head refuses
+    with pytest.raises(RefError):
+        t.cherry_pick(t.current_snapshot_id())
