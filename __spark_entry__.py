@@ -2822,6 +2822,32 @@ def _q_lh_cherry_pick(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_retention_policy(spark, sf_dir):
+    """TTL retention as an autopilot policy: the table property
+    ``retention_filter`` names expired rows; maintain() enforces it
+    FIRST, before any rewrite can waste work on them. Here the policy
+    is partition-aligned (the table partitions by event_date), so the
+    enforcement pass drops whole files METADATA-ONLY — asserted: the
+    delete commit adds zero files. A second maintain() pass skips at
+    zero data cost (pruned planning proves nothing matches)."""
+    import json as _json
+
+    t = _events_table(spark, sf_dir, appends=2)
+    t.set_properties(
+        retention_filter=_json.dumps([["event_date", "<", "2024-01-04"]])
+    )
+    rep = t.maintain(min_small_files=10_000)
+    assert rep.took("retention_delete"), rep.actions
+    snap = t.meta.snapshot()
+    assert snap.operation == "delete", snap.operation
+    assert snap.summary["added_files"] == 0, snap.summary  # metadata-only
+    assert snap.summary["removed_files"] > 0, snap.summary
+    rep2 = t.maintain(min_small_files=10_000)
+    sk = [s for s in rep2.skipped if s["action"] == "retention_delete"]
+    assert sk and sk[0]["candidate_files"] == 0, rep2.skipped
+    return _events_out(t.scan())
+
+
 def _q_lh_default_column(spark, sf_dir):
     """Iceberg-v3-style DEFAULT column values: a metadata-only ADD
     COLUMN with a default (zero rewrites) makes every pre-existing row
@@ -3515,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_files_metadata": _q_lh_files_metadata,
         "lh_pq_index_incremental": _q_lh_pq_index,
         "lh_cherry_pick": _q_lh_cherry_pick,
+        "lh_retention_policy": _q_lh_retention_policy,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
@@ -3848,6 +3875,8 @@ def oracle_sql() -> dict[str, str]:
         # the mid-flight delete); the rest loses event_id % 10 < 2
         "lh_cherry_pick": EVENTS_OUT_SQL
         + " WHERE (event_id % 3 = 1) OR (event_id % 10 >= 2)",
+        "lh_retention_policy": EVENTS_OUT_SQL
+        + " WHERE CAST(ts AS DATE) >= '2024-01-04'",
         "lh_constraint_enforcement": EVENTS_OUT_SQL,
         "lh_autopilot_scan_parity": (
             EVENTS_OUT_SQL + " WHERE event_id % 10 != 7"

@@ -79,6 +79,35 @@ def maintain(
                         entry[k] = v
         rep.actions.append(entry)
 
+    # --- 0. row-retention policy (TTL) -------------------------------------
+    # Table property ``retention_filter`` = JSON list of [col, op, value]
+    # tuple predicates naming EXPIRED rows (BigQuery partition expiration
+    # / Iceberg delete-then-expire restated as a policy the autopilot
+    # enforces). Values are static literals — the scheduler that calls
+    # maintain() owns the cutoff arithmetic, keeping every run
+    # reproducible. Runs FIRST so later rewrites never waste work on
+    # expired rows. The decision is metadata-only: a pruned plan under
+    # the filter; zero candidate files (stats prove nothing matches —
+    # the steady state after one enforcement pass, since COW delete
+    # drops fully-expired files metadata-only and rewrites partial ones
+    # without the expired rows) skips at zero data cost.
+    ret = table.meta.properties.get("retention_filter")
+    if ret:
+        import json as _json
+
+        flt = [tuple(p) for p in _json.loads(ret)]
+        cand = table.plan(filter=flt).files
+        decide(
+            "retention_delete",
+            bool(cand),
+            f"retention_filter matches {len(cand)} candidate files",
+            {
+                "candidate_files": len(cand),
+                "candidate_rows": sum(e.record_count for e in cand),
+            },
+            lambda: table.delete(flt, mode="cow"),
+        )
+
     # --- 1. pending MoR deletes ------------------------------------------
     plan = table.plan()
     data_rows = sum(e.record_count for e in plan.files) or 1

@@ -99,3 +99,37 @@ def test_expiry_and_gc_last(spark, t):
     )
     assert rep.took("expire_snapshots") and rep.took("remove_orphan_files")
     assert len(t.snapshots()) == 1
+
+
+def test_retention_policy_enforced_then_steady_state(spark, t):
+    """retention_filter (TTL policy): the first maintain() pass deletes
+    every expired row (whole-file drops stay metadata-only, partial
+    files rewrite without the expired rows); the second pass skips at
+    zero data cost because pruned planning proves nothing matches."""
+    import json
+
+    expired = t.scan(filter=[("dur_ms", "<", 1500)]).count()
+    live = t.scan().count()
+    assert 0 < expired < live
+    t.set_properties(retention_filter=json.dumps([["dur_ms", "<", 1500]]))
+
+    rep = t.maintain(min_small_files=10_000)  # isolate the policy step
+    act = [a for a in rep.actions if a["action"] == "retention_delete"]
+    assert act and act[0]["candidate_files"] > 0
+    assert t.scan().count() == live - expired
+    assert t.scan(filter=[("dur_ms", "<", 1500)]).count() == 0
+
+    rep2 = t.maintain(min_small_files=10_000)
+    sk = [s for s in rep2.skipped if s["action"] == "retention_delete"]
+    assert sk and sk[0]["candidate_files"] == 0
+    assert t.scan().count() == live - expired
+
+
+def test_retention_policy_dry_run_only_reports(spark, t):
+    import json
+
+    t.set_properties(retention_filter=json.dumps([["dur_ms", "<", 1500]]))
+    n = t.scan().count()
+    rep = t.maintain(dry_run=True, min_small_files=10_000)
+    assert rep.took("retention_delete")
+    assert t.scan().count() == n
