@@ -272,15 +272,39 @@ class Catalog:
     # --- SQL surface ----------------------------------------------------------
 
     def register_views(
-        self, spark, names: Optional[list[str]] = None, prefix: str = ""
+        self,
+        spark,
+        names: Optional[list[str]] = None,
+        prefix: str = "",
+        pins: Optional[dict[str, int]] = None,
     ) -> list[str]:
         """Snapshot-pinned temp view per catalog table, so
         ``spark.sql("SELECT ... FROM <name>")`` works across the whole
-        catalog (re-run to advance views to each table's new head)."""
+        catalog (re-run to advance views to each table's new head).
+
+        ``pins`` (from :meth:`pin`) pins each view at a RECORDED
+        snapshot id instead of the current head — the reproducible
+        cross-table analyst session: the same pin dict re-creates the
+        identical warehouse view set tomorrow, regardless of writes in
+        between (per-table time travel; snapshot expiry is the only
+        thing that can invalidate a pin, and it raises loudly)."""
         out = []
         for name in sorted(names or self.tables()):
             self.load_table(spark, name).create_or_replace_view(
-                prefix + name
+                prefix + name,
+                snapshot_id=(pins or {}).get(name),
             )
             out.append(prefix + name)
+        return out
+
+    def pin(self, spark, names: Optional[list[str]] = None) -> dict[str, int]:
+        """Capture {table: current snapshot id} for a reproducible
+        multi-table read set (feed to ``register_views(pins=...)``).
+        Each id is that table's committed head at capture time; tables
+        without snapshots are omitted (nothing to pin)."""
+        out: dict[str, int] = {}
+        for name in sorted(names or self.tables()):
+            sid = self.load_table(spark, name).current_snapshot_id()
+            if sid is not None:
+                out[name] = sid
         return out

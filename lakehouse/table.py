@@ -1387,6 +1387,50 @@ class Table:
             "sort_order",
         )
 
+    def manifests_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Manifest-layer metadata table (Iceberg ``.manifests``): one
+        row per manifest in the pinned snapshot's list, straight from
+        the list summaries already in memory — zero file I/O. The
+        operator view for manifest-health decisions (rewrite_manifests
+        thresholds, pruning selectivity)."""
+        meta = self.meta
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.current_snapshot_id
+        )
+        schema = (
+            "path string, entry_count bigint, record_count bigint, "
+            "total_bytes bigint, delete_count bigint, partition_count bigint"
+        )
+        if sid is None:
+            return self.spark.createDataFrame([], schema)
+        rows = [
+            (
+                m["path"],
+                int(m["summary"].get("entry_count", 0)),
+                int(m["summary"].get("record_count", 0)),
+                int(m["summary"].get("total_bytes", 0)),
+                int(m["summary"].get("delete_count", 0)),
+                len(m["summary"].get("partitions", [])),
+            )
+            for m in S.read_manifest_list(
+                self.root, meta.snapshot(sid).manifest_list
+            )
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def refs_df(self) -> DataFrame:
+        """Refs metadata table (Iceberg ``.refs``): every named
+        branch/tag plus the implicit main branch."""
+        rows = [
+            (name, r["type"], r["snapshot_id"])
+            for name, r in sorted(self.refs().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+
     def snapshots_df(self) -> DataFrame:
         rows = [
             (

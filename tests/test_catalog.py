@@ -231,3 +231,27 @@ def test_maintain_all_compacts_derived_small_files(spark, tmp_path):
     # rows unchanged by maintenance
     got, exp = mt.scan(), mt.expected()
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+
+def test_pinned_views_reproducible_across_writes(spark, warehouse):
+    """Catalog.pin captures a warehouse-wide read set; register_views
+    with those pins re-creates the identical view set after arbitrary
+    writes — the reproducible multi-table analyst session."""
+    a = warehouse.create_table(spark, "a", CLIPS_SCHEMA)
+    b = warehouse.create_table(spark, "b", CLIPS_SCHEMA)
+    a.append(synth_clips_df(spark, 30, seed=1, n_days=2))
+    b.append(synth_clips_df(spark, 20, seed=2, n_days=2))
+
+    pins = warehouse.pin(spark)
+    assert set(pins) == {"a", "b"}
+
+    a.append(synth_clips_df(spark, 10, seed=3, n_days=2, start=100))
+    b.delete("dur_ms >= 0", mode="mor", key="clip_id")  # wipes b's head
+
+    warehouse.register_views(spark, prefix="pin_", pins=pins)
+    assert spark.sql("SELECT count(*) FROM pin_a").collect()[0][0] == 30
+    assert spark.sql("SELECT count(*) FROM pin_b").collect()[0][0] == 20
+    # unpinned views see the new heads
+    warehouse.register_views(spark, prefix="cur_")
+    assert spark.sql("SELECT count(*) FROM cur_a").collect()[0][0] == 40
+    assert spark.sql("SELECT count(*) FROM cur_b").collect()[0][0] == 0

@@ -90,3 +90,34 @@ def test_analyze_kmv_ndv(spark, table_root):
     a, b = res["clip_id"], t.analyze(["clip_id"])["clip_id"]
     m = merge_sketches(a, b)
     assert m.ndv == 300 and m.exact
+
+
+def test_manifests_and_refs_metadata_tables(spark, tmp_path):
+    """manifests_df reads list summaries only (zero file I/O); refs_df
+    materializes main + named refs."""
+    from lakehouse import Table
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 40, seed=2, n_days=2)
+    t = Table.create(spark, str(tmp_path / "m"), df.schema)
+    t.append(df, target_file_count=3)
+    t.append(synth_clips_df(spark, 20, seed=3, n_days=2, start=40),
+             target_file_count=2)
+
+    m = t.manifests_df().collect()
+    assert len(m) == 2  # one manifest per append
+    assert sum(r.entry_count for r in m) == 5
+    assert sum(r.record_count for r in m) == 60
+    assert all(r.delete_count == 0 for r in m)
+
+    t.create_tag("v1")
+    t.create_branch("dev")
+    refs = {r.name: (r.type, r.snapshot_id) for r in t.refs_df().collect()}
+    assert set(refs) == {"main", "v1", "dev"}
+    assert refs["main"][0] == "branch"
+    assert refs["v1"] == ("tag", t.current_snapshot_id())
+
+    # empty table: empty frames, stable schema
+    e = Table.create(spark, str(tmp_path / "e"), df.schema)
+    assert e.manifests_df().count() == 0
+    assert e.refs_df().count() == 0
