@@ -523,6 +523,8 @@ def main() -> None:
             "events_sessionize",
             "transcript_wer",
             "length_bucket_batches",
+            "pq_topk",
+            "ann_ivfpq_topk",
             "chunk_documents",
             "dedup_clusters",
         ):

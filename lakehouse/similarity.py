@@ -1438,3 +1438,63 @@ def ann_ivfpq_oracle_sql(
     )
     SELECT query_id, neighbor_id, adc, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def pq_encode_arrow(
+    emb: DataFrame,
+    codebooks: Optional[list[list[list[float]]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode — the Arrow/numpy scale twin of :func:`pq_encode`
+    (same semantics, gated by a rank-parity pytest; the
+    cosine_topk_arrow pattern). The Catalyst encode inlines m·n_cent
+    literal-folded dots into the plan, which is ideal at the defaults
+    but outgrows expression trees as codebooks scale (256-codeword
+    books put ~16k terms in one projection). Here each Arrow batch
+    computes ALL subspace scores as one BLAS matmul per subspace and
+    takes the argmin with the identical tie-to-lowest rule — per-batch
+    work is O(rows · dim · n_cent) flops with no expression-tree or
+    codegen ceiling, and the broadcast codebook is a few KB.
+
+    Ties: numpy ``argmax`` picks the first (lowest codeword id) maximum
+    of the same ``<v_s,c_j> - |c_j|^2/2`` scores the Catalyst form
+    evaluates. The only divergence channel is summation order (BLAS
+    blocked vs Catalyst's left-assoc fold), which matters only on
+    ~1-ulp knife-edge ties between codewords; the parity pytest pins
+    exact code equality on the test corpus for seeded AND trained
+    codebooks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = codebooks if codebooks is not None else pq_codebooks()
+    m, n_cent, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    spark = emb.sparkSession
+    b_cb = spark.sparkContext.broadcast(
+        [np.array(sub, dtype=np.float64) for sub in cb]
+    )
+    id_dtype = dict(emb.dtypes)[id_col]
+    out_schema = f"{id_col} {id_dtype}, pq_code array<tinyint>"
+
+    def part(batches):
+        subs = b_cb.value
+        # score = <v_s, c_j> - |c_j|^2/2, argmax ties to lowest j —
+        # the exact Catalyst/_argmax_pos rule
+        halves = [0.5 * (sub * sub).sum(axis=1) for sub in subs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for s in range(m):
+                scores = X[:, s * dsub : (s + 1) * dsub] @ subs[s].T
+                scores -= halves[s]
+                codes[:, s] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_code": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(part, out_schema)

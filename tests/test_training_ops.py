@@ -1317,3 +1317,23 @@ def test_pq_recall_training_and_structure(spark):
     }
     plain = {tuple(r) for r in pq_topk(emb, Q, k=5).collect()}
     assert full == plain
+
+
+def test_pq_encode_arrow_parity(spark):
+    """The Arrow/BLAS encode twin produces the same codes as the
+    Catalyst encode for seeded AND sample-trained codebooks (the
+    cosine_topk_arrow parity discipline)."""
+    from lakehouse.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+        train_pq_codebooks,
+    )
+
+    emb = _embs(spark)
+    for cb in (None, train_pq_codebooks(emb, iters=3, sample=300)):
+        a = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, cb).collect()}
+        b = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode_arrow(emb, cb).collect()
+        }
+        assert a == b and len(a) == 500
