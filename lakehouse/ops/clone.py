@@ -178,6 +178,10 @@ def clone_table(
         default_spec_id=meta.default_spec_id,
         refs={},
     )
+    # losing a concurrent-clone race leaves this attempt's hardlinks in
+    # place (zero data bytes — just directory entries); do NOT clean up:
+    # the winner's table shares the same paths, so removal would corrupt
+    # it. The entry check above makes this window race-only.
     if not S._try_publish(dest_root, 1, {**new_meta.to_json(), "version": 1}):
         raise TableAlreadyExistsError(dest_root)
     return CloneResult(
