@@ -446,22 +446,49 @@ def train_ivf_centroids(
     return [[float(round(v, 6)) for v in row] for row in c]
 
 
+def _dot_fold(a, b):
+    """Left-fold dot of two array<double> columns: ((0+t1)+t2)+... —
+    the exact evaluation order of the oracle's literal +-chain (IEEE:
+    0.0 + t1 == t1), so values match the SQL twins bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def _ivf_dots(vec, cents: list[list[float]]):
     """One exact literal-fold dot product per centroid (JVM-side)."""
     return [_proj(vec, row) for row in cents]
 
 
+def _ivf_qdots(vec, cents: list[list[float]]):
+    """Query-side (cid, dot) struct array via ONE nested-array literal
+    + higher-order functions — the centroid matrix rides as data, not
+    as thousands of expression nodes (plan build + task-binary size
+    stay O(1) in n_centroids; values identical to the literal folds)."""
+    cent = F.lit([list(r) for r in cents])
+    return F.transform(
+        cent,
+        lambda row, i: F.struct(
+            i.cast("int").alias("cid"), _dot_fold(vec, row).alias("dot")
+        ),
+    )
+
+
 def _ivf_assign(vec, cents: list[list[float]]):
-    """argmax-by-dot centroid id, ties to the LOWEST cid via a
-    first-match CASE — the identical exact-double evaluation the oracle
-    runs, so assignments agree bit-for-bit (no rounding knife-edge)."""
-    dots = _ivf_dots(vec, cents)
-    g = F.greatest(*dots)
-    expr = None
-    for cid, d in enumerate(dots):
-        cond = d == g
-        expr = F.when(cond, cid) if expr is None else expr.when(cond, cid)
-    return expr
+    """argmax-by-dot centroid id, ties to the LOWEST cid (first max).
+
+    Nested-literal + HOF form: the dot values are the same doubles the
+    oracle's greatest+CASE evaluates (same products, same left-assoc
+    sum order), and first-occurrence array_position implements the
+    identical tie rule — assignments agree bit-for-bit while the plan
+    stays O(1) nodes in n_centroids (the greatest+CASE form put ~2k
+    literal terms in the corpus projection and dominated wall time via
+    plan build + codegen fallback)."""
+    cent = F.lit([list(r) for r in cents])
+    dots = F.transform(cent, lambda row: _dot_fold(vec, row))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def _ivf_dot_sql(row: list[float], vec_sql: str = "embedding") -> str:
@@ -513,12 +540,7 @@ def ann_ivf_topk(
         _ivf_assign(_dbl(vec_col), cents).alias("cid"),
     )
     # query side: rank ALL centroid dots, probe the top-nprobe lists
-    qdots = F.array(
-        *[
-            F.struct(F.lit(i).alias("cid"), d.alias("dot"))
-            for i, d in enumerate(_ivf_dots(_dbl(vec_col), cents))
-        ]
-    )
+    qdots = _ivf_qdots(_dbl(vec_col), cents)
     from pyspark.sql.window import Window
 
     probes = (
@@ -1070,32 +1092,12 @@ def train_pq_codebooks(
     return out
 
 
-def _sub_dot(vec, row: list[float], offset: int):
-    """JVM-side dot(vec[offset:offset+len(row)], row) as a plain
-    left-assoc +-chain of literal multiplies — textually identical
-    evaluation order to the SQL twin (1-based element_at)."""
-    expr = None
-    for j, v in enumerate(row):
-        term = F.lit(v) * F.element_at(vec, offset + j + 1)
-        expr = term if expr is None else expr + term
-    return expr
-
-
 def _sub_dot_sql(row: list[float], offset: int, vec_sql: str) -> str:
+    """Oracle-side sub-vector dot as a literal +-chain — the evaluation
+    order :func:`_dot_fold` reproduces JVM-side."""
     return " + ".join(
         f"({v!r} * {vec_sql}[{offset + j + 1}])" for j, v in enumerate(row)
     )
-
-
-def _pq_scores(vec, sub: list[list[float]], offset: int):
-    """Codeword scores for one subspace: ``<v_s, c_j> - |c_j|^2/2``
-    (argmax of this == argmin squared-L2; the constant is folded to a
-    literal so both engines evaluate the identical expression)."""
-    return [
-        _sub_dot(vec, row, offset)
-        - F.lit(round(sum(v * v for v in row) / 2.0, 12))
-        for row in sub
-    ]
 
 
 def _pq_scores_sql(sub: list[list[float]], offset: int, vec_sql: str):
@@ -1106,20 +1108,46 @@ def _pq_scores_sql(sub: list[list[float]], offset: int, vec_sql: str):
     ]
 
 
-def _argmax_pos(scores):
-    """Argmax as ``array_position(arr, array_max(arr)) - 1`` — each
-    score is evaluated ONCE (the greatest+CASE form re-evaluates every
-    score inside each WHEN and blows the 64 KB codegen method limit at
-    m·n_cent scale: measured 7.5× slower under the interpreted
-    fallback, byte-identical codes). Ties → lowest codeword id (first
-    occurrence), matching the oracle's ``list_position``."""
-    arr = F.array(*scores)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
-
-
 def _argmax_pos_sql(scores: list[str]) -> str:
+    """Argmax as ``list_position(arr, list_max(arr)) - 1``: each score
+    evaluated once, ties → lowest codeword id (first occurrence). The
+    greatest+CASE form re-evaluates every score inside each WHEN."""
     arr = "[" + ", ".join(f"({s})" for s in scores) + "]"
     return f"(list_position({arr}, list_max({arr})) - 1)"
+
+
+def _pq_code_expr(v, cb: list[list[list[float]]]):
+    """PQ codes via ONE nested-array literal + higher-order functions.
+
+    The codebook (and the precomputed ``|c_j|^2/2`` halves) ride as
+    array DATA, not as expression nodes — the plan stays O(1) size in
+    m·n_cent. The earlier expanded-literal form put ~2.5k expression
+    nodes in the projection; plan build + the ~24 MiB task binary +
+    codegen fallback dominated wall time (pq_topk 14.8 s → ~2 s at
+    bench scale). Values are identical: ``_dot_fold`` reproduces the
+    oracle's left-assoc literal chain, and first-occurrence
+    ``array_position`` is the same ties→lowest rule as the SQL twin's
+    ``list_position``."""
+    dsub = len(cb[0][0])
+    halves = [
+        [round(sum(x * x for x in row) / 2.0, 12) for row in sub]
+        for sub in cb
+    ]
+    cbl = F.lit([[list(r) for r in sub] for sub in cb])
+    half = F.lit(halves)
+
+    def per_sub(sub, s):
+        xs = F.slice(v, s.cast("int") * dsub + 1, dsub)
+        scores = F.zip_with(
+            F.transform(sub, lambda row: _dot_fold(xs, row)),
+            F.element_at(half, s.cast("int") + 1),
+            lambda d, h: d - h,
+        )
+        return (
+            F.array_position(scores, F.array_max(scores)) - 1
+        ).cast("tinyint")
+
+    return F.transform(cbl, per_sub)
 
 
 def pq_encode(
@@ -1133,29 +1161,27 @@ def pq_encode(
     MaterializedTransform over this projection); everything downstream
     reads codes only."""
     cb = codebooks if codebooks is not None else pq_codebooks()
-    dsub = len(cb[0][0])
-    v = _dbl(vec_col)
-    codes = [
-        _argmax_pos(_pq_scores(v, sub, s * dsub))
-        for s, sub in enumerate(cb)
-    ]
     return emb.select(
         F.col(id_col),
-        F.array(*codes).cast("array<tinyint>").alias("pq_code"),
+        _pq_code_expr(_dbl(vec_col), cb).alias("pq_code"),
     )
 
 
 def _adc_lut(qvec, cb: list[list[list[float]]]):
     """The ADC lookup table, the actual Jégou trick: an m × n_cent
     array-of-arrays of ``<q_s, c_j>`` partial dots, computed ONCE per
-    query row. Per-candidate scoring then costs m array lookups
-    instead of re-folding m·n_cent·dsub literal terms per pair."""
+    query row (nested-literal + HOF, like :func:`_pq_code_expr`).
+    Per-candidate scoring then costs m array lookups."""
     dsub = len(cb[0][0])
-    return F.array(
-        *[
-            F.array(*[_sub_dot(qvec, row, s * dsub) for row in sub])
-            for s, sub in enumerate(cb)
-        ]
+    cbl = F.lit([[list(r) for r in sub] for sub in cb])
+    return F.transform(
+        cbl,
+        lambda sub, s: F.transform(
+            sub,
+            lambda row: _dot_fold(
+                F.slice(qvec, s.cast("int") * dsub + 1, dsub), row
+            ),
+        ),
     )
 
 
@@ -1320,24 +1346,13 @@ def ann_ivfpq_topk(
         dim, n_coarse, seed
     )
     cb = codebooks if codebooks is not None else pq_codebooks(dim)
-    dsub = len(cb[0][0])
     v = _dbl(vec_col)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         _ivf_assign(v, cents).alias("cid"),
-        F.array(
-            *[
-                _argmax_pos(_pq_scores(v, sub, s * dsub))
-                for s, sub in enumerate(cb)
-            ]
-        ).cast("array<tinyint>").alias("pq_code"),
+        _pq_code_expr(v, cb).alias("pq_code"),
     )
-    qdots = F.array(
-        *[
-            F.struct(F.lit(i).alias("cid"), d.alias("dot"))
-            for i, d in enumerate(_ivf_dots(_dbl(vec_col), cents))
-        ]
-    )
+    qdots = _ivf_qdots(_dbl(vec_col), cents)
     from pyspark.sql.window import Window
 
     probes = (
