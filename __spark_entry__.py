@@ -1518,6 +1518,89 @@ def _q_audio_dup_detection(spark, sf_dir):
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
 
+def _q_audio_speed_perturb(spark, sf_dir):
+    """Self-verifying 3-way speed perturbation (Ko et al. 2015 — the
+    deterministic corpus-tripling recipe, vs audio_augment's seeded
+    RANDOM perturbation). Asserted in-builder: (1) corpus exactly
+    triples with unique ids and the Kaldi sp<f>- id convention; (2)
+    the factor-1.0 variant is BYTE-identical to its source (pcm16
+    roundtrip exactness); (3) durations scale by 1/f within rounding;
+    (4) on planted single-tone clips the measured dominant frequency
+    scales by exactly f (spectral correctness of the time stretch);
+    (5) output is partitioning-invariant. Returns the per-factor
+    duration ledger."""
+    import numpy as np
+
+    from lakehouse.audio import speed_perturb_clips, with_dominant_freq
+    from lakehouse.synth import synth_clips_df, wrap_wav
+
+    df = synth_clips_df(spark, 96, seed=17, n_days=3).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    sp = speed_perturb_clips(df)
+    rows = sp.select(
+        "clip_id", "speed_factor", "bytes", "dur_ms", "transcript"
+    ).collect()
+    assert len(rows) == 3 * 96
+    assert len({r.clip_id for r in rows}) == len(rows)
+    base = {r.clip_id: r for r in df.collect()}
+    for r in rows:
+        src = (
+            r.clip_id.split("-", 1)[1]
+            if r.clip_id.startswith("sp")
+            else r.clip_id
+        )
+        b = base[src]
+        assert r.transcript == b.transcript, r.clip_id
+        if r.speed_factor == 1.0:
+            assert r.clip_id == src and bytes(r.bytes) == bytes(b.bytes)
+        assert abs(r.dur_ms - b.dur_ms / r.speed_factor) <= 2.0, r.clip_id
+
+    # partitioning invariance (deterministic grid, no RNG)
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in speed_perturb_clips(df.repartition(7, "clip_id"))
+        .select("clip_id", "bytes")
+        .collect()
+    }
+    assert {r.clip_id: bytes(r.bytes) for r in rows} == again
+
+    # spectral exactness on planted single tones
+    sr = 16000
+    tones = []
+    for i, f0 in enumerate((220.0, 997.0, 2333.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        tones.append((f"tone-{i}", f0, wrap_wav(x, sr, "pcm16")))
+    tdf = spark.createDataFrame(
+        [(cid, b, sr, 800, "pcm16", "x") for cid, _f, b in tones],
+        df.schema,
+    )
+    f0s = {cid: f for cid, f, _b in tones}
+    for r in (
+        with_dominant_freq(speed_perturb_clips(tdf))
+        .select("clip_id", "speed_factor", "dominant")
+        .collect()
+    ):
+        src = (
+            r.clip_id.split("-", 1)[1]
+            if r.clip_id.startswith("sp")
+            else r.clip_id
+        )
+        want = r.speed_factor * f0s[src]
+        got = r.dominant["dominant_hz"]
+        assert abs(got - want) <= 0.01 * want + 3.0, (r.clip_id, got, want)
+
+    return (
+        sp.groupBy("speed_factor")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dur_ms").alias("dur_total_ms"),
+        )
+        .orderBy("speed_factor")
+    )
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Self-verifying reverberation augmentation (Ko et al. 2017 recipe
     with a per-clip synthesized velvet-noise RIR). Asserted in-builder:
@@ -3580,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_deltas": _q_audio_deltas,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
+        "audio_speed_perturb": _q_audio_speed_perturb,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,

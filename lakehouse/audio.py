@@ -2191,3 +2191,101 @@ def with_deltas(
             F.col(f"{spec_col}.n_mels"),
         ),
     )
+
+
+# --- Speed perturbation (deterministic corpus expansion) ---------------------
+
+SPEED_PERTURB_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(SPEED_PERTURB_TYPE)
+def _speed_perturb_udf(raw: pd.Series, factor: pd.Series) -> pd.DataFrame:
+    from .synth import wrap_wav
+
+    out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+    for b, f in zip(raw, factor):
+        try:
+            sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            out["bytes"].append(None)
+            out["sr_hz"].append(None)
+            out["dur_ms"].append(None)
+            continue
+        f = float(f)
+        if f == 1.0 or len(x) <= 1:
+            y = x
+        else:
+            n_out = max(1, int(round(len(x) / f)))
+            pos = np.arange(n_out, dtype=np.float64) * f
+            y = np.interp(
+                pos, np.arange(len(x), dtype=np.float64),
+                x.astype(np.float64),
+            ).astype(np.float32)
+        out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+    return pd.DataFrame(out)
+
+
+def speed_perturb_clips(
+    df,
+    factors=(0.9, 1.0, 1.1),
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+):
+    """Kaldi's 3-way speed perturbation as a deterministic corpus
+    EXPANSION (Ko et al. 2015, "Audio augmentation for speech
+    recognition"): each clip yields one variant per factor — playback
+    sped by ``f`` via linear-interp time stretch (duration scales by
+    1/f, every spectral component by f, sample rate unchanged),
+    transcript carried as-is. Factor 1.0 keeps the original id and
+    payload (pcm16 roundtrips byte-identically); other factors prefix
+    the id ``sp<f>-`` (the Kaldi utt-id convention).
+
+    Unlike :func:`augment_clips` (seeded RANDOM perturbation for
+    robustness), this is the fixed-grid recipe whose variants train as
+    independent utterances — the corpus triples by construction.
+
+    Scale shape: one explode (no shuffle, output rows stay with their
+    input partition) + one Arrow decode→interp→encode pass; lineage
+    column ``speed_factor`` records the grid point.
+    """
+    fcol = F.explode(
+        F.array(*[F.lit(float(f)) for f in factors])
+    ).alias("speed_factor")
+    base = df.select(*df.columns, fcol)
+    new_id = F.when(
+        F.col("speed_factor") == 1.0, F.col(id_col)
+    ).otherwise(
+        F.concat(
+            F.lit("sp"),
+            F.format_number(F.col("speed_factor"), 2),
+            F.lit("-"),
+            F.col(id_col),
+        )
+    )
+    s = _speed_perturb_udf(
+        F.col(bytes_col), F.col("speed_factor")
+    ).alias("__s")
+    others = [
+        c
+        for c in df.columns
+        if c not in (bytes_col, "sr_hz", "dur_ms", "codec", id_col)
+    ]
+    return base.select(
+        new_id.alias(id_col), *others, "speed_factor", s
+    ).select(
+        id_col,
+        *others,
+        "speed_factor",
+        F.col("__s.bytes").alias("bytes"),
+        F.col("__s.sr_hz").alias("sr_hz"),
+        F.col("__s.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )

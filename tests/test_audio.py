@@ -1187,3 +1187,69 @@ def test_reverb_matches_direct_convolution_and_preserves_duration(spark):
         ).collect()
     }
     assert all(bytes(again[c]) == bytes(rows[c].bytes) for c in rows)
+
+
+def test_speed_perturb_three_way_expansion(spark):
+    """Kaldi 3-way speed perturbation: corpus triples with unique ids,
+    durations scale by 1/f, the 1.0 copy is byte-identical, and every
+    spectral component scales by f — checked against the measured
+    dominant frequency of each source clip."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import speed_perturb_clips, with_dominant_freq
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 32, seed=5, n_days=2).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    sp = speed_perturb_clips(df)
+    rows = sp.count()
+    assert rows == 3 * 32
+    assert sp.select("clip_id").distinct().count() == rows
+
+    base = {
+        r.clip_id: r
+        for r in df.select("clip_id", "bytes", "dur_ms").collect()
+    }
+    for r in sp.select("clip_id", "speed_factor", "bytes", "dur_ms").collect():
+        src = r.clip_id.split("-", 1)[1] if r.clip_id.startswith("sp") else r.clip_id
+        b = base[src]
+        if r.speed_factor == 1.0:
+            assert bytes(r.bytes) == bytes(b.bytes)  # exact passthrough
+        assert abs(r.dur_ms - b.dur_ms / r.speed_factor) <= 2.0, r
+
+    # spectral check on unambiguous single-tone clips (the synth corpus
+    # mixes 2-3 near-tie components, whose dominant peak can legally
+    # flip under reweighting): every component scales by exactly f
+    import numpy as np
+
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    tones = []
+    for i, f0 in enumerate((220.0, 451.0, 997.0, 1660.0, 2333.0, 3121.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        tones.append((f"tone-{i}", f0, bytearray(wrap_wav(x, sr, "pcm16"))))
+    tdf = spark.createDataFrame(
+        [(cid, bytes(b), sr, 800, "pcm16", "x") for cid, _f, b in tones],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    f0s = {cid: f for cid, f, _b in tones}
+    checked = 0
+    for r in (
+        with_dominant_freq(speed_perturb_clips(tdf))
+        .select("clip_id", "speed_factor", "dominant")
+        .collect()
+    ):
+        src = (
+            r.clip_id.split("-", 1)[1]
+            if r.clip_id.startswith("sp")
+            else r.clip_id
+        )
+        want = r.speed_factor * f0s[src]
+        got = r.dominant["dominant_hz"]
+        assert abs(got - want) <= 0.01 * want + 3.0, (r.clip_id, got, want)
+        checked += 1
+    assert checked == 18
