@@ -376,6 +376,20 @@ def main() -> None:
 
             timed("reverb_corpus", reverb_corpus)
 
+            # 3-way speed perturbation: the corpus-TRIPLING expansion
+            # (decode + linear-interp stretch + re-encode of 3 variants
+            # per clip, ~2.7x the corpus bytes produced)
+            def speed_perturb():
+                from lakehouse.audio import speed_perturb_clips
+
+                return (
+                    speed_perturb_clips(t.scan())
+                    .selectExpr("sum(length(bytes))")
+                    .collect()
+                )
+
+            timed("speed_perturb", speed_perturb)
+
             # distributed BPE training over the documents corpus: one
             # word-frequency shuffle, then 12 merge rounds of
             # explode->groupBy with a single argmax row to the driver
