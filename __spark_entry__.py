@@ -484,6 +484,17 @@ def _q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Eval-set hygiene audit: verified near-dup pairs straddling the
+    deterministic train/val/test boundary — each row is a leak that
+    would inflate eval scores (cross-split decontamination)."""
+    from lakehouse.dedup import split_leakage_pairs
+
+    return split_leakage_pairs(
+        _read(spark, sf_dir, "documents"), seed=7, threshold=0.05
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from lakehouse.dedup import minhash_lsh_pairs
 
@@ -3626,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cherry_pick": _q_lh_cherry_pick,
         "lh_retention_policy": _q_lh_retention_policy,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "split_leakage_audit": _q_split_leakage,
         "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
         "repetition_stats": _q_repetition_stats,
@@ -3707,6 +3719,7 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_oracle_sql,
         simhash_oracle_sql,
         simhash_pairs_oracle_sql,
+        split_leakage_oracle_sql,
     )
     from lakehouse.similarity import (
         ann_ivf_oracle_sql,
@@ -4025,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),
+        "split_leakage_audit": split_leakage_oracle_sql(seed=7, threshold=0.05),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(k=3, threshold=0.1),
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(
             k=3, num_hashes=16, bands=8, threshold=0.05

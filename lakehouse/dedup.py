@@ -788,3 +788,79 @@ def decontaminate_oracle_sql(
     FROM {table} d LEFT JOIN hits h USING (doc_id)
     WHERE NOT ({eval_pred})
     """
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    splits=None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Eval-set hygiene audit: near-duplicate pairs that STRADDLE a
+    train/val/test boundary — each one is a leak that inflates eval
+    scores (the cross-split face of decontamination; cf. the dedup
+    motivation in Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better").
+
+    Composition of two existing exact-twin operators: deterministic
+    ``split_assign`` labels (a pure per-row hash — no shuffle) joined
+    onto verified MinHash-LSH near-dup pairs on each side. The split
+    frames are corpus-scaled projections, so neither join carries a
+    broadcast hint (AQE decides). Output: one row per leaking pair with
+    both split labels and the exact Jaccard.
+    """
+    from .sampling import split_assign
+
+    sp = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    assigned = split_assign(df, sp, id_col=id_col, seed=seed).select(
+        id_col, "split"
+    )
+    pairs = minhash_lsh_pairs(
+        df, content_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    sa = assigned.select(
+        F.col(id_col).alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col(id_col).alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def split_leakage_oracle_sql(
+    splits=None,
+    table: str = "documents",
+    seed: int = 42,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> str:
+    from .sampling import split_assign_oracle_sql
+
+    sp = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    pair_sql = minhash_lsh_oracle_sql(
+        table, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    assign_sql = split_assign_oracle_sql(sp, seed=seed, table=table)
+    return f"""
+    WITH pairs AS ({pair_sql}),
+    assigned AS (SELECT doc_id, split FROM ({assign_sql}))
+    SELECT doc_a, doc_b, jaccard,
+           a.split AS split_a, b.split AS split_b
+    FROM pairs
+    JOIN assigned a ON pairs.doc_a = a.doc_id
+    JOIN assigned b ON pairs.doc_b = b.doc_id
+    WHERE a.split <> b.split
+    """

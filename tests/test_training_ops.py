@@ -1337,3 +1337,17 @@ def test_pq_encode_arrow_parity(spark):
             for r in pq_encode_arrow(emb, cb).collect()
         }
         assert a == b and len(a) == 500
+
+
+def test_split_leakage_audit(spark, oracle):
+    """Cross-split near-dup audit matches its SQL twin and catches the
+    planted near-duplicate pairs that straddle the split boundary."""
+    from lakehouse.dedup import split_leakage_oracle_sql, split_leakage_pairs
+
+    out = split_leakage_pairs(_docs(spark), seed=7, threshold=0.05)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.split_a != r.split_b and r.jaccard >= 0.05 for r in rows)
+    assert_matches_oracle(
+        out, oracle, split_leakage_oracle_sql(seed=7, threshold=0.05)
+    )
