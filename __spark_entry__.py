@@ -1529,6 +1529,60 @@ def _q_audio_dup_detection(spark, sf_dir):
 # row-level DML, refs/WAP, rollback, incremental/CDC
 
 
+def _q_audio_noise_mix(spark, sf_dir):
+    """Self-verifying MUSAN-style noise mixing (Snyder et al. 2015).
+    Asserted in-builder: (1) no row dropped; (2) every mixed clip's
+    measured SNR vs its original payload lands within ±0.5 dB of the
+    exact target; (3) unmixed fallbacks (noise-empty hash buckets) are
+    flagged AND byte-identical to their source; (4) byte-identical
+    under repartitioning of BOTH corpora. Returns the mixed/unmixed
+    ledger."""
+    from lakehouse.audio import mix_noise_clips, pair_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=21, n_days=3)
+    noise = synth_clips_df(spark, 256, seed=77, n_days=2).withColumn(
+        "clip_id", F.concat(F.lit("nz-"), "clip_id")
+    )
+    out = mix_noise_clips(df, noise, snr_db=10.0, seed=5)
+    rows = out.collect()
+    assert len(rows) == 96
+    base = {r.clip_id: bytes(r.bytes) for r in df.collect()}
+    for r in rows:
+        if not r.mixed:
+            assert r.noise_id is None and bytes(r.bytes) == base[r.clip_id]
+    snrs = (
+        df.select("clip_id", F.col("bytes").alias("orig"))
+        .join(
+            out.filter("mixed").select("clip_id", "bytes"), "clip_id"
+        )
+        .select(pair_snr_db(F.col("orig"), F.col("bytes")).alias("s"))
+        .collect()
+    )
+    assert snrs and all(9.5 <= r.s <= 10.5 for r in snrs), (
+        min(r.s for r in snrs),
+        max(r.s for r in snrs),
+    )
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in mix_noise_clips(
+            df.repartition(7, "clip_id"),
+            noise.repartition(5, "clip_id"),
+            snr_db=10.0,
+            seed=5,
+        ).collect()
+    }
+    assert {r.clip_id: bytes(r.bytes) for r in rows} == again
+    return (
+        out.groupBy("mixed")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("noise_id").alias("n_noise_ids"),
+        )
+        .orderBy("mixed")
+    )
+
+
 def _q_audio_speed_perturb(spark, sf_dir):
     """Self-verifying 3-way speed perturbation (Ko et al. 2015 — the
     deterministic corpus-tripling recipe, vs audio_augment's seeded
@@ -3675,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_deltas": _q_audio_deltas,
         "audio_duration_batches": _q_audio_duration_batches,
         "audio_augment": _q_audio_augment,
+        "audio_noise_mix": _q_audio_noise_mix,
         "audio_speed_perturb": _q_audio_speed_perturb,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,

@@ -2289,3 +2289,155 @@ def speed_perturb_clips(
         F.col("__s.dur_ms").alias("dur_ms"),
         F.lit("pcm16").alias("codec"),
     )
+
+
+# --- Real-noise mixing (MUSAN-style augmentation) -----------------------------
+
+MIXED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("mixed", T.BooleanType()),
+    ]
+)
+
+
+def make_mix_udf(snr_db_target: float):
+    """Vectorized speech+noise mixing: decode both payloads, resample
+    the noise to the speech rate if needed, tile/crop it to length from
+    a seeded offset, scale it so signal-power / noise-power equals the
+    target SNR exactly, add, hard-limit, re-encode pcm16."""
+
+    @F.pandas_udf(MIXED_TYPE)
+    def mix_udf(
+        raw: pd.Series, noise_raw: pd.Series, seed64: pd.Series
+    ) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": [], "mixed": []}
+        for b, nb, sd in zip(raw, noise_raw, seed64):
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                out["bytes"].append(None)
+                out["sr_hz"].append(None)
+                out["dur_ms"].append(None)
+                out["mixed"].append(None)
+                continue
+            y = x.astype(np.float64)
+            did_mix = False
+            if nb is not None:
+                try:
+                    nsr, nx = decode_wav(nb)
+                except (ValueError, struct.error):
+                    nx = None
+                if nx is not None and len(nx) and len(y):
+                    nz = _resample_linear(nx, nsr, sr).astype(np.float64)
+                    rng = np.random.default_rng(np.uint64(np.int64(sd)))
+                    off = int(rng.integers(0, max(len(nz), 1)))
+                    nz = np.roll(nz, -off)
+                    reps = int(np.ceil(len(y) / len(nz)))
+                    nz = np.tile(nz, reps)[: len(y)]
+                    p_sig = float(np.mean(y**2))
+                    p_nz = float(np.mean(nz**2))
+                    if p_sig > 0 and p_nz > 0:
+                        nz = nz * np.sqrt(
+                            p_sig / (10.0 ** (snr_db_target / 10.0)) / p_nz
+                        )
+                        y = y + nz
+                        did_mix = True
+            y = np.clip(y, -0.99997, 0.99997).astype(np.float32)
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr)))
+            out["mixed"].append(did_mix)
+        return pd.DataFrame(out)
+
+    return mix_udf
+
+
+def mix_noise_clips(
+    df,
+    noise_df,
+    snr_db: float = 10.0,
+    seed: int = 0,
+    buckets: int = 64,
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    noise_id_col: str = "clip_id",
+    noise_bytes_col: str = "bytes",
+):
+    """MUSAN-style augmentation (Snyder et al. 2015; the noise half of
+    the Kaldi robustness recipe): mix a REAL noise clip into every
+    speech clip at an exact target SNR — `augment_clips` covers the
+    white-Gaussian case; real deployments mix recorded noise corpora.
+
+    Distributed assignment without a cross join or an unbounded
+    broadcast: the noise corpus collapses to ONE representative per
+    hash bucket (seeded window rank over pmod(xxhash64(noise_id),
+    buckets) — a frame bounded by the ``buckets`` CONSTANT, never by
+    corpus size), and each speech clip equi-joins its own seeded bucket
+    key against it. Per-clip tile offsets are seeded from
+    xxhash64(clip_id, seed) — deterministic under any partitioning or
+    retry. Speech clips whose bucket has no noise representative (noise
+    corpus smaller than ``buckets``) pass through unmixed with
+    ``mixed=false`` — quarantine-style honesty, never a dropped row.
+
+    Lineage: ``noise_id`` (null when unmixed), ``mixed``,
+    ``noise_snr_db`` (the exact target — the gate re-measures it
+    against the original payload).
+    """
+    from pyspark.sql.window import Window
+
+    reps = (
+        noise_df.select(
+            F.col(noise_id_col).alias("noise_id"),
+            F.col(noise_bytes_col).alias("noise_bytes"),
+            F.pmod(
+                F.xxhash64(F.col(noise_id_col), F.lit(int(seed))),
+                F.lit(int(buckets)),
+            ).alias("__nb"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__nb").orderBy(
+                    F.xxhash64(F.col("noise_id"), F.lit(int(seed) + 1)),
+                    F.col("noise_id"),
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    speech = df.withColumn(
+        "__nb",
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(int(seed) + 2)),
+            F.lit(int(buckets)),
+        ),
+    )
+    joined = speech.join(reps, "__nb", "left")
+    m = make_mix_udf(float(snr_db))(
+        F.col(bytes_col),
+        F.col("noise_bytes"),
+        F.xxhash64(F.col(id_col), F.lit(int(seed))),
+    ).alias("__m")
+    others = [
+        c
+        for c in df.columns
+        if c not in (bytes_col, "sr_hz", "dur_ms", "codec")
+    ]
+    return joined.select(*others, "noise_id", m).select(
+        *others,
+        F.when(F.col("__m.mixed"), F.col("noise_id")).alias("noise_id"),
+        F.col("__m.mixed").alias("mixed"),
+        F.when(F.col("__m.mixed"), F.lit(float(snr_db))).alias(
+            "noise_snr_db"
+        ),
+        F.col("__m.bytes").alias("bytes"),
+        F.col("__m.sr_hz").alias("sr_hz"),
+        F.col("__m.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )

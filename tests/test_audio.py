@@ -1253,3 +1253,47 @@ def test_speed_perturb_three_way_expansion(spark):
         assert abs(got - want) <= 0.01 * want + 3.0, (r.clip_id, got, want)
         checked += 1
     assert checked == 18
+
+
+def test_mix_noise_clips_snr_and_fallback(spark):
+    """MUSAN-style mixing: exact target SNR vs the original payload,
+    deterministic noise assignment under any partitioning, and clips in
+    noise-empty buckets pass through unmixed (flagged, never dropped)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import mix_noise_clips, pair_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 40, seed=1, n_days=2)
+    noise = synth_clips_df(spark, 160, seed=99, n_days=2).withColumn(
+        "clip_id", F.concat(F.lit("nz-"), "clip_id")
+    )
+    out = mix_noise_clips(df, noise, snr_db=12.0, seed=5)
+    assert out.count() == 40  # never drops a row
+    mixed = out.filter("mixed")
+    assert mixed.count() >= 30  # a few empty buckets are expected
+    assert mixed.filter(F.col("noise_id").isNull()).count() == 0
+    snrs = (
+        df.select("clip_id", F.col("bytes").alias("orig"))
+        .join(mixed.select("clip_id", "bytes"), "clip_id")
+        .select(pair_snr_db(F.col("orig"), F.col("bytes")).alias("s"))
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+        .collect()[0]
+    )
+    assert 11.5 <= snrs.lo and snrs.hi <= 12.5, snrs
+
+    # unmixed passthrough keeps payload byte-identical
+    base = {r.clip_id: bytes(r.bytes) for r in df.collect()}
+    for r in out.filter(~F.col("mixed")).select("clip_id", "bytes").collect():
+        assert bytes(r.bytes) == base[r.clip_id]
+
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in mix_noise_clips(
+            df.repartition(7, "clip_id"),
+            noise.repartition(5, "clip_id"),
+            snr_db=12.0,
+            seed=5,
+        ).collect()
+    }
+    assert {r.clip_id: bytes(r.bytes) for r in out.collect()} == again
