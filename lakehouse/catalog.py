@@ -297,6 +297,27 @@ class Catalog:
             out.append(prefix + name)
         return out
 
+    def metrics_all(self, spark, names: Optional[list[str]] = None):
+        """Warehouse-wide ops-metrics view: every registered table's
+        per-commit ledger (``Table.metrics()`` — built from snapshot
+        summaries alone, zero data I/O) unioned under a leading
+        ``table_name`` column. The one frame an operator dashboards:
+        rows/bytes/files added-removed and commit wall across the whole
+        warehouse, straight from metadata."""
+        from functools import reduce
+
+        import pyspark.sql.functions as F
+
+        frames = [
+            self.load_table(spark, name)
+            .metrics()
+            .select(F.lit(name).alias("table_name"), "*")
+            for name in sorted(names or self.tables())
+        ]
+        if not frames:
+            raise CatalogError("no tables registered")
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
     def pin(self, spark, names: Optional[list[str]] = None) -> dict[str, int]:
         """Capture {table: current snapshot id} for a reproducible
         multi-table read set (feed to ``register_views(pins=...)``).

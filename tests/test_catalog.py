@@ -255,3 +255,19 @@ def test_pinned_views_reproducible_across_writes(spark, warehouse):
     warehouse.register_views(spark, prefix="cur_")
     assert spark.sql("SELECT count(*) FROM cur_a").collect()[0][0] == 40
     assert spark.sql("SELECT count(*) FROM cur_b").collect()[0][0] == 0
+
+
+def test_metrics_all_unions_per_table_ledgers(spark, warehouse):
+    a = warehouse.create_table(spark, "a", CLIPS_SCHEMA)
+    b = warehouse.create_table(spark, "b", CLIPS_SCHEMA)
+    a.append(synth_clips_df(spark, 20, seed=1, n_days=2))
+    a.compact()
+    b.append(synth_clips_df(spark, 10, seed=2, n_days=2))
+
+    m = warehouse.metrics_all(spark)
+    rows = m.collect()
+    assert {r.table_name for r in rows} == {"a", "b"}
+    assert len([r for r in rows if r.table_name == "a"]) == 2
+    assert len([r for r in rows if r.table_name == "b"]) == 1
+    per_op = {(r.table_name, r.operation) for r in rows}
+    assert ("a", "append") in per_op and ("a", "replace") in per_op
