@@ -3628,7 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_clone_scan_parity": _q_lh_clone,
-        "lh_wap_publish": _q_lh_wap_publish,
+        "lh_cherry_pick": _q_lh_cherry_pick,
         "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_constraint_enforcement": _q_lh_constraint_enforcement,
@@ -3661,7 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         # similarity family
         "cosine_topk": _q_cosine_topk,
-        "sample_stratified": _q_sample_stratified,
+        "pq_topk": _q_pq_topk,
         # audio family (rows-only, self-verifying)
         "audio_qc_detection": _q_audio_qc_detection,
         "lh_asr_pipeline": _q_lh_asr_pipeline,
@@ -3688,7 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_overwrite_partitions": _q_lh_overwrite_partitions,
         "lh_files_metadata": _q_lh_files_metadata,
         "lh_pq_index_incremental": _q_lh_pq_index,
-        "lh_cherry_pick": _q_lh_cherry_pick,
+        "lh_wap_publish": _q_lh_wap_publish,
         "lh_retention_policy": _q_lh_retention_policy,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "split_leakage_audit": _q_split_leakage,
@@ -3707,7 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_int8": _q_cosine_topk_int8,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "pq_topk": _q_pq_topk,
+        "sample_stratified": _q_sample_stratified,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
