@@ -372,3 +372,48 @@ def test_no_broadcast_hints_on_corpus_scaled_frames():
             "broadcast is only for frames bounded by construction; audit "
             "and extend the allowlist, or drop the hint and let AQE decide"
         )
+
+
+def test_speed_perturb_plan_is_map_only(spark):
+    """speed_perturb_clips: one explode + one Arrow pass, NO Exchange —
+    the tripled corpus stays with its input partitions."""
+    from lakehouse.audio import speed_perturb_clips
+    from lakehouse.synth import synth_clips_df
+
+    plan = plan_str(
+        speed_perturb_clips(synth_clips_df(spark, 8, seed=1)),
+        mode="simple",
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_pq_encode_plan_is_map_only_and_codegen(spark):
+    """pq_encode: a single shuffle-free projection; the nested-literal
+    HOF form must keep the plan free of Python eval nodes (the codes
+    are pure Catalyst)."""
+    from lakehouse.similarity import pq_encode
+    from lakehouse.synth import synth_clips_df  # noqa: F401  (env warm)
+
+    emb = spark.range(64).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(sin(id * i) AS FLOAT)) "
+        "AS embedding",
+    )
+    plan = plan_str(pq_encode(emb), mode="simple")
+    assert "Exchange" not in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_mix_noise_plan_has_no_cross_join(spark):
+    """mix_noise_clips: the noise-representative join is an equi-join
+    on the bucket key — never a cartesian/broadcast-nested-loop."""
+    from lakehouse.audio import mix_noise_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 8, seed=1)
+    noise = synth_clips_df(spark, 16, seed=2)
+    plan = plan_str(mix_noise_clips(df, noise), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
