@@ -3395,6 +3395,102 @@ def _q_lh_streaming_pipeline(spark, sf_dir):
     )
 
 
+def _q_lh_multi_table_txn(spark, sf_dir):
+    """Multi-table ACID transactions (lakehouse/txn.py) — the catalog
+    capability the reference's single-Delta-sink design never had
+    (etl/glue_stream.py:339-349 lands ONE table; Iceberg's REST-catalog
+    ``commitTransaction`` is the public analog). Exercises all four
+    protocol paths, self-verifying at each step:
+
+    1. committed txn → both tables fast-forward-published atomically;
+    2. publisher killed at the durable commit point (intent ledger
+       written, nothing published — exactly what a dead process leaves
+       on disk) → plain readers see NEITHER table's rows, then
+       ``Catalog.pin`` recovery lands BOTH (all-or-nothing);
+    3. aborted txn → zero visible effect;
+    4. a concurrent writer moves main mid-txn → publish degrades from
+       fast-forward to cherry-pick, nobody's rows lost.
+
+    Returns the per-table (rows, value sum) summary, DuckDB-checked."""
+    import json as _json
+
+    from lakehouse import Catalog
+    from lakehouse.txn import _cas_create, _txns_dir
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_txn_")
+    cat = Catalog.create(os.path.join(root, "wh"))
+    for name in ("events_a", "events_b"):
+        cat.create_table(spark, name, ev.schema)
+
+    def counts():
+        return {
+            n: cat.load_table(spark, n).scan().count()
+            for n in ("events_a", "events_b")
+        }
+
+    # 1. the happy path: one txn, two tables, atomic publish
+    with cat.transaction(spark) as txn:
+        txn.append("events_a", ev.filter(F.col("event_id") % 3 == 0),
+                   target_file_count=2)
+        txn.append("events_b", ev.filter(F.col("event_id") % 3 == 1),
+                   target_file_count=2)
+        assert counts() == {"events_a": 0, "events_b": 0}, \
+            "staged rows leaked to plain readers"
+        modes = txn.commit()
+    assert set(modes.values()) == {"fast-forward"}, modes
+    base = counts()
+
+    # 2. crash at the durable commit point: hand-write the intent
+    #    record (what commit() CAS-creates) and "die" before publishing
+    txn2 = cat.transaction(spark)
+    third = ev.filter(F.col("event_id") % 3 == 2)
+    s_a = txn2.append("events_a", third, target_file_count=2)
+    s_b = txn2.append("events_b", third, target_file_count=2)
+    os.makedirs(_txns_dir(cat.path), exist_ok=True)
+    _cas_create(
+        os.path.join(_txns_dir(cat.path), f"{txn2.txn_id}.json"),
+        {"txn_id": txn2.txn_id, "ts_ms": 0, "tables": [
+            {"name": "events_a", "root": cat.resolve("events_a"),
+             "branch": txn2.branch, "staged": [s_a.snapshot_id]},
+            {"name": "events_b", "root": cat.resolve("events_b"),
+             "branch": txn2.branch, "staged": [s_b.snapshot_id]},
+        ]},
+    )
+    assert counts() == base, "durably-committed txn visible before publish"
+    pins = cat.pin(spark)  # recovery-first: finishes the dead publish
+    n3 = third.count()
+    for n in ("events_a", "events_b"):
+        got = cat.load_table(spark, n).scan(
+            snapshot_id=pins[n]).count()
+        assert got == base[n] + n3, f"{n}: recovery missed rows"
+    assert cat.recover_txns(spark) == {}, "recovery must be idempotent"
+
+    # 3. abort: zero visible effect
+    mid = counts()
+    with cat.transaction(spark) as dead:
+        dead.append("events_a", ev.limit(50), target_file_count=1)
+    assert counts() == mid, "aborted txn leaked rows"
+
+    # 4. concurrent writer between staging and publish → cherry-pick
+    txn4 = cat.transaction(spark)
+    txn4.append("events_a", ev.filter(F.col("event_id") % 7 == 0),
+                target_file_count=2)
+    cat.load_table(spark, "events_a").append(
+        ev.filter(F.col("event_id") % 5 == 0), target_file_count=2
+    )
+    modes4 = txn4.commit()
+    assert modes4["events_a"].startswith("cherry-pick"), modes4
+
+    frames = [
+        cat.load_table(spark, n).scan()
+        .agg(F.count("*").alias("n_rows"), _dec_sum(F.col("value"), "v_sum"))
+        .select(F.lit(n).alias("table_name"), "n_rows", "v_sum")
+        for n in ("events_a", "events_b")
+    ]
+    return frames[0].unionByName(frames[1]).orderBy("table_name")
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -3639,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_commit_metrics": _q_lh_commit_metrics,
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
+        "lh_multi_table_txn": _q_lh_multi_table_txn,
         "lh_add_files_scan": _q_lh_add_files_scan,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -4090,6 +4187,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                        AS total_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "lh_multi_table_txn": """
+            WITH a AS (
+                SELECT value FROM events WHERE event_id % 3 IN (0, 2)
+                UNION ALL
+                SELECT value FROM events WHERE event_id % 7 = 0
+                UNION ALL
+                SELECT value FROM events WHERE event_id % 5 = 0
+            ), b AS (
+                SELECT value FROM events WHERE event_id % 3 IN (1, 2)
+            )
+            SELECT 'events_a' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+            FROM a
+            UNION ALL
+            SELECT 'events_b', COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            FROM b
+            ORDER BY table_name
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -25,11 +25,14 @@ from .catalog import Catalog, CatalogError
 from .expressions import Predicate
 from .schema import CLICK_EVENT_SCHEMA, CLIPS_SCHEMA, conform
 from .table import Table
+from .txn import Transaction, TransactionError
 
 __all__ = [
     "Table",
     "Catalog",
     "CatalogError",
+    "Transaction",
+    "TransactionError",
     "Predicate",
     "conform",
     "CLIPS_SCHEMA",

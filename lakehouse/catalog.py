@@ -318,11 +318,35 @@ class Catalog:
             raise CatalogError("no tables registered")
         return reduce(lambda a, b: a.unionByName(b), frames)
 
+    # --- multi-table transactions ----------------------------------------
+
+    def transaction(self, spark):
+        """Open a multi-table transaction: stage appends to several
+        catalog tables, publish all-or-nothing (see lakehouse/txn.py).
+        Pending committed-but-unpublished transactions are recovered
+        first, so a new txn always stages on fully-published heads."""
+        from .txn import Transaction, recover_txns
+
+        recover_txns(self, spark)
+        return Transaction(self, spark)
+
+    def recover_txns(self, spark) -> dict[str, dict[str, str]]:
+        """Finish publishing any transaction whose publisher crashed
+        after the durable commit point (intent file, no done marker)."""
+        from .txn import recover_txns
+
+        return recover_txns(self, spark)
+
     def pin(self, spark, names: Optional[list[str]] = None) -> dict[str, int]:
         """Capture {table: current snapshot id} for a reproducible
         multi-table read set (feed to ``register_views(pins=...)``).
         Each id is that table's committed head at capture time; tables
-        without snapshots are omitted (nothing to pin)."""
+        without snapshots are omitted (nothing to pin).
+
+        Runs transaction recovery first, so the pinned set is
+        all-or-nothing with respect to every durably-committed
+        multi-table transaction (lakehouse/txn.py visibility note)."""
+        self.recover_txns(spark)
         out: dict[str, int] = {}
         for name in sorted(names or self.tables()):
             sid = self.load_table(spark, name).current_snapshot_id()
