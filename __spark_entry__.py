@@ -3491,6 +3491,90 @@ def _q_lh_multi_table_txn(spark, sf_dir):
     return frames[0].unionByName(frames[1]).orderBy("table_name")
 
 
+def _q_lh_cdc_stream(spark, sf_dir):
+    """Streaming CDC source (Delta's streaming readChangeFeed analog;
+    lakehouse/datasource.py changes=true): the registered format tails
+    a table's CHANGE rows — appends stream as tagged inserts, MoR
+    merge/delete commits stream the full row images their new delete
+    files kill, all planned map-only from manifest diffs (no shuffle in
+    the source). The builder ingests the events corpus in three
+    appends, MoR-upserts every event_id % 7 == 0 row (value doubled),
+    then MoR-deletes every event_id % 10 == 0 row, draining the stream
+    against ONE checkpoint between mutations (exactly-once across
+    restarts asserted in-builder: the second drain adds only the
+    delete images). Returns per-change-type row counts and event_id
+    sums; the DuckDB oracle derives the same ledger from set algebra
+    over the raw corpus (update = delete old image + insert new)."""
+    from lakehouse import Table
+    from lakehouse.datasource import register
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_cdc_stream_")
+    t = Table.create(spark, os.path.join(root, "t"), ev.schema)
+    for i in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == i),
+                 target_file_count=2)
+
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    sdf = (
+        spark.readStream.format("lakehouse")
+        .option("changes", "true")
+        .option("start", "beginning")
+        .load(t.root)
+    )
+
+    def drain():
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    n_total = ev.count()
+    upd = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_upd = upd.count()
+    t.merge(upd, mode="mor", key="event_id")
+    got = drain()
+    # inserts = corpus + new images; deletes = old images of merged keys
+    assert got.filter(F.col("_change_type") == "insert").count() \
+        == n_total + n_upd, "merge CDC insert images wrong"
+    assert got.filter(F.col("_change_type") == "delete").count() \
+        == n_upd, "merge CDC delete images wrong"
+    # updated images stream the NEW value (post-image = 2x), not the old
+    base7 = ev.filter(F.col("event_id") % 7 == 0).agg(
+        F.sum("value")).collect()[0][0] or 0.0
+    post = got.filter(
+        (F.col("_change_type") == "insert")
+        & (F.col("_commit_snapshot_id") == t.current_snapshot_id())
+    ).agg(F.sum("value")).collect()[0][0] or 0.0
+    assert abs(post - 2 * base7) <= 1e-6 * max(1.0, abs(base7)), \
+        "merge CDC streamed the pre-image, not the post-image"
+
+    t.delete("event_id % 10 = 0", mode="mor", key="event_id")
+    n_before = got.count()
+    got = drain()  # checkpointed restart: ONLY the delete images arrive
+    n10 = ev.filter(F.col("event_id") % 10 == 0).count()
+    assert got.count() == n_before + n10, "restart was not exactly-once"
+
+    return (
+        got.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -3736,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_commit_metrics": _q_lh_commit_metrics,
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
         "lh_multi_table_txn": _q_lh_multi_table_txn,
+        "lh_cdc_stream": _q_lh_cdc_stream,
         "lh_add_files_scan": _q_lh_add_files_scan,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -4206,6 +4291,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
             FROM b
             ORDER BY table_name
+        """,
+        "lh_cdc_stream": """
+            -- CDC ledger from set algebra: an upsert of the %7 keys is
+            -- delete(old image) + insert(new image); the %10 delete
+            -- removes each live key's current image exactly once
+            WITH ins AS (
+                SELECT event_id FROM events
+                UNION ALL
+                SELECT event_id FROM events WHERE event_id % 7 = 0
+            ), del AS (
+                SELECT event_id FROM events WHERE event_id % 7 = 0
+                UNION ALL
+                SELECT event_id FROM events WHERE event_id % 10 = 0
+            )
+            SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM del
+            UNION ALL
+            SELECT 'insert', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+            FROM ins
+            ORDER BY change_type
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -201,12 +201,23 @@ def _rename_maps(meta: TableMetadata, view_schema_id: int):
 
 class FilesPartition(InputPartition):
     """One read task: a bin of data files (+ the delete files that may
-    mask their rows). Plain dicts/ints only — shipped by pickle."""
+    mask their rows). Plain dicts/ints only — shipped by pickle.
 
-    def __init__(self, files, deletes):
+    CDC-stream partitions (``changes=true`` readers) additionally carry
+    ``change`` ('insert' | 'delete'), the committing ``snapshot_id``,
+    and — for delete rows — ``selectors``: the commit's NEW delete
+    files, applied as a row SELECTOR (keep rows they kill) while
+    ``deletes`` stays the usual exclusion (rows already dead BEFORE the
+    commit must not re-emit)."""
+
+    def __init__(self, files, deletes, *, change=None, selectors=None,
+                 snapshot_id=None):
         self.files = files  # [{"path", "rel", "seq"}]
         # key=None marks a positional delete file (file_path, row_pos)
         self.deletes = deletes  # [{"path", "key", "seq"}]
+        self.change = change
+        self.selectors = selectors or []
+        self.snapshot_id = snapshot_id
 
 
 def _bin_pack(entries, target_bytes: int):
@@ -224,17 +235,22 @@ def _bin_pack(entries, target_bytes: int):
     return [members for _, members in bins]
 
 
-def _partitions_for(
-    root, plan, target_bytes, ren_by_gid=None
-) -> list[FilesPartition]:
-    deletes = [
+def _delete_dicts(root, delete_files) -> list[dict]:
+    """Manifest delete entries → the picklable dicts read tasks ship."""
+    return [
         {
             "path": os.path.join(root, d.file_path),
             "key": d.delete_key,
             "seq": d.seq,
         }
-        for d in plan.delete_files
+        for d in delete_files
     ]
+
+
+def _partitions_for(
+    root, plan, target_bytes, ren_by_gid=None
+) -> list[FilesPartition]:
+    deletes = _delete_dicts(root, plan.delete_files)
     def _ren(e):
         if ren_by_gid is None:
             return None
@@ -428,6 +444,163 @@ def _read_partition(part: FilesPartition, spark_schema: T.StructType):
             ).to_batches()
 
 
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_SNAPSHOT_COL = "_commit_snapshot_id"
+
+
+def _tag_change(batch, change: str, snapshot_id):
+    """Append the CDC metadata columns to one Arrow record batch."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    arrays = list(batch.columns) + [
+        pa.array([change] * n, pa.string()),
+        pa.array([snapshot_id] * n, pa.int64()),
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, names=list(batch.schema.names) + [CHANGE_TYPE_COL,
+                                                  CHANGE_SNAPSHOT_COL]
+    )
+
+
+def _read_changes_partition(part: FilesPartition,
+                            base_schema: T.StructType):
+    """CDC-stream read task (``changes=true``): yield the partition's
+    rows tagged with ``_change_type`` / ``_commit_snapshot_id``.
+
+    Insert partitions are a plain read of the commit's added files
+    (no deletes can apply to them at commit time — their seq equals the
+    commit's). Delete partitions emit exactly the rows the commit's NEW
+    delete files kill: ``part.selectors`` select (eq keys under the
+    Iceberg seq rule, or positions), ``part.deletes`` — the deletes
+    already live BEFORE the commit — exclude, so a row only ever
+    streams as deleted once. Mask arithmetic mirrors _read_partition
+    (positions on the RAW batch offsets, eq via is_in with null→no
+    match), combined into one filter per batch.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .schema import field_default
+
+    if part.change != "delete":
+        for batch in _read_partition(part, base_schema):
+            yield _tag_change(batch, "insert", part.snapshot_id)
+        return
+
+    target = to_arrow_schema(base_schema)
+    names = list(target.names)
+    defaults = {
+        f.name: field_default(f)
+        for f in base_schema.fields
+        if field_default(f) is not None
+    }
+
+    def _load(dicts):
+        eq: dict[str, list] = {}
+        pos: list = []
+        for d in dicts:
+            if d["key"] is None:
+                pos.append((d["seq"], pq.read_table(d["path"])))
+            else:
+                keys = pq.read_table(d["path"], columns=[d["key"]]).column(0)
+                eq.setdefault(d["key"], []).append((d["seq"], keys))
+        return eq, pos
+
+    sel_eq, sel_pos = _load(part.selectors)
+    excl_eq, excl_pos = _load(part.deletes)
+
+    def _file_keys(groups, f_seq, have):
+        out = []
+        for key_name, grp in groups.items():
+            chunks = [
+                c
+                for dseq, keys in grp
+                if f_seq < dseq
+                for c in keys.chunks
+            ]
+            if chunks and key_name in have:
+                out.append(
+                    (key_name, pa.chunked_array(chunks).combine_chunks())
+                )
+        return out
+
+    def _file_positions(pos_groups, f_seq, rel):
+        chunks = []
+        for dseq, dtbl in pos_groups:
+            if f_seq >= dseq:
+                continue
+            m = pc.equal(dtbl.column("file_path"), rel or "")
+            hit = dtbl.filter(pc.fill_null(m, False))
+            if hit.num_rows:
+                chunks.append(hit.column("row_pos").to_numpy())
+        if not chunks:
+            return None
+        return np.unique(np.concatenate(chunks))
+
+    def _pos_mask(mask, positions, offset, n, value):
+        lo, hi = np.searchsorted(positions, [offset, offset + n])
+        if hi > lo:
+            mask[positions[lo:hi] - offset] = value
+
+    def _eq_mask(tbl, key_name, dead):
+        m = pc.is_in(tbl.column(key_name), value_set=dead)
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+    for f in part.files:
+        pf = pq.ParquetFile(f["path"])
+        have = set(pf.schema_arrow.names)
+        fdefaults = defaults
+        fill = f.get("fill")
+        if fill:
+            fdefaults = dict(defaults)
+            for c, v in fill.items():
+                if c in names and v is not None:
+                    try:
+                        v = pa.array([v]).cast(target.field(c).type)[0].as_py()
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                    fdefaults[c] = v
+        ren = f.get("ren")
+        if ren is not None:
+            cols = [p for p in ren if p in have and ren[p] in names]
+            have = {ren[p] for p in cols}
+        else:
+            cols = [c for c in names if c in have]
+        f_sel_eq = _file_keys(sel_eq, f["seq"], have)
+        f_excl_eq = _file_keys(excl_eq, f["seq"], have)
+        f_sel_pos = _file_positions(sel_pos, f["seq"], f.get("rel"))
+        f_excl_pos = _file_positions(excl_pos, f["seq"], f.get("rel"))
+        offset = 0
+        for batch in pf.iter_batches(columns=cols):
+            tbl = pa.Table.from_batches([batch])
+            if ren is not None and tbl.num_columns:
+                tbl = tbl.rename_columns(
+                    [ren.get(c, c) for c in tbl.column_names]
+                )
+            n = tbl.num_rows
+            keep = np.zeros(n, dtype=bool)
+            if f_sel_pos is not None:
+                _pos_mask(keep, f_sel_pos, offset, n, True)
+            for key_name, dead in f_sel_eq:
+                keep |= _eq_mask(tbl, key_name, dead)
+            if f_excl_pos is not None:
+                _pos_mask(keep, f_excl_pos, offset, n, False)
+            for key_name, dead in f_excl_eq:
+                keep &= ~_eq_mask(tbl, key_name, dead)
+            offset += n
+            if not keep.any():
+                continue
+            tbl = tbl.filter(pa.array(keep))
+            for b in _conform_arrow_table(
+                tbl, target, defaults=fdefaults
+            ).to_batches():
+                yield _tag_change(b, "delete", part.snapshot_id)
+
+
 # --- batch reader -------------------------------------------------------------
 
 _FILTER_OPS = {
@@ -553,6 +726,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # batches instead of one giant one
         mspb = options.get("max_snapshots_per_batch")
         self._max_snapshots = None if mspb is None else max(1, int(mspb))
+        # CDC mode (Delta's streaming readChangeFeed analog): emit
+        # insert/delete row images tagged _change_type, planned map-only
+        # from per-snapshot manifest diffs — appends stream inserts,
+        # MoR delete/merge commits stream the rows their NEW delete
+        # files kill. COW mutations are not map-only derivable and fail
+        # the stream (use Table.row_changes / changelog_view in batch).
+        self._changes = str(options.get("changes", "false")).lower() == "true"
         # stream position: the snapshot id everything up to which has
         # been handed to Spark. _UNKNOWN until either partitions()
         # observes the checkpointed offsets (restart) or the first
@@ -637,6 +817,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if to_id is None or from_id == to_id:
             return [FilesPartition([], [])]
         meta = load_metadata(self._root)
+        if self._changes:
+            return self._change_partitions(meta, from_id, to_id)
         added = self._added_files(meta, from_id, to_id)
         plan = _Plan(added)
         parts = _partitions_for(
@@ -647,7 +829,95 @@ class LakehouseStreamReader(DataSourceStreamReader):
         )
         return parts or [FilesPartition([], [])]
 
+    def _change_partitions(self, meta, from_id, to_id):
+        """CDC planning: per snapshot in (from, to], diff the live file
+        sets. Added data files → insert partitions (ordinary bin-packed
+        read, NO deletes — nothing can mask a file at its own commit).
+        New delete files → one partition group over the parent-live
+        data files they can touch (seq rule + min/max or path overlap,
+        the same probe ops/changes.row_changes uses), carrying the new
+        deletes as SELECTORS and the pre-existing ones as exclusions.
+        Everything stays a map over files — no shuffle, no driver rows.
+        """
+        from .ops.changes import DATA_NEUTRAL_OPS, _chain
+        from .ops.mor import _pos_delete_touches, _range_intersects
+
+        ren = _rename_maps(meta, self._schema_id)
+        parts: list[FilesPartition] = []
+        for snap in _chain(meta, from_id, to_id):
+            if snap.operation in DATA_NEUTRAL_OPS:
+                continue
+            prev_plan = (
+                plan_scan(self._root, meta,
+                          snapshot_id=snap.parent_snapshot_id)
+                if snap.parent_snapshot_id is not None
+                else None
+            )
+            cur_plan = plan_scan(self._root, meta,
+                                 snapshot_id=snap.snapshot_id)
+            prev_files = {
+                e.file_path: e
+                for e in (prev_plan.files if prev_plan else [])
+            }
+            cur_files = {e.file_path: e for e in cur_plan.files}
+            removed = [p for p in prev_files if p not in cur_files]
+            if removed:
+                raise LakehouseError(
+                    f"changes stream hit copy-on-write snapshot "
+                    f"{snap.snapshot_id} ({snap.operation!r}, "
+                    f"{len(removed)} files rewritten): row-level changes "
+                    f"of COW commits are not map-only derivable; use "
+                    f"Table.row_changes / changelog_view for batch CDC, "
+                    f"or restart the stream from a later offset"
+                )
+            added = [e for p, e in cur_files.items() if p not in prev_files]
+            prev_dels = {
+                d.file_path: d
+                for d in (prev_plan.delete_files if prev_plan else [])
+            }
+            new_dels = [
+                d
+                for d in cur_plan.delete_files
+                if d.file_path not in prev_dels
+            ]
+            for part in _partitions_for(
+                self._root, _Plan(added), self._target_bytes,
+                ren_by_gid=ren,
+            ):
+                part.change = "insert"
+                part.snapshot_id = snap.snapshot_id
+                parts.append(part)
+            if new_dels:
+                def _touched(e):
+                    return any(
+                        e.seq < d.seq
+                        and (
+                            _pos_delete_touches(e, d)
+                            if d.is_pos_delete
+                            else _range_intersects(
+                                e.stats.get(d.delete_key) or {},
+                                d.stats.get(d.delete_key) or {},
+                            )
+                        )
+                        for d in new_dels
+                    )
+
+                affected = [e for e in prev_files.values() if _touched(e)]
+                selectors = _delete_dicts(self._root, new_dels)
+                for part in _partitions_for(
+                    self._root, _Plan(affected, prev_dels.values()),
+                    self._target_bytes, ren_by_gid=ren,
+                ):
+                    part.change = "delete"
+                    part.selectors = selectors
+                    part.snapshot_id = snap.snapshot_id
+                    parts.append(part)
+        return parts or [FilesPartition([], [])]
+
     def read(self, partition: FilesPartition):
+        if self._changes:
+            yield from _read_changes_partition(partition, self._schema)
+            return
         yield from _read_partition(partition, self._schema)
 
     def commit(self, end: dict) -> None:
@@ -660,9 +930,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
 class _Plan:
     """Duck-typed ScanPlan carrier for _partitions_for."""
 
-    def __init__(self, files):
+    def __init__(self, files, delete_files=()):
         self.files = files
-        self.delete_files = []
+        self.delete_files = list(delete_files)
 
 
 # --- Arrow write path (tasks write parquet; driver commits the snapshot) ------
@@ -978,13 +1248,31 @@ class LakehouseDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _changes_mode(self) -> bool:
+        return str(self.options.get("changes", "false")).lower() == "true"
+
     def schema(self) -> T.StructType:
         root = _table_root(self.options)
         meta = load_metadata(root)
         sid = _resolve_snapshot(meta, self.options)
-        return _snapshot_schema(meta, sid)
+        sch = _snapshot_schema(meta, sid)
+        if self._changes_mode():
+            sch = T.StructType(
+                sch.fields
+                + [
+                    T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+                    T.StructField(CHANGE_SNAPSHOT_COL, T.LongType(), True),
+                ]
+            )
+        return sch
 
     def reader(self, schema: T.StructType) -> LakehouseBatchReader:
+        if self._changes_mode():
+            raise LakehouseError(
+                "changes=true is a STREAMING read option "
+                "(spark.readStream); for batch CDC use Table.row_changes "
+                "or changelog_view"
+            )
         opt = self.options.get("pushdown")
         pushdown = (
             self.PUSHDOWN_DEFAULT
