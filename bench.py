@@ -319,6 +319,8 @@ def main() -> None:
             # positional MoR delete of ~1% of rows + fold-in: the
             # trickle-delete hot path (commit is O(matched rows), no
             # data file rewritten) followed by the batched rewrite
+            pre_delete_sid = t.current_snapshot_id()
+
             def delete_pos_1pct():
                 t.delete(
                     "pmod(xxhash64(clip_id), 100) = 0", mode="mor-pos"
@@ -326,6 +328,38 @@ def main() -> None:
                 t.materialize_deletes()
 
             timed("delete_pos_1pct", delete_pos_1pct)
+
+            # CDC tail of the delete above through the registered
+            # streaming source (changes=true): cost rides the CHANGE
+            # volume (~1% of rows read map-only via the positional
+            # selector), never the table — the O(changes) contrast to
+            # the rollup refresh ladder below. The materialize commit
+            # is data-neutral and must stream zero rows.
+            def cdc_stream_tail():
+                from lakehouse.datasource import register
+
+                register(spark)
+                out = os.path.join(work, f"cdc_out_r{round_i}")
+                q = (
+                    spark.readStream.format("lakehouse")
+                    .option("changes", "true")
+                    .option("starting_snapshot_id", str(pre_delete_sid))
+                    .load(t.root)
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(work, f"cdc_ckpt_r{round_i}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                got = spark.read.parquet(out)
+                n_del = got.count()
+                assert 0 < n_del <= N_CLIPS // 50, n_del
+
+            timed("cdc_stream_tail", cdc_stream_tail)
 
             def rollup_incremental():
                 # the positional-delete materialization above rewrote

@@ -804,6 +804,14 @@ def cmd_catalog(args):
             "action": "sql",
             "rows": [r.asDict(recursive=True) for r in rows],
         })
+    elif args.action == "recover-txns":
+        spark = _spark(args)
+        out = cat.recover_txns(spark)
+        _emit({
+            "op": "catalog",
+            "action": "recover-txns",
+            "recovered": out,
+        })
     elif args.action == "maintain-all":
         spark = _spark(args)
         out = cat.maintain_all(spark, dry_run=args.dry_run)
@@ -978,7 +986,7 @@ def main():
     s = sub.add_parser("catalog")
     s.add_argument("action",
                    choices=["create", "register", "unregister", "tables",
-                            "sql", "maintain-all"])
+                            "sql", "maintain-all", "recover-txns"])
     s.add_argument("--catalog", required=True)
     s.add_argument("--dry-run", action="store_true")
     s.add_argument("--name", default=None)
