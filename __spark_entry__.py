@@ -3575,6 +3575,57 @@ def _q_lh_cdc_stream(spark, sf_dir):
     )
 
 
+def _q_lh_webdataset_export(spark, sf_dir):
+    """WebDataset tar-shard export/import (lakehouse/webdataset.py) —
+    the training-loader handoff the reference's analyst-table endpoint
+    never reaches (README.md:104-114 stops at Athena; a GPU loader
+    consumes key-grouped tar shards, Aizman et al. 2019). Exports a
+    deterministic clip corpus to hash-assigned shards (one shuffle +
+    streaming tar serialization; zeroed tar metadata makes shard bytes
+    a pure function of content), reads them back shard-parallel, and
+    self-verifies: byte-exact payload + transcript round-trip for every
+    key exactly once, and a re-export from a differently-partitioned
+    frame is byte-identical per shard (sha256). Returns the shard
+    manifest — deterministic, so the driver's stable-hash check holds."""
+    from lakehouse.synth import synth_clips_df
+    from lakehouse.webdataset import export_webdataset, read_webdataset
+
+    clips = synth_clips_df(spark, 300, seed=77, n_days=2)
+    root = tempfile.mkdtemp(prefix="lh_wds_")
+    out = os.path.join(root, "wds")
+    man = export_webdataset(
+        clips, out, n_shards=6, meta_cols=["sr_hz", "dur_ms", "codec"]
+    )
+    rows = man.collect()
+    assert sum(r["n_samples"] for r in rows) == 300
+
+    back = read_webdataset(spark, out)
+    j = clips.select(
+        F.col("clip_id").alias("key"), "bytes", "transcript"
+    ).join(back, "key", "full_outer")
+    bad = j.filter(
+        F.col("bytes").isNull()
+        | F.col("data").isNull()
+        | (F.md5(F.col("bytes")) != F.md5(F.col("data")))
+        | (F.col("transcript") != F.col("text"))
+    ).count()
+    assert bad == 0, f"{bad} samples failed byte-exact round-trip"
+    assert j.count() == 300, "key multiplicity broken"
+
+    man2 = export_webdataset(
+        clips.repartition(17), os.path.join(root, "wds2"), n_shards=6,
+        meta_cols=["sr_hz", "dur_ms", "codec"],
+    )
+    assert {
+        (r["shard"], r["sha256"]) for r in man2.collect()
+    } == {(r["shard"], r["sha256"]) for r in rows}, \
+        "re-export not byte-identical"
+
+    return man.select(
+        "shard", "n_samples", "tar_bytes", "sha256", "min_key", "max_key"
+    ).orderBy("shard")
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -3821,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
         "lh_multi_table_txn": _q_lh_multi_table_txn,
         "lh_cdc_stream": _q_lh_cdc_stream,
+        "lh_webdataset_export": _q_lh_webdataset_export,
         "lh_add_files_scan": _q_lh_add_files_scan,
         # dedup family
         "dedup_exact": _q_dedup_exact,

@@ -1,0 +1,328 @@
+"""WebDataset-style tar-shard export/import — the training-loader handoff.
+
+The reference pipeline ends at an analyst table (Athena over Delta,
+/root/reference/README.md:104-114); an AUDIO training pipeline ends at
+a GPU dataloader, and the lingua franca there is the WebDataset layout
+(Aizman et al., "High Performance I/O For Large Scale Deep Learning",
+IEEE Big Data 2019; github.com/webdataset/webdataset): sequential
+``.tar`` shards in which one sample is a run of adjacently-stored
+members sharing a key — ``<key>.wav``, ``<key>.txt``, ``<key>.json`` —
+so loaders stream shards with zero seeks and shuffle at shard
+granularity.
+
+Scale shape:
+
+- **Export is one shuffle + a map.** Rows hash-assign to shards
+  (``pmod(xxhash64(key), n_shards)`` — deterministic under retries and
+  repartitioning, balanced in expectation), one exchange co-locates
+  each shard's rows, and each task serializes ITS shards with the
+  stdlib ``tarfile`` writer streaming row-by-row (payloads never
+  accumulate beyond one row; tar member headers carry zeroed
+  mtime/uid/gid so a shard's bytes are a pure function of its
+  contents — re-exports are byte-identical, asserted in tests).
+- **Tasks write, the driver renames.** Each task writes
+  ``.tmp-<uuid>`` files and reports (shard, tmp, sha256, stats)
+  manifest rows; the driver commits by renaming winners into place —
+  a zombie task attempt can never clobber a committed shard. The
+  returned manifest is the loader's index (path, samples, bytes,
+  sha256, key range).
+- **Import is shard-parallel.** ``read_webdataset`` lists ``*.tar``
+  with Spark's binaryFile source (one whole shard per row — exactly
+  the unit WebDataset shuffles by) and unpacks members in a mapInArrow
+  pass; adjacently-stored members regroup into samples by key.
+
+Round-trip parity (export → read back → byte-equal payloads and
+transcripts, every key exactly once) is gated in
+tests/test_webdataset.py and self-verified in the driver query
+``lh_webdataset_roundtrip``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+import uuid
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import LakehouseError
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("tmp_path", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("tar_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("min_key", T.StringType()),
+        T.StructField("max_key", T.StringType()),
+    ]
+)
+
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("shard", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("data_ext", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("meta_json", T.StringType()),
+    ]
+)
+
+
+def _tar_add(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
+    """Add one member with zeroed metadata (deterministic bytes)."""
+    info = tarfile.TarInfo(name=name)
+    info.size = len(payload)
+    info.mtime = 0
+    info.uid = info.gid = 0
+    info.uname = info.gname = ""
+    tf.addfile(info, io.BytesIO(payload))
+
+
+def export_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int,
+    key_col: str = "clip_id",
+    bytes_col: Optional[str] = "bytes",
+    bytes_ext: str = "wav",
+    text_col: Optional[str] = "transcript",
+    meta_cols: Optional[list[str]] = None,
+    shard_prefix: str = "shard",
+) -> DataFrame:
+    """Export ``df`` as ``<out_dir>/<prefix>-%06d.tar`` WebDataset
+    shards; returns the committed manifest (one row per shard).
+
+    ``n_shards`` is explicit — at corpus scale the caller sizes shards
+    from manifest byte totals (e.g. live_bytes / 1 GiB), never from a
+    count pass this function would have to run. Keys must be non-null
+    and unique (loader keys); hash assignment makes shard membership a
+    pure function of the key, so retries and re-exports land every
+    sample in the same shard and shard bytes are reproducible.
+    """
+    if n_shards < 1:
+        raise LakehouseError("n_shards must be >= 1")
+    cols = [F.col(key_col).cast("string").alias("_key")]
+    if bytes_col is not None:
+        cols.append(F.col(bytes_col).alias("_data"))
+    if text_col is not None:
+        cols.append(F.col(text_col).cast("string").alias("_text"))
+    meta_cols = list(meta_cols or [])
+    for c in meta_cols:
+        cols.append(F.col(c).cast("string").alias(f"_m_{c}"))
+    slim = df.select(*cols).withColumn(
+        "_shard", F.pmod(F.xxhash64("_key"), F.lit(n_shards))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    width = max(6, len(str(n_shards - 1)))
+
+    def write_shards(iterator: Iterator) -> Iterator:
+        import pandas as pd
+
+        # rows arrive partitioned by _shard and sorted by (_shard, _key)
+        # — a task's shards are CONTIGUOUS runs, so each row streams
+        # straight into its tar: the task holds one row's payload at a
+        # time, never a shard's
+        out: list[dict] = []
+        st: Optional[dict] = None
+
+        def _open(sid: int) -> dict:
+            name = f"{shard_prefix}-{sid:0{width}d}.tar"
+            tmp = os.path.join(out_dir, f".{name}.tmp-{uuid.uuid4().hex}")
+            fh = open(tmp, "wb")
+            return {
+                "sid": sid,
+                "name": name,
+                "tmp": tmp,
+                "fh": fh,
+                "tar": tarfile.open(fileobj=fh, mode="w"),
+                "n": 0,
+                "min_key": None,
+                "max_key": None,
+            }
+
+        def _close(st: dict) -> None:
+            st["tar"].close()
+            st["fh"].close()
+            h = hashlib.sha256()
+            with open(st["tmp"], "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            out.append(
+                {
+                    "shard": st["name"],
+                    "path": os.path.join(out_dir, st["name"]),
+                    "tmp_path": st["tmp"],
+                    "n_samples": st["n"],
+                    "tar_bytes": os.path.getsize(st["tmp"]),
+                    "sha256": h.hexdigest(),
+                    "min_key": st["min_key"],
+                    "max_key": st["max_key"],
+                }
+            )
+
+        for pdf in iterator:
+            colnames = list(pdf.columns)
+            # NOT itertuples: it mangles underscore-prefixed names
+            for vals in zip(*(pdf[c].values for c in colnames)):
+                d = dict(zip(colnames, vals))
+                sid = int(d["_shard"])
+                if st is None or st["sid"] != sid:
+                    if st is not None:
+                        _close(st)
+                    st = _open(sid)
+                def _val(x):  # pandas nulls arrive as None OR NaN
+                    return None if x is None or (
+                        isinstance(x, float) and x != x
+                    ) else x
+
+                key = _val(d["_key"])
+                if key is None:
+                    raise LakehouseError("webdataset key is null")
+                if _val(d.get("_data")) is not None:
+                    _tar_add(
+                        st["tar"], f"{key}.{bytes_ext}", bytes(d["_data"])
+                    )
+                if _val(d.get("_text")) is not None:
+                    _tar_add(
+                        st["tar"], f"{key}.txt", d["_text"].encode("utf-8")
+                    )
+                meta = {
+                    c: d[f"_m_{c}"]
+                    for c in meta_cols
+                    if _val(d.get(f"_m_{c}")) is not None
+                }
+                if meta:
+                    _tar_add(
+                        st["tar"],
+                        f"{key}.json",
+                        json.dumps(meta, sort_keys=True).encode("utf-8"),
+                    )
+                st["n"] += 1
+                if st["min_key"] is None:
+                    st["min_key"] = key  # rows arrive key-sorted
+                st["max_key"] = key
+        if st is not None:
+            _close(st)
+        if out:
+            yield pd.DataFrame(out, columns=MANIFEST_SCHEMA.names)
+
+    staged = (
+        slim.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+        .mapInPandas(write_shards, schema=MANIFEST_SCHEMA)
+        .collect()  # manifest only: one row per SHARD, never per sample
+    )
+    # driver-side commit: rename each winner into place (a retried task
+    # leaves extra tmps; only the reported ones win, the rest are swept)
+    committed = {}
+    for r in staged:
+        if r["shard"] in committed:  # task retry double-report: keep one
+            os.unlink(r["tmp_path"])
+            continue
+        os.replace(r["tmp_path"], r["path"])
+        committed[r["shard"]] = r
+    for fn in os.listdir(out_dir):  # sweep orphaned attempt tmps
+        if fn.startswith(".") and ".tmp-" in fn:
+            try:
+                os.unlink(os.path.join(out_dir, fn))
+            except OSError:
+                pass
+    spark = df.sparkSession
+    rows = [
+        {k: r[k] for k in MANIFEST_SCHEMA.names if k != "tmp_path"}
+        for r in committed.values()
+    ]
+    manifest_schema = T.StructType(
+        [f for f in MANIFEST_SCHEMA.fields if f.name != "tmp_path"]
+    )
+    return spark.createDataFrame(rows, schema=manifest_schema).orderBy(
+        "shard"
+    )
+
+
+def read_webdataset(
+    spark: SparkSession, path: str, *, bytes_ext: str = "wav"
+) -> DataFrame:
+    """Read WebDataset shards back as one row per sample (shard-parallel:
+    Spark's binaryFile source hands each task whole tars — the exact
+    parallel unit loaders use). Members regroup by key; unknown
+    extensions land in ``meta_json`` under their extension name."""
+    bins = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    def unpack(iterator: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                ("key", pa.string()),
+                ("shard", pa.string()),
+                ("data", pa.binary()),
+                ("data_ext", pa.string()),
+                ("text", pa.string()),
+                ("meta_json", pa.string()),
+            ]
+        )
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            for i in range(tbl.num_rows):
+                shard = os.path.basename(tbl.column("path")[i].as_py())
+                content = tbl.column("content")[i].as_py()
+                samples: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        key, dot, ext = m.name.rpartition(".")
+                        if not dot:
+                            key, ext = m.name, ""
+                        payload = tf.extractfile(m).read()
+                        s = samples.setdefault(
+                            key,
+                            {"key": key, "shard": shard, "data": None,
+                             "data_ext": None, "text": None, "extra": {}},
+                        )
+                        if ext == bytes_ext:
+                            s["data"] = payload
+                            s["data_ext"] = ext
+                        elif ext == "txt":
+                            s["text"] = payload.decode("utf-8")
+                        elif ext == "json":
+                            s["extra"].update(json.loads(payload))
+                        else:
+                            s["extra"][ext] = payload.decode(
+                                "utf-8", "replace"
+                            )
+                rows = [
+                    {
+                        "key": s["key"],
+                        "shard": s["shard"],
+                        "data": s["data"],
+                        "data_ext": s["data_ext"],
+                        "text": s["text"],
+                        "meta_json": (
+                            json.dumps(s["extra"], sort_keys=True)
+                            if s["extra"]
+                            else None
+                        ),
+                    }
+                    for s in samples.values()
+                ]
+                if rows:
+                    yield pa.RecordBatch.from_pylist(
+                        rows, schema=arrow_schema
+                    )
+
+    return bins.mapInArrow(unpack, schema=SAMPLE_SCHEMA)
