@@ -3621,7 +3621,39 @@ def _q_lh_webdataset_export(spark, sf_dir):
     } == {(r["shard"], r["sha256"]) for r in rows}, \
         "re-export not byte-identical"
 
-    return man.select(
+    # incremental sync: churn a TABLE (MoR delete + append + compact),
+    # re-serialize only the dirty shards, prove clean shards kept their
+    # exact bytes and the synced dir equals a fresh full export
+    from lakehouse import Table
+    from lakehouse.webdataset import sync_webdataset
+
+    t = Table.create(spark, os.path.join(root, "t"), clips.schema)
+    t.append(clips, target_file_count=4)
+    sdir = os.path.join(root, "wds_sync")
+    r0 = sync_webdataset(t, sdir, n_shards=6,
+                         meta_cols=["sr_hz", "dur_ms", "codec"])
+    assert r0.mode == "full"
+    pre = {x["shard"]: x["sha256"] for x in r0.manifest.collect()}
+    t.delete("pmod(xxhash64(clip_id), 9) = 0", mode="mor")
+    t.append(synth_clips_df(spark, 30, start=900, seed=78, n_days=1),
+             target_file_count=1)
+    t.compact()  # data-neutral churn must not dirty anything extra
+    r1 = sync_webdataset(t, sdir, n_shards=6,
+                         meta_cols=["sr_hz", "dur_ms", "codec"])
+    assert r1.mode == "incremental", r1
+    post = {x["shard"]: x["sha256"] for x in r1.manifest.collect()}
+    for name in pre:
+        sid = int(name.split("-")[1].split(".")[0])
+        if sid not in r1.dirty_shards:
+            assert post[name] == pre[name], f"clean shard {name} rewritten"
+    fresh = export_webdataset(
+        t.scan(), os.path.join(root, "wds_fresh"), n_shards=6,
+        meta_cols=["sr_hz", "dur_ms", "codec"],
+    ).collect()
+    assert {x["shard"]: x["sha256"] for x in fresh} == post, \
+        "incremental sync diverged from a full export"
+
+    return r1.manifest.select(
         "shard", "n_samples", "tar_bytes", "sha256", "min_key", "max_key"
     ).orderBy("shard")
 
@@ -3842,8 +3874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time operators (batch twins + streaming parity)
         "events_windowed_rollup": _q_events_windowed_rollup,
         "events_sessionize": _q_events_sessionize,
-        "stream_rollup_parity": _q_stream_rollup_parity,
-        "stream_sessionize_parity": _q_stream_sessionize_parity,
         # lakehouse maintenance + DML core
         "lh_compact_scan_parity": _q_lh_compact,
         "lh_rewrite_manifests": _q_lh_rewrite_manifests,
@@ -3874,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_stream": _q_lh_cdc_stream,
         "lh_webdataset_export": _q_lh_webdataset_export,
         "lh_add_files_scan": _q_lh_add_files_scan,
+        "lh_retention_policy": _q_lh_retention_policy,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -3881,7 +3912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
-        "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "lang_id": _q_lang_id,
         # tokenizer family (rows-only, self-verifying)
@@ -3891,7 +3921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcripts family
         "transcript_wer": _q_transcript_wer,
         # sampling family
-        "sample_hash": _q_sample_hash,
         "split_assign": _q_split_assign,
         # similarity family
         "cosine_topk": _q_cosine_topk,
@@ -3900,6 +3929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_qc_detection": _q_audio_qc_detection,
         "lh_asr_pipeline": _q_lh_asr_pipeline,
         # --- tail: variants + the rest (replica-checked) -------------
+        "stream_rollup_parity": _q_stream_rollup_parity,
+        "stream_sessionize_parity": _q_stream_sessionize_parity,
+        "unigram_logprob": _q_unigram_logprob,
+        "sample_hash": _q_sample_hash,
         "window_top_purchase": _q_window_top_purchase,
         "lh_delete_convert": _q_lh_delete_convert,
         "simhash_pairs": _q_simhash_pairs,

@@ -104,3 +104,93 @@ def test_export_from_table_scan_and_subset_columns(spark, tmp_path):
     back = read_webdataset(spark, out)
     assert back.filter(F.col("data").isNotNull()).count() == 0
     assert back.filter(F.col("text").isNotNull()).count() == 40
+
+
+# --- incremental sync -----------------------------------------------------
+
+
+def _shard_of(spark, key, n_shards):
+    return spark.sql(
+        f"SELECT pmod(xxhash64('{key}'), {n_shards})"
+    ).collect()[0][0]
+
+
+def test_sync_full_incremental_noop_parity(spark, tmp_path):
+    from lakehouse.webdataset import sync_webdataset
+
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 80, seed=61, n_days=1),
+             target_file_count=4)
+    out = str(tmp_path / "wds")
+    r = sync_webdataset(t, out, n_shards=8, meta_cols=["sr_hz"])
+    assert r.mode == "full" and r.manifest.count() == 8
+    before = {x["shard"]: x["sha256"] for x in r.manifest.collect()}
+
+    # no change -> noop
+    assert sync_webdataset(t, out, n_shards=8,
+                           meta_cols=["sr_hz"]).mode == "noop"
+    # data-neutral compaction -> still noop (marker advances)
+    t.compact()
+    r = sync_webdataset(t, out, n_shards=8, meta_cols=["sr_hz"])
+    assert r.mode == "noop"
+
+    # churn: append new keys + MoR-delete an old one
+    t.append(synth_clips_df(spark, 10, start=200, seed=62, n_days=1),
+             target_file_count=1)
+    victim = t.scan().select("clip_id").orderBy("clip_id").first()[0]
+    t.delete(f"clip_id = '{victim}'", mode="mor")
+    r = sync_webdataset(t, out, n_shards=8, meta_cols=["sr_hz"])
+    assert r.mode == "incremental" and r.dirty_shards
+    after = {x["shard"]: x["sha256"] for x in r.manifest.collect()}
+    # untouched shards kept their exact bytes
+    width = max(6, len(str(8 - 1)))
+    clean = {f"shard-{i:0{width}d}.tar" for i in range(8)} - {
+        f"shard-{i:0{width}d}.tar" for i in r.dirty_shards
+    }
+    for name in clean:
+        assert after[name] == before[name], name
+    # parity: the synced directory == a fresh full export, byte for byte
+    fresh = export_webdataset(
+        t.scan(), str(tmp_path / "fresh"), n_shards=8,
+        meta_cols=["sr_hz"],
+    ).collect()
+    assert {x["shard"]: x["sha256"] for x in fresh} == after
+    # sample conservation through the loader-side read
+    assert read_webdataset(spark, out).count() == t.scan().count()
+
+
+def test_sync_removes_emptied_shards(spark, tmp_path):
+    from lakehouse.webdataset import sync_webdataset
+
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 12, seed=63, n_days=1),
+             target_file_count=1)
+    out = str(tmp_path / "wds")
+    sync_webdataset(t, out, n_shards=64)
+    # a shard holding exactly one key empties when that key is deleted
+    keys = [r[0] for r in t.scan().select("clip_id").collect()]
+    shards = {k: _shard_of(spark, k, 64) for k in keys}
+    lone = next(
+        k for k, s in shards.items()
+        if sum(1 for v in shards.values() if v == s) == 1
+    )
+    t.delete(f"clip_id = '{lone}'", mode="mor")
+    r = sync_webdataset(t, out, n_shards=64)
+    assert r.mode == "incremental"
+    assert shards[lone] in r.removed_shards
+    name = f"shard-{shards[lone]:06d}.tar"
+    assert not os.path.exists(os.path.join(out, name))
+    assert read_webdataset(spark, out).count() == 11
+
+
+def test_sync_refuses_mismatched_layout(spark, tmp_path):
+    from lakehouse import LakehouseError
+    from lakehouse.webdataset import sync_webdataset
+
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(synth_clips_df(spark, 8, seed=64, n_days=1),
+             target_file_count=1)
+    out = str(tmp_path / "wds")
+    sync_webdataset(t, out, n_shards=4)
+    with pytest.raises(LakehouseError, match="n_shards"):
+        sync_webdataset(t, out, n_shards=8)
