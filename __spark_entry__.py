@@ -644,6 +644,81 @@ def _q_transcript_align(spark, sf_dir):
     return align_uniform(docs, transcript_col="text")
 
 
+def _q_transcript_align_energy(spark, sf_dir):
+    """Energy-guided forced alignment (lakehouse/transcripts.py
+    align_energy): word windows confined to energy-VAD voiced spans —
+    the deterministic refinement of align_uniform (silence never sits
+    inside a word window). Self-verifying on planted read-speech: tone
+    segments separated by exact silences, one word per segment, so the
+    aligner must recover every planted boundary EXACTLY (frame-aligned
+    plants); clips with more words than spans keep windows inside
+    spans, monotonic, count-conserving; all-silence clips fall back to
+    uniform windows. Returns the per-clip alignment summary."""
+    import numpy as np
+
+    from lakehouse.synth import wrap_wav
+    from lakehouse.transcripts import align_energy
+
+    sr = 16000
+    rows = []
+    expected = {}
+    for i in range(40):
+        n_seg = 1 + i % 5
+        seg_ms = [200 + 20 * ((i + j) % 6) for j in range(n_seg)]
+        gap = 200
+        parts, starts, t0 = [], [], 0
+        for j, ms in enumerate(seg_ms):
+            t = np.arange(int(sr * ms / 1000)) / sr
+            parts.append(
+                (0.6 * np.sin(2 * np.pi * (250 + 90 * j) * t)).astype(
+                    np.float32
+                )
+            )
+            starts.append((t0, t0 + ms))
+            t0 += ms
+            if j < n_seg - 1:
+                parts.append(np.zeros(int(sr * gap / 1000), np.float32))
+                t0 += gap
+        cid = f"al-{i:04d}"
+        rows.append(
+            {
+                "clip_id": cid,
+                "bytes": wrap_wav(np.concatenate(parts), sr, "pcm16"),
+                "transcript": " ".join(
+                    f"w{j}" for j in range(n_seg)
+                ),
+            }
+        )
+        expected[cid] = starts
+    df = spark.createDataFrame(rows).repartition(8)
+    al = align_energy(df)
+    got = al.collect()
+    by_clip: dict = {}
+    for r in got:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    assert len(by_clip) == 40
+    for cid, rs in by_clip.items():
+        rs.sort(key=lambda r: r["pos"])
+        exp = expected[cid]
+        assert len(rs) == len(exp), f"{cid}: word count"
+        for r, (a, b) in zip(rs, exp):
+            assert r["n_spans"] == len(exp), (cid, r)
+            assert (r["t_start_ms"], r["t_end_ms"]) == (a, b), (
+                f"{cid} pos {r['pos']}: got "
+                f"({r['t_start_ms']},{r['t_end_ms']}) want ({a},{b})"
+            )
+    return (
+        al.groupBy("clip_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.max("n_spans").alias("n_spans"),
+            F.min("t_start_ms").alias("first_start_ms"),
+            F.max("t_end_ms").alias("last_end_ms"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking (RAG/long-doc layout): 24-token windows
     advancing by 18 so sf docs (~40 tokens) produce several overlapping
@@ -3939,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "transcript_align_uniform": _q_transcript_align,
+        "transcript_align_energy": _q_transcript_align_energy,
         "segment_revenue": _q_segment_revenue,
         "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
         "lh_sorted_scan": _q_lh_sorted_scan,

@@ -1406,6 +1406,50 @@ SEGMENTS_TYPE = T.StructType(
 )
 
 
+def voiced_spans(
+    x: np.ndarray,
+    sr: int,
+    *,
+    threshold_db: float = -40.0,
+    frame_ms: int = 20,
+    min_silence_ms: int = 100,
+) -> list:
+    """Energy-VAD voiced spans of one decoded clip, as FRAME index
+    pairs [lo, hi) (frame = ``frame_ms`` of audio; silence runs shorter
+    than ``min_silence_ms`` are bridged). The per-clip kernel shared by
+    ``split_on_silence_clips`` and ``transcripts.align_energy``."""
+    hop = max(1, int(sr * frame_ms / 1000))
+    n_frames = (len(x) + hop - 1) // hop
+    if n_frames == 0:
+        return []
+    min_sil_frames = max(1, int(round(min_silence_ms / frame_ms)))
+    padded = np.zeros(n_frames * hop, dtype=np.float64)
+    padded[: len(x)] = x
+    rms = np.sqrt((padded.reshape(n_frames, hop) ** 2).mean(axis=1))
+    with np.errstate(divide="ignore"):
+        loud = 20.0 * np.log10(rms) >= threshold_db
+    # voiced spans separated by >= min_sil_frames silent frames
+    edges = np.flatnonzero(np.diff(loud.astype(np.int8)))
+    bounds = np.concatenate(([0], edges + 1, [n_frames]))
+    spans, cur = [], None
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if loud[lo]:
+            if cur is None:
+                cur = [lo, hi]
+            else:
+                cur[1] = hi
+        else:
+            gap = hi - lo
+            if cur is not None and gap >= min_sil_frames:
+                spans.append(cur)
+                cur = None
+            # short gap: bridged, next voiced span extends cur
+    if cur is not None:
+        spans.append(cur)
+    return spans
+
+
 def split_on_silence_clips(
     df,
     threshold_db: float = -40.0,
@@ -1428,7 +1472,6 @@ def split_on_silence_clips(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .synth import wrap_wav
 
-        min_sil_frames = max(1, int(round(min_silence_ms / frame_ms)))
         for pdf in batches:
             out = {k.name: [] for k in SEGMENTS_TYPE.fields}
             for cid, b in zip(pdf[id_col], pdf[bytes_col]):
@@ -1437,35 +1480,12 @@ def split_on_silence_clips(
                 except (ValueError, struct.error):
                     continue
                 hop = max(1, int(sr * frame_ms / 1000))
-                n_frames = (len(x) + hop - 1) // hop
-                if n_frames == 0:
-                    continue
-                padded = np.zeros(n_frames * hop, dtype=np.float64)
-                padded[: len(x)] = x
-                rms = np.sqrt(
-                    (padded.reshape(n_frames, hop) ** 2).mean(axis=1)
+                spans = voiced_spans(
+                    x, sr,
+                    threshold_db=threshold_db,
+                    frame_ms=frame_ms,
+                    min_silence_ms=min_silence_ms,
                 )
-                with np.errstate(divide="ignore"):
-                    loud = 20.0 * np.log10(rms) >= threshold_db
-                # voiced spans separated by >= min_sil_frames silent frames
-                edges = np.flatnonzero(np.diff(loud.astype(np.int8)))
-                bounds = np.concatenate(([0], edges + 1, [n_frames]))
-                spans, cur = [], None
-                for i in range(len(bounds) - 1):
-                    lo, hi = int(bounds[i]), int(bounds[i + 1])
-                    if loud[lo]:
-                        if cur is None:
-                            cur = [lo, hi]
-                        else:
-                            cur[1] = hi
-                    else:
-                        gap = hi - lo
-                        if cur is not None and gap >= min_sil_frames:
-                            spans.append(cur)
-                            cur = None
-                        # short gap: bridged, next voiced span extends cur
-                if cur is not None:
-                    spans.append(cur)
                 seg_idx = 0
                 for lo_f, hi_f in spans:
                     a, z = lo_f * hop, min(len(x), hi_f * hop)

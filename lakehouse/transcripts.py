@@ -201,6 +201,124 @@ def align_uniform(
     )
 
 
+ALIGN_ENERGY_TYPE = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("word", T.StringType()),
+        T.StructField("t_start_ms", T.LongType()),
+        T.StructField("t_end_ms", T.LongType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("n_spans", T.IntegerType()),
+    ]
+)
+
+
+def align_energy(
+    df: DataFrame,
+    *,
+    transcript_col: str = "transcript",
+    bytes_col: str = "bytes",
+    id_col: str = "clip_id",
+    threshold_db: float = -40.0,
+    frame_ms: int = 20,
+    min_silence_ms: int = 100,
+) -> DataFrame:
+    """Energy-guided forced alignment: word windows are confined to the
+    clip's energy-VAD voiced spans, so silence never sits inside a word
+    window — the deterministic refinement of :func:`align_uniform`
+    (still no acoustic model in this container; a real CTC aligner
+    would emit the same (id, pos, word, t_start, t_end) shape).
+
+    Allocation: words distribute across voiced spans proportionally to
+    span duration (largest-remainder rounding, index tie-break —
+    deterministic), then uniformly inside their span with the same
+    exact integer arithmetic as ``align_uniform``. When the clip has
+    exactly one voiced span per word — clean read-speech with pauses —
+    every word window IS its span (the planted-gap gate asserts this
+    exactly). Clips with no voiced span fall back to uniform alignment
+    over the full duration (span_idx = -1).
+
+    One ``mapInPandas`` pass: per-clip numpy VAD + integer window
+    arithmetic; the word fan-out stays map-side (no shuffle). Windows
+    within a clip are monotonic and word count is conserved (gated).
+    """
+
+    def gen(batches):
+        from .audio import decode_wav, voiced_spans
+
+        for pdf in batches:
+            out = {f.name: [] for f in ALIGN_ENERGY_TYPE.fields}
+
+            def emit(cid, pos, word, a, b, sidx, m):
+                out["clip_id"].append(cid)
+                out["pos"].append(pos)
+                out["word"].append(word)
+                out["t_start_ms"].append(int(a))
+                out["t_end_ms"].append(int(b))
+                out["span_idx"].append(sidx)
+                out["n_spans"].append(m)
+
+            for cid, raw, text in zip(
+                pdf[id_col], pdf[bytes_col], pdf[transcript_col]
+            ):
+                words = (text or "").split(" ")
+                n = len(words)
+                try:
+                    sr, x = decode_wav(raw)
+                except Exception:
+                    sr, x = None, None
+                dur_ms = (
+                    int(round(1000 * len(x) / sr)) if sr else 0
+                )
+                spans = (
+                    voiced_spans(
+                        x, sr,
+                        threshold_db=threshold_db,
+                        frame_ms=frame_ms,
+                        min_silence_ms=min_silence_ms,
+                    )
+                    if sr
+                    else []
+                )
+                if not spans:  # uniform fallback over [0, dur)
+                    for i, w in enumerate(words):
+                        emit(cid, i, w, dur_ms * i // n,
+                             dur_ms * (i + 1) // n, -1, 0)
+                    continue
+                # frame spans -> ms spans
+                ms = [
+                    (lo * frame_ms, min(hi * frame_ms, dur_ms))
+                    for lo, hi in spans
+                ]
+                lens = np.array([b - a for a, b in ms], dtype=np.float64)
+                total = lens.sum()
+                # largest-remainder proportional allocation of n words
+                raw_q = n * lens / total
+                k = np.floor(raw_q).astype(np.int64)
+                rem = int(n - k.sum())
+                if rem > 0:
+                    order = np.argsort(
+                        -(raw_q - k) + np.arange(len(k)) * 1e-12
+                    )
+                    k[order[:rem]] += 1
+                pos = 0
+                for sidx, ((a, b), ki) in enumerate(zip(ms, k)):
+                    for j in range(int(ki)):
+                        emit(
+                            cid, pos, words[pos],
+                            a + (b - a) * j // ki,
+                            a + (b - a) * (j + 1) // ki,
+                            sidx, len(ms),
+                        )
+                        pos += 1
+            yield pd.DataFrame(out, columns=ALIGN_ENERGY_TYPE.names)
+
+    return df.select(id_col, bytes_col, transcript_col).mapInPandas(
+        gen, ALIGN_ENERGY_TYPE
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 

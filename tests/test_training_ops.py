@@ -1351,3 +1351,88 @@ def test_split_leakage_audit(spark, oracle):
     assert_matches_oracle(
         out, oracle, split_leakage_oracle_sql(seed=7, threshold=0.05)
     )
+
+
+def _gapped_clip(spark, cid, seg_ms, gap_ms=200, sr=16000):
+    """One WAV of len(seg_ms) tones separated by silences (planted
+    word boundaries at exact frame multiples)."""
+    import numpy as np
+
+    from lakehouse.synth import wrap_wav
+
+    parts = []
+    for i, ms in enumerate(seg_ms):
+        t = np.arange(int(sr * ms / 1000)) / sr
+        parts.append(
+            (0.6 * np.sin(2 * np.pi * (300 + 100 * i) * t)).astype(
+                np.float32
+            )
+        )
+        if i < len(seg_ms) - 1:
+            parts.append(np.zeros(int(sr * gap_ms / 1000), np.float32))
+    x = np.concatenate(parts)
+    return {
+        "clip_id": cid,
+        "bytes": wrap_wav(x, sr, "pcm16"),
+        "transcript": " ".join(f"w{i}" for i in range(len(seg_ms))),
+    }
+
+
+def test_align_energy_exact_on_planted_gaps(spark):
+    """One voiced span per word: every word window IS its planted
+    span (silence never inside a word window)."""
+    from lakehouse.transcripts import align_energy
+
+    seg_ms = [300, 400, 300]
+    gap = 200
+    df = spark.createDataFrame([_gapped_clip(spark, "c0", seg_ms, gap)])
+    rows = align_energy(df).orderBy("pos").collect()
+    assert [r["word"] for r in rows] == ["w0", "w1", "w2"]
+    assert all(r["n_spans"] == 3 for r in rows)
+    # planted boundaries (frame-quantized to 20 ms => exact)
+    starts = [0, seg_ms[0] + gap, seg_ms[0] + gap + seg_ms[1] + gap]
+    for r, s, d in zip(rows, starts, seg_ms):
+        assert r["span_idx"] == r["pos"]
+        assert r["t_start_ms"] == s, (r, s)
+        assert r["t_end_ms"] == s + d, (r, d)
+
+
+def test_align_energy_many_words_stay_inside_spans(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.transcripts import align_energy
+
+    rec = _gapped_clip(spark, "c1", [600, 400])
+    rec["transcript"] = "a b c d e"  # 5 words over 2 spans
+    df = spark.createDataFrame([rec])
+    rows = align_energy(df).orderBy("pos").collect()
+    assert len(rows) == 5
+    # proportional allocation: 3 words in the 600 ms span, 2 in 400 ms
+    assert [r["span_idx"] for r in rows] == [0, 0, 0, 1, 1]
+    # monotonic, non-empty, and confined to the voiced spans
+    spans = {0: (0, 600), 1: (800, 1200)}
+    prev_end = 0
+    for r in rows:
+        a, b = spans[r["span_idx"]]
+        assert a <= r["t_start_ms"] < r["t_end_ms"] <= b
+        assert r["t_start_ms"] >= prev_end - 1
+        prev_end = r["t_end_ms"]
+    # window union covers each span exactly
+    assert rows[0]["t_start_ms"] == 0 and rows[2]["t_end_ms"] == 600
+    assert rows[3]["t_start_ms"] == 800 and rows[4]["t_end_ms"] == 1200
+
+
+def test_align_energy_silent_clip_falls_back_to_uniform(spark):
+    import numpy as np
+
+    from lakehouse.synth import wrap_wav
+    from lakehouse.transcripts import align_energy
+
+    x = np.zeros(16000, np.float32)  # 1 s of silence
+    df = spark.createDataFrame(
+        [{"clip_id": "s", "bytes": wrap_wav(x, 16000, "pcm16"),
+          "transcript": "a b"}]
+    )
+    rows = align_energy(df).orderBy("pos").collect()
+    assert [(r["t_start_ms"], r["t_end_ms"], r["span_idx"])
+            for r in rows] == [(0, 500, -1), (500, 1000, -1)]
