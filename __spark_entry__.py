@@ -3733,6 +3733,81 @@ def _q_lh_webdataset_export(spark, sf_dir):
     ).orderBy("shard")
 
 
+def _q_lh_cdc_replication(spark, sf_dir):
+    """Lakehouse-to-lakehouse replication = CDC stream + the
+    ``replicate_batch`` sink (lakehouse/streaming.py) — the composition
+    Delta documents as CDF + foreachBatch + MERGE, here end-to-end
+    through the registered format. The source ingests the events corpus
+    in three appends, MoR-upserts every event_id % 7 == 0 row (value
+    doubled) and MoR-deletes every event_id % 10 == 0 row; the mirror
+    is maintained purely from the change stream across TWO checkpointed
+    drains. In-builder asserts: mirror rows ≡ source rows exactly after
+    each drain (exceptAll both ways), replayed drains commit nothing.
+    Returns the mirror's per-type rollup; the DuckDB oracle derives the
+    same final state from the churn rules alone."""
+    from lakehouse import Table
+    from lakehouse.datasource import register
+    from lakehouse.streaming import replicate_batch
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_cdc_repl_")
+    src = Table.create(spark, os.path.join(root, "src"), ev.schema)
+    for i in range(3):
+        src.append(ev.filter(F.col("event_id") % 3 == i),
+                   target_file_count=2)
+    dst = Table.create(spark, os.path.join(root, "dst"), ev.schema)
+    sink = replicate_batch(dst, key="event_id")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("changes", "true")
+            .option("start", "beginning")
+            .load(src.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def assert_mirror():
+        a, b = src.scan(), dst.scan()
+        assert a.exceptAll(b).count() == 0, "mirror has missing rows"
+        assert b.exceptAll(a).count() == 0, "mirror has extra rows"
+
+    drain()
+    assert_mirror()
+    src.merge(
+        ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        mode="mor",
+        key="event_id",
+    )
+    src.delete("event_id % 10 = 0", mode="mor", key="event_id")
+    drain()  # checkpointed restart picks up ONLY the two mutations
+    assert_mirror()
+    n_snaps = len(dst.snapshots())
+    drain()  # replay: batch-id idempotency must commit nothing
+    assert len(dst.snapshots()) == n_snaps, "replayed batch re-applied"
+    assert_mirror()
+
+    return (
+        dst.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -4004,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_qc_detection": _q_audio_qc_detection,
         "lh_asr_pipeline": _q_lh_asr_pipeline,
         # --- tail: variants + the rest (replica-checked) -------------
+        "lh_cdc_replication": _q_lh_cdc_replication,
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
         "unigram_logprob": _q_unigram_logprob,
@@ -4473,6 +4549,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'insert', COUNT(*), CAST(SUM(event_id) AS BIGINT)
             FROM ins
             ORDER BY change_type
+        """,
+        "lh_cdc_replication": """
+            -- the mirror's final state from the churn rules alone:
+            -- %7 rows carry the doubled value, %10 rows are gone
+            WITH final AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 7 = 0 THEN value * 2
+                            ELSE value END AS value
+                FROM events WHERE event_id % 10 <> 0
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM final GROUP BY 1 ORDER BY 1
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -197,6 +197,56 @@ def append_with_transform_batch(
     return _inner
 
 
+def replicate_batch(
+    dst, *, key: str = "clip_id", target_file_count: Optional[int] = None
+):
+    """foreachBatch callback for the CDC stream (``readStream
+    .option("changes", "true")``): apply one micro-batch of tagged
+    change rows to a MIRROR table — lakehouse-to-lakehouse replication,
+    the composition Delta documents as CDF + foreachBatch + MERGE.
+
+    The batch folds to its NET effect per key first (latest change by
+    ``_commit_snapshot_id`` wins; within one commit the insert
+    post-image outranks the delete pre-image, so an upsert pair nets to
+    the new row), then lands as ONE merge-on-read commit — deletes ride
+    the merge source's op column, so the eq-delete file and the
+    appended rows share a snapshot and the batch id stamps atomically
+    WITH the data: a replayed batch after a crash is skipped whole,
+    never half-applied. Cost per batch is O(changes): zero target
+    reads (MoR merge), no payload ever shuffles twice.
+    """
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(dst):
+            return
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(
+            F.desc("_commit_snapshot_id"), F.desc("_change_type")
+        )
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        src = last.withColumn(
+            "op",
+            F.when(
+                F.col("_change_type") == "delete", F.lit("delete")
+            ).otherwise(F.lit("upsert")),
+        ).drop("_change_type", "_commit_snapshot_id", "__rn")
+        dst.merge(
+            src,
+            mode="mor",
+            key=key,
+            target_file_count=target_file_count,
+            extra_summary={"stream_batch_id": int(batch_id)},
+        )
+
+    return _inner
+
+
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split on vectorized audio validation.
 

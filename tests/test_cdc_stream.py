@@ -196,3 +196,62 @@ def test_checkpoint_restart_resumes_cdc(spark, cdc_table, tmp_path):
     assert got.filter(F.col("_change_type") == "delete").count() == n_dead
     # idempotent: nothing new -> nothing re-emitted
     assert drain().count() == got.count()
+
+
+def test_cdc_replication_mirrors_the_source(spark, cdc_table, tmp_path):
+    """CDC stream + replicate_batch = lakehouse-to-lakehouse
+    replication: the mirror's logical rows equal the source's after
+    every drain, through appends, MoR upserts and deletes, across
+    checkpointed restarts."""
+    from lakehouse.streaming import replicate_batch
+
+    src = cdc_table
+    dst = Table.create(spark, str(tmp_path / "mirror"), CLIPS_SCHEMA)
+    ckpt = str(tmp_path / "repl_ckpt")
+    sink = replicate_batch(dst)
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("changes", "true")
+            .option("start", "beginning")
+            .load(src.root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def assert_mirror():
+        a, b = src.scan(), dst.scan()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    drain()
+    assert_mirror()
+
+    # churn: upsert 10 keys + insert 5 new + delete 8, then replicate
+    keys = [r[0] for r in src.scan().select("clip_id").limit(10).collect()]
+    upd = (
+        src.scan()
+        .filter(F.col("clip_id").isin(keys))
+        .withColumn("transcript", F.lit("v2"))
+    )
+    src.merge(
+        upd.unionByName(
+            synth_clips_df(spark, 5, start=700, seed=33, n_days=1)
+        ),
+        mode="mor",
+    )
+    src.delete("dur_ms < 700", mode="mor-pos")
+    drain()
+    assert_mirror()
+    assert (
+        dst.scan().filter(F.col("transcript") == "v2").count() == 10
+    )
+    # replay: nothing new, mirror unchanged (batch-id idempotency)
+    n_snaps = len(dst.snapshots())
+    drain()
+    assert len(dst.snapshots()) == n_snaps
+    assert_mirror()
