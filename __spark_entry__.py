@@ -719,6 +719,68 @@ def _q_transcript_align_energy(spark, sf_dir):
     )
 
 
+def _q_audio_data_card(spark, sf_dir):
+    """Audio corpus data card (lakehouse/audio.py profile_clips): the
+    dataset-documentation artifact a training corpus ships with
+    (Datasheets for Datasets) — one decode pass to five floats per
+    clip, then one aggregate + two breakdowns over the narrow persisted
+    frame (payloads never reach an exchange). Self-verifying: planted
+    defects (2 hard-clipped clips, 3 DC-biased, 4 empty transcripts in
+    a 100-clip corpus) must surface at EXACTLY their planted rates, the
+    codec/sr breakdowns must conserve the corpus, and hours must equal
+    metadata arithmetic."""
+    import numpy as np
+
+    from lakehouse.audio import profile_clips, shift_dc_clips
+    from lakehouse.synth import synth_clips_df, wrap_wav
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    base = synth_clips_df(spark, 91, seed=79, n_days=2).select(cols)
+    # planted defects (deterministic)
+    t = np.arange(16000) / 16000
+    clipped = np.clip(3.0 * np.sin(2 * np.pi * 180 * t), -1, 1).astype(
+        np.float32
+    )
+    extra = spark.createDataFrame(
+        [
+            {
+                "clip_id": f"planted-{i:02d}",
+                "bytes": wrap_wav(clipped, 16000, "pcm16"),
+                "sr_hz": 16000,
+                "dur_ms": 1000,
+                "codec": "pcm16",
+                "transcript": "",
+            }
+            for i in range(2)
+        ]
+    ).select(cols)
+    dc = shift_dc_clips(
+        synth_clips_df(spark, 3, start=500, seed=80, n_days=1), 0.12
+    ).select(cols)
+    empties = (
+        synth_clips_df(spark, 4, start=600, seed=81, n_days=1)
+        .withColumn("transcript", F.lit(""))
+        .select(cols)
+    )
+    df = base.unionByName(extra).unionByName(dc).unionByName(empties)
+    card_df = profile_clips(df)
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in card_df.collect()
+    }
+    n = 100.0
+    assert card[("corpus", "n_clips")] == n
+    assert card[("corpus", "decode_fail_rate")] == 0.0
+    assert abs(card[("audio", "clipping_rate")] - 2 / n) < 1e-9, card
+    assert abs(card[("audio", "dc_offset_rate")] - 3 / n) < 1e-9, card
+    assert abs(card[("transcript", "empty_rate")] - 6 / n) < 1e-9, card
+    exp_hours = df.agg(F.sum("dur_ms")).collect()[0][0] / 3.6e6
+    assert abs(card[("corpus", "total_hours")] - exp_hours) < 1e-9
+    assert sum(v for (s, _), v in card.items() if s == "codec") == n
+    assert sum(v for (s, _), v in card.items() if s == "sr_hz") == n
+    return card_df
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking (RAG/long-doc layout): 24-token windows
     advancing by 18 so sf docs (~40 tokens) produce several overlapping
@@ -4091,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "transcript_align_uniform": _q_transcript_align,
         "transcript_align_energy": _q_transcript_align_energy,
+        "audio_data_card": _q_audio_data_card,
         "segment_revenue": _q_segment_revenue,
         "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
         "lh_sorted_scan": _q_lh_sorted_scan,

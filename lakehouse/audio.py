@@ -2461,3 +2461,123 @@ def mix_noise_clips(
         F.col("__m.dur_ms").alias("dur_ms"),
         F.lit("pcm16").alias("codec"),
     )
+
+
+PROFILE_CLIPS_TYPE = T.StructType(
+    [
+        T.StructField("section", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def profile_clips(
+    df,
+    *,
+    bytes_col: str = "bytes",
+    transcript_col: str = "transcript",
+    clipping_threshold: float = 0.002,
+    dc_threshold: float = 0.02,
+) -> "DataFrame":
+    """Audio corpus data card: one long-format stat frame (section,
+    metric, value) — the audio twin of ``profile.profile_columns`` and
+    the dataset-documentation artifact a training corpus ships with
+    (cf. "Datasheets for Datasets", Gebru et al. 2021).
+
+    Sections: ``corpus`` (clip count, total hours, decode health),
+    ``codec`` / ``sr_hz`` (breakdowns, one row per distinct value),
+    ``duration_ms`` (min/mean/median/max), ``audio`` (QC rates from the
+    one-decode-pass feature screen: clipping, DC bias, mean silence
+    ratio, mean peak), ``transcript`` (token stats, empty rate, mean
+    speaking rate in tokens/sec).
+
+    Scale shape: ONE Arrow decode pass projects each clip to five
+    floats; the persisted narrow frame (rows × ~6 doubles — payloads
+    dropped before any aggregation) then feeds one global aggregate and
+    two small groupBys. Long format keeps the schema fixed, so cards
+    append to a lakehouse table and diff run-over-run.
+    """
+    from pyspark import StorageLevel
+
+    feats = df.select(
+        F.col("codec"),
+        F.col("sr_hz"),
+        F.col("dur_ms").cast("double").alias("dur_ms"),
+        F.size(F.split(F.col(transcript_col), " ")).cast("double").alias(
+            "_tok"
+        ),
+        (F.col(transcript_col).isNull()
+         | (F.length(transcript_col) == 0)).cast("double").alias("_empty"),
+        audio_features_ext(F.col(bytes_col)).alias("_a"),
+    ).select(
+        "codec", "sr_hz", "dur_ms", "_tok", "_empty", "_a.*"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        g = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dur_ms").alias("dur_sum"),
+            F.min("dur_ms").alias("dur_min"),
+            F.avg("dur_ms").alias("dur_mean"),
+            F.expr("percentile(dur_ms, 0.5)").alias("dur_median"),
+            F.max("dur_ms").alias("dur_max"),
+            F.avg(F.col("peak").isNull().cast("double")).alias(
+                "decode_fail_rate"
+            ),
+            F.avg(
+                (F.col("clipping_ratio") > clipping_threshold)
+                .cast("double")
+            ).alias("clipping_rate"),
+            F.avg(
+                (F.abs(F.col("dc_offset")) > dc_threshold).cast("double")
+            ).alias("dc_offset_rate"),
+            F.avg("silence_ratio").alias("mean_silence_ratio"),
+            F.avg("peak").alias("mean_peak"),
+            F.avg("_tok").alias("tok_mean"),
+            F.avg("_empty").alias("empty_rate"),
+            F.avg(
+                F.when(F.col("dur_ms") > 0,
+                       F.col("_tok") / (F.col("dur_ms") / 1000.0))
+            ).alias("tok_per_sec_mean"),
+        ).collect()[0]  # one row of corpus-wide scalars
+        rows = [
+            ("corpus", "n_clips", float(g["n"])),
+            ("corpus", "total_hours", float(g["dur_sum"] or 0) / 3.6e6),
+            ("corpus", "decode_fail_rate", float(g["decode_fail_rate"])),
+            ("duration_ms", "min", g["dur_min"]),
+            ("duration_ms", "mean", g["dur_mean"]),
+            ("duration_ms", "median", g["dur_median"]),
+            ("duration_ms", "max", g["dur_max"]),
+            ("audio", "clipping_rate", g["clipping_rate"]),
+            ("audio", "dc_offset_rate", g["dc_offset_rate"]),
+            ("audio", "mean_silence_ratio", g["mean_silence_ratio"]),
+            ("audio", "mean_peak", g["mean_peak"]),
+            ("transcript", "mean_tokens", g["tok_mean"]),
+            ("transcript", "empty_rate", g["empty_rate"]),
+            ("transcript", "tokens_per_sec_mean", g["tok_per_sec_mean"]),
+        ]
+        spark = df.sparkSession
+        scalars = spark.createDataFrame(
+            [
+                {"section": s, "metric": m,
+                 "value": None if v is None else float(v)}
+                for s, m, v in rows
+            ],
+            schema=PROFILE_CLIPS_TYPE,
+        )
+        breakdowns = (
+            feats.groupBy(F.lit("codec").alias("section"),
+                          F.col("codec").alias("metric"))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .unionByName(
+                feats.groupBy(
+                    F.lit("sr_hz").alias("section"),
+                    F.col("sr_hz").cast("string").alias("metric"),
+                ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+            )
+        )
+        return scalars.unionByName(breakdowns).orderBy(
+            "section", "metric"
+        ).localCheckpoint()
+    finally:
+        feats.unpersist()

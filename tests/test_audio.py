@@ -1297,3 +1297,50 @@ def test_mix_noise_clips_snr_and_fallback(spark):
         ).collect()
     }
     assert {r.clip_id: bytes(r.bytes) for r in out.collect()} == again
+
+
+def test_profile_clips_data_card(spark):
+    import numpy as np
+
+    from lakehouse.audio import profile_clips
+    from lakehouse.synth import synth_clips_df, wrap_wav
+
+    base = synth_clips_df(spark, 30, seed=71, n_days=1)
+    # plant: one hard-clipped clip, one empty transcript, one mu-law
+    t = np.arange(16000) / 16000
+    clipped = np.clip(
+        3.0 * np.sin(2 * np.pi * 200 * t), -1, 1
+    ).astype(np.float32)
+    extra = spark.createDataFrame(
+        [
+            {
+                "clip_id": "planted-clip",
+                "bytes": wrap_wav(clipped, 16000, "pcm16"),
+                "sr_hz": 16000,
+                "dur_ms": 1000,
+                "codec": "pcm16",
+                "transcript": "",
+            }
+        ]
+    )
+    df = base.select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    ).unionByName(extra)
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in profile_clips(df).collect()
+    }
+    assert card[("corpus", "n_clips")] == 31.0
+    assert card[("corpus", "decode_fail_rate")] == 0.0
+    exp_hours = (
+        df.agg({"dur_ms": "sum"}).collect()[0][0] / 3.6e6
+    )
+    assert abs(card[("corpus", "total_hours")] - exp_hours) < 1e-9
+    # planted defects show in the rates, exactly 1/31 each
+    assert abs(card[("audio", "clipping_rate")] - 1 / 31) < 1e-9
+    assert abs(card[("transcript", "empty_rate")] - 1 / 31) < 1e-9
+    # breakdowns account for every clip
+    codec_total = sum(v for (s, _), v in card.items() if s == "codec")
+    sr_total = sum(v for (s, _), v in card.items() if s == "sr_hz")
+    assert codec_total == 31.0 and sr_total == 31.0
+    assert card[("duration_ms", "max")] >= card[("duration_ms", "median")]
