@@ -690,17 +690,85 @@ def crop_clips(
     )
 
 
+WORD_CROP_ENERGY_TYPE = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("word", T.StringType()),
+        T.StructField("t_start_ms", T.LongType()),
+        T.StructField("t_end_ms", T.LongType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
 def word_crop_examples(
     df,
     id_col: str = "clip_id",
     transcript_col: str = "transcript",
+    alignment: str = "uniform",
+    **vad_kw,
 ):
-    """ASR training-example extractor: align words uniformly
-    (`transcripts.align_uniform` arithmetic), then crop each word's
-    audio window — one row per (clip, word) carrying its OWN payload.
-    The posexplode fan-out keeps the clip bytes on every word row (no
-    join) and the crop is one Arrow pass: the whole extractor is a
-    map — zero shuffles at any corpus size."""
+    """ASR training-example extractor: align words, then crop each
+    word's audio window — one row per (clip, word) carrying its OWN
+    payload. Both modes are pure maps (zero shuffles at any corpus
+    size).
+
+    ``alignment="uniform"``: `transcripts.align_uniform` arithmetic via
+    posexplode (bytes stay on every word row, crop is one Arrow pass).
+    ``alignment="energy"``: silence-aware windows confined to energy-VAD
+    voiced spans (`transcripts.energy_word_windows`, same kernel as
+    `align_energy`) — alignment AND crop share ONE decode per clip
+    (the uniform path decodes once per word row), and each row keeps
+    its ``span_idx`` lineage; ``vad_kw`` forwards threshold_db /
+    frame_ms / min_silence_ms.
+    """
+    if alignment == "energy":
+        from .transcripts import energy_word_windows
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .synth import wrap_wav
+
+            for pdf in batches:
+                out = {f.name: [] for f in WORD_CROP_ENERGY_TYPE.fields}
+                for cid, raw, text in zip(
+                    pdf[id_col], pdf["bytes"], pdf[transcript_col]
+                ):
+                    try:
+                        sr, x = decode_wav(raw)
+                    except (ValueError, struct.error):
+                        continue
+                    for (pos, word, a, b, sidx, _m) in energy_word_windows(
+                        x, sr, text, **vad_kw
+                    ):
+                        lo = min(len(x), max(0, int(sr * a / 1000)))
+                        hi = min(len(x), max(lo, int(sr * b / 1000)))
+                        y = x[lo:hi]
+                        out["clip_id"].append(cid)
+                        out["pos"].append(pos)
+                        out["word"].append(word)
+                        out["t_start_ms"].append(int(a))
+                        out["t_end_ms"].append(int(b))
+                        out["span_idx"].append(sidx)
+                        out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+                        out["sr_hz"].append(sr)
+                        out["dur_ms"].append(
+                            int(round(1000 * len(y) / sr))
+                        )
+                        out["codec"].append("pcm16")
+                yield pd.DataFrame(
+                    out, columns=WORD_CROP_ENERGY_TYPE.names
+                )
+
+        return df.select(id_col, "bytes", transcript_col).mapInPandas(
+            gen, WORD_CROP_ENERGY_TYPE
+        )
+    if alignment != "uniform":
+        raise ValueError(f"unknown alignment mode: {alignment!r}")
     words = df.select(
         F.col(id_col),
         F.col("bytes"),

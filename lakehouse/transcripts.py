@@ -245,78 +245,96 @@ def align_energy(
     """
 
     def gen(batches):
-        from .audio import decode_wav, voiced_spans
+        from .audio import decode_wav
 
         for pdf in batches:
             out = {f.name: [] for f in ALIGN_ENERGY_TYPE.fields}
-
-            def emit(cid, pos, word, a, b, sidx, m):
-                out["clip_id"].append(cid)
-                out["pos"].append(pos)
-                out["word"].append(word)
-                out["t_start_ms"].append(int(a))
-                out["t_end_ms"].append(int(b))
-                out["span_idx"].append(sidx)
-                out["n_spans"].append(m)
-
             for cid, raw, text in zip(
                 pdf[id_col], pdf[bytes_col], pdf[transcript_col]
             ):
-                words = (text or "").split(" ")
-                n = len(words)
                 try:
                     sr, x = decode_wav(raw)
                 except Exception:
                     sr, x = None, None
-                dur_ms = (
-                    int(round(1000 * len(x) / sr)) if sr else 0
-                )
-                spans = (
-                    voiced_spans(
-                        x, sr,
-                        threshold_db=threshold_db,
-                        frame_ms=frame_ms,
-                        min_silence_ms=min_silence_ms,
-                    )
-                    if sr
-                    else []
-                )
-                if not spans:  # uniform fallback over [0, dur)
-                    for i, w in enumerate(words):
-                        emit(cid, i, w, dur_ms * i // n,
-                             dur_ms * (i + 1) // n, -1, 0)
-                    continue
-                # frame spans -> ms spans
-                ms = [
-                    (lo * frame_ms, min(hi * frame_ms, dur_ms))
-                    for lo, hi in spans
-                ]
-                lens = np.array([b - a for a, b in ms], dtype=np.float64)
-                total = lens.sum()
-                # largest-remainder proportional allocation of n words
-                raw_q = n * lens / total
-                k = np.floor(raw_q).astype(np.int64)
-                rem = int(n - k.sum())
-                if rem > 0:
-                    order = np.argsort(
-                        -(raw_q - k) + np.arange(len(k)) * 1e-12
-                    )
-                    k[order[:rem]] += 1
-                pos = 0
-                for sidx, ((a, b), ki) in enumerate(zip(ms, k)):
-                    for j in range(int(ki)):
-                        emit(
-                            cid, pos, words[pos],
-                            a + (b - a) * j // ki,
-                            a + (b - a) * (j + 1) // ki,
-                            sidx, len(ms),
-                        )
-                        pos += 1
+                for (pos, word, a, b, sidx, m) in energy_word_windows(
+                    x, sr, text,
+                    threshold_db=threshold_db,
+                    frame_ms=frame_ms,
+                    min_silence_ms=min_silence_ms,
+                ):
+                    out["clip_id"].append(cid)
+                    out["pos"].append(pos)
+                    out["word"].append(word)
+                    out["t_start_ms"].append(int(a))
+                    out["t_end_ms"].append(int(b))
+                    out["span_idx"].append(sidx)
+                    out["n_spans"].append(m)
             yield pd.DataFrame(out, columns=ALIGN_ENERGY_TYPE.names)
 
     return df.select(id_col, bytes_col, transcript_col).mapInPandas(
         gen, ALIGN_ENERGY_TYPE
     )
+
+
+def energy_word_windows(
+    x,
+    sr,
+    text,
+    *,
+    threshold_db: float = -40.0,
+    frame_ms: int = 20,
+    min_silence_ms: int = 100,
+) -> list:
+    """Per-clip kernel of :func:`align_energy`: (pos, word, t_start_ms,
+    t_end_ms, span_idx, n_spans) tuples for one decoded clip. Shared
+    with ``audio.word_crop_examples(alignment="energy")`` so alignment
+    and cropping happen in ONE decode pass there."""
+    from .audio import voiced_spans
+
+    words = (text or "").split(" ")
+    n = len(words)
+    dur_ms = int(round(1000 * len(x) / sr)) if sr else 0
+    spans = (
+        voiced_spans(
+            x, sr,
+            threshold_db=threshold_db,
+            frame_ms=frame_ms,
+            min_silence_ms=min_silence_ms,
+        )
+        if sr
+        else []
+    )
+    out = []
+    if not spans:  # uniform fallback over [0, dur)
+        for i, w in enumerate(words):
+            out.append(
+                (i, w, dur_ms * i // n, dur_ms * (i + 1) // n, -1, 0)
+            )
+        return out
+    # frame spans -> ms spans
+    ms = [(lo * frame_ms, min(hi * frame_ms, dur_ms)) for lo, hi in spans]
+    lens = np.array([b - a for a, b in ms], dtype=np.float64)
+    total = lens.sum()
+    # largest-remainder proportional allocation of n words
+    raw_q = n * lens / total
+    k = np.floor(raw_q).astype(np.int64)
+    rem = int(n - k.sum())
+    if rem > 0:
+        order = np.argsort(-(raw_q - k) + np.arange(len(k)) * 1e-12)
+        k[order[:rem]] += 1
+    pos = 0
+    for sidx, ((a, b), ki) in enumerate(zip(ms, k)):
+        for j in range(int(ki)):
+            out.append(
+                (
+                    pos, words[pos],
+                    a + (b - a) * j // ki,
+                    a + (b - a) * (j + 1) // ki,
+                    sidx, len(ms),
+                )
+            )
+            pos += 1
+    return out
 
 
 # ---------------------------------------------------------------------------

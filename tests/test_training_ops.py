@@ -1436,3 +1436,27 @@ def test_align_energy_silent_clip_falls_back_to_uniform(spark):
     rows = align_energy(df).orderBy("pos").collect()
     assert [(r["t_start_ms"], r["t_end_ms"], r["span_idx"])
             for r in rows] == [(0, 500, -1), (500, 1000, -1)]
+
+
+def test_word_crop_energy_recovers_planted_segments(spark):
+    """Energy-aligned word crops: each word's PCM equals its planted
+    tone segment bit-for-bit (silence excluded from every crop)."""
+    import numpy as np
+
+    from lakehouse.audio import decode_wav, word_crop_examples
+
+    seg_ms, gap, sr = [300, 400, 300], 200, 16000
+    rec = _gapped_clip(spark, "c0", seg_ms, gap, sr)
+    df = spark.createDataFrame([rec])
+    rows = word_crop_examples(df, alignment="energy").orderBy(
+        "pos").collect()
+    assert len(rows) == 3
+    _, full = decode_wav(rec["bytes"])
+    starts = [0, seg_ms[0] + gap, seg_ms[0] + gap + seg_ms[1] + gap]
+    for r, s, d in zip(rows, starts, seg_ms):
+        csr, y = decode_wav(r["bytes"])
+        assert csr == sr and r["dur_ms"] == d
+        planted = full[int(sr * s / 1000): int(sr * (s + d) / 1000)]
+        assert np.array_equal(y, planted), r["word"]
+        # no silence inside the crop (planted tones are loud throughout)
+        assert float(np.mean(np.abs(y) < 0.01)) < 0.1
