@@ -310,6 +310,43 @@ def cmd_metrics(args):
     )
 
 
+def cmd_export_wds(args):
+    """WebDataset tar-shard export / incremental sync — the
+    training-loader handoff (lakehouse/webdataset.py)."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    kw = {"n_shards": args.shards}
+    if args.meta_cols:
+        kw["meta_cols"] = args.meta_cols.split(",")
+    if args.sync:
+        from lakehouse.webdataset import sync_webdataset
+
+        res = sync_webdataset(t, args.out, **kw)
+        _emit(
+            {
+                "op": "export-wds",
+                "mode": res.mode,
+                "synced_snapshot_id": res.synced_snapshot_id,
+                "dirty_shards": sorted(res.dirty_shards),
+                "removed_shards": sorted(res.removed_shards),
+                "shards": res.manifest.count(),
+            }
+        )
+        return
+    from lakehouse.webdataset import export_webdataset
+
+    man = export_webdataset(t.scan(), args.out, **kw).collect()
+    _emit(
+        {
+            "op": "export-wds",
+            "mode": "full",
+            "shards": len(man),
+            "samples": sum(r["n_samples"] for r in man),
+            "bytes": sum(r["tar_bytes"] for r in man),
+        }
+    )
+
+
 def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -891,6 +928,13 @@ def main():
     s.add_argument("--sql-filter", default=None,
                    help="SQL predicate over the metrics view, e.g. "
                         "\"operation = 'replace'\"")
+    s = sub.add_parser("export-wds")
+    t(s)
+    s.add_argument("--out", required=True)
+    s.add_argument("--shards", type=int, required=True)
+    s.add_argument("--meta-cols", default="sr_hz,dur_ms,codec")
+    s.add_argument("--sync", action="store_true",
+                   help="incremental: rewrite only key-dirty shards")
     s = sub.add_parser("stream-demo")
     t(s)
     s.add_argument("--batches", type=int, default=3)
@@ -1008,6 +1052,7 @@ def main():
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
         "metrics": cmd_metrics,
+        "export-wds": cmd_export_wds,
         "ingest-wav": cmd_ingest_wav,
         "add-files": cmd_add_files,
         "stream-demo": cmd_stream_demo,
