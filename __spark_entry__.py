@@ -1380,7 +1380,7 @@ def _q_lh_wav_dir_ingest(spark, sf_dir):
     for cid, (codec, raw, n) in originals.items():
         r = rows[cid]
         assert (r["codec"], r["sr_hz"]) == (codec, sr)
-        assert r["dur_ms"] == n * 1000 // sr
+        assert r["dur_ms"] == int(n * 1000 / sr + 0.5)  # HALF_UP like F.round
         assert bytes(r["bytes"]) == raw, "payload must survive untouched"
 
     t = Table.create(spark, os.path.join(root, "t"), CLIPS_SCHEMA)

@@ -267,7 +267,8 @@ def ingest_wav_dir(spark, path: str, *, transcripts=None, recursive=True):
         F.col("__h.sr_hz").alias("sr_hz"),
         F.when(
             F.col("__h.sr_hz") > 0,
-            (F.col("__h.n_samples") * 1000 / F.col("__h.sr_hz")).cast("int"),
+            F.round(F.col("__h.n_samples") * 1000 / F.col("__h.sr_hz"))
+            .cast("int"),
         ).alias("dur_ms"),
         F.col("__h.codec").alias("codec"),
         F.lit(None).cast("string").alias("transcript"),

@@ -596,3 +596,53 @@ def sync_webdataset(
     _commit_state(shards)
     return WdsSyncResult("incremental", head, dirty, removed,
                          _manifest_df(shards))
+
+
+def ingest_webdataset(
+    spark: SparkSession,
+    path: str,
+    *,
+    bytes_ext: str = "wav",
+    ingest_ts=None,
+) -> DataFrame:
+    """Ingest WebDataset shards back into the clips schema — the
+    inverse handoff (a corpus published for loaders re-onboards as a
+    table; composes with ``Table.append`` or ``validate_split``).
+    Header fields (sr/dur/codec) harvest from the WAV chunk headers in
+    one Arrow pass (no sample decode), exactly like ``ingest_wav_dir``;
+    transcripts come from the ``.txt`` members. Samples without a
+    payload, or with a malformed one, keep their bytes with
+    ``ingest_error`` set for quarantine routing. ``ingest_ts`` pins a
+    literal timestamp for deterministic re-ingest (default: now)."""
+    from .audio import wav_header
+
+    s = read_webdataset(spark, path, bytes_ext=bytes_ext)
+    ts = (
+        F.lit(ingest_ts).cast("timestamp")
+        if ingest_ts is not None
+        else F.current_timestamp()
+    )
+    h = s.select(
+        F.col("key").alias("clip_id"),
+        F.col("data").alias("bytes"),
+        F.col("text").alias("transcript"),
+        ts.alias("ingest_ts"),
+    ).withColumn("__h", wav_header(F.col("bytes")))
+    return h.select(
+        "clip_id",
+        "bytes",
+        F.col("__h.sr_hz").alias("sr_hz"),
+        F.when(
+            F.col("__h.sr_hz") > 0,
+            F.round(
+                F.col("__h.n_samples") * 1000 / F.col("__h.sr_hz")
+            ).cast("int"),
+        ).alias("dur_ms"),
+        F.col("__h.codec").alias("codec"),
+        "transcript",
+        "ingest_ts",
+        F.to_date("ingest_ts").alias("event_date"),
+        F.when(F.col("bytes").isNull(), F.lit("missing payload"))
+        .otherwise(F.col("__h.error"))
+        .alias("ingest_error"),
+    )

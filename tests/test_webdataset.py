@@ -194,3 +194,28 @@ def test_sync_refuses_mismatched_layout(spark, tmp_path):
     sync_webdataset(t, out, n_shards=4)
     with pytest.raises(LakehouseError, match="n_shards"):
         sync_webdataset(t, out, n_shards=8)
+
+
+def test_ingest_webdataset_round_trips_a_table(spark, tmp_path):
+    import datetime as dt
+
+    from lakehouse.webdataset import ingest_webdataset
+
+    src = Table.create(spark, str(tmp_path / "src"), CLIPS_SCHEMA)
+    src.append(synth_clips_df(spark, 30, seed=65, n_days=1),
+               target_file_count=2)
+    out = str(tmp_path / "wds")
+    export_webdataset(src.scan(), out, n_shards=3)
+    back = ingest_webdataset(
+        spark, out, ingest_ts=dt.datetime(2026, 1, 1)
+    )
+    assert back.filter(F.col("ingest_error").isNotNull()).count() == 0
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    a, b = src.scan().select(cols), back.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # and it lands in a fresh table through the ordinary append path
+    dst = Table.create(spark, str(tmp_path / "dst"), CLIPS_SCHEMA)
+    dst.append(back.select(*[f.name for f in CLIPS_SCHEMA.fields]),
+               target_file_count=2)
+    assert dst.scan().count() == 30
