@@ -3870,6 +3870,68 @@ def _q_lh_cdc_replication(spark, sf_dir):
     )
 
 
+def _q_lh_merge_serializable(spark, sf_dir):
+    """Serializable-isolation MERGE (Iceberg's conflictDetectionFilter
+    / validateNoConflicting* analog; Table._validate_serializable): a
+    merge planned against snapshot S must REFUSE to commit when a
+    concurrent commit after S adds rows or deletes overlapping the
+    source-key range (write skew / lost delete), and must COMMIT when
+    the concurrent work is provably disjoint — the overlap test rides
+    manifest min/max stats alone (zero data I/O), re-checked on every
+    CAS retry against the base actually committed on. In-builder: the
+    conflict case runs on a zero-copy CLONE (same snapshot chain) and
+    must raise; the disjoint case (concurrent append shifted beyond the
+    key range) must pass stats pruning and commit. The survivor
+    table's rollup is DuckDB-checked."""
+    from lakehouse import CommitConflictError, Table
+
+    ev = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lh_ser_")
+    t = Table.create(spark, os.path.join(root, "t"), ev.schema)
+    for i in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == i),
+                 target_file_count=2)
+    src = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    base = t.current_snapshot_id()
+
+    # conflict case on a zero-copy clone: overlapping concurrent append
+    c = t.clone_to(os.path.join(root, "conflict"))
+    c.append(
+        ev.filter(F.col("event_id") % 7 == 3)
+        .withColumn("event_id", F.col("event_id") + 1),
+        target_file_count=1,
+    )
+    raised = False
+    try:
+        c.merge(src, mode="mor", key="event_id",
+                isolation="serializable", validate_from=base)
+    except CommitConflictError:
+        raised = True
+    assert raised, "overlapping concurrent append must conflict"
+
+    # disjoint case on the real table: keys shifted beyond the range
+    t.append(
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(2_000_000_000)),
+        target_file_count=2,
+    )
+    res = t.merge(src, mode="mor", key="event_id",
+                  isolation="serializable", validate_from=base)
+    assert res.snapshot_id is not None, "disjoint append must not conflict"
+
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators (lakehouse/streaming_agg.py)
 
@@ -4142,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_asr_pipeline": _q_lh_asr_pipeline,
         # --- tail: variants + the rest (replica-checked) -------------
         "lh_cdc_replication": _q_lh_cdc_replication,
+        "lh_merge_serializable": _q_lh_merge_serializable,
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
         "unigram_logprob": _q_unigram_logprob,
@@ -4626,6 +4689,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                        AS total_value
             FROM final GROUP BY 1 ORDER BY 1
+        """,
+        "lh_merge_serializable": """
+            -- survivor table: corpus with %5 values doubled by the
+            -- merge, plus the DISJOINT shifted %7 append (ids beyond
+            -- the merge key range, untouched by the upsert)
+            WITH base AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 5 = 0 THEN value * 2
+                            ELSE value END AS value
+                FROM events
+            ), shifted AS (
+                SELECT event_type, value FROM events
+                WHERE event_id % 7 = 0
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM shifted)
+            GROUP BY 1 ORDER BY 1
         """,
         # training-data ops
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -107,6 +107,32 @@ def conform_merge_source(schema, source: DataFrame, op_col: str) -> DataFrame:
     return source.select(*cols_expr, op_expr.alias("__op"))
 
 
+def _validation_spec(
+    table, isolation, validate_from, key, key_min, key_max
+):
+    """Serializable-isolation spec for Table._validate_serializable:
+    the operation's read base + its source-key range, stat-encoded so
+    it compares like manifest min/max (meta/manifests._encode_stat).
+    ``validate_from`` defaults to the table head at plan time — pass an
+    older snapshot id when the source was computed against it (the
+    multi-step-pipeline shape Iceberg covers with fromSnapshot)."""
+    if isolation != "serializable":
+        return None
+    from ..meta.manifests import _encode_stat
+
+    base = (
+        validate_from
+        if validate_from is not None
+        else table.current_snapshot_id()
+    )
+    return {
+        "from_snapshot_id": base,
+        "key": key,
+        "min": _encode_stat(key_min),
+        "max": _encode_stat(key_max),
+    }
+
+
 def _range_arrays(spark, live, key, key_type, names_of=None):
     """File [min,max] key ranges as numpy arrays for the interval sweep.
 
@@ -432,7 +458,11 @@ def merge_into(
     broadcast_threshold: int = 32 * 1024 * 1024,
     extra_summary: Optional[dict] = None,
     set_props: Optional[dict] = None,
+    isolation: str = "snapshot",
+    validate_from: Optional[int] = None,
 ) -> MergeResult:
+    if isolation not in ("snapshot", "serializable"):
+        raise MergeError(f"unknown isolation level: {isolation!r}")
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise MergeError(f"unknown merge strategy: {strategy!r}")
     spark = table.spark
@@ -466,8 +496,18 @@ def merge_into(
             F.max("n").alias("max_n"),
             F.sum("b").alias("key_bytes"),
             F.count(F.lit(1)).alias("src_rows"),
+            F.min("__k").alias("key_min"),
+            F.max("__k").alias("key_max"),
         )
         .collect()[0]
+    )
+    validate = (
+        None
+        if int(stats.src_rows or 0) == 0  # empty source: nothing to miss
+        else _validation_spec(
+            table, isolation, validate_from, key,
+            stats.key_min, stats.key_max,
+        )
     )
     if (stats.max_n or 0) > 1:
         dup = (
@@ -579,6 +619,7 @@ def merge_into(
             **(extra_summary or {}),
         },
         set_props=set_props,
+        validate=validate,
     )
     log.finish_task(
         "merge",

@@ -252,6 +252,8 @@ def merge_into_mor(
     job_id: Optional[str] = None,
     extra_summary: Optional[dict] = None,
     set_props: Optional[dict] = None,
+    isolation: str = "snapshot",
+    validate_from: Optional[int] = None,
 ):
     """MERGE INTO — merge-on-read. ONE commit carrying an equality
     delete file of EVERY source key plus appended data files for the
@@ -280,11 +282,18 @@ def merge_into_mor(
     from pyspark import StorageLevel
 
     from ..errors import MergeError
-    from .merge import DELETE_OP, MergeResult, conform_merge_source
+    from .merge import (
+        DELETE_OP,
+        MergeResult,
+        conform_merge_source,
+        _validation_spec as _merge_validation_spec,
+    )
 
     schema = table.schema
     if key not in [f.name for f in schema.fields]:
         raise MergeError(f"merge key {key!r} not in table schema")
+    if isolation not in ("snapshot", "serializable"):
+        raise MergeError(f"unknown isolation level: {isolation!r}")
     spark = table.spark
     meta = table.meta
     src = conform_merge_source(schema, source, op_col).persist(
@@ -295,6 +304,8 @@ def merge_into_mor(
             F.count(F.lit(1)).alias("rows"),
             F.count(key).alias("nonnull"),
             F.countDistinct(key).alias("dist"),
+            F.min(key).alias("key_min"),
+            F.max(key).alias("key_max"),
         ).collect()[0]
         n_rows = int(stats.rows or 0)
         if n_rows == 0:
@@ -362,6 +373,14 @@ def merge_into_mor(
                 **(extra_summary or {}),
             },
             set_props=set_props,
+            validate=(
+                None
+                if n_rows == 0
+                else _merge_validation_spec(
+                    table, isolation, validate_from, key,
+                    stats.key_min, stats.key_max,
+                )
+            ),
         )
         log.finish_task(
             "merge_mor", del_entries + data_entries, files_in=[], bytes_in=0

@@ -102,6 +102,68 @@ class Table:
 
     # --- commit core ----------------------------------------------------------
 
+    def _validate_serializable(
+        self, base: S.TableMetadata, spec: dict[str, Any]
+    ) -> None:
+        """Serializable-isolation commit validation (Iceberg's
+        ``conflictDetectionFilter`` / ``validateNoConflicting*``): fail
+        the commit if any snapshot landed after the operation's read
+        base whose NEW files (data OR delete) overlap the operation's
+        key range — a concurrently-inserted matching row would have
+        been missed by the merge's match phase, and a concurrent delete
+        of a matched key would be silently undone by our re-append
+        (write skew / lost delete). Data-neutral rewrites never
+        conflict. Overlap tests ride manifest min/max stats only (zero
+        data I/O); missing stats conservatively conflict."""
+        from .ops.changes import DATA_NEUTRAL_OPS, _chain
+        from .ops.mor import _range_intersects
+
+        from_sid = spec["from_snapshot_id"]
+        if base.current_snapshot_id == from_sid:
+            return
+        key, rng = spec["key"], {"min": spec["min"], "max": spec["max"]}
+        try:
+            chain = _chain(base, from_sid, base.current_snapshot_id)
+        except Exception:
+            raise CommitConflictError(
+                f"serializable validation impossible: read base "
+                f"{from_sid} is not an ancestor of the current head "
+                f"(rolled back or expired); replan required"
+            )
+        for snap in chain:
+            if snap.operation in DATA_NEUTRAL_OPS:
+                continue
+            parent_paths: set = set()
+            if snap.parent_snapshot_id is not None:
+                parent = base.snapshot(snap.parent_snapshot_id)
+                parent_paths = {
+                    m["path"]
+                    for m in S.read_manifest_list(
+                        self.root, parent.manifest_list
+                    )
+                }
+            for m in S.read_manifest_list(self.root, snap.manifest_list):
+                if m["path"] in parent_paths:
+                    continue
+                for e in read_manifest(self.root, m["path"]):
+                    if e.is_pos_delete:
+                        # positions name files of OLDER snapshots the
+                        # operation read — always a potential conflict
+                        st = None
+                    elif e.is_delete and e.delete_key != key:
+                        st = None  # deletes on another key: unknown
+                    else:
+                        st = e.stats.get(key)
+                    if st is None or _range_intersects(st, rng):
+                        raise CommitConflictError(
+                            f"serializable conflict: snapshot "
+                            f"{snap.snapshot_id} ({snap.operation!r}) "
+                            f"committed {e.file_path} overlapping "
+                            f"{key} range [{spec['min']!r}, "
+                            f"{spec['max']!r}] after read base "
+                            f"{from_sid}; replan the operation"
+                        )
+
     def _commit_files(
         self,
         operation: str,
@@ -112,6 +174,7 @@ class Table:
         new_schema: Optional[T.StructType] = None,
         branch: Optional[str] = None,
         set_props: Optional[dict[str, Any]] = None,
+        validate: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
         """Build snapshot N+1 = parent − removed + added, with manifest
         rewrite: any parent manifest touched by a removal is rewritten
@@ -140,6 +203,12 @@ class Table:
         commit_t0 = time.monotonic()
 
         def apply(base: S.TableMetadata) -> S.TableMetadata:
+            if validate is not None:
+                # serializable isolation (Iceberg's conflict-detection
+                # filter): re-checked on EVERY CAS retry against the
+                # base we actually commit on, so no concurrent commit
+                # can slip between validation and publish
+                self._validate_serializable(base, validate)
             sid = S.next_snapshot_id(base)
             removed_records = removed_bytes = 0
             refs = dict(base.refs)
