@@ -254,6 +254,7 @@ def merge_into_mor(
     set_props: Optional[dict] = None,
     isolation: str = "snapshot",
     validate_from: Optional[int] = None,
+    branch: Optional[str] = None,
 ):
     """MERGE INTO — merge-on-read. ONE commit carrying an equality
     delete file of EVERY source key plus appended data files for the
@@ -373,6 +374,7 @@ def merge_into_mor(
                 **(extra_summary or {}),
             },
             set_props=set_props,
+            branch=branch,
             validate=(
                 None
                 if n_rows == 0

@@ -187,6 +187,33 @@ class Transaction:
         e.staged.append(snap.snapshot_id)
         return snap
 
+    def merge(self, name: str, source, **merge_kw):
+        """Stage a merge-on-read UPSERT to catalog table ``name`` on
+        the txn branch. MoR merge is append-shaped (one commit of
+        equality-delete + appended rows, zero removals), so it stages
+        and publishes exactly like an append — fast-forward, or
+        cherry-pick under concurrent writers. Publish-time semantics
+        are last-publisher-wins per key: the re-sequenced delete
+        retires every older version of a source key on main, including
+        rows a concurrent writer appended after staging (the ordinary
+        upsert contract). COW merges rewrite files and are NOT
+        transactional — pass ``mode="mor"`` only (the default here)."""
+        if merge_kw.pop("mode", "mor") != "mor":
+            raise TransactionError(
+                "only merge-on-read merges are transactional "
+                "(append-shaped commits; COW rewrites cannot be "
+                "staged conflict-free)"
+            )
+        if "branch" in merge_kw:
+            raise TransactionError("the transaction owns the branch")
+        e = self._entry(name)
+        res = e.table.merge(
+            source, mode="mor", branch=self.branch, **merge_kw
+        )
+        if res.snapshot_id is not None:
+            e.staged.append(res.snapshot_id)
+        return res
+
     def scan(self, name: str, **scan_kw):
         """Read-your-writes: the table AS IF the txn were published."""
         e = self._entry(name)

@@ -215,3 +215,60 @@ def test_purge_stale_branches_spares_live_and_committed(spark, wh):
     refs = wh.load_table(spark, "clips").refs()
     assert not [r for r in refs if r.startswith("txn-")]
     assert wh.load_table(spark, "clips").scan().count() == 20
+
+
+def test_txn_merge_upserts_atomically(spark, wh):
+    """MoR merges stage on the txn branch like appends: invisible
+    before commit, atomic across tables, cherry-pickable under a
+    concurrent writer."""
+    from pyspark.sql import functions as F
+
+    wh.load_table(spark, "quarantine").append(
+        synth_clips_df(spark, 10, seed=99, n_days=1), target_file_count=1
+    )
+    txn = wh.transaction(spark)
+    upd_c = (
+        wh.load_table(spark, "clips").scan()
+        .orderBy("clip_id").limit(5)
+        .withColumn("transcript", F.lit("txn"))
+    )
+    upd_q = (
+        wh.load_table(spark, "quarantine").scan()
+        .orderBy("clip_id").limit(3)
+        .withColumn("transcript", F.lit("txn"))
+    )
+    txn.merge("clips", upd_c)
+    txn.merge("quarantine", upd_q)
+    # read-your-writes sees the upsert; plain readers do not
+    assert txn.scan("clips").filter(
+        F.col("transcript") == "txn").count() == 5
+    assert wh.load_table(spark, "clips").scan().filter(
+        F.col("transcript") == "txn").count() == 0
+    # concurrent writer moves clips' main -> cherry-pick publish
+    wh.load_table(spark, "clips").append(
+        synth_clips_df(spark, 4, start=800, seed=100, n_days=1),
+        target_file_count=1,
+    )
+    modes = txn.commit()
+    assert modes["clips"].startswith("cherry-pick")
+    assert modes["quarantine"] == "fast-forward"
+    c = wh.load_table(spark, "clips").scan()
+    assert c.filter(F.col("transcript") == "txn").count() == 5
+    assert c.count() == 24  # 20 base + 4 concurrent (upserts replace)
+    q = wh.load_table(spark, "quarantine").scan()
+    assert q.filter(F.col("transcript") == "txn").count() == 3
+    assert q.count() == 10
+
+
+def test_txn_refuses_cow_merge(spark, wh):
+    from pyspark.sql import functions as F
+
+    from lakehouse.txn import TransactionError
+
+    txn = wh.transaction(spark)
+    src = wh.load_table(spark, "clips").scan().limit(2).withColumn(
+        "transcript", F.lit("x")
+    )
+    with pytest.raises(TransactionError, match="merge-on-read"):
+        txn.merge("clips", src, mode="cow")
+    txn.abort()
