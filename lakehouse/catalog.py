@@ -337,6 +337,13 @@ class Catalog:
 
         return recover_txns(self, spark)
 
+    def txns_df(self, spark):
+        """Transaction ledger view: one row per multi-table txn with
+        its publish status (see lakehouse/txn.py txns_df)."""
+        from .txn import txns_df
+
+        return txns_df(self, spark)
+
     def pin(self, spark, names: Optional[list[str]] = None) -> dict[str, int]:
         """Capture {table: current snapshot id} for a reproducible
         multi-table read set (feed to ``register_views(pins=...)``).

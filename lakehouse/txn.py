@@ -367,3 +367,46 @@ def purge_stale_branches(
             except RefError:
                 pass
     return dropped
+
+
+def txns_df(catalog, spark):
+    """Transaction ledger as a DataFrame (one row per txn): id, commit
+    time, per-table staged snapshot counts, and publish status
+    ('published' = done marker present; 'committed' = durably committed,
+    publish pending — recover_txns owns it). The observability twin of
+    Table.metrics() for the multi-table layer; driver cost is one
+    listdir + one small json per txn (ledger-bounded, no data I/O)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("txn_id", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("tables", T.ArrayType(T.StringType())),
+            T.StructField("staged_snapshots", T.IntegerType()),
+        ]
+    )
+    tdir = _txns_dir(catalog.path)
+    rows = []
+    if os.path.isdir(tdir):
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(tdir, fn)) as f:
+                rec = json.load(f)
+            done = os.path.exists(
+                os.path.join(tdir, f"{rec['txn_id']}.done")
+            )
+            rows.append(
+                {
+                    "txn_id": rec["txn_id"],
+                    "ts_ms": int(rec.get("ts_ms", 0)),
+                    "status": "published" if done else "committed",
+                    "tables": [t["name"] for t in rec["tables"]],
+                    "staged_snapshots": sum(
+                        len(t["staged"]) for t in rec["tables"]
+                    ),
+                }
+            )
+    return spark.createDataFrame(rows, schema=schema)

@@ -272,3 +272,32 @@ def test_txn_refuses_cow_merge(spark, wh):
     with pytest.raises(TransactionError, match="merge-on-read"):
         txn.merge("clips", src, mode="cow")
     txn.abort()
+
+
+def test_txns_df_ledger_view(spark, wh):
+    assert wh.txns_df(spark).count() == 0
+    with wh.transaction(spark) as txn:
+        txn.append("clips", synth_clips_df(spark, 3, seed=101, n_days=1),
+                   target_file_count=1)
+        txn.commit()
+    rows = wh.txns_df(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "published"
+    assert rows[0]["tables"] == ["clips"]
+    assert rows[0]["staged_snapshots"] == 1
+    # a dead publisher shows as 'committed' until recovery
+    dead = wh.transaction(spark)
+    s = dead.append("clips", synth_clips_df(spark, 2, seed=102, n_days=1),
+                    target_file_count=1)
+    from lakehouse.txn import _cas_create
+    _cas_create(
+        os.path.join(_txns_dir(wh.path), f"{dead.txn_id}.json"),
+        {"txn_id": dead.txn_id, "ts_ms": 5, "tables": [
+            {"name": "clips", "root": wh.resolve("clips"),
+             "branch": dead.branch, "staged": [s.snapshot_id]}]},
+    )
+    st = {r["txn_id"]: r["status"] for r in wh.txns_df(spark).collect()}
+    assert st[dead.txn_id] == "committed"
+    wh.recover_txns(spark)
+    st = {r["txn_id"]: r["status"] for r in wh.txns_df(spark).collect()}
+    assert st[dead.txn_id] == "published"
