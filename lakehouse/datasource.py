@@ -844,17 +844,22 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
         ren = _rename_maps(meta, self._schema_id)
         parts: list[FilesPartition] = []
+        plans: dict = {}  # adjacent chain steps share a boundary plan
+
+        def _plan(sid):
+            if sid not in plans:
+                plans[sid] = (
+                    plan_scan(self._root, meta, snapshot_id=sid)
+                    if sid is not None
+                    else None
+                )
+            return plans[sid]
+
         for snap in _chain(meta, from_id, to_id):
             if snap.operation in DATA_NEUTRAL_OPS:
                 continue
-            prev_plan = (
-                plan_scan(self._root, meta,
-                          snapshot_id=snap.parent_snapshot_id)
-                if snap.parent_snapshot_id is not None
-                else None
-            )
-            cur_plan = plan_scan(self._root, meta,
-                                 snapshot_id=snap.snapshot_id)
+            prev_plan = _plan(snap.parent_snapshot_id)
+            cur_plan = _plan(snap.snapshot_id)
             prev_files = {
                 e.file_path: e
                 for e in (prev_plan.files if prev_plan else [])

@@ -381,18 +381,23 @@ def _dirty_shard_ids(table, from_sid: int, key_col: str,
 
     meta = table.meta
     key_frames = []
+    plans: dict = {}  # adjacent chain steps share a boundary plan
+
+    def _plan(sid):
+        if sid not in plans:
+            plans[sid] = (
+                table.plan(snapshot_id=sid) if sid is not None else None
+            )
+        return plans[sid]
+
     # walk the chain so data-NEUTRAL rewrites (compaction, clustering,
     # delete conversion) never dirty a shard — their file churn moves
     # bytes, not keys. Real mutations diff against their own parent.
     for snap in _chain(meta, from_sid, meta.current_snapshot_id):
         if snap.operation in DATA_NEUTRAL_OPS:
             continue
-        old_plan = (
-            table.plan(snapshot_id=snap.parent_snapshot_id)
-            if snap.parent_snapshot_id is not None
-            else None
-        )
-        new_plan = table.plan(snapshot_id=snap.snapshot_id)
+        old_plan = _plan(snap.parent_snapshot_id)
+        new_plan = _plan(snap.snapshot_id)
         old_files = {
             e.file_path: e for e in (old_plan.files if old_plan else [])
         }
