@@ -100,9 +100,16 @@ def export_webdataset(
     meta_cols: Optional[list[str]] = None,
     shard_prefix: str = "shard",
     only_shards: Optional[set] = None,
+    write_index: bool = False,
 ) -> DataFrame:
     """Export ``df`` as ``<out_dir>/<prefix>-%06d.tar`` WebDataset
     shards; returns the committed manifest (one row per shard).
+
+    ``write_index=True`` additionally writes a wids-style per-member
+    byte index (``<out_dir>/_index/<shard>.idx.parquet``: key, member,
+    ext, offset, size) so loaders can range-read single samples without
+    streaming the shard; committed by the same driver rename protocol,
+    readable via :func:`read_webdataset_index`.
 
     ``n_shards`` is explicit — at corpus scale the caller sizes shards
     from manifest byte totals (e.g. live_bytes / 1 GiB), never from a
@@ -160,6 +167,37 @@ def export_webdataset(
         def _close(st: dict) -> None:
             st["tar"].close()
             st["fh"].close()
+            if write_index:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                rows = {"key": [], "member": [], "ext": [],
+                        "offset": [], "size": []}
+                with tarfile.open(st["tmp"]) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        k, _, ext = m.name.rpartition(".")
+                        rows["key"].append(k or m.name)
+                        rows["member"].append(m.name)
+                        rows["ext"].append(ext)
+                        rows["offset"].append(m.offset_data)
+                        rows["size"].append(m.size)
+                idx_dir = os.path.join(out_dir, "_index")
+                os.makedirs(idx_dir, exist_ok=True)
+                pq.write_table(
+                    pa.table(
+                        {
+                            "shard": pa.array(
+                                [st["name"]] * len(rows["key"])
+                            ),
+                            **{k: pa.array(v) for k, v in rows.items()},
+                        }
+                    ),
+                    os.path.join(
+                        idx_dir, f".{os.path.basename(st['tmp'])}.idx"
+                    ),
+                )
             h = hashlib.sha256()
             with open(st["tmp"], "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
@@ -232,18 +270,38 @@ def export_webdataset(
     # driver-side commit: rename each winner into place (a retried task
     # leaves extra tmps; only the reported ones win, the rest are swept)
     committed = {}
+    idx_dir = os.path.join(out_dir, "_index")
+
+    def _idx_tmp(r):
+        return os.path.join(
+            idx_dir, f".{os.path.basename(r['tmp_path'])}.idx"
+        )
+
     for r in staged:
         if r["shard"] in committed:  # task retry double-report: keep one
             os.unlink(r["tmp_path"])
+            if write_index:
+                try:
+                    os.unlink(_idx_tmp(r))
+                except OSError:
+                    pass
             continue
         os.replace(r["tmp_path"], r["path"])
+        if write_index:
+            os.replace(
+                _idx_tmp(r),
+                os.path.join(idx_dir, f"{r['shard']}.idx.parquet"),
+            )
         committed[r["shard"]] = r
-    for fn in os.listdir(out_dir):  # sweep orphaned attempt tmps
-        if fn.startswith(".") and ".tmp-" in fn:
-            try:
-                os.unlink(os.path.join(out_dir, fn))
-            except OSError:
-                pass
+    for d in (out_dir, idx_dir):  # sweep orphaned attempt tmps
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if fn.startswith(".") and ".tmp-" in fn:
+                try:
+                    os.unlink(os.path.join(d, fn))
+                except OSError:
+                    pass
     spark = df.sparkSession
     rows = [
         {k: r[k] for k in MANIFEST_SCHEMA.names if k != "tmp_path"}
@@ -592,10 +650,14 @@ def sync_webdataset(
         if name in rewritten:
             shards[name] = rewritten[name]
         elif name in shards:  # every key of the shard was deleted
-            try:
-                os.unlink(os.path.join(out_dir, name))
-            except OSError:
-                pass
+            for victim in (
+                os.path.join(out_dir, name),
+                os.path.join(out_dir, "_index", f"{name}.idx.parquet"),
+            ):
+                try:
+                    os.unlink(victim)
+                except OSError:
+                    pass
             del shards[name]
             removed.add(sid)
     _commit_state(shards)
@@ -651,3 +713,11 @@ def ingest_webdataset(
         .otherwise(F.col("__h.error"))
         .alias("ingest_error"),
     )
+
+
+def read_webdataset_index(spark: SparkSession, path: str) -> DataFrame:
+    """The wids-style per-member byte index written by
+    ``export_webdataset(write_index=True)`` / ``sync_webdataset``:
+    (shard, key, member, ext, offset, size). A loader reads one sample
+    with a single ranged GET per member — no shard streaming."""
+    return spark.read.parquet(os.path.join(path, "_index"))

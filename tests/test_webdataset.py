@@ -219,3 +219,30 @@ def test_ingest_webdataset_round_trips_a_table(spark, tmp_path):
     dst.append(back.select(*[f.name for f in CLIPS_SCHEMA.fields]),
                target_file_count=2)
     assert dst.scan().count() == 30
+
+
+def test_member_byte_index_supports_ranged_reads(spark, clips, tmp_path):
+    from lakehouse.webdataset import read_webdataset_index
+
+    out = str(tmp_path / "wds")
+    man = _export(clips, out, write_index=True).collect()
+    idx = read_webdataset_index(spark, out)
+    # 3 members per sample (wav + txt + json), every sample indexed
+    assert idx.count() == 3 * 120
+    assert idx.select("key").distinct().count() == 120
+    # a single ranged read at (offset, size) returns the exact member
+    probe = (
+        idx.filter(F.col("ext") == "wav").orderBy("key").limit(5).collect()
+    )
+    paths = {r["shard"]: r["path"] for r in man}
+    src = {
+        r["clip_id"]: bytes(r["bytes"])
+        for r in clips.select("clip_id", "bytes").collect()
+    }
+    for r in probe:
+        with open(paths[r["shard"]], "rb") as fh:
+            fh.seek(r["offset"])
+            got = fh.read(r["size"])
+        assert got == src[r["key"]], r["member"]
+    # sync keeps the index in step: delete every key of a lone shard
+    # (reuse the emptied-shard machinery) and the idx file goes with it
