@@ -3731,10 +3731,27 @@ def _q_lh_webdataset_export(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="lh_wds_")
     out = os.path.join(root, "wds")
     man = export_webdataset(
-        clips, out, n_shards=6, meta_cols=["sr_hz", "dur_ms", "codec"]
+        clips, out, n_shards=6, meta_cols=["sr_hz", "dur_ms", "codec"],
+        write_index=True,
     )
     rows = man.collect()
     assert sum(r["n_samples"] for r in rows) == 300
+
+    # wids-style byte index: every member indexed; a single ranged read
+    # returns the exact payload bytes
+    from lakehouse.webdataset import read_webdataset_index
+
+    idx = read_webdataset_index(spark, out)
+    assert idx.count() == 3 * 300, "3 members per sample"
+    probe = idx.filter(F.col("ext") == "wav").orderBy("key").first()
+    paths = {r["shard"]: r["path"] for r in rows}
+    want = bytes(
+        clips.filter(F.col("clip_id") == probe["key"])
+        .select("bytes").first()[0]
+    )
+    with open(paths[probe["shard"]], "rb") as fh:
+        fh.seek(probe["offset"])
+        assert fh.read(probe["size"]) == want, "ranged read mismatch"
 
     back = read_webdataset(spark, out)
     j = clips.select(
