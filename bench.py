@@ -529,6 +529,23 @@ def main() -> None:
                 assert s["files_copied"] == 0, s
 
             timed("clone_zero_copy", clone_zero_copy)
+
+            # training-data publication: the whole post-ladder corpus
+            # serialized to loader shards (one shuffle + streaming tar)
+            def wds_export():
+                from lakehouse.webdataset import export_webdataset
+
+                man = export_webdataset(
+                    t.scan(),
+                    os.path.join(work, f"wds_r{round_i}"),
+                    n_shards=16,
+                    meta_cols=["sr_hz", "dur_ms", "codec"],
+                ).collect()
+                n = sum(r["n_samples"] for r in man)
+                expect = t.count_rows().value  # metadata-only, ~0 cost
+                assert n == expect, (n, expect)
+
+            timed("wds_export", wds_export)
             import shutil as _sh
 
             _sh.rmtree(root, ignore_errors=True)
