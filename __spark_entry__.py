@@ -781,6 +781,97 @@ def _q_audio_data_card(spark, sf_dir):
     return card_df
 
 
+def _q_lh_llm_pipeline(spark, sf_dir):
+    """End-to-end LLM training-data pipeline (the text twin of
+    lh_asr_pipeline): curate (exact dedup → verified MinHash-LSH
+    near-dedup → quality floor) → benchmark decontamination →
+    deterministic train/val/test split → BPE tokenizer TRAINED ON THE
+    TRAIN SPLIT ONLY → encode all splits → pack the train split into
+    fixed-capacity sequences. Self-verifying at every joint: the
+    planted benchmark (every doc_id % 37 == 0) must be completely
+    scrubbed from the surviving corpus; splits are disjoint+exhaustive;
+    packing conserves every BPE token exactly with zero overflow and at
+    most one non-full sequence. Returns the per-stage ledger."""
+    from lakehouse.bpe import bpe_encode, bpe_train
+    from lakehouse.dedup import curate_documents, decontaminate
+    from lakehouse.packing import pack_sequences
+    from lakehouse.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    n0 = docs.count()
+    kept = curate_documents(docs, min_tokens=5, threshold=0.5)
+    kept.persist()
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # decontaminate against a planted benchmark: k=4 so every surviving
+    # doc (>= 5 tokens) has grams — an unflagged leak is impossible
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    flags = decontaminate(kept, eval_df, k=4)
+    clean = kept.join(
+        flags.filter(F.col("contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    clean.persist()
+    n2 = clean.count()
+    leaked = clean.filter(F.col("doc_id") % 37 == 0).count()
+    assert leaked == 0, f"{leaked} benchmark docs survived scrubbing"
+    assert 0 < n2 < n1, "decontamination must remove the planted set"
+
+    spl = split_assign(
+        clean, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11
+    )
+    spl.persist()
+    by_split = dict(
+        (r["split"], r["n"])
+        for r in spl.groupBy("split").agg(
+            F.count("*").alias("n")).collect()
+    )
+    assert sum(by_split.values()) == n2, "splits must be exhaustive"
+    assert by_split.get("train", 0) > 0
+
+    train = spl.filter(F.col("split") == "train")
+    merges = bpe_train(train, num_merges=24, min_freq=2)
+    n_merges = merges.count()
+    assert n_merges > 0
+
+    enc = bpe_encode(train, merges, out_col="bpe")
+    tok_train = enc.select(
+        "doc_id", F.array_join("bpe", " ").alias("text")
+    )
+    total_tokens = int(
+        enc.agg(F.sum(F.size("bpe"))).collect()[0][0]
+    )
+    packed = pack_sequences(tok_train, capacity=128)
+    packed.persist()
+    packed_tokens = int(packed.agg(F.sum("n_tok")).collect()[0][0])
+    assert packed_tokens == total_tokens, "packing lost tokens"
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tok").alias("fill"),
+        F.max(F.col("seq_off") + F.col("n_tok")).alias("hi"),
+    )
+    assert per_seq.filter(F.col("hi") > 128).count() == 0, "overflow"
+    n_seq = per_seq.count()
+    assert per_seq.filter(F.col("fill") < 128).count() <= 1, \
+        "only the final sequence may be non-full"
+
+    rows = [
+        ("00_input_docs", n0),
+        ("01_curated_docs", n1),
+        ("02_decontaminated_docs", n2),
+        ("03_train_docs", by_split.get("train", 0)),
+        ("04_val_docs", by_split.get("val", 0)),
+        ("05_test_docs", by_split.get("test", 0)),
+        ("06_bpe_merges", n_merges),
+        ("07_train_bpe_tokens", total_tokens),
+        ("08_train_sequences", n_seq),
+    ]
+    return spark.createDataFrame(
+        [{"stage": s, "n": int(v)} for s, v in rows]
+    ).orderBy("stage")
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking (RAG/long-doc layout): 24-token windows
     advancing by 18 so sf docs (~40 tokens) produce several overlapping
@@ -4222,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: variants + the rest (replica-checked) -------------
         "lh_cdc_replication": _q_lh_cdc_replication,
         "lh_merge_serializable": _q_lh_merge_serializable,
+        "lh_llm_pipeline": _q_lh_llm_pipeline,
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
         "unigram_logprob": _q_unigram_logprob,
