@@ -18,6 +18,9 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import LakehouseError
 
 
 def committed_batch_ids(table) -> set[int]:
@@ -400,3 +403,101 @@ def kafka_envelope_decode(df: DataFrame, value_schema: str) -> DataFrame:
         "kafka_offset",
         "arrival_ts",
     )
+
+
+def attach_progress_sink(spark, table, *, include_zero_batches: bool = False):
+    """Persist every streaming micro-batch's progress event into a
+    lakehouse table — the engine-side form of the reference's
+    CloudWatch monitoring chapter for STREAMS
+    (/root/reference/README.md:319-329: batch duration / records-per-
+    second alarms over the Glue job). Returns the listener (pass to
+    ``spark.streams.removeListener`` to detach).
+
+    One row per (query, batch): ids, event time, input rows, process /
+    input rates, batch duration, and the sink description — everything
+    the reference alarms on, queryable with plain SQL or
+    ``Table.metrics()``-style dashboards, and append-only so the
+    monitoring table is itself maintainable (TTL policy, compaction).
+    The listener writes from the DRIVER on progress events (one tiny
+    append per micro-batch — metadata-scale, never row-scale).
+    ``include_zero_batches=False`` skips idle ticks.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    expected = {f.name for f in table.schema.fields}
+    need = {
+        "query_id", "run_id", "batch_id", "event_ts", "num_input_rows",
+        "input_rows_per_second", "processed_rows_per_second",
+        "batch_duration_ms", "sink",
+    }
+    missing = need - expected
+    if missing:
+        raise LakehouseError(
+            f"progress table lacks columns {sorted(missing)}; create it "
+            f"with streaming.PROGRESS_SCHEMA"
+        )
+
+    class _Listener(StreamingQueryListener):
+        def __init__(self):
+            self._seen: set = set()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if not include_zero_batches and p.numInputRows == 0:
+                return
+            # Spark re-reports a batch's progress (e.g. the final
+            # availableNow summary) — one monitoring row per
+            # (run, batch), like the batch-id idempotent sinks above
+            dedup_key = (str(p.runId), int(p.batchId))
+            if dedup_key in self._seen:
+                return
+            self._seen.add(dedup_key)
+            row = {
+                "query_id": str(p.id),
+                "run_id": str(p.runId),
+                "batch_id": int(p.batchId),
+                "event_ts": p.timestamp,
+                "num_input_rows": int(p.numInputRows),
+                "input_rows_per_second": float(
+                    p.inputRowsPerSecond or 0.0
+                ),
+                "processed_rows_per_second": float(
+                    p.processedRowsPerSecond or 0.0
+                ),
+                "batch_duration_ms": int(
+                    (p.durationMs or {}).get("triggerExecution", 0)
+                ),
+                "sink": str(p.sink.description if p.sink else None),
+            }
+            table.append(
+                spark.createDataFrame([row], schema=PROGRESS_SCHEMA),
+                target_file_count=1,
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener
+
+
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("event_ts", T.StringType()),
+        T.StructField("num_input_rows", T.LongType()),
+        T.StructField("input_rows_per_second", T.DoubleType()),
+        T.StructField("processed_rows_per_second", T.DoubleType()),
+        T.StructField("batch_duration_ms", T.LongType()),
+        T.StructField("sink", T.StringType()),
+    ]
+)

@@ -308,3 +308,52 @@ def test_kafka_envelope_decode_batch_and_stream(spark, tmp_path):
     drain()  # restart with nothing new: idempotent
     assert t.scan().count() == 21
     assert t.scan().filter("decode_error IS NOT NULL").count() == 1
+
+
+def test_progress_sink_records_micro_batches(spark, tmp_path):
+    """attach_progress_sink: every non-empty micro-batch lands one row
+    in the monitoring table (the reference's CloudWatch-alarms surface
+    as a queryable lakehouse table)."""
+    import time as _time
+
+    from lakehouse import Table
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.streaming import (
+        PROGRESS_SCHEMA,
+        append_batch,
+        attach_progress_sink,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    mon = Table.create(spark, str(tmp_path / "mon"), PROGRESS_SCHEMA)
+    dst = Table.create(spark, str(tmp_path / "dst"), CLIPS_SCHEMA)
+    listener = attach_progress_sink(spark, mon)
+    try:
+        src_dir = str(tmp_path / "src")
+        synth_clips_df(spark, 30, seed=5, n_days=1).write.parquet(src_dir)
+        sdf = spark.readStream.schema(dst.schema).parquet(src_dir)
+        q = (
+            sdf.writeStream.foreachBatch(append_batch(dst))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are async: poll briefly
+        for _ in range(40):
+            if mon.scan().count() > 0:
+                break
+            _time.sleep(0.5)
+        rows = mon.scan().collect()
+        assert rows, "no progress rows recorded"
+        # numInputRows counts SOURCE reads: foreachBatch re-evaluates
+        # the batch per action (isEmpty probe + append), so the source
+        # row figure is a multiple of the logical batch — what matters
+        # for alarms is that batches are visible and non-zero
+        assert sum(r["num_input_rows"] for r in rows) >= 30
+        assert all(r["batch_duration_ms"] >= 0 for r in rows)
+        ids = [(r["run_id"], r["batch_id"]) for r in rows]
+        assert len(ids) == len(set(ids)), "one row per (run, batch)"
+        assert dst.scan().count() == 30
+    finally:
+        spark.streams.removeListener(listener)
