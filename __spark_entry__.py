@@ -3903,6 +3903,50 @@ def _q_lh_webdataset_export(spark, sf_dir):
     ).orderBy("shard")
 
 
+def _q_lh_generated_column(spark, sf_dir):
+    """Generated columns (Delta GENERATED ALWAYS AS;
+    lakehouse/constraints.py apply_generated + Table.set_generated_
+    column) — the declarative form of the reference's hand-coded date
+    derivation (etl/glue_stream.py:239 withColumn(event_date)): the
+    table OWNS the rule, every write path computes the column when the
+    writer omits it and fails pre-commit on contradicting values.
+    In-builder: a wrong supplied value must fail without committing;
+    the returned per-day rollup over the COMPUTED column is
+    DuckDB-checked against the same expression over the raw corpus."""
+    from pyspark.sql import types as T
+
+    from lakehouse import Table
+
+    ev = _events(spark, sf_dir).drop("event_date")
+    schema = T.StructType(
+        ev.schema.fields + [T.StructField("day_s", T.StringType(), True)]
+    )
+    root = tempfile.mkdtemp(prefix="lh_gen_")
+    t = Table.create(spark, os.path.join(root, "t"), schema)
+    t.set_generated_column("day_s", "CAST(CAST(ts AS DATE) AS STRING)")
+    t.append(ev, target_file_count=4)  # writer omits day_s -> computed
+
+    n_snaps = len(t.snapshots())
+    bad = ev.limit(3).withColumn("day_s", F.lit("1999-01-01"))
+    failed = False
+    try:
+        t.append(bad, target_file_count=1)
+    except Exception:
+        failed = True
+    assert failed, "contradicting supplied value must fail the write"
+    assert len(t.snapshots()) == n_snaps, "failed write must not commit"
+
+    return (
+        t.scan()
+        .groupBy("day_s")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("day_s")
+    )
+
+
 def _q_lh_cdc_replication(spark, sf_dir):
     """Lakehouse-to-lakehouse replication = CDC stream + the
     ``replicate_batch`` sink (lakehouse/streaming.py) — the composition
@@ -4312,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_asr_pipeline": _q_lh_asr_pipeline,
         # --- tail: variants + the rest (replica-checked) -------------
         "lh_cdc_replication": _q_lh_cdc_replication,
+        "lh_generated_column": _q_lh_generated_column,
         "lh_merge_serializable": _q_lh_merge_serializable,
         "lh_llm_pipeline": _q_lh_llm_pipeline,
         "stream_rollup_parity": _q_stream_rollup_parity,
@@ -4798,6 +4843,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                        AS total_value
             FROM final GROUP BY 1 ORDER BY 1
+        """,
+        "lh_generated_column": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_id
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "lh_merge_serializable": """
             -- survivor table: corpus with %5 values doubled by the

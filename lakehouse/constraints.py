@@ -86,3 +86,50 @@ def guard_column_change(
                 f"cannot {action} column {column!r}: referenced by CHECK "
                 f"constraint {name!r} ({expr}); drop the constraint first"
             )
+
+
+# --- generated columns (Delta GENERATED ALWAYS AS analog) ---------------------
+
+GENERATED_PREFIX = "generated."
+
+
+def generated_of(properties: Mapping[str, object]) -> dict[str, str]:
+    """Extract ``{column: sql_expr}`` generation rules from properties."""
+    return {
+        k[len(GENERATED_PREFIX):]: str(v)
+        for k, v in properties.items()
+        if k.startswith(GENERATED_PREFIX)
+    }
+
+
+def apply_generated(df: DataFrame, generated: Mapping[str, str]) -> DataFrame:
+    """Compute-or-validate generated columns at the write choke point
+    (Delta's GENERATED ALWAYS AS semantics, engine-side): a writer that
+    omits the column (or supplies NULL — ``conform`` null-fills absent
+    columns before this runs, so the two are indistinguishable here)
+    gets it COMPUTED from the expression; a writer that supplies a
+    value must supply THE value — any mismatch fails the job before a
+    snapshot commit, through the same fused ``raise_error`` predicate
+    as CHECK constraints."""
+    checks = {}
+    for col, expr in sorted(generated.items()):
+        df = df.withColumn(
+            col, F.coalesce(F.col(col), F.expr(expr))
+        )
+        checks[f"__generated_{col}"] = f"`{col}` <=> ({expr})"
+    return enforce(df, checks)
+
+
+def guard_generated_change(
+    properties: Mapping[str, object], column: str, action: str
+) -> None:
+    """Raise if ``column`` is generated or a generation rule reads it."""
+    for col, expr in generated_of(properties).items():
+        if column.lower() == col.lower() or column.lower() in (
+            referenced_names(expr)
+        ):
+            raise ValueError(
+                f"cannot {action} column {column!r}: generated column "
+                f"{col!r} ({expr}) depends on it; drop the generation "
+                f"rule first"
+            )

@@ -175,6 +175,13 @@ def write_data_files(
     from ..sortorder import provenance_tag, sort_order_of
 
     props = load_metadata(table_root).properties
+    # generated columns first (compute-or-validate), so CHECK
+    # constraints below can reference the computed values
+    from ..constraints import apply_generated, generated_of
+
+    gen = generated_of(props)
+    if gen:
+        out = apply_generated(out, gen)
     checks = constraints_of(props)
     if checks:
         out = enforce(out, checks)

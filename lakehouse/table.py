@@ -1101,9 +1101,13 @@ class Table:
             if new in names:
                 raise SchemaEvolutionError(f"column exists: {new!r}")
             self._guard_mapped_change(base, old)
-            from .constraints import guard_column_change
+            from .constraints import (
+                guard_column_change,
+                guard_generated_change,
+            )
 
             guard_column_change(base.properties, old, "rename")
+            guard_generated_change(base.properties, old, "rename")
             ids = fieldids.schema_field_ids(base.schemas)[
                 base.current_schema_id
             ]
@@ -1210,9 +1214,13 @@ class Table:
             if len(names) == 1:
                 raise SchemaEvolutionError("cannot drop the only column")
             self._guard_mapped_change(base, name)
-            from .constraints import guard_column_change
+            from .constraints import (
+                guard_column_change,
+                guard_generated_change,
+            )
 
             guard_column_change(base.properties, name, "drop")
+            guard_generated_change(base.properties, name, "drop")
             ids = fieldids.schema_field_ids(base.schemas)[
                 base.current_schema_id
             ]
@@ -1319,6 +1327,50 @@ class Table:
         if name not in constraints_of(self.meta.properties):
             raise ValueError(f"no CHECK constraint named {name!r}")
         self.set_properties(**{CONSTRAINT_PREFIX + name: None})
+
+    def set_generated_column(self, column: str, expr: str) -> None:
+        """GENERATED ALWAYS AS: declare ``column`` computed from
+        ``expr`` (Delta generated columns — the declarative form of the
+        reference's hand-coded date derivation, glue_stream.py:239).
+        From now on every write on every path computes the column when
+        the writer omits it (or supplies NULL) and fails pre-commit on
+        a supplied value that contradicts the expression.
+
+        ADD validation: every existing NON-NULL value must already
+        equal the expression (one pruned scan); existing NULLs are
+        allowed but stay NULL on read (only writes compute) — rewrite
+        them with ``update`` first if that matters."""
+        from pyspark.sql import functions as F
+
+        from .constraints import GENERATED_PREFIX, generated_of
+        from .errors import ConstraintViolationError
+
+        if column not in [f.name for f in self.schema.fields]:
+            raise ValueError(f"no column {column!r} in the table schema")
+        if column in generated_of(self.meta.properties):
+            raise ValueError(f"{column!r} already has a generation rule")
+        bad = (
+            self.scan()
+            .where(
+                F.col(column).isNotNull()
+                & ~F.expr(f"`{column}` <=> ({expr})")
+            )
+            .limit(1_000_001)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot declare {column!r} GENERATED AS ({expr}): "
+                f"{bad} existing row(s) contradict it"
+            )
+        self.set_properties(**{GENERATED_PREFIX + column: expr})
+
+    def drop_generated_column_rule(self, column: str) -> None:
+        from .constraints import GENERATED_PREFIX, generated_of
+
+        if column not in generated_of(self.meta.properties):
+            raise ValueError(f"{column!r} has no generation rule")
+        self.set_properties(**{GENERATED_PREFIX + column: None})
 
     def analyze(self, columns, **kw):
         """ANALYZE: persist per-column NDV sketches (KMV top-k job per

@@ -116,3 +116,80 @@ def test_enforcement_is_jvm_map_side(spark, t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "raise_error" in plan
+
+
+# --- generated columns ------------------------------------------------------
+
+
+def test_generated_column_computed_and_validated(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse import Table
+    from lakehouse.schema import CLICK_EVENT_SCHEMA  # noqa: F401
+    from lakehouse.synth import synth_clips_df
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    t = Table.create(
+        spark, str(tmp_path / "t"), CLIPS_SCHEMA,
+        partition_spec=[{"name": "event_date", "transform": "identity",
+                         "source": "event_date"}],
+    )
+    t.set_generated_column("event_date", "to_date(ingest_ts)")
+
+    base = synth_clips_df(spark, 24, seed=31, n_days=3)
+    # writer OMITS the generated column -> computed on write
+    t.append(base.drop("event_date"), target_file_count=2)
+    got = t.scan()
+    assert got.filter(
+        F.col("event_date") != F.to_date("ingest_ts")).count() == 0
+    assert got.filter(F.col("event_date").isNull()).count() == 0
+    # partition pruning works over the computed values
+    d = got.select("event_date").first()[0]
+    plan = t.plan(filter=[("event_date", "=", d)])
+    assert len(plan.files) < 2 * 3
+
+    # writer supplies the CORRECT value -> accepted
+    t.append(base.limit(4), target_file_count=1)
+    # writer supplies a WRONG value -> job fails before any commit
+    n_snaps = len(t.snapshots())
+    bad = base.limit(3).withColumn(
+        "event_date", F.to_date(F.lit("1999-01-01"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="__generated_event_date"):
+        t.append(bad, target_file_count=1)
+    assert len(t.snapshots()) == n_snaps, "failed write must not commit"
+
+    # dependent-column changes refused (source column of the rule)
+    with _pytest.raises(Exception, match="generated"):
+        t.rename_column("ingest_ts", "ts2")
+    # the generated column itself, on an UNPARTITIONED table (the
+    # partitioned one refuses the drop earlier, as a partition source)
+    t2 = Table.create(spark, str(tmp_path / "t2"), CLIPS_SCHEMA)
+    t2.set_generated_column("event_date", "to_date(ingest_ts)")
+    with _pytest.raises(Exception, match="generated"):
+        t2.drop_column("event_date")
+    # dropping the rule re-allows plain writes
+    t.drop_generated_column_rule("event_date")
+    t.append(bad, target_file_count=1)
+
+
+def test_generated_add_validates_existing_rows(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse import Table
+    from lakehouse.errors import ConstraintViolationError
+    from lakehouse.schema import CLIPS_SCHEMA
+    from lakehouse.synth import synth_clips_df
+
+    t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+    t.append(
+        synth_clips_df(spark, 10, seed=32, n_days=2).withColumn(
+            "event_date", F.to_date(F.lit("1999-01-01"))
+        ),
+        target_file_count=1,
+    )
+    with _pytest.raises(ConstraintViolationError):
+        t.set_generated_column("event_date", "to_date(ingest_ts)")
