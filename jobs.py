@@ -347,6 +347,25 @@ def cmd_export_wds(args):
     )
 
 
+def cmd_profile_clips(args):
+    """Audio corpus data card (lakehouse/audio.py profile_clips)."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    from lakehouse.audio import profile_clips
+
+    rows = profile_clips(t.scan()).collect()
+    _emit(
+        {
+            "op": "profile-clips",
+            "card": [
+                {"section": r["section"], "metric": r["metric"],
+                 "value": r["value"]}
+                for r in rows
+            ],
+        }
+    )
+
+
 def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -928,6 +947,7 @@ def main():
     s.add_argument("--sql-filter", default=None,
                    help="SQL predicate over the metrics view, e.g. "
                         "\"operation = 'replace'\"")
+    t(sub.add_parser("profile-clips"))
     s = sub.add_parser("export-wds")
     t(s)
     s.add_argument("--out", required=True)
@@ -1052,6 +1072,7 @@ def main():
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
         "metrics": cmd_metrics,
+        "profile-clips": cmd_profile_clips,
         "export-wds": cmd_export_wds,
         "ingest-wav": cmd_ingest_wav,
         "add-files": cmd_add_files,
