@@ -301,3 +301,38 @@ def test_txns_df_ledger_view(spark, wh):
     wh.recover_txns(spark)
     st = {r["txn_id"]: r["status"] for r in wh.txns_df(spark).collect()}
     assert st[dead.txn_id] == "published"
+
+
+def test_concurrent_recovery_publishes_exactly_once(spark, wh):
+    """Two recoverers race on one durably-committed txn (the real
+    deployment shape: every reader runs recovery). CAS guards at the
+    table layer must make the publish land exactly once."""
+    import threading
+
+    txn = wh.transaction(spark)
+    s1 = txn.append("clips", synth_clips_df(spark, 10, seed=103,
+                                            n_days=1),
+                    target_file_count=1)
+    os.makedirs(_txns_dir(wh.path), exist_ok=True)
+    with open(os.path.join(_txns_dir(wh.path),
+                           f"{txn.txn_id}.json"), "w") as f:
+        json.dump({"txn_id": txn.txn_id, "ts_ms": 0, "tables": [
+            {"name": "clips", "root": wh.resolve("clips"),
+             "branch": txn.branch, "staged": [s1.snapshot_id]}]}, f)
+
+    errs: list = []
+
+    def run():
+        try:
+            recover_txns(wh, spark)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert wh.load_table(spark, "clips").scan().count() == 30
+    assert recover_txns(wh, spark) == {}
