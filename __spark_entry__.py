@@ -1894,6 +1894,71 @@ def _q_audio_speed_perturb(spark, sf_dir):
     )
 
 
+def _q_audio_pitch_shift(spark, sf_dir):
+    """Self-verifying phase-vocoder pitch shift (duration-preserving —
+    the complement of audio_speed_perturb, which shifts pitch and tempo
+    together). Asserted in-builder: (1) map-only — the output id set
+    equals the input id set; (2) dur_ms is EXACTLY preserved and the
+    decoded sample count is unchanged; (3) on planted single-tone clips
+    the measured dominant frequency scales by exactly the factor; (4)
+    transcript carried; (5) deterministic under repartitioning (no
+    RNG). Returns the per-clip dominant-frequency ledger."""
+    import numpy as np
+
+    from lakehouse.audio import (
+        decode_wav,
+        pitch_shift_clips,
+        with_dominant_freq,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rows, f0s = [], {}
+    for i, f0 in enumerate((220.0, 451.0, 997.0, 1660.0, 2333.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        cid = f"tone-{i}"
+        rows.append((cid, wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", f"w{i}"))
+        f0s[cid] = f0
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    src = {r.clip_id: r for r in df.collect()}
+    fac = 1.25
+    out = with_dominant_freq(pitch_shift_clips(df, fac))
+    got = {
+        r.clip_id: r
+        for r in out.select(
+            "clip_id", "bytes", "dur_ms", "transcript", "dominant"
+        ).collect()
+    }
+    assert set(got) == set(src)
+    for cid, r in got.items():
+        b = src[cid]
+        assert r.dur_ms == b.dur_ms and r.transcript == b.transcript
+        _, y = decode_wav(bytes(r.bytes))
+        _, x0 = decode_wav(bytes(b.bytes))
+        assert len(y) == len(x0), cid
+        want = fac * f0s[cid]
+        hz = r.dominant["dominant_hz"]
+        assert abs(hz - want) <= 0.01 * want + 3.0, (cid, hz, want)
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in pitch_shift_clips(df.repartition(3, "clip_id"), fac)
+        .select("clip_id", "bytes")
+        .collect()
+    }
+    assert again == {c: bytes(r.bytes) for c, r in got.items()}
+    return out.select(
+        "clip_id",
+        "pitch_factor",
+        "dur_ms",
+        F.round(F.col("dominant.dominant_hz"), 1).alias("dominant_hz"),
+    ).orderBy("clip_id")
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Self-verifying reverberation augmentation (Ko et al. 2017 recipe
     with a per-clip synthesized velvet-noise RIR). Asserted in-builder:
@@ -4430,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment": _q_audio_augment,
         "audio_noise_mix": _q_audio_noise_mix,
         "audio_speed_perturb": _q_audio_speed_perturb,
+        "audio_pitch_shift": _q_audio_pitch_shift,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,

@@ -2380,6 +2380,143 @@ def speed_perturb_clips(
     )
 
 
+# --- Pitch shift (phase vocoder, duration-preserving) -------------------------
+
+PITCHED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+    ]
+)
+
+
+def _stft(x: np.ndarray, n_fft: int, hop: int, win: np.ndarray) -> np.ndarray:
+    """(n_frames, n_bins) complex STFT over a tail-padded signal."""
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.fft.rfft(x[idx] * win[None, :], axis=1)
+
+
+def _istft(S: np.ndarray, n_fft: int, hop: int, win: np.ndarray) -> np.ndarray:
+    """Windowed overlap-add inverse with window-square normalization."""
+    frames = np.fft.irfft(S, n=n_fft, axis=1).real * win[None, :]
+    n_frames = S.shape[0]
+    n_out = n_fft + hop * (n_frames - 1)
+    idx = (np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]).ravel()
+    out = np.zeros(n_out, dtype=np.float64)
+    wsum = np.zeros(n_out, dtype=np.float64)
+    np.add.at(out, idx, frames.ravel())
+    np.add.at(wsum, idx, np.tile(win.astype(np.float64) ** 2, n_frames))
+    return out / np.maximum(wsum, 1e-8)
+
+
+def _pv_stretch(
+    x: np.ndarray, rate: float, n_fft: int = 1024, hop: int = 256
+) -> np.ndarray:
+    """Phase-vocoder time stretch: duration scales by 1/rate, pitch
+    preserved (Flanagan & Golden 1966; the librosa/Laroche-Dolson
+    recipe). Fully vectorized — per-bin phase accumulation is a cumsum
+    over the wrapped instantaneous-frequency deviations, no per-frame
+    Python loop."""
+    pad = np.pad(x.astype(np.float64), (0, n_fft + hop))
+    win = np.hanning(n_fft)
+    S = _stft(pad, n_fft, hop, win)
+    n_frames, n_bins = S.shape
+    t = np.arange(0.0, n_frames - 1, rate)
+    k = t.astype(np.int64)
+    k1 = np.minimum(k + 1, n_frames - 1)
+    frac = (t - k)[:, None]
+    mag = np.abs(S)
+    ang = np.angle(S)
+    phi_adv = 2.0 * np.pi * hop * np.arange(n_bins) / n_fft
+    dphi = ang[k1] - ang[k] - phi_adv[None, :]
+    dphi -= 2.0 * np.pi * np.round(dphi / (2.0 * np.pi))
+    step = phi_adv[None, :] + dphi
+    phase = ang[0][None, :] + np.concatenate(
+        [np.zeros((1, n_bins)), np.cumsum(step[:-1], axis=0)], axis=0
+    )
+    out = ((1.0 - frac) * mag[k] + frac * mag[k1]) * np.exp(1j * phase)
+    y = _istft(out, n_fft, hop, win)
+    n_want = max(1, int(round(len(x) / rate)))
+    return y[:n_want] if len(y) >= n_want else np.pad(y, (0, n_want - len(y)))
+
+
+def pitch_shift_pcm(x: np.ndarray, factor: float) -> np.ndarray:
+    """Shift every spectral component by ``factor`` keeping duration:
+    phase-vocoder stretch to len*factor (pitch unchanged), then linear
+    resample back to exactly len(x) samples (pitch × factor)."""
+    n = len(x)
+    if factor == 1.0 or n < 2048:
+        return x
+    z = _pv_stretch(x, 1.0 / factor)
+    pos = np.minimum(np.arange(n, dtype=np.float64) * factor, len(z) - 1.0)
+    y = np.interp(pos, np.arange(len(z), dtype=np.float64), z)
+    return np.clip(y, -0.99997, 0.99997).astype(np.float32)
+
+
+def _pitch_shift_udf(raw: pd.Series, factor: pd.Series) -> pd.DataFrame:
+    from .synth import wrap_wav
+
+    out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+    for b, f in zip(raw, factor):
+        try:
+            sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            out["bytes"].append(None)
+            out["sr_hz"].append(None)
+            out["dur_ms"].append(None)
+            continue
+        f = float(f)
+        y = pitch_shift_pcm(x, f)
+        out["bytes"].append(
+            wrap_wav(y, sr, "pcm16") if f != 1.0 and len(x) >= 2048 else bytes(b)
+        )
+        out["sr_hz"].append(sr)
+        # HALF_UP — the repo-wide dur_ms convention (synth + both ingests)
+        out["dur_ms"].append(int(1000 * len(x) / sr + 0.5))
+    return pd.DataFrame(out)
+
+
+def pitch_shift_clips(
+    df, factor: float, bytes_col: str = "bytes", id_col: str = "clip_id"
+):
+    """Pitch-shift augmentation (the third leg of the Kaldi robustness
+    triad next to :func:`speed_perturb_clips` — which shifts pitch AND
+    tempo together — and :func:`reverb_clips`): every spectral
+    component scales by ``factor`` while DURATION IS PRESERVED
+    (reference enrichment analogue: ``etl/handlers/click_handler.py``
+    derives new columns per record; here the payload itself is the
+    derived value). Deterministic — no RNG, so output is partitioning-
+    and retry-invariant by construction.
+
+    Scale shape: map-only — ONE Arrow decode→vocoder→encode pass, no
+    shuffle, no join; the vocoder itself is vectorized numpy (phase
+    accumulation is a cumsum, not a frame loop). Clips shorter than
+    2048 samples (< 128 ms @ 16 kHz — too short for a stable STFT)
+    pass through byte-identical, as does ``factor=1.0``.
+
+    Output keeps the clip schema (``dur_ms`` unchanged by design) and
+    adds lineage column ``pitch_factor``.
+    """
+    s = F.pandas_udf(_pitch_shift_udf, PITCHED_TYPE)(
+        F.col(bytes_col), F.lit(float(factor))
+    ).alias("__p")
+    others = [
+        c
+        for c in df.columns
+        if c not in (bytes_col, "sr_hz", "dur_ms", "codec", "pitch_factor")
+    ]
+    return df.select(*others, s).select(
+        *others,
+        F.lit(float(factor)).alias("pitch_factor"),
+        F.col("__p.bytes").alias("bytes"),
+        F.col("__p.sr_hz").alias("sr_hz"),
+        F.col("__p.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )
+
+
 # --- Real-noise mixing (MUSAN-style augmentation) -----------------------------
 
 MIXED_TYPE = T.StructType(

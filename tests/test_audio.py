@@ -1344,3 +1344,77 @@ def test_profile_clips_data_card(spark):
     sr_total = sum(v for (s, _), v in card.items() if s == "sr_hz")
     assert codec_total == 31.0 and sr_total == 31.0
     assert card[("duration_ms", "max")] >= card[("duration_ms", "median")]
+
+
+def test_pitch_shift_preserves_duration_scales_spectrum(spark):
+    """Phase-vocoder pitch shift: duration and dur_ms EXACTLY preserved,
+    planted tones' dominant frequency scales by exactly the factor,
+    factor=1.0 and too-short clips pass through byte-identical,
+    transcript carried, output deterministic under repartitioning."""
+    from lakehouse.audio import (
+        decode_wav,
+        pitch_shift_clips,
+        with_dominant_freq,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rows = []
+    f0s = {}
+    for i, f0 in enumerate((220.0, 451.0, 997.0, 2333.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        cid = f"tone-{i}"
+        rows.append((cid, wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", f"w{i}"))
+        f0s[cid] = f0
+    # a clip too short for a stable STFT must pass through verbatim
+    short = (0.2 * np.ones(1000)).astype(np.float32)
+    rows.append(("short-0", wrap_wav(short, sr, "pcm16"), sr, 63, "pcm16", "s"))
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = {r.clip_id: r for r in df.collect()}
+
+    for fac in (0.8, 1.25):
+        out = {
+            r.clip_id: r
+            for r in with_dominant_freq(pitch_shift_clips(df, fac))
+            .select(
+                "clip_id", "bytes", "dur_ms", "transcript",
+                "pitch_factor", "dominant",
+            )
+            .collect()
+        }
+        assert set(out) == set(src)  # map-only: row set unchanged
+        for cid, r in out.items():
+            b = src[cid]
+            assert r.dur_ms == b.dur_ms and r.transcript == b.transcript
+            assert r.pitch_factor == fac
+            if cid == "short-0":
+                assert bytes(r.bytes) == bytes(b.bytes)
+                continue
+            _, y = decode_wav(bytes(r.bytes))
+            _, x = decode_wav(bytes(b.bytes))
+            assert len(y) == len(x)  # sample-exact duration
+            want = fac * f0s[cid]
+            got = r.dominant["dominant_hz"]
+            assert abs(got - want) <= 0.01 * want + 3.0, (cid, got, want)
+
+    # factor=1.0 is a byte-identical passthrough
+    for r in pitch_shift_clips(df, 1.0).select("clip_id", "bytes").collect():
+        assert bytes(r.bytes) == bytes(src[r.clip_id].bytes)
+
+    # deterministic under repartitioning (no RNG anywhere)
+    a = {
+        r.clip_id: bytes(r.bytes)
+        for r in pitch_shift_clips(df, 1.25).select("clip_id", "bytes").collect()
+    }
+    b = {
+        r.clip_id: bytes(r.bytes)
+        for r in pitch_shift_clips(df.repartition(5, "clip_id"), 1.25)
+        .select("clip_id", "bytes")
+        .collect()
+    }
+    assert a == b
