@@ -581,6 +581,17 @@ def _q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+# fixed query set for the BM25 gate (terms drawn from the synthetic
+# documents vocabulary so every query matches)
+_BM25_QUERIES = ["fast merge join", "spark window agg", "slow scan table"]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from lakehouse.textops import bm25_topk
+
+    return bm25_topk(_read(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
 def _q_repetition_stats(spark, sf_dir):
     from lakehouse.textops import repetition_stats
 
@@ -4404,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # textops family
         "text_quality": _q_text_quality,
         "bigram_logprob": _q_bigram_logprob,
+        "bm25_topk": _q_bm25_topk,
         "lang_id": _q_lang_id,
         # tokenizer family (rows-only, self-verifying)
         "bpe_train": _q_bpe_train,
@@ -4572,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_text_oracle_sql,
         unigram_logprob_oracle_sql,
         bigram_logprob_oracle_sql,
+        bm25_topk_oracle_sql,
     )
 
     return {
@@ -4951,6 +4964,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition_oracle_sql(n=2),
         "unigram_logprob": unigram_logprob_oracle_sql(),
         "bigram_logprob": bigram_logprob_oracle_sql(),
+        "bm25_topk": bm25_topk_oracle_sql(_BM25_QUERIES, k=10),
         "text_normalize": normalize_text_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword profiles for the heuristic language
 # identifier. Deterministic and mirrored verbatim in the SQL oracle.
@@ -536,4 +537,172 @@ def normalize_text_oracle_sql(
                      ELSE len(string_split(norm_text, ' ')) END AS BIGINT)
                AS n_tokens
     FROM n
+    """
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+
+
+def _bm25_query_terms(queries) -> list:
+    """(query, term) pairs — lowercased, non-alnum split, deduped per
+    query (classic BM25 scores unique query terms)."""
+    import re
+
+    pairs = []
+    for q in queries:
+        seen = set()
+        for w in re.split(r"[^a-z0-9]+", q.lower()):
+            if w and w not in seen:
+                seen.add(w)
+                pairs.append((q, w))
+    if not pairs:
+        raise ValueError("bm25_topk: no non-empty query terms")
+    return pairs
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Robertson-Spärck Jones
+    idf, the Okapi tf saturation) — the retrieval primitive data
+    curation uses for targeted corpus slices ("find training docs about
+    X"). Reference analogue: the reference's analyst queries filter the
+    clickstream by literal predicates (`etl/handlers/click_handler.py`
+    derives the columns they hit); BM25 is the ranked-text version.
+
+    Scale shape (corpus-scaled parts first): ONE tokenize pass over the
+    corpus with the bounded query-term ``isin`` filter applied BEFORE
+    any aggregation (document length rides along as a column, so no
+    second corpus join), then tf = one shuffle on (doc, term). The
+    (N, avgdl) corpus stats are a separate one-row aggregate (second
+    text pass — cheaper than carrying unfiltered tokens). Query terms
+    and per-term document frequencies are bounded by the query list, so
+    both broadcast explicitly. Top-k is TWO-LEVEL: a salted local
+    row_number (``salt_partitions`` ways) prunes to salt×k rows per
+    query, then the global window ranks only those — a stop-word query
+    term can never funnel the whole corpus into one task. ASCII-lowering
+    assumed (the documents corpus is ASCII; DuckDB twin lowers
+    identically).
+
+    Output: (query, rank, doc_id, bm25) with bm25 rounded to 4 decimals
+    BEFORE ranking (ties broken by doc_id) so float association order
+    can't flip ranks between engines.
+    """
+    spark = df.sparkSession
+    pairs = _bm25_query_terms(queries)
+    terms = sorted({w for _q, w in pairs})
+    qdf = spark.createDataFrame(pairs, ["query", "w"])
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    stats = df.select(toks.alias("ts")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("ts")).alias("avgdl"),
+    )
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+        .select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
+        .filter(F.col("w").isin(terms))
+    )
+    tf = base.groupBy("doc_id", "dl", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_t"))
+
+    # qdf / dfreq are bounded by the query list; stats is one row
+    scored = (
+        tf.join(F.broadcast(qdf), "w")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df_t") + 0.5)
+                        / (F.col("df_t") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                4,
+            ).alias("bm25")
+        )
+    )
+    local_w = Window.partitionBy(
+        "query", F.crc32(F.col("doc_id").cast("string")) % salt_partitions
+    ).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    global_w = Window.partitionBy("query").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", "doc_id", "bm25")
+    )
+
+
+def bm25_topk_oracle_sql(
+    queries,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: identical tokenization/idf/tf arithmetic, plain
+    single-level row_number (the two-level prune is plan shape only)."""
+    pairs = _bm25_query_terms(queries)
+    vals = ", ".join(
+        "('{}', '{}')".format(q.replace("'", "''"), w.replace("'", "''"))
+        for q, w in pairs
+    )
+    return f"""
+    WITH q(query, w) AS (VALUES {vals}),
+         base AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text),
+                                     '[^a-z0-9]+'), x -> x <> '') AS ts
+                  FROM {table}),
+         stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl
+                   FROM base),
+         tok AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM base),
+         tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+                WHERE w IN (SELECT DISTINCT w FROM q)
+                GROUP BY doc_id, dl, w),
+         dfq AS (SELECT w, count(*) AS df_t FROM tf GROUP BY w),
+         sc AS (SELECT q.query, tf.doc_id,
+                       round(sum(ln(1 + (n_docs - df_t + 0.5)
+                                     / (df_t + 0.5))
+                                 * tf * ({k1} + 1.0)
+                                 / (tf + {k1} * (1.0 - {b}
+                                       + {b} * dl / avgdl))), 4) AS bm25
+                FROM tf JOIN q USING (w) JOIN dfq USING (w)
+                CROSS JOIN stats
+                GROUP BY q.query, tf.doc_id),
+         rk AS (SELECT query, doc_id, bm25,
+                       row_number() OVER (PARTITION BY query
+                           ORDER BY bm25 DESC, doc_id) AS rank
+                FROM sc)
+    SELECT query, rank, doc_id, bm25 FROM rk WHERE rank <= {k}
     """

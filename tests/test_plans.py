@@ -341,10 +341,15 @@ def test_no_broadcast_hints_on_corpus_scaled_frames():
         "rollup.py": {"keys"},            # CDC-delta group keys of one refresh
         "similarity.py": {"q", "probes"}, # bounded query/probe sets
         "streaming.py": {"existing"},     # probe-capped key lookup (<= max_probe_keys)
-        "textops.py": {"tot", "vocab"},   # one-row aggregates (grand
+        "textops.py": {"tot", "vocab",    # one-row aggregates (grand
                                           # total; vocabulary SIZE —
                                           # uni.agg(count), not the
                                           # vocabulary itself)
+                       "qdf", "dfreq",    # BM25: (query,term) pairs and
+                                          # per-QUERY-term doc freqs —
+                                          # both bounded by the query
+                                          # list argument
+                       "stats"},          # BM25 one-row (N, avgdl)
         "ops/cluster.py": {"cuts_df"},    # quantile cut points (n_buckets rows)
         "ops/compact.py": {"map_df"},     # file->bin map (metadata-bounded)
         "ops/merge.py": {"keys"},         # bounded-set MERGE strategy keys

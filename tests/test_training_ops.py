@@ -1460,3 +1460,62 @@ def test_word_crop_energy_recovers_planted_segments(spark):
         assert np.array_equal(y, planted), r["word"]
         # no silence inside the crop (planted tones are loud throughout)
         assert float(np.mean(np.abs(y) < 0.01)) < 0.1
+
+
+def test_bm25_topk_matches_oracle(spark, oracle):
+    from lakehouse.textops import bm25_topk, bm25_topk_oracle_sql
+
+    qs = ["fast merge join", "spark window agg", "slow scan table"]
+    assert_matches_oracle(
+        bm25_topk(_docs(spark), qs, k=10),
+        oracle,
+        bm25_topk_oracle_sql(qs, k=10),
+    )
+
+
+def test_bm25_topk_invariants_and_two_level_prune(spark):
+    """Ranks are contiguous 1..k with scores non-increasing; the salted
+    two-level top-k returns EXACTLY what a single global ranking would
+    (set salt_partitions=1 to degenerate); repartitioning the corpus
+    changes nothing; a query matching nothing returns no rows."""
+    from lakehouse.textops import bm25_topk
+
+    docs = _docs(spark)
+    qs = ["fast merge join", "zzznomatch"]
+    got = bm25_topk(docs, qs, k=7, salt_partitions=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query, []).append(r)
+    assert "zzznomatch" not in by_q  # unmatched query yields nothing
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= 7
+
+    flat = bm25_topk(docs, qs, k=7, salt_partitions=1).collect()
+    key = lambda rs: sorted((r.query, r["rank"], r.doc_id, r.bm25) for r in rs)
+    assert key(flat) == key(got)
+
+    rep = bm25_topk(
+        docs.repartition(13, "doc_id"), qs, k=7, salt_partitions=64
+    ).collect()
+    assert key(rep) == key(got)
+
+
+def test_bm25_ranks_exact_phrase_doc_first(spark):
+    """A document that is exactly the query outranks one diluted with
+    off-query tokens (tf saturation + length normalization)."""
+    from lakehouse.textops import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta filler filler filler filler filler filler"),
+            (3, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["alpha beta"], k=3).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
