@@ -586,6 +586,61 @@ def _q_bigram_logprob(spark, sf_dir):
 _BM25_QUERIES = ["fast merge join", "spark window agg", "slow scan table"]
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (lakehouse/joins.py): every event enriched
+    with the user's most recent prior-or-concurrent purchase — the
+    point-in-time lookup Spark has no operator for. Right side is
+    pre-aggregated per (user_id, ts) to satisfy the uniqueness
+    contract. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from lakehouse.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), right,
+        on="ts", by=["user_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_matched").cast("timestamp")).alias(
+            "purchase_ts_us"
+        ),
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+def _q_range_join(spark, sf_dir):
+    """Bucketed interval join (lakehouse/joins.py): events falling in
+    6-hour promo windows opened by every 37th purchase — the
+    inequality join Spark would compile to a BroadcastNestedLoopJoin;
+    here it is a bucket equi-join + exact post-filter. Oracle: plain
+    DuckDB inequality join."""
+    from lakehouse.joins import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win_us = 6 * 3600 * 1_000_000
+    promos = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 37 == 0)
+    ).select(
+        F.col("event_id").alias("promo_id"),
+        us.alias("start_us"),
+        (us + F.lit(win_us)).alias("end_us"),
+    )
+    pts = ev.select("event_id", "event_type", us.alias("t_us"))
+    return range_join(
+        pts, promos,
+        left_on="t_us", start_col="start_us", end_col="end_us",
+        bucket_width=win_us,
+    ).select("event_id", "event_type", "t_us", "promo_id", "start_us", "end_us")
+
+
 def _q_bm25_topk(spark, sf_dir):
     from lakehouse.textops import bm25_topk
 
@@ -4416,6 +4471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "bigram_logprob": _q_bigram_logprob,
         "bm25_topk": _q_bm25_topk,
+        "asof_join_enrich": _q_asof_join,
+        "range_join_promos": _q_range_join,
         "lang_id": _q_lang_id,
         # tokenizer family (rows-only, self-verifying)
         "bpe_train": _q_bpe_train,
@@ -4965,6 +5022,29 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": unigram_logprob_oracle_sql(),
         "bigram_logprob": bigram_logprob_oracle_sql(),
         "bm25_topk": bm25_topk_oracle_sql(_BM25_QUERIES, k=10),
+        "asof_join_enrich": """
+            WITH r AS (SELECT user_id, ts,
+                              max(value) AS last_purchase_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS purchase_ts_us,
+                   round(r.last_purchase_value, 6) AS last_purchase_value
+            FROM events l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_promos": """
+            WITH p AS (SELECT event_id AS promo_id, epoch_us(ts) AS start_us,
+                              epoch_us(ts) + CAST(6*3600 AS BIGINT)*1000000
+                                  AS end_us
+                       FROM events
+                       WHERE event_type = 'purchase' AND event_id % 37 = 0)
+            SELECT l.event_id, l.event_type, epoch_us(l.ts) AS t_us,
+                   p.promo_id, p.start_us, p.end_us
+            FROM events l, p
+            WHERE epoch_us(l.ts) >= p.start_us AND epoch_us(l.ts) < p.end_us
+        """,
         "text_normalize": normalize_text_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(
             eval_pred=_DECONTAM_EVAL_PRED, k=8, min_hits=1
