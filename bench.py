@@ -424,6 +424,20 @@ def main() -> None:
 
             timed("speed_perturb", speed_perturb)
 
+            # duration-preserving phase-vocoder pitch shift (STFT →
+            # vectorized phase cumsum → overlap-add → resample), the
+            # heaviest per-clip DSP stage in the augmentation suite
+            def pitch_shift():
+                from lakehouse.audio import pitch_shift_clips
+
+                return (
+                    pitch_shift_clips(t.scan(), 1.12)
+                    .selectExpr("sum(length(bytes))")
+                    .collect()
+                )
+
+            timed("pitch_shift", pitch_shift)
+
             # distributed BPE training over the documents corpus: one
             # word-frequency shuffle, then 12 merge rounds of
             # explode->groupBy with a single argmax row to the driver
@@ -592,6 +606,9 @@ def main() -> None:
             "ann_ivfpq_topk",
             "chunk_documents",
             "dedup_clusters",
+            "bm25_topk",
+            "asof_join_enrich",
+            "range_join_promos",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 
