@@ -4469,11 +4469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
-        "bigram_logprob": _q_bigram_logprob,
         "bm25_topk": _q_bm25_topk,
         "asof_join_enrich": _q_asof_join,
-        "range_join_promos": _q_range_join,
-        "lang_id": _q_lang_id,
         # tokenizer family (rows-only, self-verifying)
         "bpe_train": _q_bpe_train,
         # packing family
@@ -4496,6 +4493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
+        "lang_id": _q_lang_id,
+        "range_join_promos": _q_range_join,
         "sample_hash": _q_sample_hash,
         "window_top_purchase": _q_window_top_purchase,
         "lh_delete_convert": _q_lh_delete_convert,
