@@ -615,6 +615,34 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (lakehouse/integrity.py) with
+    DETERMINISTICALLY PLANTED defects: every 97th order gets a NULL
+    custkey (NOT-NULL violation, reported separately) and every 101st
+    a custkey shifted out of the customer domain (a true FK orphan);
+    lineitem→orders is left intact as the all-green control row.
+    Oracle: per-relationship NOT EXISTS counts in DuckDB."""
+    from lakehouse.integrity import integrity_report
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    li = _read(spark, sf_dir, "lineitem")
+    o = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_custkey") + 1000000
+        )
+        .otherwise(F.col("o_custkey")),
+    )
+    return integrity_report(
+        [
+            ("orders->customer", o, cust, [("o_custkey", "c_custkey")]),
+            ("lineitem->orders", li, orders, [("l_orderkey", "o_orderkey")]),
+        ]
+    )
+
+
 def _q_range_join(spark, sf_dir):
     """Bucketed interval join (lakehouse/joins.py): events falling in
     6-hour promo windows opened by every 37th purchase — the
@@ -4471,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "bm25_topk": _q_bm25_topk,
         "asof_join_enrich": _q_asof_join,
+        "fk_integrity_audit": _q_fk_integrity,
         # tokenizer family (rows-only, self-verifying)
         "bpe_train": _q_bpe_train,
         # packing family
@@ -4481,7 +4510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         # similarity family
         "cosine_topk": _q_cosine_topk,
-        "pq_topk": _q_pq_topk,
         # audio family (rows-only, self-verifying)
         "audio_qc_detection": _q_audio_qc_detection,
         "lh_asr_pipeline": _q_lh_asr_pipeline,
@@ -4541,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "sample_stratified": _q_sample_stratified,
+        "pq_topk": _q_pq_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
@@ -5033,6 +5062,35 @@ def oracle_sql() -> dict[str, str]:
                    round(r.last_purchase_value, 6) AS last_purchase_value
             FROM events l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "fk_integrity_audit": """
+            WITH o AS (SELECT o_orderkey,
+                              CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                   WHEN o_orderkey % 101 = 0
+                                       THEN o_custkey + 1000000
+                                   ELSE o_custkey END AS o_custkey
+                       FROM orders),
+                 o_orph AS (SELECT o_custkey FROM o
+                            WHERE o_custkey IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM customer c
+                                              WHERE c.c_custkey = o.o_custkey)),
+                 l_orph AS (SELECT l_orderkey FROM lineitem l
+                            WHERE l_orderkey IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM orders x
+                                              WHERE x.o_orderkey = l.l_orderkey))
+            SELECT 'orders->customer' AS relationship,
+                   (SELECT count(*) FROM o) AS child_rows,
+                   (SELECT count(*) FROM o WHERE o_custkey IS NULL)
+                       AS null_key_rows,
+                   (SELECT count(*) FROM o_orph) AS orphan_rows,
+                   (SELECT count(DISTINCT o_custkey) FROM o_orph)
+                       AS missing_keys
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+                   (SELECT count(*) FROM l_orph),
+                   (SELECT count(DISTINCT l_orderkey) FROM l_orph)
         """,
         "range_join_promos": """
             WITH p AS (SELECT event_id AS promo_id, epoch_us(ts) AS start_us,
