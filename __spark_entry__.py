@@ -2053,6 +2053,74 @@ def _q_audio_pitch_shift(spark, sf_dir):
     ).orderBy("clip_id")
 
 
+def _q_audio_resample_sinc(spark, sf_dir):
+    """Self-verifying windowed-sinc resample. Asserted in-builder:
+    (1) anti-aliasing — a planted tone ABOVE the target Nyquist decays
+    below 1% RMS after the sinc downsample while the linear path folds
+    it in at >20% (the aliasing linear interpolation cannot reject);
+    (2) at a non-integer ratio the passband SNR vs an ideally-rendered
+    reference clears the repo-wide 30 dB bar; (3) payload columns swap
+    consistently (sr_hz/dur_ms/codec). Returns the per-clip ledger."""
+    import numpy as np
+
+    from lakehouse.audio import decode_wav, resample_clips, snr_db
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    t = np.arange(int(sr * 0.8)) / sr
+    hi = (0.4 * np.sin(2 * np.pi * 5000.0 * t)).astype(np.float32)
+    pb = (0.4 * np.sin(2 * np.pi * 2000.0 * t)).astype(np.float32)
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    df = spark.createDataFrame(
+        [
+            ("hi-5k", wrap_wav(hi, sr, "pcm16"), sr, 800, "pcm16", "x"),
+            ("pb-2k", wrap_wav(pb, sr, "pcm16"), sr, 800, "pcm16", "x"),
+        ],
+        schema,
+    )
+
+    def _rms(v):
+        return float(np.sqrt(np.mean(v[64:-64].astype(np.float64) ** 2)))
+
+    down_sinc = {
+        r.clip_id: r for r in resample_clips(df, 8000, method="sinc").collect()
+    }
+    down_lin = {
+        r.clip_id: r
+        for r in resample_clips(df, 8000, method="linear").collect()
+    }
+    _, ys = decode_wav(bytes(down_sinc["hi-5k"].bytes))
+    _, yl = decode_wav(bytes(down_lin["hi-5k"].bytes))
+    assert _rms(ys) < 0.01 < 0.2 < _rms(yl), (_rms(ys), _rms(yl))
+    assert down_sinc["hi-5k"].sr_hz == 8000
+    assert down_sinc["hi-5k"].codec == "pcm16"
+
+    tgt = 11025
+    r = {
+        x.clip_id: x for x in resample_clips(df, tgt, method="sinc").collect()
+    }["pb-2k"]
+    _, y = decode_wav(bytes(r.bytes))
+    n_out = int(round(len(pb) * tgt / sr))
+    ref = (
+        0.4 * np.sin(2 * np.pi * 2000.0 * np.arange(n_out) / tgt)
+    ).astype(np.float32)
+    n = min(len(y), len(ref))
+    s = snr_db(ref[64 : n - 64], y[64 : n - 64])
+    assert s >= 30.0, s
+
+    rows = [
+        ("hi-5k", 8000, float(round(_rms(ys), 4)), float(round(_rms(yl), 4))),
+        ("pb-2k", tgt, float(round(s, 1)), None),
+    ]
+    return spark.createDataFrame(
+        rows, "clip_id string, target_sr int, sinc_metric double, "
+        "linear_metric double"
+    )
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Self-verifying reverberation augmentation (Ko et al. 2017 recipe
     with a per-clip synthesized velvet-noise RIR). Asserted in-builder:
@@ -4594,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_noise_mix": _q_audio_noise_mix,
         "audio_speed_perturb": _q_audio_speed_perturb,
         "audio_pitch_shift": _q_audio_pitch_shift,
+        "audio_resample_sinc": _q_audio_resample_sinc,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,

@@ -378,6 +378,39 @@ def _resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _resample_sinc(
+    x: np.ndarray, sr_in: int, sr_out: int, taps: int = 16
+) -> np.ndarray:
+    """Windowed-sinc (Hann) resample — the anti-aliasing path linear
+    interpolation lacks: a downsample low-passes at the TARGET Nyquist
+    (cutoff = sr_out/sr_in), so out-of-band energy is rejected instead
+    of folded. ``taps`` samples each side; fully vectorized as a
+    (block × 2·taps) kernel matmul, chunked so the scratch stays a few
+    MB per clip regardless of clip length."""
+    if sr_in == sr_out or len(x) == 0:
+        return x
+    n_out = max(1, int(round(len(x) * sr_out / sr_in)))
+    ratio = sr_in / sr_out
+    c = min(1.0, sr_out / sr_in)
+    pos = np.arange(n_out, dtype=np.float64) * ratio
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    offs = np.arange(-taps + 1, taps + 1, dtype=np.float64)
+    xp = np.pad(x.astype(np.float64), (taps, taps + 1))
+    out = np.empty(n_out, dtype=np.float64)
+    block = 32768
+    for s in range(0, n_out, block):
+        t = offs[None, :] - frac[s : s + block, None]
+        k = (
+            c
+            * np.sinc(c * t)
+            * (0.5 + 0.5 * np.cos(np.pi * np.clip(t / taps, -1.0, 1.0)))
+        )
+        idx = base[s : s + block, None] + offs[None, :].astype(np.int64)
+        out[s : s + block] = (xp[idx + taps] * k).sum(axis=1)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
 RESAMPLED_TYPE = T.StructType(
     [
         T.StructField("bytes", T.BinaryType()),
@@ -387,10 +420,13 @@ RESAMPLED_TYPE = T.StructType(
 )
 
 
-def make_resample_udf(target_sr: int):
-    """Vectorized resample: decode batch → np.interp → re-encode PCM16
-    WAV. Returns a (bytes, sr_hz, dur_ms) struct so callers can swap the
-    payload columns in one projection."""
+def make_resample_udf(target_sr: int, method: str = "linear"):
+    """Vectorized resample: decode batch → interp/sinc → re-encode
+    PCM16 WAV. Returns a (bytes, sr_hz, dur_ms) struct so callers can
+    swap the payload columns in one projection."""
+    if method not in ("linear", "sinc"):
+        raise ValueError(f"unknown resample method: {method!r}")
+    kernel = _resample_linear if method == "linear" else _resample_sinc
 
     @F.pandas_udf(RESAMPLED_TYPE)
     def resample_udf(raw: pd.Series) -> pd.DataFrame:
@@ -405,7 +441,7 @@ def make_resample_udf(target_sr: int):
                 out["sr_hz"].append(None)
                 out["dur_ms"].append(None)
                 continue
-            y = _resample_linear(x, sr, target_sr)
+            y = kernel(x, sr, target_sr)
             out["bytes"].append(wrap_wav(y, target_sr, "pcm16"))
             out["sr_hz"].append(target_sr)
             out["dur_ms"].append(int(round(1000 * len(y) / target_sr)))
@@ -414,10 +450,16 @@ def make_resample_udf(target_sr: int):
     return resample_udf
 
 
-def resample_clips(df, target_sr: int, bytes_col: str = "bytes"):
+def resample_clips(
+    df, target_sr: int, bytes_col: str = "bytes", method: str = "linear"
+):
     """Rewrite the audio payload at ``target_sr`` (bytes/sr_hz/dur_ms
-    swapped in a single projection; codec normalized to pcm16)."""
-    r = make_resample_udf(target_sr)(F.col(bytes_col)).alias("__r")
+    swapped in a single projection; codec normalized to pcm16).
+    ``method="sinc"`` takes the anti-aliased windowed-sinc path —
+    required when downsampling content with energy above the target
+    Nyquist; ``"linear"`` (default, byte-stable with earlier rounds) is
+    adequate for band-limited speech-rate conversions."""
+    r = make_resample_udf(target_sr, method)(F.col(bytes_col)).alias("__r")
     others = [c for c in df.columns if c not in ("bytes", "sr_hz", "dur_ms", "codec")]
     return df.select(*others, r).select(
         *others,

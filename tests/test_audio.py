@@ -1418,3 +1418,60 @@ def test_pitch_shift_preserves_duration_scales_spectrum(spark):
         .collect()
     }
     assert a == b
+
+
+def test_sinc_resample_antialiases_and_beats_linear(spark):
+    """Windowed-sinc resampling: (1) a tone ABOVE the target Nyquist is
+    rejected (linear folds it in as aliasing); (2) at a non-integer
+    ratio the passband SNR beats linear by >20 dB and clears the
+    repo-wide 30 dB bar; (3) the Spark operator swaps payload columns
+    and meets the same bar end-to-end."""
+    from lakehouse.audio import (
+        _resample_linear,
+        _resample_sinc,
+        decode_wav,
+        resample_clips,
+        snr_db,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr, tgt = 16000, 8000
+    t = np.arange(int(sr * 0.8)) / sr
+    # 5 kHz > 4 kHz target Nyquist: must vanish after a proper downsample
+    hi = (0.4 * np.sin(2 * np.pi * 5000.0 * t)).astype(np.float32)
+    lin = _resample_linear(hi, sr, tgt)
+    snc = _resample_sinc(hi, sr, tgt)
+    rms = lambda v: float(np.sqrt(np.mean(v[64:-64].astype(np.float64) ** 2)))
+    assert rms(lin) > 0.2          # linear folds the tone into the band
+    assert rms(snc) < 0.01         # sinc rejects it by >25 dB
+
+    # non-integer ratio passband fidelity
+    tgt2 = 11025
+    x = (0.4 * np.sin(2 * np.pi * 2000.0 * t)).astype(np.float32)
+    n_out = int(round(len(x) * tgt2 / sr))
+    ref = (
+        0.4 * np.sin(2 * np.pi * 2000.0 * np.arange(n_out) / tgt2)
+    ).astype(np.float32)
+
+    def pb_snr(fn):
+        y = fn(x, sr, tgt2)
+        n = min(len(y), len(ref))
+        return snr_db(ref[64 : n - 64], y[64 : n - 64])
+
+    s_lin, s_snc = pb_snr(_resample_linear), pb_snr(_resample_sinc)
+    assert s_snc >= 30.0 and s_snc > s_lin + 20.0, (s_lin, s_snc)
+
+    # end-to-end through the operator
+    df = spark.createDataFrame(
+        [("a", wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", "w")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = resample_clips(df, tgt2, method="sinc").collect()[0]
+    assert r.sr_hz == tgt2 and r.codec == "pcm16"
+    _, y = decode_wav(bytes(r.bytes))
+    n = min(len(y), len(ref))
+    assert snr_db(ref[64 : n - 64], y[64 : n - 64]) >= 30.0
+
+    with pytest.raises(ValueError):
+        resample_clips(df, tgt2, method="cubic")
