@@ -2053,6 +2053,72 @@ def _q_audio_pitch_shift(spark, sf_dir):
     ).orderBy("clip_id")
 
 
+def _q_audio_compress_dynamics(spark, sf_dir):
+    """Self-verifying dynamic-range compression. Asserted in-builder on
+    planted loud/soft alternating segments: (1) the loud segment's RMS
+    drops by EXACTLY (level − threshold)(1 − 1/ratio) dB within 0.1 dB;
+    (2) the sub-threshold segment is untouched within 0.05 dB; (3)
+    dur_ms preserved; (4) deterministic under repartitioning. Returns
+    the per-clip reduction ledger."""
+    import numpy as np
+
+    from lakehouse.audio import compress_dynamics_clips, decode_wav
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    seg = int(sr * 0.2)
+    t = np.arange(seg) / sr
+    rows = []
+    for i, amp in enumerate((0.5, 0.25)):
+        x = np.concatenate(
+            [
+                amp * np.sin(2 * np.pi * 440 * t),
+                0.01 * np.sin(2 * np.pi * 440 * t),
+            ]
+            * 2
+        ).astype(np.float32)
+        rows.append(
+            (f"c{i}", wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", "w", amp)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, amp double",
+    )
+    out = compress_dynamics_clips(df, threshold_db=-20.0, ratio=4.0)
+    got = {r.clip_id: r for r in out.collect()}
+
+    def rms_db(v):
+        return 20 * np.log10(
+            np.sqrt(np.mean(v.astype(np.float64) ** 2)) + 1e-12
+        )
+
+    q = seg // 4
+    for cid, b, amp in [("c0", rows[0][1], 0.5), ("c1", rows[1][1], 0.25)]:
+        r = got[cid]
+        assert r.dur_ms == 800
+        _, xin = decode_wav(bytes(b))
+        _, y = decode_wav(bytes(r.bytes))
+        lvl = rms_db(xin[q : seg - q])
+        want = -(lvl + 20.0) * 0.75
+        gotd = rms_db(y[q : seg - q]) - lvl
+        assert abs(gotd - want) < 0.1, (cid, gotd, want)
+        s_in = rms_db(xin[seg + q : 2 * seg - q])
+        s_out = rms_db(y[seg + q : 2 * seg - q])
+        assert abs(s_out - s_in) < 0.05, cid
+        assert abs(r.reduction_db + want) < 0.2, cid
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in compress_dynamics_clips(
+            df.repartition(3, "clip_id"), threshold_db=-20.0, ratio=4.0
+        ).collect()
+    }
+    assert again == {c: bytes(r.bytes) for c, r in got.items()}
+    return out.select(
+        "clip_id", "dur_ms", F.round("reduction_db", 2).alias("reduction_db")
+    ).orderBy("clip_id")
+
+
 def _q_audio_resample_sinc(spark, sf_dir):
     """Self-verifying windowed-sinc resample. Asserted in-builder:
     (1) anti-aliasing — a planted tone ABOVE the target Nyquist decays
@@ -4663,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_speed_perturb": _q_audio_speed_perturb,
         "audio_pitch_shift": _q_audio_pitch_shift,
         "audio_resample_sinc": _q_audio_resample_sinc,
+        "audio_compress_dynamics": _q_audio_compress_dynamics,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,

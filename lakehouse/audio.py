@@ -545,6 +545,111 @@ def normalize_clips(
     )
 
 
+# --- Dynamic-range compression (telephony/broadcast simulation) --------------
+
+COMPRESSED_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("reduction_db", T.DoubleType()),
+    ]
+)
+
+
+def drc_pcm(
+    x: np.ndarray,
+    sr: int,
+    threshold_db: float = -20.0,
+    ratio: float = 4.0,
+    frame_ms: int = 20,
+    makeup_db: float = 0.0,
+) -> Tuple[np.ndarray, float]:
+    """Block-RMS downward compressor: frames louder than ``threshold_db``
+    are pulled toward it with slope ``1 - 1/ratio``; sub-threshold
+    frames pass untouched. The gain track is computed per frame,
+    smoothed over 3 frames (the attack/release stand-in — an IIR
+    envelope would be a per-sample Python loop; a moving average keeps
+    the whole kernel vectorized and deterministic), then linearly
+    interpolated between frame centers so gain changes never step
+    mid-frame. Returns (samples, max gain reduction applied in dB)."""
+    if len(x) == 0:
+        return x, 0.0
+    frame = max(1, sr * frame_ms // 1000)
+    n_frames = (len(x) + frame - 1) // frame
+    xp = np.pad(x.astype(np.float64), (0, n_frames * frame - len(x)))
+    rms = np.sqrt(np.mean(xp.reshape(n_frames, frame) ** 2, axis=1))
+    level_db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    over = np.maximum(level_db - threshold_db, 0.0)
+    gain_db = -over * (1.0 - 1.0 / float(ratio))
+    if n_frames >= 3:
+        sm = np.convolve(gain_db, np.ones(3) / 3.0, mode="same")
+        sm[0] = (gain_db[0] + gain_db[1]) / 2.0
+        sm[-1] = (gain_db[-1] + gain_db[-2]) / 2.0
+        gain_db = sm
+    centers = (np.arange(n_frames) + 0.5) * frame
+    g = np.interp(np.arange(len(x), dtype=np.float64), centers, gain_db)
+    y = x.astype(np.float64) * 10.0 ** ((g + makeup_db) / 20.0)
+    y = np.clip(y, -0.99997, 0.99997).astype(np.float32)
+    return y, float(-gain_db.min())
+
+
+def make_compress_udf(
+    threshold_db: float, ratio: float, frame_ms: int, makeup_db: float
+):
+    @F.pandas_udf(COMPRESSED_TYPE)
+    def compress_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": [], "reduction_db": []}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                for k in out:
+                    out[k].append(None)
+                continue
+            y, red = drc_pcm(x, sr, threshold_db, ratio, frame_ms, makeup_db)
+            out["bytes"].append(wrap_wav(y, sr, "pcm16"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(1000 * len(y) / sr + 0.5))
+            out["reduction_db"].append(red)
+        return pd.DataFrame(out)
+
+    return compress_udf
+
+
+def compress_dynamics_clips(
+    df,
+    threshold_db: float = -20.0,
+    ratio: float = 4.0,
+    frame_ms: int = 20,
+    makeup_db: float = 0.0,
+    bytes_col: str = "bytes",
+):
+    """Dynamic-range compression augmentation (the telephony/broadcast
+    loudness-processing channel ASR robustness recipes simulate):
+    map-only, ONE Arrow decode→gain-track→encode pass, deterministic
+    (no RNG ⇒ partitioning/retry invariant). ``reduction_db`` kept as
+    lineage (max gain reduction applied per clip)."""
+    s = make_compress_udf(threshold_db, ratio, frame_ms, makeup_db)(
+        F.col(bytes_col)
+    ).alias("__c")
+    others = [
+        c
+        for c in df.columns
+        if c not in ("bytes", "sr_hz", "dur_ms", "codec", "reduction_db")
+    ]
+    return df.select(*others, s).select(
+        *others,
+        F.col("__c.bytes").alias("bytes"),
+        F.col("__c.sr_hz").alias("sr_hz"),
+        F.col("__c.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.col("__c.reduction_db").alias("reduction_db"),
+    )
+
+
 TRIMMED_TYPE = T.StructType(
     [
         T.StructField("bytes", T.BinaryType()),

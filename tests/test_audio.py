@@ -1475,3 +1475,51 @@ def test_sinc_resample_antialiases_and_beats_linear(spark):
 
     with pytest.raises(ValueError):
         resample_clips(df, tgt2, method="cubic")
+
+
+def test_compress_dynamics_planted_segments(spark):
+    """Downward compressor: a loud segment is reduced by exactly
+    (level - threshold)·(1 - 1/ratio) dB, a sub-threshold segment
+    passes untouched, dur_ms preserved, deterministic under
+    repartitioning."""
+    from lakehouse.audio import compress_dynamics_clips, decode_wav, drc_pcm
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    seg = int(sr * 0.2)  # 200 ms = 10 × 20 ms frames (frame-aligned)
+    t = np.arange(seg) / sr
+    loud = 0.5 * np.sin(2 * np.pi * 440 * t)
+    soft = 0.01 * np.sin(2 * np.pi * 440 * t)
+    x = np.concatenate([loud, soft, loud, soft]).astype(np.float32)
+
+    def rms_db(v):
+        return 20 * np.log10(
+            np.sqrt(np.mean(v.astype(np.float64) ** 2)) + 1e-12
+        )
+
+    y, red = drc_pcm(x, sr, threshold_db=-20.0, ratio=4.0)
+    q = seg // 4
+    lvl = rms_db(x[q : seg - q])
+    want_delta = -(lvl - (-20.0)) * 0.75
+    got_delta = rms_db(y[q : seg - q]) - lvl
+    assert abs(got_delta - want_delta) < 0.1, (got_delta, want_delta)
+    s_in = rms_db(x[seg + q : 2 * seg - q])
+    s_out = rms_db(y[seg + q : 2 * seg - q])
+    assert abs(s_out - s_in) < 0.05  # below threshold: untouched
+    assert abs(red - (-want_delta)) < 0.1
+
+    df = spark.createDataFrame(
+        [("a", wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", "w")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    r = compress_dynamics_clips(df, threshold_db=-20.0, ratio=4.0).collect()[0]
+    assert r.dur_ms == 800 and r.sr_hz == sr
+    assert abs(r.reduction_db - red) < 0.2
+    _, ys = decode_wav(bytes(r.bytes))
+    assert abs(rms_db(ys[q : seg - q]) - (lvl + want_delta)) < 0.2
+
+    r2 = compress_dynamics_clips(
+        df.repartition(3), threshold_db=-20.0, ratio=4.0
+    ).collect()[0]
+    assert bytes(r2.bytes) == bytes(r.bytes)
