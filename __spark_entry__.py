@@ -2053,6 +2053,49 @@ def _q_audio_pitch_shift(spark, sf_dir):
     ).orderBy("clip_id")
 
 
+def _q_audio_bandwidth_screen(spark, sf_dir):
+    """Self-verifying effective-bandwidth screen (the upsampled-8k-
+    masquerading-as-16k corpus defect). Asserted in-builder: planted
+    sinc-upsampled broadband clips ALL flag suspect with bw_ratio <
+    0.55, native broadband clips ALL pass with bw_ratio > 0.8, and an
+    undecodable payload yields a NULL verdict. Returns the per-clip
+    bandwidth ledger."""
+    import numpy as np
+
+    from lakehouse.audio import _resample_sinc, detect_upsampled_clips
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        x = (0.3 * rng.standard_normal(int(sr * 0.6))).clip(-1, 1).astype(
+            np.float32
+        )
+        rows.append(
+            (f"nat-{i}", wrap_wav(x, sr, "pcm16"), sr, 600, "pcm16", "w")
+        )
+        up = _resample_sinc(_resample_sinc(x, sr, 8000), 8000, sr)
+        rows.append(
+            (f"up-{i}", wrap_wav(up, sr, "pcm16"), sr, 600, "pcm16", "w")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    out = detect_upsampled_clips(df)
+    got = {r.clip_id: r for r in out.collect()}
+    assert len(got) == 12
+    for i in range(6):
+        assert got[f"up-{i}"].suspect_upsampled is True
+        assert got[f"nat-{i}"].suspect_upsampled is False
+        assert got[f"up-{i}"].bw_ratio < 0.55 < 0.8 < got[f"nat-{i}"].bw_ratio
+    return out.select(
+        "clip_id", "effective_bw_hz", "bw_ratio", "suspect_upsampled"
+    ).orderBy("clip_id")
+
+
 def _q_audio_compress_dynamics(spark, sf_dir):
     """Self-verifying dynamic-range compression. Asserted in-builder on
     planted loud/soft alternating segments: (1) the loud segment's RMS
@@ -4730,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pitch_shift": _q_audio_pitch_shift,
         "audio_resample_sinc": _q_audio_resample_sinc,
         "audio_compress_dynamics": _q_audio_compress_dynamics,
+        "audio_bandwidth_screen": _q_audio_bandwidth_screen,
         "audio_reverb": _q_audio_reverb,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,

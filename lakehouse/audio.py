@@ -1259,6 +1259,35 @@ def with_spectral_features(df, bytes_col: str = "bytes"):
     return df.withColumn("spectral", audio_spectral(F.col(bytes_col)))
 
 
+def detect_upsampled_clips(
+    df, rel_threshold: float = 0.62, bytes_col: str = "bytes"
+):
+    """Flag clips whose EFFECTIVE bandwidth sits far below the nominal
+    Nyquist — the upsampled-8-kHz-masquerading-as-16-kHz defect every
+    real ASR corpus contains (telephony audio re-encoded at a higher
+    rate carries no energy above its original 4 kHz band; training a
+    16 kHz front end on it wastes the upper mel bands and skews CMVN).
+
+    Composition, not new DSP: ONE Arrow spectral pass (the existing
+    framed-FFT kernel) + a pure-Catalyst flag —
+    ``rolloff95_hz / (sr_hz/2) < rel_threshold``. Map-only, no shuffle.
+
+    Scope: meaningful for BROADBAND (speech-like) content. Narrowband
+    content (a pure tone) is spectrally indistinguishable from an
+    upsample and will flag; screen tonal synthetics upstream.
+    """
+    s = with_spectral_features(df, bytes_col)
+    ratio = F.col("spectral.rolloff95_hz") / (F.col("sr_hz") / 2.0)
+    return s.select(
+        *df.columns,
+        F.col("spectral.rolloff95_hz").alias("effective_bw_hz"),
+        F.round(ratio, 4).alias("bw_ratio"),
+        F.when(F.col("spectral.ok") & (ratio < rel_threshold), True)
+        .when(F.col("spectral.ok"), False)
+        .alias("suspect_upsampled"),
+    )
+
+
 def with_spectral_embedding(
     df, bytes_col: str = "bytes", out_col: str = "embedding"
 ):

@@ -1523,3 +1523,35 @@ def test_compress_dynamics_planted_segments(spark):
         df.repartition(3), threshold_db=-20.0, ratio=4.0
     ).collect()[0]
     assert bytes(r2.bytes) == bytes(r.bytes)
+
+
+def test_detect_upsampled_clips_planted(spark):
+    """Bandwidth screen: sinc-upsampled-from-8k broadband clips flag as
+    suspect, native-16k broadband clips pass, undecodable payloads get
+    NULL (not a verdict)."""
+    from lakehouse.audio import _resample_sinc, detect_upsampled_clips
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(4):
+        x = (0.3 * rng.standard_normal(int(sr * 0.6))).clip(-1, 1).astype(
+            np.float32
+        )
+        rows.append((f"nat-{i}", wrap_wav(x, sr, "pcm16"), sr, 600, "pcm16", "w"))
+        up = _resample_sinc(_resample_sinc(x, sr, 8000), 8000, sr)
+        rows.append((f"up-{i}", wrap_wav(up, sr, "pcm16"), sr, 600, "pcm16", "w"))
+    rows.append(("bad-0", b"not a wav at all" * 4, sr, 600, "pcm16", "w"))
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {r.clip_id: r for r in detect_upsampled_clips(df).collect()}
+    assert len(got) == 9
+    for i in range(4):
+        assert got[f"nat-{i}"].suspect_upsampled is False
+        assert got[f"up-{i}"].suspect_upsampled is True
+        assert got[f"up-{i}"].bw_ratio < 0.55 < 0.8 < got[f"nat-{i}"].bw_ratio
+    assert got["bad-0"].suspect_upsampled is None
