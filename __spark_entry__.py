@@ -615,6 +615,19 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel with a 24 h per-hop horizon
+    (lakehouse/funnel.py) — the flagship clickstream analytics query of
+    the reference's domain. Oracle: identical min()-cascade in DuckDB."""
+    from lakehouse.funnel import funnel_report
+
+    return funnel_report(
+        _read(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within=86400.0,
+    )
+
+
 def _q_fk_integrity(spark, sf_dir):
     """Referential-integrity audit (lakehouse/integrity.py) with
     DETERMINISTICALLY PLANTED defects: every 97th order gets a NULL
@@ -4632,7 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference pipeline + analytics
         "events_json_pipeline": _q_events_json_pipeline,
         "hourly_rollup": _q_hourly_rollup,
-        "q1_pricing_summary": _q_q1_pricing,
+        "events_funnel": _q_events_funnel,
         # event-time operators (batch twins + streaming parity)
         "events_windowed_rollup": _q_events_windowed_rollup,
         "events_sessionize": _q_events_sessionize,
@@ -4711,6 +4724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_align_energy": _q_transcript_align_energy,
         "audio_data_card": _q_audio_data_card,
         "segment_revenue": _q_segment_revenue,
+        "q1_pricing_summary": _q_q1_pricing,
         "lh_cluster_hilbert_parity": _q_lh_cluster_hilbert,
         "lh_sorted_scan": _q_lh_sorted_scan,
         "lh_lineage_scan": _q_lh_lineage_scan,
@@ -4782,6 +4796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
         "lh_wav_dir_ingest": _q_lh_wav_dir_ingest,
     }
+
+
+def _funnel_oracle() -> str:
+    from lakehouse.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(["view", "click", "purchase"], within=86400.0)
 
 
 def _sampling_oracles() -> tuple[str, str, str, str]:
@@ -5243,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "events_funnel": _funnel_oracle(),
         "fk_integrity_audit": """
             WITH o AS (SELECT o_orderkey,
                               CASE WHEN o_orderkey % 97 = 0 THEN NULL
