@@ -628,6 +628,15 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle (lakehouse/funnel.py): users
+    cohorted by first-activity week, counted once per active week.
+    Oracle: identical date_trunc/datediff arithmetic in DuckDB."""
+    from lakehouse.funnel import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"), max_periods=8)
+
+
 def _q_fk_integrity(spark, sf_dir):
     """Referential-integrity audit (lakehouse/integrity.py) with
     DETERMINISTICALLY PLANTED defects: every 97th order gets a NULL
@@ -4714,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "lang_id": _q_lang_id,
         "range_join_promos": _q_range_join,
+        "events_cohort_retention": _q_cohort_retention,
         "sample_hash": _q_sample_hash,
         "window_top_purchase": _q_window_top_purchase,
         "lh_delete_convert": _q_lh_delete_convert,
@@ -4802,6 +4812,12 @@ def _funnel_oracle() -> str:
     from lakehouse.funnel import funnel_oracle_sql
 
     return funnel_oracle_sql(["view", "click", "purchase"], within=86400.0)
+
+
+def _cohort_oracle() -> str:
+    from lakehouse.funnel import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(max_periods=8)
 
 
 def _sampling_oracles() -> tuple[str, str, str, str]:
@@ -5264,6 +5280,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_funnel": _funnel_oracle(),
+        "events_cohort_retention": _cohort_oracle(),
         "fk_integrity_audit": """
             WITH o AS (SELECT o_orderkey,
                               CASE WHEN o_orderkey % 97 = 0 THEN NULL

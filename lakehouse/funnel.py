@@ -170,3 +170,82 @@ def funnel_oracle_sql(
         "WITH " + ", ".join(ctes) + f", c AS (SELECT {cnt} FROM s{n}) "
         + " UNION ALL ".join(sel)
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_periods: Optional[int] = None,
+) -> DataFrame:
+    """Weekly cohort-retention triangle — the other canonical
+    clickstream analytic: users cohorted by FIRST-ACTIVITY week, then
+    counted once per (cohort, weeks-since-cohort) they were active.
+
+    Scale shape: (1) first-seen = one groupBy(user) min(ts) (narrow:
+    user+ts only); (2) activity = distinct (user, week) — dedup BEFORE
+    the join so a hot user contributes one row per week, not per event;
+    (3) one equi-join on user (no broadcast hint — both sides are
+    user-scaled, AQE decides); (4) final groupBy (cohort, period) is
+    bounded by weeks², tiny. ``max_periods`` truncates the triangle.
+
+    Output: (cohort_week DATE, weeks_since INT, users BIGINT).
+    """
+    first = (
+        events.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
+        .groupBy("u")
+        .agg(F.date_trunc("week", F.min("t")).cast("date").alias("cohort"))
+    )
+    activity = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    joined = activity.join(first, "u").select(
+        "cohort",
+        (
+            F.datediff(F.col("week"), F.col("cohort")) / 7
+        ).cast("int").alias("weeks_since"),
+    )
+    if max_periods is not None:
+        joined = joined.filter(F.col("weeks_since") < int(max_periods))
+    return (
+        joined.groupBy("cohort", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .select(
+            F.col("cohort").alias("cohort_week"), "weeks_since", "users"
+        )
+    )
+
+
+def cohort_retention_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_periods: Optional[int] = None,
+) -> str:
+    """DuckDB twin (date_trunc('week') is Monday-start in both)."""
+    bound = (
+        f"WHERE weeks_since < {int(max_periods)} "
+        if max_periods is not None
+        else ""
+    )
+    return f"""
+    WITH first AS (SELECT {user_col} AS u,
+                          CAST(date_trunc('week', min({ts_col})) AS DATE)
+                              AS cohort
+                   FROM {table} GROUP BY 1),
+         act AS (SELECT DISTINCT {user_col} AS u,
+                        CAST(date_trunc('week', {ts_col}) AS DATE) AS week
+                 FROM {table}),
+         j AS (SELECT cohort,
+                      CAST(datediff('day', cohort, week) / 7 AS INTEGER)
+                          AS weeks_since
+               FROM act JOIN first USING (u))
+    SELECT cohort AS cohort_week, weeks_since, count(*) AS users
+    FROM j {bound}GROUP BY 1, 2
+    """

@@ -78,3 +78,46 @@ def test_funnel_rejects_single_step(spark):
     df = spark.createDataFrame([("u", 1, "A")], "user_id string, ts int, event_type string")
     with pytest.raises(ValueError):
         funnel_times(df, ["A"])
+
+
+def test_cohort_retention_matches_oracle_and_semantics(spark):
+    from lakehouse.funnel import cohort_retention, cohort_retention_oracle_sql
+
+    # semantics on a tiny planted frame: u1 first week W0, active W0+W2;
+    # u2 first W1, active W1 only
+    ev = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-02 10:00:00"),
+            ("u1", "2024-01-16 10:00:00"),
+            ("u2", "2024-01-09 10:00:00"),
+        ],
+        "user_id string, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    got = sorted(
+        (str(r.cohort_week), r.weeks_since, r.users)
+        for r in cohort_retention(ev).collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+    ]
+
+    ev2 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got2 = sorted(
+        (str(r.cohort_week), r.weeks_since, r.users)
+        for r in cohort_retention(ev2, max_periods=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        (str(r[0]), r[1], r[2])
+        for r in con.execute(
+            cohort_retention_oracle_sql(max_periods=8)
+        ).fetchall()
+    )
+    assert got2 == want
+    con.close()
