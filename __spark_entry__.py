@@ -615,6 +615,46 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_bpe_coverage(spark, sf_dir):
+    """Self-verifying tokenizer-coverage audit (lakehouse/bpe.py):
+    train a small BPE vocabulary on the documents corpus, then score
+    fit. Asserted in-builder: (1) the roundtrip invariant holds on
+    EVERY row (token stream re-concatenates to the lowercased words
+    tailed by </w>); (2) an alien word-salad document scores strictly
+    worse than the corpus mean on BOTH fertility and char-fallback.
+    Returns the per-source coverage summary."""
+    from lakehouse.bpe import bpe_coverage, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=24)
+    cov = bpe_coverage(docs, merges)
+    rows = cov.collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+    mean_f = sum(r.fertility for r in rows) / len(rows)
+    mean_c = sum(r.char_fallback_ratio for r in rows) / len(rows)
+    alien = spark.createDataFrame(
+        [(999_999, "zzqxv wqkjz xqzzv vqzkx")], "doc_id long, text string"
+    )
+    a = bpe_coverage(alien, merges).collect()[0]
+    assert a.roundtrip_ok
+    assert a.fertility > mean_f and a.char_fallback_ratio > mean_c, (
+        a.fertility, mean_f, a.char_fallback_ratio, mean_c,
+    )
+    joined = cov.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("fertility"), 4).alias("avg_fertility"),
+            F.round(F.avg("char_fallback_ratio"), 4).alias(
+                "avg_char_fallback"
+            ),
+            F.min(F.col("roundtrip_ok").cast("int")).alias("all_roundtrip"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel with a 24 h per-hop horizon
     (lakehouse/funnel.py) — the flagship clickstream analytics query of
@@ -4724,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "range_join_promos": _q_range_join,
         "events_cohort_retention": _q_cohort_retention,
+        "bpe_coverage": _q_bpe_coverage,
         "sample_hash": _q_sample_hash,
         "window_top_purchase": _q_window_top_purchase,
         "lh_delete_convert": _q_lh_delete_convert,

@@ -236,3 +236,53 @@ def bpe_encode(
     rows = merges_df.orderBy("rank").collect()
     enc = make_bpe_encode_udf([(r["left"], r["right"]) for r in rows])
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def bpe_coverage(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenizer-fit statistics for a learned vocabulary —
+    the coverage audit run before committing a tokenizer to a training
+    corpus: ``fertility`` (tokens per word; rises on out-of-domain
+    text) and ``char_fallback_ratio`` (fraction of emitted tokens that
+    are single raw characters — the BPE equivalent of OOV fallback).
+
+    Scale shape: the one Arrow encode pass :func:`bpe_encode` already
+    costs (merge table is vocabulary-bounded on the driver), then
+    pure-Catalyst array reductions — no extra shuffle, no join.
+    """
+    enc = bpe_encode(df, merges_df, text_col, out_col="__toks")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    # roundtrip invariant, checkable row-by-row: the token stream
+    # re-concatenates to the lowercased words each tailed by </w>
+    expected = F.concat(
+        F.concat_ws(END_OF_WORD, words),
+        F.when(F.size(words) > 0, F.lit(END_OF_WORD)).otherwise(F.lit("")),
+    )
+    return enc.select(
+        id_col,
+        F.size(words).alias("n_words"),
+        F.size("__toks").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(words) > 0, F.size("__toks") / F.size(words)
+            ),
+            4,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.size("__toks") > 0,
+                F.size(
+                    F.filter("__toks", lambda t: F.length(t) == 1)
+                )
+                / F.size("__toks"),
+            ),
+            4,
+        ).alias("char_fallback_ratio"),
+        (F.concat_ws("", "__toks") == expected).alias("roundtrip_ok"),
+    )

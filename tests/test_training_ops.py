@@ -1519,3 +1519,32 @@ def test_bm25_ranks_exact_phrase_doc_first(spark):
     )
     rows = bm25_topk(df, ["alpha beta"], k=3).collect()
     assert [r.doc_id for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_bpe_coverage_roundtrip_and_oov_signal(spark):
+    """Coverage audit: roundtrip invariant exact on every row; unseen
+    word-salad text scores strictly worse on fertility AND
+    char-fallback; empty text yields null rates and stays
+    roundtrip-true (empty == empty)."""
+    from lakehouse.bpe import bpe_coverage, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        + [(100, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=30)
+    rows = {r.doc_id: r for r in bpe_coverage(docs, merges).collect()}
+    assert all(r.roundtrip_ok for r in rows.values())
+    empty = rows[100]
+    assert empty.n_words == 0 and empty.fertility is None
+    seen = rows[0]
+    alien = bpe_coverage(
+        spark.createDataFrame(
+            [(1, "zzqxv wqkjz xqzzv")], "doc_id long, text string"
+        ),
+        merges,
+    ).collect()[0]
+    assert alien.roundtrip_ok
+    assert alien.fertility > seen.fertility
+    assert alien.char_fallback_ratio > seen.char_fallback_ratio
