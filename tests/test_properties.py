@@ -56,7 +56,7 @@ def _row_satisfies(v, p: Predicate):
     }[p.op]
 
 
-@settings(max_examples=400)
+@settings(max_examples=400, deadline=None)
 @given(column_and_pred())
 def test_pruning_is_sound_and_dual_is_exact(cp):
     """The load-bearing pair:
@@ -79,7 +79,7 @@ def test_pruning_is_sound_and_dual_is_exact(cp):
         assert matches_stats(pred, stats)
 
 
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 @given(st.integers(1, 8193), st.integers(1, 64))
 def test_band_edges_partition_spectrum(n_bins, n_bands):
     from lakehouse.audio import _band_edges
@@ -96,7 +96,7 @@ def test_band_edges_partition_spectrum(n_bins, n_bands):
     assert abs(bands.sum() - p.sum()) < 1e-9 * max(p.sum(), 1.0)
 
 
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 @given(st.data())
 def test_widening_is_a_partial_order(data):
     from pyspark.sql import types as T
@@ -116,3 +116,73 @@ def test_widening_is_a_partial_order(data):
         assert not (is_widening(a, b) and is_widening(b, a))
     if is_widening(a, b) and is_widening(b, c):  # transitive
         assert is_widening(a, c), (a, b, c)
+
+
+# --- round-3 session-4 DSP kernels --------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    amp=st.floats(0.02, 0.9),
+    f0=st.floats(100.0, 3000.0),
+    ratio=st.floats(1.5, 10.0),
+)
+def test_drc_gain_law_holds_for_any_tone(amp, f0, ratio):
+    """For a constant-envelope tone at ANY amplitude/frequency, the
+    compressor's steady-state reduction equals
+    max(level - threshold, 0) · (1 - 1/ratio) within 0.15 dB, and
+    never amplifies."""
+    from lakehouse.audio import drc_pcm
+
+    sr = 16000
+    t = np.arange(int(sr * 0.4)) / sr
+    x = (amp * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    y, _ = drc_pcm(x, sr, threshold_db=-20.0, ratio=ratio)
+
+    def rms_db(v):
+        return 20 * np.log10(
+            np.sqrt(np.mean(v.astype(np.float64) ** 2)) + 1e-12
+        )
+
+    q = len(x) // 4
+    lvl = rms_db(x[q:-q])
+    want = -max(lvl + 20.0, 0.0) * (1.0 - 1.0 / ratio)
+    got = rms_db(y[q:-q]) - lvl
+    assert got <= 0.05  # never amplifies
+    assert abs(got - want) < 0.15, (lvl, got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(2048, 40000),
+    sr_out=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+)
+def test_sinc_resample_length_law(n, sr_out):
+    """Output length is EXACTLY round(n · sr_out / sr_in) for any input
+    length and rate pair, and the output is finite."""
+    from lakehouse.audio import _resample_sinc
+
+    sr_in = 16000
+    rng = np.random.default_rng(n)
+    x = (0.3 * rng.standard_normal(n)).clip(-1, 1).astype(np.float32)
+    y = _resample_sinc(x, sr_in, sr_out)
+    want = n if sr_in == sr_out else max(1, int(round(n * sr_out / sr_in)))
+    assert len(y) == want
+    assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(2048, 30000),
+    factor=st.sampled_from([0.8, 0.9, 1.1, 1.25, 1.5]),
+)
+def test_pitch_shift_length_preserved(n, factor):
+    """Pitch shift NEVER changes the sample count, for any input length
+    and any factor, and stays within PCM range."""
+    from lakehouse.audio import pitch_shift_pcm
+
+    rng = np.random.default_rng(n)
+    x = (0.3 * rng.standard_normal(n)).clip(-1, 1).astype(np.float32)
+    y = pitch_shift_pcm(x, factor)
+    assert len(y) == n
+    assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
