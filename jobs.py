@@ -366,6 +366,49 @@ def cmd_profile_clips(args):
     )
 
 
+def cmd_funnel(args):
+    """Ordered funnel + cohort retention over an events-shaped table
+    (lakehouse/funnel.py) — the analyst report pack."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    from lakehouse.funnel import cohort_retention, funnel_report
+
+    steps = [s for s in args.steps.split(",") if s]
+    rep = funnel_report(
+        t.scan(),
+        steps,
+        user_col=args.user_col,
+        ts_col=args.ts_col,
+        type_col=args.type_col,
+        within=args.within,
+    ).collect()
+    coh = (
+        cohort_retention(
+            t.scan(), user_col=args.user_col, ts_col=args.ts_col,
+            max_periods=args.max_periods,
+        )
+        .orderBy("cohort_week", "weeks_since")
+        .collect()
+    )
+    _emit(
+        {
+            "op": "funnel",
+            "steps": [
+                {"step": r.step, "event_type": r.event_type,
+                 "users": r.users,
+                 "conversion_from_prev": r.conversion_from_prev,
+                 "conversion_from_first": r.conversion_from_first}
+                for r in sorted(rep, key=lambda r: r.step)
+            ],
+            "cohorts": [
+                {"cohort_week": str(r.cohort_week),
+                 "weeks_since": r.weeks_since, "users": r.users}
+                for r in coh
+            ],
+        }
+    )
+
+
 def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -1036,6 +1079,16 @@ def main():
     t(s)
     s.add_argument("--from-snapshot", type=int, required=True)
     s.add_argument("--to-snapshot", type=int, default=None)
+    s = sub.add_parser("funnel")
+    t(s)
+    s.add_argument("--steps", required=True,
+                   help="comma-separated ordered event types")
+    s.add_argument("--user-col", default="user_id")
+    s.add_argument("--ts-col", default="ts")
+    s.add_argument("--type-col", default="event_type")
+    s.add_argument("--within", type=float, default=None,
+                   help="per-hop horizon in seconds")
+    s.add_argument("--max-periods", type=int, default=12)
     s = sub.add_parser("dedup-clips")
     t(s)
     s.add_argument("--max-hamming", type=int, default=3)
@@ -1096,6 +1149,7 @@ def main():
         "rollback": cmd_rollback,
         "branch": cmd_branch,
         "cdc": cmd_cdc,
+        "funnel": cmd_funnel,
         "dedup-clips": cmd_dedup_clips,
         "set-sort-order": cmd_set_sort_order,
         "features": cmd_features,
