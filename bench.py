@@ -609,6 +609,9 @@ def main() -> None:
             "bm25_topk",
             "asof_join_enrich",
             "range_join_promos",
+            "events_funnel",
+            "events_cohort_retention",
+            "fk_integrity_audit",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 
