@@ -484,6 +484,18 @@ def _q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_windows(spark, sf_dir):
+    """Exact-substring boilerplate removal (Lee et al. 2022 restated
+    as non-overlapping window hashing): windows recurring in >=2
+    distinct docs are cut from every document, survivors reassembled
+    in order."""
+    from lakehouse.dedup import dedup_windows
+
+    return dedup_windows(
+        _read(spark, sf_dir, "documents"), window=3, min_docs=2
+    )
+
+
 def _q_split_leakage(spark, sf_dir):
     """Eval-set hygiene audit: verified near-dup pairs straddling the
     deterministic train/val/test boundary — each row is a leak that
@@ -4792,8 +4804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_files_metadata": _q_lh_files_metadata,
         "lh_pq_index_incremental": _q_lh_pq_index,
         "lh_wap_publish": _q_lh_wap_publish,
-        "lh_retention_policy": _q_lh_retention_policy,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_windows": _q_dedup_windows,
         "split_leakage_audit": _q_split_leakage,
         "decontaminate": _q_decontaminate,
         "simhash64": _q_simhash,
@@ -4890,6 +4902,7 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_oracle_sql,
         dedup_clusters_oracle_sql,
         dedup_exact_oracle_sql,
+        dedup_windows_oracle_sql,
         minhash_lsh_oracle_sql,
         ngram_jaccard_oracle_sql,
         simhash_oracle_sql,
@@ -5295,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_oracle_sql(),
         "split_leakage_audit": split_leakage_oracle_sql(seed=7, threshold=0.05),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(k=3, threshold=0.1),
+        "dedup_windows": dedup_windows_oracle_sql(window=3, min_docs=2),
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(
             k=3, num_hashes=16, bands=8, threshold=0.05
         ),

@@ -864,3 +864,132 @@ def split_leakage_oracle_sql(
     JOIN assigned b ON pairs.doc_b = b.doc_id
     WHERE a.split <> b.split
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-window removal (exact-substring / boilerplate dedup)
+
+
+def dedup_windows(
+    df: DataFrame,
+    content_col: str = "text",
+    *,
+    window: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated token windows from every document.
+
+    The tractable restatement of exact-substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") for a distributed engine: instead of a corpus-global
+    suffix array, each document is cut into NON-overlapping windows of
+    ``window`` tokens, and a window whose text occurs in >= ``min_docs``
+    DISTINCT documents is dropped from all of them (boilerplate
+    headers, license blocks, navigation chrome — the spans that recur
+    verbatim across pages). Survivors are re-assembled in original
+    order. Documents whose every window is boilerplate drop out
+    entirely (exactly what a pretraining curation pass wants).
+
+    Returns (doc_id, text_dedup, kept_windows, total_windows).
+
+    Scale (100 TB): three shuffles, none avoidable for this semantics —
+    (1) count pass grouped on md5(window) with the doc id for the
+    distinct count (narrow rows: 32-hex + id); (2) the verdict join of
+    exploded windows against the count table on the hash (AQE
+    broadcasts the count side only when it proves small — boilerplate
+    tables usually are after the >=min_docs filter is pushed ABOVE the
+    join... it is not pushed here because kept windows need the
+    *complement*; the count side stays full-width: one narrow equi-
+    join); (3) reassembly groupBy(doc_id). No O(n^2) pair shape
+    anywhere; window hashing bounds state by corpus tokens / window.
+
+    md5 keys both sides so buckets match the DuckDB oracle bit-for-bit
+    (same convention as every other dedup family in this module).
+    """
+    toks = F.split(F.col(content_col), " ")
+    nwin = F.ceil(F.size(toks) / F.lit(window)).cast("long")
+    wins = F.transform(
+        F.sequence(F.lit(0), (nwin - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("w"),
+            F.concat_ws(" ", F.slice(toks, i * window + 1, window)).alias(
+                "wtext"
+            ),
+        ),
+    )
+    exploded = (
+        df.filter(F.length(F.col(content_col)) > 0)
+        .select(
+            "doc_id",
+            nwin.alias("total_windows"),
+            F.explode(wins).alias("win"),
+        )
+        .select(
+            "doc_id",
+            "total_windows",
+            F.col("win.w").alias("w"),
+            F.col("win.wtext").alias("wtext"),
+        )
+        .withColumn("h", F.md5(F.col("wtext")))
+    )
+    counts = exploded.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = exploded.join(counts, "h").filter(F.col("n_docs") < min_docs)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("w", "wtext"))
+                    ),
+                    lambda s: s["wtext"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("kept_windows"),
+            F.max("total_windows").alias("total_windows"),
+        )
+    )
+
+
+def dedup_windows_oracle_sql(
+    table: str = "documents",
+    *,
+    window: int = 3,
+    min_docs: int = 2,
+) -> str:
+    return f"""
+    WITH wins AS (
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS w,
+               array_to_string(
+                   string_split(text, ' ')[w * {window} + 1 :
+                                           w * {window} + {window}],
+                   ' ') AS wtext
+        FROM {table},
+             UNNEST(range(CAST(ceil(
+                 len(string_split(text, ' ')) / {window}.0) AS BIGINT)))
+             AS r(w)
+        WHERE length(text) > 0
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS total_windows FROM wins GROUP BY doc_id
+    ),
+    cnt AS (
+        SELECT md5(wtext) AS h, count(DISTINCT doc_id) AS n_docs
+        FROM wins GROUP BY md5(wtext)
+    ),
+    kept AS (
+        SELECT w.doc_id, w.w, w.wtext
+        FROM wins w JOIN cnt c ON md5(w.wtext) = c.h
+        WHERE c.n_docs < {min_docs}
+    )
+    SELECT k.doc_id,
+           string_agg(k.wtext, ' ' ORDER BY k.w) AS text_dedup,
+           count(*) AS kept_windows,
+           any_value(t.total_windows) AS total_windows
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """

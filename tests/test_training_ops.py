@@ -1548,3 +1548,41 @@ def test_bpe_coverage_roundtrip_and_oov_signal(spark):
     assert alien.roundtrip_ok
     assert alien.fertility > seen.fertility
     assert alien.char_fallback_ratio > seen.char_fallback_ratio
+
+
+def test_dedup_windows_matches_oracle(spark, oracle):
+    from lakehouse.dedup import dedup_windows, dedup_windows_oracle_sql
+
+    out = dedup_windows(_docs(spark), window=3, min_docs=2)
+    assert_matches_oracle(
+        out, oracle, dedup_windows_oracle_sql(window=3, min_docs=2)
+    )
+
+
+def test_dedup_windows_drops_pure_boilerplate_docs(spark):
+    # two docs that are the SAME single window vanish entirely; the
+    # unique doc survives verbatim (its one window occurs in 1 doc)
+    from lakehouse.dedup import dedup_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_windows(df, window=3).collect()}
+    assert set(rows) == {3}
+    assert rows[3]["text_dedup"] == "x y z"
+    assert rows[3]["kept_windows"] == 1 and rows[3]["total_windows"] == 1
+
+
+def test_dedup_windows_partial_removal_preserves_order(spark):
+    # shared boilerplate window dropped from both docs; the distinct
+    # tails survive in original positions
+    from lakehouse.dedup import dedup_windows
+
+    df = spark.createDataFrame(
+        [(1, "same same same u1 u2"), (2, "same same same v1 v2")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_windows(df, window=3).collect()}
+    assert rows[1]["text_dedup"] == "u1 u2"
+    assert rows[2]["text_dedup"] == "v1 v2"
+    assert rows[1]["kept_windows"] == 1 and rows[1]["total_windows"] == 2
