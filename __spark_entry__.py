@@ -2304,6 +2304,64 @@ def _q_audio_resample_sinc(spark, sf_dir):
     )
 
 
+def _q_audio_denoise(spark, sf_dir):
+    """Self-verifying spectral-gating denoise (Boll 1979 spectral
+    subtraction with a median-across-frequency broadband floor).
+    Asserted in-builder: (1) no row dropped, duration preserved
+    exactly; (2) adding white noise at 5 dB then denoising improves
+    per-clip SNR vs the regenerated synth reference for EVERY clip,
+    mean improvement >= +3 dB; (3) transparency — denoising already-
+    clean clips keeps SNR vs reference >= 12 dB; (4) deterministic:
+    byte-identical under repartitioning. Returns the per-clip SNR
+    ledger."""
+    from lakehouse.audio import augment_clips, denoise_clips, synth_snr_db
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=33, n_days=3)
+    idx = F.split(F.col("clip_id"), "-").getItem(1).cast("long")
+    snr33 = lambda: synth_snr_db(F.col("bytes"), idx, F.lit(33))  # noqa: E731
+
+    noisy = augment_clips(df, seed=9, noise_snr_db=5.0)
+    den = denoise_clips(noisy)
+    out = (
+        noisy.select("clip_id", "dur_ms", snr33().alias("snr_noisy"))
+        .join(
+            den.select(
+                "clip_id",
+                F.col("dur_ms").alias("dur_den"),
+                "noise_floor_db",
+                snr33().alias("snr_denoised"),
+            ),
+            "clip_id",
+        )
+        .withColumn(
+            "improvement_db", F.col("snr_denoised") - F.col("snr_noisy")
+        )
+    )
+    rows = out.collect()
+    assert len(rows) == 96, len(rows)
+    assert all(r.dur_den == r.dur_ms for r in rows)
+    assert all(r.improvement_db > 0 for r in rows), min(
+        r.improvement_db for r in rows
+    )
+    mean_imp = sum(r.improvement_db for r in rows) / len(rows)
+    assert mean_imp >= 3.0, mean_imp
+
+    clean = denoise_clips(df).select("clip_id", snr33().alias("s")).collect()
+    assert all(r.s >= 12.0 for r in clean), min(r.s for r in clean)
+
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in denoise_clips(noisy.repartition(7, "clip_id")).collect()
+    }
+    first = {r.clip_id: bytes(r.bytes) for r in den.collect()}
+    assert first == again
+    return out.select(
+        "clip_id", "snr_noisy", "snr_denoised", "improvement_db",
+        "noise_floor_db",
+    )
+
+
 def _q_audio_reverb(spark, sf_dir):
     """Self-verifying reverberation augmentation (Ko et al. 2017 recipe
     with a per-clip synthesized velvet-noise RIR). Asserted in-builder:
@@ -4852,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_compress_dynamics": _q_audio_compress_dynamics,
         "audio_bandwidth_screen": _q_audio_bandwidth_screen,
         "audio_reverb": _q_audio_reverb,
+        "audio_denoise": _q_audio_denoise,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
         "audio_dominant_freq": _q_audio_dominant_freq,

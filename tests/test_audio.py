@@ -1555,3 +1555,64 @@ def test_detect_upsampled_clips_planted(spark):
         assert got[f"up-{i}"].suspect_upsampled is True
         assert got[f"up-{i}"].bw_ratio < 0.55 < 0.8 < got[f"nat-{i}"].bw_ratio
     assert got["bad-0"].suspect_upsampled is None
+
+
+def test_denoise_pcm_improves_snr_and_is_transparent():
+    import numpy as np
+
+    from lakehouse.audio import denoise_pcm, snr_db
+    from lakehouse.synth import synth_pcm
+
+    rng = np.random.default_rng(7)
+    imps, trans = [], []
+    for i in range(8):
+        ref = synth_pcm(42, i, 16000, 16000)
+        p_sig = float(np.mean(ref.astype(np.float64) ** 2))
+        sigma = np.sqrt(p_sig / 10.0 ** (5.0 / 10.0))
+        noisy = np.clip(
+            ref + rng.normal(0, sigma, len(ref)), -0.99997, 0.99997
+        ).astype(np.float32)
+        den, floor_db = denoise_pcm(noisy)
+        assert len(den) == len(noisy)
+        # the estimated broadband floor should be in the right decade:
+        # true added-noise power = sigma^2
+        true_db = 10.0 * np.log10(sigma**2)
+        assert abs(floor_db - true_db) < 6.0, (floor_db, true_db)
+        imps.append(snr_db(ref, den) - snr_db(ref, noisy))
+        trans.append(snr_db(ref, denoise_pcm(ref.copy())[0]))
+    assert min(imps) > 3.0, imps
+    assert sum(imps) / len(imps) >= 6.0, imps
+    assert min(trans) >= 15.0, trans
+
+
+def test_denoise_pcm_short_clip_passthrough():
+    import numpy as np
+
+    from lakehouse.audio import denoise_pcm
+
+    x = np.linspace(-0.5, 0.5, 100, dtype=np.float32)  # < 2*min window
+    y, floor_db = denoise_pcm(x)
+    assert np.array_equal(y, x) and floor_db == float("-inf")
+
+
+def test_denoise_clips_schema_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse.audio import denoise_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 12, seed=5, n_days=2)
+    out = denoise_clips(df)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r.codec == "pcm16" for r in rows)
+    base = {r.clip_id: r.dur_ms for r in df.collect()}
+    assert all(r.dur_ms == base[r.clip_id] for r in rows)
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in denoise_clips(df.repartition(5, "clip_id")).collect()
+    }
+    assert {r.clip_id: bytes(r.bytes) for r in rows} == again
+    # map-only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
