@@ -1785,6 +1785,49 @@ def _q_audio_transcode_g711(spark, sf_dir):
     return res
 
 
+def _q_audio_transcode_adpcm(spark, sf_dir):
+    """4-bit IMA ADPCM transcode tier (rows-only): normalize the pcm16
+    corpus to WAV format tag 17 (lakehouse/adpcm.py, block-vectorized —
+    the per-sample recurrence loops over BLOCK position with numpy
+    across all blocks) and verify distributed: payload shrinks to
+    < 0.35x of pcm16, sr/duration survive, and per-row SNR vs the
+    original decode holds the codec's honest floors — >= 12 dB overall
+    (the synth corpus puts tones at the 8 kHz Nyquist edge, ADPCM's
+    slope-overload worst case; decode is verified against a scalar
+    textbook IMA decoder in pytest) and >= 25 dB at 44.1 kHz."""
+    from lakehouse.audio import pair_snr_db, transcode_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=42, n_days=2, num_partitions=4)
+    orig = df.select(
+        "clip_id", F.col("bytes").alias("obytes"),
+        F.length("bytes").alias("olen"),
+        F.col("sr_hz").alias("osr"), F.col("dur_ms").alias("odur"),
+    )
+    res = transcode_clips(df, "adpcm").join(orig, "clip_id").select(
+        "clip_id",
+        "codec",
+        "sr_hz",
+        F.round(pair_snr_db(F.col("obytes"), F.col("bytes")), 2).alias("snr_db"),
+        F.round(F.length("bytes") / F.col("olen"), 4).alias("size_ratio"),
+        (F.col("sr_hz") == F.col("osr")).cast("int").alias("sr_ok"),
+        (F.col("dur_ms") == F.col("odur")).cast("int").alias("dur_ok"),
+    )
+    chk = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("snr_db").alias("min_snr"),
+        F.min(F.when(F.col("sr_hz") >= 44100, F.col("snr_db"))).alias("min_hi"),
+        F.max("size_ratio").alias("max_ratio"),
+        F.sum(1 - F.col("sr_ok")).alias("bad_sr"),
+        F.sum(1 - F.col("dur_ok")).alias("bad_dur"),
+    ).collect()[0]
+    assert (
+        chk.n == 96 and chk.min_snr >= 12.0 and chk.min_hi >= 25.0
+        and chk.max_ratio < 0.35 and chk.bad_sr == 0 and chk.bad_dur == 0
+    ), f"ADPCM transcode invariant violated: {chk}"
+    return res
+
+
 def _q_audio_split_on_silence(spark, sf_dir):
     """Energy-VAD segmentation (rows-only): clips with PLANTED silence
     gaps must split into exactly the planted segment count — one output
@@ -4890,6 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_invariant": _q_audio_snr,
         "audio_resample_segment": _q_audio_resample_segment,
         "audio_transcode_g711": _q_audio_transcode_g711,
+        "audio_transcode_adpcm": _q_audio_transcode_adpcm,
         "audio_split_on_silence": _q_audio_split_on_silence,
         "audio_normalize_trim": _q_audio_normalize_trim,
         "audio_dup_detection": _q_audio_dup_detection,

@@ -37,14 +37,18 @@ def decode_wav(raw: bytes) -> Tuple[int, np.ndarray]:
     if raw is None or len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos = 12
-    fmt_code = bits = sr = None
+    fmt_code = bits = sr = block_align = fact_samples = None
     data: Optional[bytes] = None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         (size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_code, _ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_code, _ch, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -64,6 +68,12 @@ def decode_wav(raw: bytes) -> Tuple[int, np.ndarray]:
         from .g711 import alaw_decode
 
         samples = alaw_decode(np.frombuffer(data, dtype="u1"))
+    elif fmt_code == 17 and bits == 4:  # IMA/DVI ADPCM
+        from .adpcm import adpcm_decode
+
+        samples = adpcm_decode(
+            data, block_align=int(block_align), n_samples=fact_samples
+        )
     else:
         raise ValueError(f"unsupported wav encoding fmt={fmt_code} bits={bits}")
     return int(sr), samples
@@ -175,6 +185,7 @@ _FMT_CODECS = {
     (3, 32): "f32",
     (7, 8): "mulaw",
     (6, 8): "alaw",
+    (17, 4): "adpcm",
 }
 
 
@@ -192,7 +203,7 @@ def wav_header(raw: pd.Series) -> pd.DataFrame:
                 raise ValueError("not a RIFF/WAVE container")
             pos = 12
             fmt_code = bits = sr = None
-            data_len = None
+            data_len = fact_samples = None
             while pos + 8 <= len(b):
                 cid = b[pos : pos + 4]
                 (size,) = struct.unpack_from("<I", b, pos + 4)
@@ -200,6 +211,8 @@ def wav_header(raw: pd.Series) -> pd.DataFrame:
                     fmt_code, _ch, sr, _br, ba, bits = struct.unpack_from(
                         "<HHIIHH", b, pos + 8
                     )
+                elif cid == b"fact" and size >= 4:
+                    (fact_samples,) = struct.unpack_from("<I", b, pos + 8)
                 elif cid == b"data":
                     data_len = min(size, len(b) - pos - 8)
                 pos += 8 + size + (size & 1)
@@ -208,9 +221,21 @@ def wav_header(raw: pd.Series) -> pd.DataFrame:
             codec = _FMT_CODECS.get((fmt_code, bits))
             if codec is None:
                 raise ValueError(f"unsupported wav format {fmt_code}/{bits}")
+            if codec == "adpcm":
+                # 4-bit blocks: true count is the fact chunk; padded
+                # block math is the fallback (lakehouse/adpcm.py)
+                from .adpcm import samples_per_block
+
+                n = (
+                    fact_samples
+                    if fact_samples is not None
+                    else (data_len // ba) * samples_per_block(ba)
+                )
+            else:
+                n = data_len // max(1, bits // 8)
             ok.append(True)
             srs.append(sr)
-            ns.append(data_len // max(1, bits // 8))
+            ns.append(n)
             codecs.append(codec)
             errs.append(None)
         except (ValueError, struct.error) as e:
@@ -1578,7 +1603,7 @@ def synth_dominant_error_udf(seed: int):
 # codec transcoding (G.711 mu-law / A-law / PCM16)
 
 
-_TRANSCODE_CODECS = ("pcm16", "pcm8", "f32", "mulaw", "alaw")
+_TRANSCODE_CODECS = ("pcm16", "pcm8", "f32", "mulaw", "alaw", "adpcm")
 
 
 def make_transcode_udf(codec: str):

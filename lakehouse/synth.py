@@ -90,6 +90,32 @@ def wrap_wav(samples: np.ndarray, sr: int, codec: str = "pcm16") -> bytes:
 
         data = alaw_encode(samples).tobytes()
         fmt, bits = 6, 8
+    elif codec == "adpcm":
+        # IMA ADPCM: extended fmt chunk + fact chunk (true sample count
+        # — blocks are padded), lakehouse/adpcm.py
+        from .adpcm import adpcm_encode, fmt_chunk_body
+
+        data = adpcm_encode(samples)
+        fmt_body = fmt_chunk_body(sr)
+        fact = struct.pack("<I", len(samples))
+        return b"".join(
+            [
+                b"RIFF",
+                struct.pack(
+                    "<I", 4 + 8 + len(fmt_body) + 8 + len(fact) + 8 + len(data)
+                ),
+                b"WAVE",
+                b"fmt ",
+                struct.pack("<I", len(fmt_body)),
+                fmt_body,
+                b"fact",
+                struct.pack("<I", len(fact)),
+                fact,
+                b"data",
+                struct.pack("<I", len(data)),
+                data,
+            ]
+        )
     else:
         raise ValueError(f"unsupported codec: {codec!r}")
     block_align = bits // 8
