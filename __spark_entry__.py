@@ -3332,6 +3332,80 @@ def _q_lh_count_pushdown(spark, sf_dir):
     )
 
 
+def _q_lh_sum_pushdown(spark, sf_dir):
+    """Metadata-only SUM/AVG pushdown: tables opted in via the
+    ``agg_stats_columns`` property carry exact per-file sums + null
+    counts in their manifests (harvested at the shared write choke),
+    so a partition-aligned ``SELECT SUM(c), COUNT(c)`` touches ZERO
+    data bytes — the capability Iceberg/Delta stop short of (they
+    push down COUNT/MIN/MAX only; the reference's Athena analysts
+    re-scan for every SUM, README.md:104-114). Asserted pure-metadata
+    in-builder, cross-checked against a real scan, then against the
+    SQL oracle."""
+    import datetime as dt
+
+    from lakehouse import Table
+
+    df = _events(spark, sf_dir).withColumn(
+        "value_c", F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+    )
+    root = tempfile.mkdtemp(prefix="lh_entry_")
+    t = Table.create(
+        spark,
+        os.path.join(root, "events_sum"),
+        df.schema,
+        partition_spec=[
+            {
+                "name": "event_date",
+                "transform": "identity",
+                "source": "event_date",
+            }
+        ],
+        properties={"agg_stats_columns": "value_c,user_id"},
+    )
+    for i in range(2):
+        t.append(
+            df.filter(F.col("event_id") % 2 == i), target_file_count=4
+        )
+    flt = [
+        ("event_date", ">=", dt.date(2024, 1, 5)),
+        ("event_date", "<=", dt.date(2024, 1, 9)),
+    ]
+    res = t.sum_agg(["value_c", "user_id"], filter=flt)
+    assert res.fallback is None and res.files_scanned == 0, (
+        "partition-aligned SUM must be pure metadata"
+    )
+    (s_v, n_v), (s_u, n_u) = (
+        res.per_column["value_c"],
+        res.per_column["user_id"],
+    )
+    real = (
+        t.scan(filter=flt)
+        .agg(
+            F.sum("value_c"),
+            F.count("value_c"),
+            F.sum("user_id"),
+            F.count("user_id"),
+        )
+        .collect()[0]
+    )
+    assert (s_v, n_v, s_u, n_u) == tuple(real), (
+        "metadata sums must equal the scan"
+    )
+    import decimal as _d
+
+    avg_u = float(
+        (_d.Decimal(s_u) / _d.Decimal(n_u)).quantize(
+            _d.Decimal("0.000001"), rounding=_d.ROUND_HALF_UP
+        )
+    )
+    return spark.createDataFrame(
+        [(s_v, n_v, s_u, avg_u)],
+        "sum_value_c bigint, n_value_c bigint, "
+        "sum_user bigint, avg_user double",
+    )
+
+
 def _q_lh_rollup_incremental(spark, sf_dir):
     """Incrementally-maintained materialized rollup (the 10^12-row
     alternative to the reference's full-re-scan Athena aggregates,
@@ -4821,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
+        "lh_sum_pushdown": _q_lh_sum_pushdown,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
         "lh_transform_incremental": _q_lh_transform_incremental,
         "lh_datasource_scan": _q_lh_datasource_scan,
@@ -5164,6 +5239,15 @@ def oracle_sql() -> dict[str, str]:
         "lh_count_pushdown": (
             "SELECT COUNT(*) AS cnt, MIN(user_id) AS min_user, "
             "MAX(user_id) AS max_user FROM (" + EVENTS_OUT_SQL + ") "
+            "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
+        ),
+        "lh_sum_pushdown": (
+            "SELECT CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_value_c, "
+            "COUNT(CAST(FLOOR(value * 100) AS BIGINT)) AS n_value_c, "
+            "CAST(SUM(user_id) AS BIGINT) AS sum_user, "
+            "round(AVG(user_id), 6) AS avg_user "
+            "FROM (" + EVENTS_OUT_SQL + ") "
             "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
         ),
         "lh_transform_incremental": (

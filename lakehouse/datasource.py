@@ -1109,13 +1109,19 @@ def _harvest_entries(root, rel_paths, spec):
 
     from .bloom import bloom_columns_property, harvest_file_blooms
     from .meta.manifests import collect_file_stats
+    from .ops.agg import agg_stats_columns_property
     from .ops.append import _parse_partition_dirs
 
-    bloom_cols = bloom_columns_property(load_metadata(root).properties)
+    props = load_metadata(root).properties
+    bloom_cols = bloom_columns_property(props)
+    sum_cols = agg_stats_columns_property(props)
 
     def one(rel):
         entry = collect_file_stats(
-            os.path.join(root, rel), rel, _parse_partition_dirs(rel, spec)
+            os.path.join(root, rel),
+            rel,
+            _parse_partition_dirs(rel, spec),
+            sum_columns=sum_cols,
         )
         harvest_file_blooms(entry, root, bloom_cols)
         return entry

@@ -180,6 +180,7 @@ def collect_file_stats(
     partition: Mapping[str, Any],
     *,
     stat_columns: Optional[Sequence[str]] = None,
+    sum_columns: Optional[Sequence[str]] = None,
     sort_order: str = "",
 ) -> DataFileEntry:
     """Build a manifest entry from a Parquet footer (no data pages read).
@@ -187,6 +188,15 @@ def collect_file_stats(
     Aggregates row-group min/max/null-count per column. Binary columns
     (audio ``bytes``) are skipped — their stats would bloat the manifest
     with no pruning value.
+
+    ``sum_columns`` (opt-in via the ``agg_stats_columns`` table
+    property): for those numeric columns the harvester additionally
+    reads the column's data pages (column-pruned — footers alone cannot
+    yield sums) and records the exact per-file SUM plus an
+    authoritative null count, enabling metadata-only SUM/AVG/COUNT(col)
+    pushdown (ops/agg.sum_agg). Integer sums are exact (Python
+    arbitrary precision in the manifest JSON); float sums are recorded
+    but carry the usual float-association caveat.
     """
     md = pq.ParquetFile(abs_path).metadata
     ncols = md.num_columns
@@ -226,9 +236,29 @@ def collect_file_stats(
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
 
+    sums: dict[str, Any] = {}
+    sum_nulls: dict[str, int] = {}
+    sum_want = [c for c in (sum_columns or ()) if c in names]
+    if sum_want:
+        import pyarrow.compute as pc
+
+        tbl = pq.read_table(abs_path, columns=sum_want)
+        for name in sum_want:
+            col = tbl.column(name)
+            if not (
+                pa.types.is_integer(col.type)
+                or pa.types.is_floating(col.type)
+            ):
+                continue  # non-numeric: no sum semantics, skip quietly
+            s = pc.sum(col).as_py()
+            # SUM ignores NULLs; an all-null file contributes 0 with a
+            # non-null count of 0 (disambiguated by the null count)
+            sums[name] = 0 if s is None else s
+            sum_nulls[name] = len(col) - pc.count(col).as_py()
+
     stats: dict[str, dict[str, Any]] = {}
     for name in names:
-        if want is not None and name not in want:
+        if want is not None and name not in want and name not in sums:
             continue
         entry: dict[str, Any] = {"rows": md.num_rows}
         if has_stats.get(name) and name in mins:
@@ -236,6 +266,10 @@ def collect_file_stats(
             entry["max"] = maxs[name]
         if name in nulls:
             entry["nulls"] = nulls[name]
+        if name in sums:
+            entry["sum"] = sums[name]
+            # data-derived null count is authoritative (footers may omit)
+            entry["nulls"] = sum_nulls[name]
         stats[name] = entry
 
     return DataFileEntry(

@@ -220,3 +220,95 @@ def min_max(table, columns, *, filter=None) -> AggResult:  # noqa: A002
             fold(c, _cmp_key(row[f"mn_{c}"]), _cmp_key(row[f"mx_{c}"]))
     out = {c: (per[c][0], per[c][1]) for c in columns}
     return AggResult(out, len(full), len(partial), per_column=out)
+
+
+def agg_stats_columns_property(
+    properties: Optional[Mapping[str, Any]],
+) -> list[str]:
+    """Parse the ``agg_stats_columns`` table property (list or CSV
+    string): the numeric columns whose exact per-file SUM + null count
+    are harvested at write time (manifests.collect_file_stats) to power
+    metadata-only SUM/AVG/COUNT(col) pushdown."""
+    raw = (properties or {}).get("agg_stats_columns")
+    if not raw:
+        return []
+    if isinstance(raw, str):
+        return [c.strip() for c in raw.split(",") if c.strip()]
+    return [str(c) for c in raw]
+
+
+def sum_agg(table, columns, *, filter=None) -> AggResult:  # noqa: A002
+    """SUM + non-null COUNT per column with optional filter — the
+    metadata-only answer to ``SELECT SUM(c), COUNT(c), AVG(c)``.
+
+    Kept files that fully match the predicate AND carry a harvested
+    per-file sum (tables opted in via the ``agg_stats_columns``
+    property; files written before the opt-in lack it) answer from
+    manifest stats; everything else is read column-pruned. SQL
+    semantics: SUM/COUNT(col) ignore NULLs; the overall SUM is NULL
+    when zero non-null rows survive the predicate. Falls back to the
+    real scan when merge-on-read deletes are pending (same rule as
+    count_rows — hidden rows are not subtractable from sums).
+
+    Returns ``per_column`` as ``{col: (sum, nonnull_count)}`` —
+    AVG = sum / count at the caller.
+    """
+    preds = normalize_filter(filter)
+    plan = table.plan(filter=filter)
+
+    def scan_agg(df, n_meta, n_scan, fallback=None):
+        row = df.agg(
+            *[F.sum(c).alias(f"s_{c}") for c in columns],
+            *[F.count(c).alias(f"n_{c}") for c in columns],
+        ).collect()[0]
+        per = {c: (row[f"s_{c}"], int(row[f"n_{c}"])) for c in columns}
+        return AggResult(per, n_meta, n_scan, fallback, per_column=per)
+
+    if plan.delete_files:
+        return scan_agg(
+            table.scan(filter=filter), 0, len(plan.files),
+            "mor-deletes-pending",
+        )
+    from ..fieldids import stats_lookup
+
+    meta = table.meta
+    stats_of = stats_lookup(meta.schemas, meta.current_schema_id)
+
+    def has_sum(e) -> bool:
+        for c in columns:
+            st = stats_of(e, c)
+            if st is None or "sum" not in st or st.get("nulls") is None:
+                return False
+        return True
+
+    full, partial = [], []
+    for e in plan.files:
+        ok = _file_fully_matches(e, preds, stats_of) and has_sum(e)
+        (full if ok else partial).append(e)
+
+    tot: dict[str, Any] = {c: 0 for c in columns}
+    cnt: dict[str, int] = {c: 0 for c in columns}
+    for e in full:
+        for c in columns:
+            st = stats_of(e, c)
+            tot[c] += st["sum"]
+            cnt[c] += int(st["rows"]) - int(st["nulls"])
+    if partial:
+        from ..meta.scan import read_entries
+
+        df = read_entries(table.spark, table.meta, table.root, partial)
+        residual = to_sql(preds)
+        if residual:
+            df = df.filter(residual)
+        row = df.agg(
+            *[F.sum(c).alias(f"s_{c}") for c in columns],
+            *[F.count(c).alias(f"n_{c}") for c in columns],
+        ).collect()[0]
+        for c in columns:
+            if row[f"s_{c}"] is not None:
+                tot[c] += row[f"s_{c}"]
+            cnt[c] += int(row[f"n_{c}"])
+    per = {
+        c: ((tot[c] if cnt[c] else None), cnt[c]) for c in columns
+    }
+    return AggResult(per, len(full), len(partial), per_column=per)

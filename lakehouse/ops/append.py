@@ -87,9 +87,12 @@ def harvest_stats(
     """
     from ..bloom import bloom_columns_property, harvest_file_blooms
     from ..meta.snapshots import load_metadata
+    from .agg import agg_stats_columns_property
 
     stat_cols = list(stat_columns) if stat_columns else None
-    bloom_cols = bloom_columns_property(load_metadata(table_root).properties)
+    props = load_metadata(table_root).properties
+    bloom_cols = bloom_columns_property(props)
+    sum_cols = agg_stats_columns_property(props)
 
     if len(files) <= DISTRIBUTE_STATS_THRESHOLD:
         from concurrent.futures import ThreadPoolExecutor
@@ -101,6 +104,7 @@ def harvest_stats(
                 rel,
                 part,
                 stat_columns=stat_cols,
+                sum_columns=sum_cols,
                 sort_order=sort_order,
             )
             harvest_file_blooms(entry, table_root, bloom_cols)
@@ -124,6 +128,7 @@ def harvest_stats(
                 rel,
                 part,
                 stat_columns=stat_cols,
+                sum_columns=sum_cols,
                 sort_order=sort_order,
             )
             hfb(entry, table_root, bloom_cols)

@@ -1402,6 +1402,16 @@ class Table:
 
         return _min_max(self, columns, filter=filter)
 
+    def sum_agg(self, columns, *, filter=None):  # noqa: A002
+        """SUM + non-null COUNT per column, metadata-first: tables
+        opted in via the ``agg_stats_columns`` property carry exact
+        per-file sums in their manifests, so a partition/range-aligned
+        SUM/AVG/COUNT(col) touches zero data bytes. ``per_column`` is
+        ``{col: (sum, nonnull_count)}``."""
+        from .ops.agg import sum_agg as _sum_agg
+
+        return _sum_agg(self, columns, filter=filter)
+
     def convert_deletes(self, **kw):
         """Minor delete compaction: fold every pending equality delete
         (and all existing positional delete files) into ONE positional

@@ -117,3 +117,129 @@ def test_always_matches_stats_null_handling():
     sts = {"min": lo64, "max": lo64 + "￿", "nulls": 0, "rows": 3}
     assert _always_matches_stats(Predicate("c", "<", "b"), sts)
     assert not _always_matches_stats(Predicate("c", "=", lo64), sts)
+
+
+# --- SUM pushdown (agg_stats_columns) ---------------------------------------
+
+
+@pytest.fixture()
+def sum_table(spark, table_root):
+    t = Table.create(
+        spark,
+        table_root,
+        CLIPS_SCHEMA,
+        partition_spec=DATE_SPEC,
+        properties={"agg_stats_columns": "dur_ms"},
+    )
+    for i in range(2):
+        pdf = synth_clips_pdf(range(i * 40, (i + 1) * 40), seed=42, n_days=3)
+        t.append(
+            spark.createDataFrame(pdf, schema=CLIPS_SCHEMA),
+            target_file_count=2,
+        )
+    return t
+
+
+def test_sum_unfiltered_is_pure_metadata(sum_table):
+    res = sum_table.sum_agg(["dur_ms"])
+    row = sum_table.scan().agg(
+        F.sum("dur_ms"), F.count("dur_ms")
+    ).collect()[0]
+    assert res.per_column["dur_ms"] == (row[0], row[1])
+    assert res.files_scanned == 0 and res.fallback is None
+
+
+def test_sum_partition_filter_is_pure_metadata(sum_table):
+    import datetime as dt
+
+    day = dt.date(2024, 1, 1)
+    flt = [("event_date", "=", day)]
+    res = sum_table.sum_agg(["dur_ms"], filter=flt)
+    row = (
+        sum_table.scan()
+        .filter(F.col("event_date") == F.lit(day))
+        .agg(F.sum("dur_ms"), F.count("dur_ms"))
+        .collect()[0]
+    )
+    assert res.per_column["dur_ms"] == (row[0], row[1])
+    assert res.files_scanned == 0
+
+
+def test_sum_range_filter_reads_only_boundary_files(sum_table):
+    flt = [("dur_ms", ">=", 1500)]
+    res = sum_table.sum_agg(["dur_ms"], filter=flt)
+    row = (
+        sum_table.scan()
+        .filter("dur_ms >= 1500")
+        .agg(F.sum("dur_ms"), F.count("dur_ms"))
+        .collect()[0]
+    )
+    assert res.per_column["dur_ms"] == (row[0], row[1])
+    assert res.files_metadata_only + res.files_scanned == len(
+        sum_table.plan(filter=flt).files
+    )
+
+
+def test_sum_opt_in_after_first_append_reads_legacy_files(
+    spark, table_root
+):
+    t = Table.create(
+        spark, table_root, CLIPS_SCHEMA, partition_spec=DATE_SPEC
+    )
+    pdf = synth_clips_pdf(range(40), seed=42, n_days=3)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA),
+             target_file_count=2)
+    n_legacy = len(t.live_files())
+    t.set_properties(agg_stats_columns="dur_ms")
+    pdf2 = synth_clips_pdf(range(40, 80), seed=42, n_days=3)
+    t.append(spark.createDataFrame(pdf2, schema=CLIPS_SCHEMA),
+             target_file_count=2)
+    res = t.sum_agg(["dur_ms"])
+    row = t.scan().agg(F.sum("dur_ms"), F.count("dur_ms")).collect()[0]
+    # legacy (pre-opt-in) files lack sums: read, never guessed
+    assert res.files_scanned == n_legacy
+    assert res.per_column["dur_ms"] == (row[0], row[1])
+
+
+def test_sum_falls_back_under_pending_mor_delete(sum_table):
+    sum_table.delete("dur_ms <= 1200", mode="mor", key="clip_id")
+    res = sum_table.sum_agg(["dur_ms"])
+    assert res.fallback == "mor-deletes-pending"
+    row = sum_table.scan().agg(
+        F.sum("dur_ms"), F.count("dur_ms")
+    ).collect()[0]
+    assert res.per_column["dur_ms"] == (row[0], row[1])
+    sum_table.materialize_deletes()
+    res2 = sum_table.sum_agg(["dur_ms"])
+    assert res2.fallback is None and res2.files_scanned == 0
+    assert res2.per_column["dur_ms"] == res.per_column["dur_ms"]
+
+
+def test_sum_null_semantics(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = Table.create(
+        spark,
+        str(tmp_path / "nulls"),
+        schema,
+        partition_spec=[
+            {"name": "grp", "transform": "identity", "source": "grp"}
+        ],
+        properties={"agg_stats_columns": "v"},
+    )
+    rows = [(1, "a", 10), (2, "a", None), (3, "b", None), (4, "b", None)]
+    t.append(spark.createDataFrame(rows, schema), target_file_count=1)
+    res = t.sum_agg(["v"])
+    assert res.per_column["v"] == (10, 1)  # SUM/COUNT ignore NULLs
+    assert res.files_scanned == 0
+    # group of only NULLs: SUM is NULL (None), count 0 — pure metadata
+    res_b = t.sum_agg(["v"], filter=[("grp", "=", "b")])
+    assert res_b.per_column["v"] == (None, 0)
+    assert res_b.files_scanned == 0
