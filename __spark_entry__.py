@@ -3211,6 +3211,58 @@ def _q_lh_ndv_analyze(spark, sf_dir):
     return spark.createDataFrame(out, "column string, exact_ndv long")
 
 
+def _q_column_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (lakehouse/quantiles.py): the value
+    at rank ceil(b·N/B) for b=1..20 over events.value — Spark only
+    ships percentile_approx as its scalable path; this is the rank-
+    EXACT equivalent via coarse-bucket prefix-sum (one narrow agg, one
+    constant-bounded count pass, per-bucket sort of only the buckets
+    containing a target rank). Deterministic under ties; DuckDB twin
+    is row_number over the full order joined to the same integer-exact
+    ranks."""
+    from lakehouse.quantiles import exact_quantiles
+
+    return exact_quantiles(_events(spark, sf_dir), "value", 20)
+
+
+def _q_lh_histogram_selectivity(spark, sf_dir):
+    """ANALYZE histograms + CBO selectivity (ops/analyze.py): exact
+    equi-depth bounds persisted per snapshot, then range-predicate
+    selectivity answered from stats alone (zero data read) — asserted
+    in-builder against the true counts within the equi-depth bound
+    (one bucket's interpolation error + probe-value ties); ``=`` goes
+    through the persisted NDV sketch. Self-verifying (the estimates
+    are engine artifacts; no SQL twin claims them)."""
+    B = 32
+    t = _events_table(spark, sf_dir, appends=2)
+    t.analyze_histograms(["value"], buckets=B, exact=True)
+    t.analyze(["user_id"], k=256)
+    t.analyze_histograms(["user_id"], buckets=B)
+    n = t.count_rows().value
+    out = []
+    for col, op, probe in [
+        ("value", "<=", 250.0),
+        ("value", ">", 500.0),
+        ("value", "<", 100.0),
+        ("user_id", "<=", 400.0),
+    ]:
+        est = t.estimate_selectivity(col, op, probe)
+        actual = t.scan().filter(f"{col} {op} {probe}").count()
+        ties = t.scan().filter(F.col(col) == probe).count()
+        tol = (2.0 if est.method.startswith("approx") else 1.0) * n / B
+        assert abs(est.est_rows - actual) <= tol + ties + 1, (
+            col, op, probe, est.est_rows, actual,
+        )
+        out.append((col, op, float(probe), int(round(est.est_rows)), actual))
+    eq = t.estimate_selectivity("user_id", "=", 123)
+    assert eq.method.endswith("+ndv") and 0 < eq.fraction < 0.2
+    return spark.createDataFrame(
+        out,
+        "column string, op string, probe double, "
+        "est_rows bigint, actual_rows bigint",
+    )
+
+
 def _q_lh_changelog_pairs(spark, sf_dir):
     """Changelog view with UPDATE pairing (Iceberg's
     create_changelog_view): a MERGE that updates every 11th event and
@@ -4971,6 +5023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_cow": _q_lh_delete,
         "lh_rename_drop": _q_lh_rename_drop,
         "lh_ndv_analyze": _q_lh_ndv_analyze,
+        "column_quantiles": _q_column_quantiles,
+        "lh_histogram_selectivity": _q_lh_histogram_selectivity,
         "lh_changelog_pairs": _q_lh_changelog_pairs,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
         "lh_rollup_hourly": _q_lh_rollup_hourly,
@@ -5075,6 +5129,9 @@ def _sampling_oracles() -> tuple[str, str, str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lakehouse.quantiles import (
+        quantiles_oracle_sql as _quantiles_oracle_sql,
+    )
     from lakehouse.dedup import (
         curate_documents_oracle_sql,
         decontaminate_oracle_sql,
@@ -5217,6 +5274,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'event_id', count(DISTINCT event_id) FROM events
         """,
+        "column_quantiles": _quantiles_oracle_sql(20, "value", "events"),
         "lh_rename_drop": """
             WITH both_gens AS (
                 SELECT event_id, user_id, event_type, value AS amount,

@@ -179,3 +179,204 @@ def approx_ndv(table, column: str, *, max_staleness: int = 0) -> float:
 def _snapshots_between(table, a: int, b: int) -> int:
     ids = [s.snapshot_id for s in table.snapshots()]
     return len([i for i in ids if a < i <= b])
+
+
+# --- equi-depth histograms + selectivity (the CBO half NDV lacks) -----------
+
+
+@dataclass
+class ColumnHistogram:
+    """Equi-depth histogram: ``bounds[b]`` is the upper bound of bucket
+    b (the value at rank ceil((b+1)·N/B)); bucket b spans
+    (bounds[b-1], bounds[b]] with ~N/B rows; ``min_v`` opens bucket 0.
+    ``method``: "exact" (quantiles.exact_quantiles — rank-exact) or
+    "approx" (percentile_approx — one mergeable-sketch pass)."""
+
+    column: str
+    n_rows: int
+    n_nulls: int
+    min_v: Any
+    bounds: list
+    method: str
+
+    @property
+    def buckets(self) -> int:
+        return len(self.bounds)
+
+
+def analyze_histograms(
+    table,
+    columns: Sequence[str],
+    *,
+    buckets: int = 64,
+    exact: bool = False,
+    snapshot_id: Optional[int] = None,
+) -> dict[str, ColumnHistogram]:
+    """Compute + persist equi-depth histograms for numeric ``columns``.
+
+    Default path: ONE aggregate pass per column — count/nulls/min plus
+    ``percentile_approx`` bucket bounds (GK sketch: map-side partials,
+    O(buckets) driver rows at any table size). ``exact=True`` routes
+    through quantiles.exact_quantiles (rank-exact, ~3 narrow jobs).
+    Persisted per snapshot next to the NDV sketches; selectivity
+    estimation (``estimate_selectivity``) reads the newest file with
+    zero data I/O.
+    """
+    names = {f.name for f in table.schema.fields}
+    missing = [c for c in columns if c not in names]
+    if missing:
+        raise ValueError(f"unknown column(s): {missing}")
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else table.current_snapshot_id()
+    )
+    out: dict[str, ColumnHistogram] = {}
+    for c in columns:
+        df = table.scan(snapshot_id=snapshot_id, columns=[c])
+        if exact:
+            from ..quantiles import equi_depth_bounds
+
+            nn = df.filter(F.col(c).isNull()).count()
+            n, mn, bounds = equi_depth_bounds(df, c, buckets)
+            out[c] = ColumnHistogram(c, n, nn, mn, bounds, "exact")
+        else:
+            probs = [b / buckets for b in range(1, buckets + 1)]
+            row = df.agg(
+                F.count(c).alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+                F.min(c).alias("mn"),
+                F.percentile_approx(c, probs, 10_000).alias("bs"),
+            ).collect()[0]
+            out[c] = ColumnHistogram(
+                c,
+                int(row["n"]),
+                int(row["rows"]) - int(row["n"]),
+                row["mn"],
+                list(row["bs"] or []),
+                "approx",
+            )
+    _write_histograms(table.root, sid, out)
+    return out
+
+
+def _hist_path(root: str, sid: Optional[int]) -> str:
+    return os.path.join(root, _STATS_DIR, f"hist-{sid or 0}.json")
+
+
+def _write_histograms(
+    root: str, sid: Optional[int], hists: dict[str, ColumnHistogram]
+) -> None:
+    os.makedirs(os.path.join(root, _STATS_DIR), exist_ok=True)
+    path = _hist_path(root, sid)
+    merged: dict[str, Any] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    for c, h in hists.items():
+        merged[c] = {
+            "n_rows": h.n_rows,
+            "n_nulls": h.n_nulls,
+            "min": h.min_v,
+            "bounds": h.bounds,
+            "method": h.method,
+        }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp, path)
+
+
+def read_histograms(
+    root: str, *, at_or_before: Optional[int] = None
+) -> tuple[Optional[int], dict[str, ColumnHistogram]]:
+    d = os.path.join(root, _STATS_DIR)
+    if not os.path.isdir(d):
+        return None, {}
+    sids = sorted(
+        int(n[5:-5])
+        for n in os.listdir(d)
+        if n.startswith("hist-") and n.endswith(".json")
+    )
+    if at_or_before is not None:
+        sids = [s for s in sids if s <= at_or_before]
+    if not sids:
+        return None, {}
+    sid = sids[-1]
+    with open(_hist_path(root, sid)) as f:
+        raw = json.load(f)
+    return sid, {
+        c: ColumnHistogram(
+            c, v["n_rows"], v["n_nulls"], v["min"], v["bounds"], v["method"]
+        )
+        for c, v in raw.items()
+    }
+
+
+@dataclass
+class Selectivity:
+    fraction: float      # of non-null rows
+    est_rows: float
+    n_rows: int
+    method: str          # histogram method + "=ndv" when NDV was used
+
+
+def estimate_selectivity(table, column: str, op: str, value) -> Selectivity:
+    """Predicate selectivity from persisted stats alone (zero data
+    read) — the cost-model hook: equi-depth buckets each hold ~N/B
+    rows; range predicates count full buckets and interpolate the
+    boundary bucket uniformly; ``=`` answers 1/NDV when an NDV sketch
+    is persisted, else one bucket's within-bucket guess. Raises when
+    no histogram has been analyzed for the column."""
+    cur = table.current_snapshot_id()
+    _, hists = read_histograms(table.root, at_or_before=cur)
+    h = hists.get(column)
+    if h is None:
+        raise ValueError(
+            f"no histogram for {column!r}: run analyze_histograms first"
+        )
+    if not h.n_rows or not h.bounds:
+        return Selectivity(0.0, 0.0, 0, h.method)
+    B = h.buckets
+    v = float(value)
+    lo0 = float(h.min_v)
+    bounds = [float(x) for x in h.bounds]
+
+    def frac_le(x: float) -> float:
+        if x < lo0:
+            return 0.0
+        if x >= bounds[-1]:
+            return 1.0
+        f = 0.0
+        prev = lo0
+        for ub in bounds:
+            if x >= ub:
+                f += 1.0 / B
+            else:
+                span = ub - prev
+                if span > 0:
+                    f += max(0.0, (x - prev) / span) / B
+                elif x >= ub:
+                    f += 1.0 / B
+                break
+            prev = ub
+        return min(f, 1.0)
+
+    method = h.method
+    if op in ("<", "<="):
+        frac = frac_le(v)
+    elif op in (">", ">="):
+        frac = 1.0 - frac_le(v)
+    elif op == "=":
+        sid, stats = read_stats(table.root, at_or_before=cur)
+        if stats.get(column) is not None:
+            frac = 1.0 / max(stats[column].ndv, 1.0)
+            method += "+ndv"
+        else:
+            frac = 1.0 / B / 2.0  # within one covering bucket, no NDV
+        if v < lo0 or v > bounds[-1]:
+            frac = 0.0
+    else:
+        raise ValueError(f"unsupported op {op!r}")
+    frac = min(max(frac, 0.0), 1.0)
+    return Selectivity(frac, frac * h.n_rows, h.n_rows, method)

@@ -1386,6 +1386,23 @@ class Table:
 
         return _approx(self, column, **kw)
 
+    def analyze_histograms(self, columns, **kw):
+        """ANALYZE histograms: persist per-column equi-depth bucket
+        bounds (one percentile_approx pass per column, or rank-exact
+        via quantiles.exact_quantiles with ``exact=True``) — the CBO
+        half NDV sketches lack (lakehouse/ops/analyze.py)."""
+        from .ops.analyze import analyze_histograms as _ah
+
+        return _ah(self, columns, **kw)
+
+    def estimate_selectivity(self, column: str, op: str, value):
+        """Predicate selectivity from persisted histogram (+NDV for
+        ``=``) — zero data read; the cost-model hook for choosing scan
+        vs. index vs. metadata plans."""
+        from .ops.analyze import estimate_selectivity as _sel
+
+        return _sel(self, column, op, value)
+
     def count_rows(self, *, filter=None):  # noqa: A002
         """COUNT(*) answered metadata-first: fully-matching files from
         manifest record counts, boundary files read column-pruned —
