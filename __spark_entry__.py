@@ -1272,6 +1272,22 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling (lakehouse/similarity.py): cap each
+    embedding-space cluster at k rows — the diversity-curation
+    complement of SemDeDup (a raw hash sample reproduces density skew;
+    this flattens the mode mix, SSL-Prototypes style). IVF assignment
+    is the one full pass; per-cluster selection ranks by a seeded md5
+    draw through the salted two-level top-k, so a dominant cluster
+    never lands in one task. Oracle = identical centroid arithmetic +
+    md5 draw with a plain row_number."""
+    from lakehouse.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _read(spark, sf_dir, "embeddings"), 25, n_centroids=16
+    )
+
+
 def _q_pq_topk(spark, sf_dir):
     from lakehouse.similarity import pq_topk
 
@@ -5057,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         # audio payload (rows-only)
         "audio_decode_features": _q_audio_decode,
         "audio_snr_invariant": _q_audio_snr,
@@ -5153,6 +5170,7 @@ def oracle_sql() -> dict[str, str]:
         embedding_near_dup_oracle_sql,
         pq_topk_oracle_sql,
         quantize_embeddings_oracle_sql,
+        cluster_balanced_sample_oracle_sql,
         semantic_dedup_oracle_sql,
     )
     from lakehouse.streaming_agg import (
@@ -5670,6 +5688,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semantic_dedup": semantic_dedup_oracle_sql(
             threshold=0.45, n_centroids=16
+        ),
+        "cluster_balanced_sample": cluster_balanced_sample_oracle_sql(
+            25, n_centroids=16
         ),
         # audio queries intentionally omitted → rows-only check
     }

@@ -1513,3 +1513,95 @@ def pq_encode_arrow(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(part, out_schema)
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    *,
+    n_centroids: int = 16,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[list[list[float]]] = None,
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Cluster-balanced corpus curation: keep ``per_cluster`` vectors
+    from each embedding-space cluster — the diversity-sampling
+    complement of SemDeDup (cluster-then-PRUNE): a raw hash sample
+    reproduces the corpus's density skew, so dominant modes (one
+    language, one template) stay dominant; capping per cluster flattens
+    the mix (the SSL-Prototypes / DoReMi-style curation step).
+
+    Mechanics reuse the IVF quantizer: assignment is the one full pass
+    (nested-literal centroids, O(1) plan nodes), then WITHIN each
+    cluster rows rank by a deterministic seeded md5 draw (selection is
+    partitioning/retry invariant AND stable as the corpus grows —
+    a kept id can only be displaced by new ids hashing ahead of it).
+    Per-cluster top-k is TWO-LEVEL like bm25_topk: a salted local
+    row_number prunes to salt×k rows per cluster before the global
+    rank, so a dominant cluster never funnels the corpus into one task.
+    Returns (cluster, rank, id) — join back on id for payloads.
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import _hash_hex
+
+    if per_cluster <= 0:
+        raise ValueError("per_cluster must be positive")
+    cents = centroids or ivf_centroids(dim, n_centroids, seed)
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        _ivf_assign(_dbl(vec_col), cents).alias("cluster"),
+        _hash_hex(seed, F.col(id_col)).alias("_h"),
+    )
+    local_w = Window.partitionBy(
+        "cluster", F.crc32(F.col("_id").cast("string")) % salt_partitions
+    ).orderBy("_h", "_id")
+    pruned = (
+        assigned.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= per_cluster)
+        .drop("_lr")
+    )
+    global_w = Window.partitionBy("cluster").orderBy("_h", "_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= per_cluster)
+        .select("cluster", "rank", F.col("_id").alias(id_col))
+    )
+
+
+def cluster_balanced_sample_oracle_sql(
+    per_cluster: int,
+    *,
+    n_centroids: int = 16,
+    dim: int = LSH_DIM,
+    seed: int = IVF_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin: identical centroid literals + left-assoc dot
+    arithmetic (assignments agree bit-for-bit), identical md5 draw,
+    plain single-level row_number (the salted prune is plan shape
+    only)."""
+    from .sampling import _hash_sql
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    assign = _ivf_assign_sql(cents, vec_col)
+    h = _hash_sql(seed, id_col)
+    return f"""
+        WITH a AS (
+            SELECT {id_col}, {assign} AS cluster, {h} AS h
+            FROM {table}
+        ),
+        r AS (
+            SELECT cluster, {id_col}, row_number() OVER (
+                       PARTITION BY cluster ORDER BY h, {id_col}
+                   ) AS rank
+            FROM a
+        )
+        SELECT cluster, rank, {id_col} FROM r
+        WHERE rank <= {per_cluster}
+    """

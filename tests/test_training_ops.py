@@ -1586,3 +1586,53 @@ def test_dedup_windows_partial_removal_preserves_order(spark):
     assert rows[1]["text_dedup"] == "u1 u2"
     assert rows[2]["text_dedup"] == "v1 v2"
     assert rows[1]["kept_windows"] == 1 and rows[1]["total_windows"] == 2
+
+
+def test_cluster_balanced_sample_matches_oracle(spark, oracle):
+    from lakehouse.similarity import (
+        cluster_balanced_sample,
+        cluster_balanced_sample_oracle_sql,
+    )
+
+    assert_matches_oracle(
+        cluster_balanced_sample(_embs(spark), 7, n_centroids=8),
+        oracle,
+        cluster_balanced_sample_oracle_sql(7, n_centroids=8),
+    )
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    from lakehouse.similarity import cluster_balanced_sample
+
+    emb = _embs(spark)
+    out = cluster_balanced_sample(emb, 5, n_centroids=8)
+    rows = out.collect()
+    # per-cluster cap respected; ranks dense from 1
+    from collections import defaultdict
+
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r["cluster"]].append(r["rank"])
+    for c, ranks in by_c.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # partitioning invariance (two-level prune must not change the set)
+    again = cluster_balanced_sample(emb.repartition(13), 5, n_centroids=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # growth stability: selection over a subset only shrinks/keeps ids
+    # (a kept id is displaced only by ids hashing ahead — removing rows
+    # can never ADD a previously-unselected id above a kept one)
+    sub = cluster_balanced_sample(
+        emb.filter("vec_id % 3 != 0"), 5, n_centroids=8
+    ).collect()
+    full_ids = {(r["cluster"], r["vec_id"]) for r in rows}
+    sub_sel = {
+        (r["cluster"], r["vec_id"])
+        for r in sub
+        if (r["cluster"], r["vec_id"]) in full_ids
+    }
+    # every full-selection survivor present in the subset stays selected
+    surviving = {
+        (c, i) for (c, i) in full_ids if i % 3 != 0
+    }
+    assert surviving <= {(r["cluster"], r["vec_id"]) for r in sub}
