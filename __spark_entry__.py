@@ -4964,19 +4964,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_sum_pushdown": _q_lh_sum_pushdown,
+        "column_quantiles": _q_column_quantiles,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
         "lh_transform_incremental": _q_lh_transform_incremental,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_clone_scan_parity": _q_lh_clone,
         "lh_cherry_pick": _q_lh_cherry_pick,
-        "lh_rollback": _q_lh_rollback,
         "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_constraint_enforcement": _q_lh_constraint_enforcement,
         "lh_default_column": _q_lh_default_column,
         "lh_autopilot_scan_parity": _q_lh_autopilot,
         "lh_partition_evolution": _q_lh_partition_evolution,
-        "lh_incremental_scan": _q_lh_incremental,
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_commit_metrics": _q_lh_commit_metrics,
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
@@ -5015,6 +5014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_llm_pipeline": _q_lh_llm_pipeline,
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
+        "lh_rollback": _q_lh_rollback,
+        "lh_incremental_scan": _q_lh_incremental,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "lang_id": _q_lang_id,
@@ -5039,7 +5040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_delete_cow": _q_lh_delete,
         "lh_rename_drop": _q_lh_rename_drop,
         "lh_ndv_analyze": _q_lh_ndv_analyze,
-        "column_quantiles": _q_column_quantiles,
         "lh_histogram_selectivity": _q_lh_histogram_selectivity,
         "lh_changelog_pairs": _q_lh_changelog_pairs,
         "lh_delete_mor_pos": _q_lh_delete_mor_pos,
