@@ -162,6 +162,12 @@ def main() -> None:
                         "source": "event_date",
                     }
                 ],
+                # sum-stats opt-in: every write additionally harvests
+                # the exact per-file SUM of dur_ms (one narrow column
+                # read per fresh file — KBs next to the audio payload),
+                # pricing the real-world config where sum_meta answers
+                # SELECT SUM metadata-only
+                properties={"agg_stats_columns": "dur_ms"},
             )
             per = N_CLIPS // APPENDS
 
@@ -263,6 +269,24 @@ def main() -> None:
                 assert res.files_scanned == 0 and res.fallback is None
 
             timed("count_meta", count_meta)
+
+            # metadata-only SUM/AVG: manifest per-file sums (opted in
+            # at table creation) — zero data bytes
+            def sum_meta():
+                res = t.sum_agg(["dur_ms"])
+                assert res.files_scanned == 0 and res.fallback is None
+
+            timed("sum_meta", sum_meta)
+
+            # rank-exact equi-depth quantiles (coarse-bucket prefix
+            # sum) over the corpus — the ANALYZE-histogram kernel
+            def quantiles_exact():
+                from lakehouse.quantiles import exact_quantiles
+
+                rows = exact_quantiles(t.scan(), "dur_ms", 32).collect()
+                assert len(rows) == 32
+
+            timed("quantiles_exact", quantiles_exact)
 
             # materialized rollup: full compute once, then (after the
             # positional delete below mutates the table) an incremental

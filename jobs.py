@@ -57,10 +57,13 @@ def _emit(payload: dict) -> None:
 
 
 def cmd_create(args):
+    import json as _json
+
     from lakehouse import Table
     from lakehouse.schema import CLIPS_SCHEMA
 
     spark = _spark(args)
+    props = _json.loads(args.properties) if args.properties else None
     Table.create(
         spark,
         args.table,
@@ -68,8 +71,9 @@ def cmd_create(args):
         partition_spec=[
             {"name": "event_date", "transform": "identity", "source": "event_date"}
         ],
+        properties=props,
     )
-    _emit({"op": "create", "table": args.table})
+    _emit({"op": "create", "table": args.table, "properties": props})
 
 
 def cmd_synth(args):
@@ -581,6 +585,52 @@ def cmd_analyze(args):
     )
 
 
+def cmd_histogram(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.analyze_histograms(
+        args.columns.split(","), buckets=args.buckets, exact=args.exact
+    )
+    _emit(
+        {
+            "op": "histogram",
+            "histograms": {
+                c: {
+                    "n_rows": h.n_rows,
+                    "n_nulls": h.n_nulls,
+                    "min": h.min_v,
+                    "bounds": h.bounds,
+                    "method": h.method,
+                }
+                for c, h in res.items()
+            },
+            "buckets": args.buckets,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_sum(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    t0 = time.time()
+    res = t.sum_agg(args.columns.split(","))
+    _emit(
+        {
+            "op": "sum",
+            "per_column": {
+                c: {"sum": s, "count": n}
+                for c, (s, n) in res.per_column.items()
+            },
+            "files_metadata_only": res.files_metadata_only,
+            "files_scanned": res.files_scanned,
+            "fallback": res.fallback,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
 def cmd_count(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -939,7 +989,13 @@ def main():
     def t(sp):
         sp.add_argument("--table", required=True)
 
-    t(sub.add_parser("create"))
+    s = sub.add_parser("create")
+    t(s)
+    s.add_argument(
+        "--properties",
+        default=None,
+        help='JSON table properties, e.g. \'{"agg_stats_columns": "dur_ms"}\'',
+    )
     s = sub.add_parser("synth")
     t(s)
     s.add_argument("--rows", type=int, default=10_000)
@@ -1023,6 +1079,14 @@ def main():
     t(s)
     s.add_argument("--columns", default=None)
     s.add_argument("--k", type=int, default=1024)
+    s = sub.add_parser("histogram")
+    t(s)
+    s.add_argument("columns", help="comma-separated numeric columns")
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--exact", action="store_true")
+    s = sub.add_parser("sum")
+    t(s)
+    s.add_argument("columns", help="comma-separated numeric columns")
     s = sub.add_parser("maintain")
     t(s)
     s.add_argument("--dry-run", action="store_true")
@@ -1137,6 +1201,8 @@ def main():
         "rename-column": cmd_rename_column,
         "drop-column": cmd_drop_column,
         "analyze": cmd_analyze,
+        "histogram": cmd_histogram,
+        "sum": cmd_sum,
         "maintain": cmd_maintain,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,
