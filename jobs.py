@@ -140,8 +140,14 @@ def cmd_cluster(args):
 def cmd_expire(args):
     spark = _spark(args)
     t = _table(spark, args)
-    res = t.expire_snapshots(keep_last=args.keep_last)
-    out = {"op": "expire", "expired": res.expired_snapshot_ids}
+    res = t.expire_snapshots(
+        keep_last=args.keep_last, max_ref_age_ms=args.max_ref_age_ms
+    )
+    out = {
+        "op": "expire",
+        "expired": res.expired_snapshot_ids,
+        "dropped_refs": res.dropped_refs,
+    }
     if args.gc:
         gc = t.remove_orphan_files(
             older_than_ms=int(time.time() * 1000) + 60_000
@@ -1016,6 +1022,13 @@ def main():
     t(s)
     s.add_argument("--keep-last", type=int, default=1)
     s.add_argument("--gc", action="store_true")
+    s.add_argument(
+        "--max-ref-age-ms",
+        type=int,
+        default=None,
+        help="drop aux branches/tags older than this (Iceberg "
+        "history.expire.max-ref-age-ms); per-ref policies override",
+    )
     s = sub.add_parser("rewrite-manifests")
     t(s)
     s.add_argument("--entries-per-manifest", type=int, default=100_000)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 from pyspark.sql import functions as F
 
@@ -38,6 +38,7 @@ DRIVER_GC_THRESHOLD = 100_000
 class ExpireResult:
     expired_snapshot_ids: list[int]
     surviving_snapshot_ids: list[int]
+    dropped_refs: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -53,19 +54,50 @@ def expire_snapshots(
     *,
     keep_last: Optional[int] = None,
     older_than_ms: Optional[int] = None,
+    max_ref_age_ms: Optional[int] = None,
+    now_ms: Optional[int] = None,
 ) -> ExpireResult:
+    """Expire old snapshots (and optionally aged-out refs).
+
+    ``max_ref_age_ms`` (Iceberg's ``history.expire.max-ref-age-ms``):
+    auxiliary branches/tags older than this are DROPPED in the same
+    commit, releasing their snapshot pins — a per-ref
+    ``max_ref_age_ms`` (set at create_branch/create_tag) overrides the
+    call-level default; refs with neither live forever. Ref age is
+    measured from the ref's creation time when recorded, else from its
+    target snapshot's commit time. ``now_ms`` injects the clock for
+    deterministic tests.
+    """
     if keep_last is None and older_than_ms is None:
         keep_last = 1
-    expired_holder: dict[str, list[int]] = {}
+    expired_holder: dict[str, list] = {}
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
 
     def apply(base: S.TableMetadata) -> S.TableMetadata:
         snaps = sorted(base.snapshots, key=lambda s: s.snapshot_id)
+        by_id = {s.snapshot_id: s for s in snaps}
+        # ref retention first: an aged-out ref releases its pin in the
+        # SAME commit, so its snapshots expire atomically with the drop
+        refs: dict[str, Any] = {}
+        dropped_refs: list[str] = []
+        for name, ref in base.refs.items():
+            limit = ref.get("max_ref_age_ms", max_ref_age_ms)
+            if limit is not None:
+                born = ref.get("created_ms")
+                if born is None:
+                    snap = by_id.get(ref["snapshot_id"])
+                    born = snap.timestamp_ms if snap is not None else 0
+                if now - born > int(limit):
+                    dropped_refs.append(name)
+                    continue
+            refs[name] = ref
+        expired_holder["refs"] = dropped_refs
         keep = set()
         if base.current_snapshot_id is not None:
             keep.add(base.current_snapshot_id)
         # named refs pin their snapshots: a branch head / tag target must
         # stay readable until the ref is dropped (Iceberg ref retention)
-        for ref in base.refs.values():
+        for ref in refs.values():
             keep.add(ref["snapshot_id"])
         if keep_last is not None:
             keep.update(s.snapshot_id for s in snaps[-keep_last:])
@@ -90,13 +122,14 @@ def expire_snapshots(
             current_snapshot_id=base.current_snapshot_id,
             snapshots=surviving,
             properties=base.properties,
-            refs=base.refs,
+            refs=refs,
         )
 
     meta = S.commit(table.root, apply)
     return ExpireResult(
         expired_snapshot_ids=expired_holder.get("ids", []),
         surviving_snapshot_ids=[s.snapshot_id for s in meta.snapshots],
+        dropped_refs=expired_holder.get("refs", []),
     )
 
 

@@ -378,7 +378,13 @@ class Table:
             raise RefError(f"unknown ref: {name!r}")
         return meta.refs[name]["snapshot_id"]
 
-    def _set_ref(self, name: str, ref_type: str, snapshot_id: Optional[int]):
+    def _set_ref(
+        self,
+        name: str,
+        ref_type: str,
+        snapshot_id: Optional[int],
+        max_ref_age_ms: Optional[int] = None,
+    ):
         if name == "main":
             raise RefError("'main' is implicit; use rollback/fast_forward")
 
@@ -392,17 +398,35 @@ class Table:
                 raise RefError("cannot create a ref on an empty table")
             base.snapshot(sid)  # must exist (raises SnapshotNotFoundError)
             refs = dict(base.refs)
-            refs[name] = {"snapshot_id": sid, "type": ref_type}
+            ref: dict[str, Any] = {"snapshot_id": sid, "type": ref_type}
+            if max_ref_age_ms is not None:
+                # Iceberg's max-ref-age-ms: the ref auto-drops (and its
+                # pin with it) once this old, at the next expire pass
+                ref["max_ref_age_ms"] = int(max_ref_age_ms)
+                ref["created_ms"] = int(time.time() * 1000)
+            refs[name] = ref
             base.refs = refs
             return base
 
         S.commit(self.root, apply)
 
-    def create_branch(self, name: str, snapshot_id: Optional[int] = None):
-        self._set_ref(name, "branch", snapshot_id)
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        *,
+        max_ref_age_ms: Optional[int] = None,
+    ):
+        self._set_ref(name, "branch", snapshot_id, max_ref_age_ms)
 
-    def create_tag(self, name: str, snapshot_id: Optional[int] = None):
-        self._set_ref(name, "tag", snapshot_id)
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        *,
+        max_ref_age_ms: Optional[int] = None,
+    ):
+        self._set_ref(name, "tag", snapshot_id, max_ref_age_ms)
 
     def drop_ref(self, name: str) -> None:
         def apply(base: S.TableMetadata) -> S.TableMetadata:

@@ -431,3 +431,54 @@ def test_cherry_pick_guards(spark, table_root):
     # picking the current head refuses
     with pytest.raises(RefError):
         t.cherry_pick(t.current_snapshot_id())
+
+
+def test_ref_age_retention_drops_only_aged_refs(spark, table_root):
+    """Iceberg max-ref-age-ms: an aged-out tag is dropped during expire
+    (same commit releases its pin); fresh refs and refs without a
+    policy survive; time travel through the dropped ref's snapshot then
+    fails cleanly."""
+    import time as _t
+
+    from lakehouse.errors import SnapshotNotFoundError
+
+    t = make_table(spark, table_root, rows=40, appends=2)
+    v1 = t.current_snapshot_id()
+    t.create_tag("old-release", max_ref_age_ms=1000)
+    t.create_tag("forever")  # no policy: immortal
+    t.compact(target_file_size=1 << 30)
+    now = int(_t.time() * 1000)
+
+    # young ref: nothing to drop yet
+    res = t.expire_snapshots(keep_last=1, now_ms=now)
+    assert res.dropped_refs == []
+    assert v1 in res.surviving_snapshot_ids  # still pinned twice
+
+    # clock advances past the per-ref limit: the aged tag drops and its
+    # snapshot expires IN THE SAME commit (forever-tag still pins it!)
+    res2 = t.expire_snapshots(keep_last=1, now_ms=now + 5000)
+    assert res2.dropped_refs == ["old-release"]
+    assert "old-release" not in t.refs() and "forever" in t.refs()
+    assert v1 in res2.surviving_snapshot_ids  # "forever" still pins v1
+
+    # drop the immortal ref manually: now the snapshot really expires
+    t.drop_ref("forever")
+    res3 = t.expire_snapshots(keep_last=1, now_ms=now + 5000)
+    assert v1 in res3.expired_snapshot_ids
+    with pytest.raises(SnapshotNotFoundError):
+        t.scan(snapshot_id=v1).count()
+
+
+def test_ref_age_call_level_default(spark, table_root):
+    """A call-level max_ref_age_ms applies to refs WITHOUT their own
+    policy; a per-ref policy overrides it (longer-lived ref survives a
+    stricter call default... per Iceberg, per-ref wins)."""
+    import time as _t
+
+    t = make_table(spark, table_root, rows=40, appends=2)
+    t.create_tag("no-policy")
+    t.create_tag("long-lived", max_ref_age_ms=10_000_000)
+    now = int(_t.time() * 1000)
+    res = t.expire_snapshots(keep_last=1, max_ref_age_ms=1, now_ms=now + 1000)
+    assert res.dropped_refs == ["no-policy"]
+    assert "long-lived" in t.refs()
