@@ -2363,6 +2363,56 @@ def _q_audio_resample_sinc(spark, sf_dir):
     )
 
 
+def _q_audio_loudness_norm(spark, sf_dir):
+    """Self-verifying EBU R128 loudness levelling (ITU-R BS.1770-4
+    K-weighting + gated integration; lakehouse/audio.py): measure the
+    corpus, normalize to -23 LUFS (the R128 program level), re-measure.
+    Asserted in-builder: (1) no row dropped; (2) every normalized clip
+    within ±0.1 LU of target (loudness is scale-covariant, so the gain
+    is exact up to PCM16 quantization); (3) the applied gain equals
+    target − measured loudness within ±0.1 dB (cross-checks the two
+    passes against each other); (4) byte-identical under
+    repartitioning. Returns the per-clip loudness ledger."""
+    from lakehouse.audio import measure_loudness_clips, normalize_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 96, seed=44, n_days=3)
+    before = measure_loudness_clips(df).select(
+        "clip_id", F.col("lufs").alias("lufs_in")
+    )
+    normed = normalize_clips(df, mode="lufs", target=-23.0)
+    after = measure_loudness_clips(normed).select(
+        "clip_id", "gain_db", F.col("lufs").alias("lufs_out")
+    )
+    out = before.join(after, "clip_id")
+    rows = out.collect()
+    assert len(rows) == 96, len(rows)
+    for r in rows:
+        assert r.lufs_in is not None and r.lufs_out is not None
+        assert abs(r.lufs_out - (-23.0)) < 0.1, (r.clip_id, r.lufs_out)
+        assert abs(r.gain_db - (-23.0 - r.lufs_in)) < 0.1, r.clip_id
+    # determinism: normalized payload bytes invariant under partitioning
+    h1 = sorted(
+        (r.clip_id, r.h)
+        for r in normed.select(
+            "clip_id", F.md5("bytes").alias("h")
+        ).collect()
+    )
+    h2 = sorted(
+        (r.clip_id, r.h)
+        for r in normalize_clips(
+            df.repartition(7), mode="lufs", target=-23.0
+        ).select("clip_id", F.md5("bytes").alias("h")).collect()
+    )
+    assert h1 == h2
+    return out.select(
+        "clip_id",
+        F.round("lufs_in", 3).alias("lufs_in"),
+        F.round("lufs_out", 3).alias("lufs_out"),
+        F.round("gain_db", 3).alias("gain_db"),
+    )
+
+
 def _q_audio_denoise(spark, sf_dir):
     """Self-verifying spectral-gating denoise (Boll 1979 spectral
     subtraction with a median-across-frequency broadband floor).
@@ -5101,6 +5151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bandwidth_screen": _q_audio_bandwidth_screen,
         "audio_reverb": _q_audio_reverb,
         "audio_denoise": _q_audio_denoise,
+        "audio_loudness_norm": _q_audio_loudness_norm,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
         "audio_dominant_freq": _q_audio_dominant_freq,

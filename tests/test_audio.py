@@ -1695,3 +1695,57 @@ def test_spark_transcode_adpcm(spark):
     assert min(r.snr for r in chk) >= 12.0
     assert min(r.snr for r in chk if r.sr_hz >= 44100) >= 25.0
     assert max(r.ratio for r in chk) < 0.35  # ~0.26 + header overhead
+
+
+# --- EBU R128 / BS.1770 loudness ---------------------------------------------
+
+
+def test_r128_coefficients_match_itu_table():
+    from lakehouse.audio import _r128_biquads
+
+    (sb, sa), (hb, ha) = _r128_biquads(48000.0)
+    # ITU-R BS.1770-4 Table 1/2 (48 kHz)
+    assert max(
+        abs(a - b)
+        for a, b in zip(sb, [1.53512485958697, -2.69169618940638, 1.19839281085285])
+    ) < 1e-9
+    assert max(
+        abs(a - b)
+        for a, b in zip(sa, [1.0, -1.69065929318241, 0.73248077421585])
+    ) < 1e-9
+    assert max(
+        abs(a - b)
+        for a, b in zip(ha, [1.0, -1.99004745483398, 0.99007225036621])
+    ) < 2e-4  # hp prototype rounds the published table's float32 dump
+
+
+def test_integrated_lufs_sine_and_gain_law():
+    import numpy as np
+
+    from lakehouse.audio import integrated_lufs
+
+    for sr in (16000, 48000):
+        t = np.arange(int(sr * 2.5)) / sr
+        x = np.sin(2 * np.pi * 997.0 * t)
+        l = integrated_lufs(x, sr)
+        assert abs(l - (-3.01)) < 0.15, (sr, l)  # spec: FS 997 Hz sine
+        # loudness is scale-covariant: -10 dB moves it exactly -10 LU
+        l2 = integrated_lufs(x * 10 ** (-10 / 20), sr)
+        assert abs((l2 - l) - (-10.0)) < 1e-6
+    assert integrated_lufs(np.zeros(48000), 48000) is None
+
+
+def test_normalize_lufs_mode(spark):
+    from lakehouse.audio import measure_loudness_clips, normalize_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 24, seed=21, n_days=2)
+    out = measure_loudness_clips(
+        normalize_clips(df, mode="lufs", target=-23.0)
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.lufs is not None
+        # PCM16 quantization + hard limiter: sub-0.1 LU at -23
+        assert abs(r.lufs - (-23.0)) < 0.1, r.lufs
+        assert r.gain_db is not None
