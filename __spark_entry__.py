@@ -2363,6 +2363,81 @@ def _q_audio_resample_sinc(spark, sf_dir):
     )
 
 
+def _q_audio_telephony(spark, sf_dir):
+    """Self-verifying telephony-channel simulation (8 kHz + G.712
+    passband brick-wall + G.711 μ-law round trip + exact-length
+    restoration; lakehouse/audio.py): asserted in-builder — (1) no row
+    dropped, dur_ms preserved exactly in keep_rate mode; (2) a planted
+    in-band tone keeps ≥80% RMS while a planted above-band tone loses
+    ≥95%; (3) the bandwidth screen flags every >8 kHz clip after the
+    channel (the two ops cross-check); (4) byte-identical under
+    repartitioning. Returns the per-clip before/after ledger."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lakehouse.audio import (
+        decode_wav,
+        detect_upsampled_clips,
+        simulate_telephony_clips,
+    )
+    from lakehouse.synth import synth_clips_df, wrap_wav
+
+    sr = 16000
+    t_ax = np.arange(int(sr * 1.2)) / sr
+    tones = spark.createDataFrame(
+        [
+            Row(
+                clip_id=f"tone-{f}",
+                bytes=wrap_wav(
+                    (0.4 * np.sin(2 * np.pi * f * t_ax)).astype(
+                        np.float32
+                    ),
+                    sr,
+                    "pcm16",
+                ),
+                sr_hz=sr,
+                dur_ms=1200,
+                codec="pcm16",
+            )
+            for f in (1000.0, 5000.0)
+        ]
+    )
+    out = {r.clip_id: r for r in simulate_telephony_clips(tones).collect()}
+    assert all(r.dur_ms == 1200 and r.sr_hz == sr for r in out.values())
+
+    def rms(b):
+        _, x = decode_wav(b)
+        return float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+
+    in_rms = 0.4 / np.sqrt(2.0)
+    assert rms(out["tone-1000.0"].bytes) >= 0.8 * in_rms
+    assert rms(out["tone-5000.0"].bytes) <= 0.05 * in_rms
+
+    wide = synth_clips_df(spark, 64, seed=37, n_days=2).filter(
+        "sr_hz > 8000"
+    )
+    sim = simulate_telephony_clips(wide)
+    flags = detect_upsampled_clips(sim).select(
+        "clip_id", "sr_hz", "dur_ms", "suspect_upsampled",
+        F.round("bw_ratio", 4).alias("bw_ratio"),
+    )
+    rows = flags.collect()
+    assert len(rows) == wide.count()
+    assert all(r.suspect_upsampled for r in rows), "channel must narrow"
+    h1 = sorted(
+        (r.clip_id, r.h)
+        for r in sim.selectExpr("clip_id", "md5(bytes) AS h").collect()
+    )
+    h2 = sorted(
+        (r.clip_id, r.h)
+        for r in simulate_telephony_clips(wide.repartition(9))
+        .selectExpr("clip_id", "md5(bytes) AS h")
+        .collect()
+    )
+    assert h1 == h2
+    return flags
+
+
 def _q_audio_loudness_norm(spark, sf_dir):
     """Self-verifying EBU R128 loudness levelling (ITU-R BS.1770-4
     K-weighting + gated integration; lakehouse/audio.py): measure the
@@ -5152,6 +5227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_reverb": _q_audio_reverb,
         "audio_denoise": _q_audio_denoise,
         "audio_loudness_norm": _q_audio_loudness_norm,
+        "audio_telephony": _q_audio_telephony,
         "audio_spectral_features": _q_audio_spectral,
         "audio_spectral_topk": _q_audio_spectral_topk,
         "audio_dominant_freq": _q_audio_dominant_freq,

@@ -3255,3 +3255,99 @@ def measure_loudness_clips(
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, lufs_udf(F.col(bytes_col)))
+
+
+# --- Telephony channel simulation ---------------------------------------------
+
+TELEPHONY_TYPE = T.StructType(
+    [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+    ]
+)
+
+
+def simulate_telephony_clips(
+    df,
+    *,
+    low_hz: float = 300.0,
+    high_hz: float = 3400.0,
+    codec: str = "mulaw",
+    keep_rate: bool = True,
+    bytes_col: str = "bytes",
+):
+    """Telephony-channel robustness augmentation: the narrowband PSTN
+    path every real ASR corpus partially arrives through — 8 kHz
+    resample, 300–3400 Hz bandpass (the G.712 passband; implemented as
+    an ideal FFT brick-wall — deterministic, the mask-shaped stand-in),
+    a G.711 μ-law/A-law quantization round trip, and (``keep_rate``)
+    sinc-upsampling back to the ORIGINAL rate with exact length
+    restoration, so dur_ms and alignment windows stay valid while the
+    content is authentically narrowband (``detect_upsampled_clips``
+    flags the output — the two ops cross-check each other, gated).
+
+    Composition of the module's own kernels (windowed-sinc resampler,
+    g711 codecs) in ONE Arrow pass; map-only, no RNG — deterministic
+    under any partitioning/retry. At 10^12 clips: embarrassingly
+    parallel, cost one decode + two resamples per clip.
+    """
+    from . import g711
+
+    if codec == "mulaw":
+        enc, dec = g711.mulaw_encode, g711.mulaw_decode
+    elif codec == "alaw":
+        enc, dec = g711.alaw_encode, g711.alaw_decode
+    else:
+        raise ValueError(f"unsupported telephony codec: {codec!r}")
+    lo, hi = float(low_hz), float(high_hz)
+    if not (0 <= lo < hi <= 4000.0):
+        raise ValueError("band must satisfy 0 <= low < high <= 4000 Hz")
+
+    @F.pandas_udf(TELEPHONY_TYPE)
+    def telephony_udf(raw: pd.Series) -> pd.DataFrame:
+        from .synth import wrap_wav
+
+        out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+        for b in raw:
+            try:
+                sr, x = decode_wav(b)
+            except (ValueError, struct.error):
+                for k in out:
+                    out[k].append(None)
+                continue
+            n_in = len(x)
+            y = _resample_sinc(x, sr, 8000) if sr != 8000 else x
+            if len(y):
+                spec = np.fft.rfft(y.astype(np.float64))
+                f = np.fft.rfftfreq(len(y), 1.0 / 8000.0)
+                spec[(f < lo) | (f > hi)] = 0.0
+                y = np.fft.irfft(spec, n=len(y))
+            y = np.clip(y, -1.0, 1.0).astype(np.float32)
+            y = dec(enc(y))
+            if keep_rate and sr != 8000:
+                y = _resample_sinc(y, 8000, sr)
+                if len(y) < n_in:  # exact length restoration
+                    y = np.pad(y, (0, n_in - len(y)))
+                else:
+                    y = y[:n_in]
+            sr_out = sr if keep_rate else 8000
+            out["bytes"].append(wrap_wav(y, sr_out, "pcm16"))
+            out["sr_hz"].append(sr_out)
+            out["dur_ms"].append(int(round(1000 * len(y) / sr_out)))
+        return pd.DataFrame(out)
+
+    t = telephony_udf(F.col(bytes_col)).alias("__t")
+    others = [
+        c
+        for c in df.columns
+        if c not in ("bytes", "sr_hz", "dur_ms", "codec", "channel")
+    ]
+    return df.select(*others, t).select(
+        *others,
+        F.col("__t.bytes").alias("bytes"),
+        F.col("__t.sr_hz").alias("sr_hz"),
+        F.col("__t.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.lit("telephony").alias("channel"),
+    )

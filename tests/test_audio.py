@@ -1749,3 +1749,91 @@ def test_normalize_lufs_mode(spark):
         # PCM16 quantization + hard limiter: sub-0.1 LU at -23
         assert abs(r.lufs - (-23.0)) < 0.1, r.lufs
         assert r.gain_db is not None
+
+
+# --- telephony channel simulation ---------------------------------------------
+
+
+def test_telephony_band_and_length(spark):
+    """In-band tone survives the channel; out-of-band tone is rejected;
+    keep_rate restores exact length; output flags as narrowband."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lakehouse.audio import (
+        detect_upsampled_clips,
+        simulate_telephony_clips,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+
+    def tone(f, amp=0.4, ms=1200):
+        t = np.arange(int(sr * ms / 1000)) / sr
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    rows = [
+        Row(clip_id="in-band", bytes=wrap_wav(tone(1000.0), sr, "pcm16"),
+            sr_hz=sr, dur_ms=1200, codec="pcm16"),
+        Row(clip_id="out-band", bytes=wrap_wav(tone(5000.0), sr, "pcm16"),
+            sr_hz=sr, dur_ms=1200, codec="pcm16"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.clip_id: r for r in simulate_telephony_clips(df).collect()}
+
+    from lakehouse.audio import decode_wav
+
+    for cid, r in out.items():
+        assert r.sr_hz == sr and r.dur_ms == 1200 and r.channel == "telephony"
+    _, y_in = decode_wav(out["in-band"].bytes)
+    _, y_out = decode_wav(out["out-band"].bytes)
+    rms = lambda a: float(np.sqrt(np.mean(a.astype(np.float64) ** 2)))  # noqa: E731
+    assert rms(y_in) > 0.8 * rms(tone(1000.0))  # passband preserved
+    assert rms(y_out) < 0.05 * rms(tone(5000.0))  # stopband rejected
+    # the channel output is authentically narrowband: the bandwidth
+    # screen flags BROADBAND content after the channel while the
+    # original passes (a pure tone is narrowband by itself, so this
+    # cross-check uses the synth corpus's broadband clips)
+    from lakehouse.synth import synth_clips_df
+
+    # only clips whose NOMINAL rate exceeds telephony bandwidth can
+    # read as upsampled (a native-8 kHz clip through the channel is
+    # legitimately near-full-band for its own rate)
+    wide = synth_clips_df(spark, 12, seed=31, n_days=1).filter(
+        "sr_hz > 8000"
+    )
+    assert wide.count() > 0
+    after = {
+        r.clip_id: r.suspect_upsampled
+        for r in detect_upsampled_clips(
+            simulate_telephony_clips(wide)
+        ).collect()
+    }
+    assert all(after.values()), after
+
+
+def test_telephony_deterministic_and_8k_mode(spark):
+    import numpy as np
+
+    from lakehouse.audio import simulate_telephony_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 16, seed=5, n_days=2)
+    a = sorted(
+        (r.clip_id, r.h)
+        for r in simulate_telephony_clips(df)
+        .selectExpr("clip_id", "md5(bytes) AS h")
+        .collect()
+    )
+    b = sorted(
+        (r.clip_id, r.h)
+        for r in simulate_telephony_clips(df.repartition(5))
+        .selectExpr("clip_id", "md5(bytes) AS h")
+        .collect()
+    )
+    assert a == b
+    narrow = simulate_telephony_clips(df, keep_rate=False).collect()
+    assert all(r.sr_hz == 8000 for r in narrow)
+    # duration preserved within resample rounding (1 ms)
+    orig = {r.clip_id: r.dur_ms for r in df.collect()}
+    assert all(abs(r.dur_ms - orig[r.clip_id]) <= 1 for r in narrow)
