@@ -551,6 +551,18 @@ def _q_text_quality(spark, sf_dir):
     return quality_features(_read(spark, sf_dir, "documents"))
 
 
+def _q_gopher_quality_filter(spark, sf_dir):
+    """Gopher heuristic quality rules (Rae et al. 2021 §A1.1, the
+    named pre-filter of production pretraining pipelines): word-count
+    bounds, integer-exact mean-word-length bounds, symbol ratio,
+    alphabetic-word fraction, minimum stop-words — one codegen'd
+    projection, zero shuffle; DuckDB twin evaluates the identical
+    integer cross-multiplications."""
+    from lakehouse.textops import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"), min_words=30)
+
+
 # the synthetic corpus contains no PII, so the scrub query plants a
 # deterministic specimen per doc — the SAME expression the oracle
 # appends (Spark `||` and DuckDB `||` build identical strings), so the
@@ -5116,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
+        "gopher_quality_filter": _q_gopher_quality_filter,
         "bm25_topk": _q_bm25_topk,
         "asof_join_enrich": _q_asof_join,
         "fk_integrity_audit": _q_fk_integrity,
@@ -5314,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         doc_fingerprint_oracle_sql,
         lang_id_oracle_sql,
         pii_scrub_oracle_sql,
+        gopher_rules_oracle_sql,
         quality_oracle_sql,
         repetition_oracle_sql,
         token_stats_oracle_sql,
@@ -5708,6 +5722,7 @@ def oracle_sql() -> dict[str, str]:
             k=3, num_hashes=16, bands=8, threshold=0.05
         ),
         "text_quality": quality_oracle_sql(),
+        "gopher_quality_filter": gopher_rules_oracle_sql(min_words=30),
         "repetition_stats": repetition_oracle_sql(n=2),
         "unigram_logprob": unigram_logprob_oracle_sql(),
         "bigram_logprob": bigram_logprob_oracle_sql(),

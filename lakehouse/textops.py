@@ -706,3 +706,108 @@ def bm25_topk_oracle_sql(
                 FROM sc)
     SELECT query, rank, doc_id, bm25 FROM rk WHERE rank <= {k}
     """
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1) — the named
+    heuristic ruleset production pretraining pipelines apply before
+    model-based filtering. The subset computable without line
+    structure: word-count bounds, mean-word-length bounds (evaluated
+    as INTEGER cross-multiplications, so the oracle hashes exactly),
+    symbol-to-word ratio (#/ellipsis), alphabetic-word fraction, and
+    minimum stop-word count. The paper's line-shape rules (bullet /
+    ellipsis line fractions) need line structure this corpus lacks —
+    their repetition-family cousins live in ``repetition_signals`` and
+    ``dedup_windows``. One codegen'd projection per doc: zero shuffle,
+    trivially 100 TB-parallel."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.size(toks)
+    chars_ns = F.length(t) - (n_tok - 1)  # chars excluding separators
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_uell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    n_dell = (
+        F.length(t) - F.length(F.replace(t, F.lit("...")))
+    ) / F.lit(3)
+    n_sym = (n_hash + n_uell + n_dell).cast("double")
+    ok_wc = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_mwl = (chars_ns >= min_mean_word_len * n_tok) & (
+        chars_ns <= max_mean_word_len * n_tok
+    )
+    ok_sym = n_sym <= F.lit(float(max_symbol_ratio)) * n_tok
+    ok_alpha = n_alpha >= F.lit(float(min_alpha_word_ratio)) * n_tok
+    ok_stop = n_stop >= min_stopwords
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def gopher_rules_oracle_sql(
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    table: str = "documents",
+) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n_tok,
+               length(text) - (len(string_split(text, ' ')) - 1) AS chars_ns
+        FROM {table}
+    ),
+    m AS (
+        SELECT doc_id, n_tok, chars_ns,
+               len(list_filter(ts, w -> list_contains([{stop}], w))) AS n_stop,
+               len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha,
+               (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '…', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3.0
+                   AS n_sym
+        FROM b
+    )
+    SELECT doc_id,
+           n_tok AS n_words,
+           (n_tok >= {min_words} AND n_tok <= {max_words}) AS ok_word_count,
+           (chars_ns >= {min_mean_word_len} * n_tok
+            AND chars_ns <= {max_mean_word_len} * n_tok)
+               AS ok_mean_word_len,
+           (n_sym <= {max_symbol_ratio!r} * n_tok) AS ok_symbol_ratio,
+           (n_alpha >= {min_alpha_word_ratio!r} * n_tok) AS ok_alpha_words,
+           (n_stop >= {min_stopwords}) AS ok_stopwords,
+           ((n_tok >= {min_words} AND n_tok <= {max_words})
+            AND (chars_ns >= {min_mean_word_len} * n_tok
+                 AND chars_ns <= {max_mean_word_len} * n_tok)
+            AND (n_sym <= {max_symbol_ratio!r} * n_tok)
+            AND (n_alpha >= {min_alpha_word_ratio!r} * n_tok)
+            AND (n_stop >= {min_stopwords})) AS keep
+    FROM m
+    """

@@ -1636,3 +1636,36 @@ def test_cluster_balanced_sample_invariants(spark):
         (c, i) for (c, i) in full_ids if i % 3 != 0
     }
     assert surviving <= {(r["cluster"], r["vec_id"]) for r in sub}
+
+
+def test_gopher_rules_matches_oracle(spark, oracle):
+    from lakehouse.textops import gopher_rules, gopher_rules_oracle_sql
+
+    assert_matches_oracle(
+        gopher_rules(_docs(spark), min_words=30),
+        oracle,
+        gopher_rules_oracle_sql(min_words=30),
+    )
+
+
+def test_gopher_rules_planted_defects(spark):
+    from pyspark.sql import Row
+
+    from lakehouse.textops import gopher_rules
+
+    rows = [
+        Row(doc_id=1, text="the a of " + "word " * 40 + "end"),  # keep
+        Row(doc_id=2, text="tiny doc"),  # word count
+        Row(doc_id=3, text="the of " + "#### " * 40 + "x"),  # symbols
+        Row(doc_id=4, text="the of " + "12345 " * 40 + "x"),  # non-alpha
+        Row(doc_id=5, text="zz " * 45),  # no stopwords + short words
+    ]
+    out = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows), min_words=10
+    ).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count
+    assert not out[3].ok_symbol_ratio and not out[3].ok_alpha_words
+    assert not out[4].ok_alpha_words
+    assert not out[5].ok_stopwords and not out[5].ok_mean_word_len
+    assert not any(out[i].keep for i in (2, 3, 4, 5))
