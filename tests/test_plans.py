@@ -422,3 +422,33 @@ def test_mix_noise_plan_has_no_cross_join(spark):
     plan = plan_str(mix_noise_clips(df, noise), mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    """Gopher rules are ONE codegen'd projection: no Exchange, no
+    Python eval node anywhere."""
+    from lakehouse.textops import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "the a of word end")], "doc_id long, text string"
+    )
+    plan = plan_str(gopher_rules(df), mode="simple")
+    assert "Exchange" not in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan
+
+
+def test_telephony_and_loudness_plans_are_single_arrow_maps(spark):
+    """simulate_telephony_clips / measure_loudness_clips: map-only —
+    exactly one Arrow eval, no Exchange (the 10^12-clip shape)."""
+    from lakehouse.audio import (
+        measure_loudness_clips,
+        simulate_telephony_clips,
+    )
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 4, seed=1, n_days=1)
+    for out in (simulate_telephony_clips(df), measure_loudness_clips(df)):
+        plan = plan_str(out, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
