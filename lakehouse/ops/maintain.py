@@ -183,4 +183,48 @@ def maintain(
                 {},
                 lambda: table.remove_orphan_files(),
             )
+
+    # --- 5. statistics refresh (ANALYZE scheduling) -------------------------
+    # Table property ``analyze_columns`` = CSV of columns whose NDV
+    # sketches + equi-depth histograms the autopilot keeps fresh
+    # (Iceberg deployments schedule ANALYZE the same way). The decision
+    # is metadata-only: stats are stale when a DATA-changing snapshot
+    # (appends/deletes/merges — data-neutral rewrites don't move row
+    # statistics) landed after the newest persisted stats file, or a
+    # listed column has never been analyzed. Histogram columns must be
+    # numeric (the property owner's contract; NDV works on any type).
+    ana = table.meta.properties.get("analyze_columns")
+    if ana:
+        from .analyze import read_histograms, read_stats
+        from .changes import DATA_NEUTRAL_OPS
+
+        cols = [c.strip() for c in str(ana).split(",") if c.strip()]
+        cur = table.current_snapshot_id()
+        basis = None  # newest data-changing snapshot
+        for s in table.snapshots():
+            if s.operation not in DATA_NEUTRAL_OPS:
+                basis = max(basis or 0, s.snapshot_id)
+        ndv_sid, ndv = read_stats(table.root, at_or_before=cur)
+        h_sid, hists = read_histograms(table.root, at_or_before=cur)
+        stale = basis is not None and (
+            ndv_sid is None
+            or ndv_sid < basis
+            or h_sid is None
+            or h_sid < basis
+            or any(c not in ndv for c in cols)
+            or any(c not in hists for c in cols)
+        )
+
+        def _refresh():
+            table.analyze(cols)
+            table.analyze_histograms(cols)
+
+        decide(
+            "analyze",
+            stale,
+            f"stats (ndv@{ndv_sid}, hist@{h_sid}) behind last data "
+            f"change @{basis}",
+            {"columns": ",".join(cols)},
+            _refresh,
+        )
     return rep

@@ -133,3 +133,40 @@ def test_retention_policy_dry_run_only_reports(spark, t):
     rep = t.maintain(dry_run=True, min_small_files=10_000)
     assert rep.took("retention_delete")
     assert t.scan().count() == n
+
+
+def test_autopilot_refreshes_stale_stats(spark, tmp_path):
+    """Step 5: with analyze_columns set, maintain() analyzes when a
+    data-changing snapshot postdates the stats, and skips when fresh
+    or when only data-neutral rewrites landed since."""
+    from lakehouse import CLIPS_SCHEMA, Table
+    from lakehouse.ops.analyze import read_histograms, read_stats
+    from lakehouse.synth import synth_clips_pdf
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "stats_auto"),
+        CLIPS_SCHEMA,
+        properties={"analyze_columns": "dur_ms"},
+    )
+    pdf = synth_clips_pdf(range(60), seed=4, n_days=2)
+    t.append(spark.createDataFrame(pdf, schema=CLIPS_SCHEMA),
+             target_file_count=3)
+
+    rep = t.maintain()
+    assert rep.took("analyze"), rep.actions
+    cur = t.current_snapshot_id()
+    assert read_stats(t.root, at_or_before=cur)[1]["dur_ms"] is not None
+    assert "dur_ms" in read_histograms(t.root, at_or_before=cur)[1]
+
+    # fresh stats: second pass must skip
+    rep2 = t.maintain()
+    assert not rep2.took("analyze")
+    assert any(a["action"] == "analyze" for a in rep2.skipped)
+
+    # a new data-changing append makes them stale again
+    pdf2 = synth_clips_pdf(range(60, 120), seed=4, n_days=2)
+    t.append(spark.createDataFrame(pdf2, schema=CLIPS_SCHEMA),
+             target_file_count=3)
+    rep3 = t.maintain(dry_run=True)
+    assert any(a["action"] == "analyze" for a in rep3.actions)
