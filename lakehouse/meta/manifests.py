@@ -194,9 +194,10 @@ def collect_file_stats(
     reads the column's data pages (column-pruned — footers alone cannot
     yield sums) and records the exact per-file SUM plus an
     authoritative null count, enabling metadata-only SUM/AVG/COUNT(col)
-    pushdown (ops/agg.sum_agg). Integer sums are exact (Python
-    arbitrary precision in the manifest JSON); float sums are recorded
-    but carry the usual float-association caveat.
+    pushdown (ops/agg.sum_agg). Integer sums: int64 within one file
+    (same bound Spark's SUM(BIGINT) carries), arbitrary-precision
+    across files (manifest JSON + Python accumulation); float sums
+    carry the usual association caveat.
     """
     md = pq.ParquetFile(abs_path).metadata
     ncols = md.num_columns

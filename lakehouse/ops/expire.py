@@ -67,6 +67,13 @@ def expire_snapshots(
     measured from the ref's creation time when recorded, else from its
     target snapshot's commit time. ``now_ms`` injects the clock for
     deterministic tests.
+
+    Caution: the call-level default applies to ALL auxiliary refs,
+    including in-flight transaction staging branches (txn.py) — their
+    targets are fresh snapshots, so any sane default (hours+) never
+    touches them, but a sub-minute default during an active
+    transaction could reap its branch; scope aggressive sweeps to
+    per-ref policies instead.
     """
     if keep_last is None and older_than_ms is None:
         keep_last = 1
