@@ -692,6 +692,52 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+def _q_events_attribution(spark, sf_dir):
+    """Last-touch attribution with a 24 h lookback
+    (lakehouse/attribution.py): which touch channel (view/click/signup)
+    gets credit for each purchase — one per-user window, no join node."""
+    from lakehouse.attribution import attribution_report
+
+    return attribution_report(
+        _read(spark, sf_dir, "events"),
+        ["view", "click", "signup"],
+        "purchase",
+        model="last_touch",
+        lookback=86400.0,
+    )
+
+
+def _q_events_attribution_linear(spark, sf_dir):
+    """Linear (equal-share) attribution, unbounded lookback
+    (lakehouse/attribution.py): per-channel fractional credit summed as
+    exact decimals of per-row IEEE shares."""
+    from lakehouse.attribution import attribution_report
+
+    return attribution_report(
+        _read(spark, sf_dir, "events"),
+        ["view", "click", "signup"],
+        "purchase",
+        model="linear",
+    )
+
+
+def _q_events_transitions(spark, sf_dir):
+    """First-order Markov next-event transition matrix
+    (lakehouse/paths.py): one window sort, |types|^2-bounded output."""
+    from lakehouse.paths import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+def _q_events_top_paths(spark, sf_dir):
+    """Top-20 user journeys over each user's first 5 events
+    (lakehouse/paths.py): row_number-bounded collect, deterministic
+    tie-breaks."""
+    from lakehouse.paths import top_paths
+
+    return top_paths(_read(spark, sf_dir, "events"))
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Weekly cohort-retention triangle (lakehouse/funnel.py): users
     cohorted by first-activity week, counted once per active week.
@@ -2193,6 +2239,73 @@ def _q_audio_pitch_shift(spark, sf_dir):
     return out.select(
         "clip_id",
         "pitch_factor",
+        "dur_ms",
+        F.round(F.col("dominant.dominant_hz"), 1).alias("dominant_hz"),
+    ).orderBy("clip_id")
+
+
+def _q_audio_time_stretch(spark, sf_dir):
+    """Self-verifying phase-vocoder time stretch (tempo change, pitch
+    preserved — the exact complement of audio_pitch_shift). Asserted
+    in-builder: (1) map-only — output id set equals input id set;
+    (2) the LENGTH LAW: decoded sample count == round(orig / rate) and
+    dur_ms recomputed to match; (3) on planted single-tone clips the
+    dominant frequency is UNCHANGED (pitch preserved); (4) transcript
+    carried; (5) deterministic under repartitioning (no RNG). Returns
+    the per-clip dominant-frequency ledger."""
+    import numpy as np
+
+    from lakehouse.audio import (
+        decode_wav,
+        time_stretch_clips,
+        with_dominant_freq,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rows, f0s = [], {}
+    for i, f0 in enumerate((220.0, 451.0, 997.0, 1660.0, 2333.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        cid = f"tone-{i}"
+        rows.append((cid, wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", f"w{i}"))
+        f0s[cid] = f0
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    src = {r.clip_id: r for r in df.collect()}
+    rate = 1.25
+    out = with_dominant_freq(time_stretch_clips(df, rate))
+    got = {
+        r.clip_id: r
+        for r in out.select(
+            "clip_id", "bytes", "dur_ms", "transcript", "dominant"
+        ).collect()
+    }
+    assert set(got) == set(src)
+    for cid, r in got.items():
+        b = src[cid]
+        assert r.transcript == b.transcript
+        _, y = decode_wav(bytes(r.bytes))
+        _, x0 = decode_wav(bytes(b.bytes))
+        n_want = max(1, int(round(len(x0) / rate)))
+        assert len(y) == n_want, (cid, len(y), n_want)
+        assert r.dur_ms == int(1000 * n_want / sr + 0.5), cid
+        hz = r.dominant["dominant_hz"]
+        want = f0s[cid]
+        assert abs(hz - want) <= 0.01 * want + 3.0, (cid, hz, want)
+    again = {
+        r.clip_id: bytes(r.bytes)
+        for r in time_stretch_clips(df.repartition(3, "clip_id"), rate)
+        .select("clip_id", "bytes")
+        .collect()
+    }
+    assert again == {c: bytes(r.bytes) for c, r in got.items()}
+    return out.select(
+        "clip_id",
+        "stretch_rate",
         "dur_ms",
         F.round(F.col("dominant.dominant_hz"), 1).alias("dominant_hz"),
     ).orderBy("clip_id")
@@ -5247,6 +5360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_audio_roundtrip": _q_lh_audio_roundtrip,
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
         "lh_wav_dir_ingest": _q_lh_wav_dir_ingest,
+        # journey analytics (round 3, session 5)
+        "events_attribution": _q_events_attribution,
+        "events_attribution_linear": _q_events_attribution_linear,
+        "events_transitions": _q_events_transitions,
+        "events_top_paths": _q_events_top_paths,
+        "audio_time_stretch": _q_audio_time_stretch,
     }
 
 
@@ -5254,6 +5373,29 @@ def _funnel_oracle() -> str:
     from lakehouse.funnel import funnel_oracle_sql
 
     return funnel_oracle_sql(["view", "click", "purchase"], within=86400.0)
+
+
+def _attribution_oracle(model, lookback) -> str:
+    from lakehouse.attribution import attribution_oracle_sql
+
+    return attribution_oracle_sql(
+        ["view", "click", "signup"],
+        "purchase",
+        model=model,
+        lookback=lookback,
+    )
+
+
+def _transitions_oracle() -> str:
+    from lakehouse.paths import transitions_oracle_sql
+
+    return transitions_oracle_sql()
+
+
+def _top_paths_oracle() -> str:
+    from lakehouse.paths import top_paths_oracle_sql
+
+    return top_paths_oracle_sql()
 
 
 def _cohort_oracle() -> str:
@@ -5741,6 +5883,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_funnel": _funnel_oracle(),
         "events_cohort_retention": _cohort_oracle(),
+        "events_attribution": _attribution_oracle("last_touch", 86400.0),
+        "events_attribution_linear": _attribution_oracle("linear", None),
+        "events_transitions": _transitions_oracle(),
+        "events_top_paths": _top_paths_oracle(),
         "fk_integrity_audit": """
             WITH o AS (SELECT o_orderkey,
                               CASE WHEN o_orderkey % 97 = 0 THEN NULL

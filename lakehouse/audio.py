@@ -2732,6 +2732,78 @@ def pitch_shift_clips(
     )
 
 
+def time_stretch_pcm(x: np.ndarray, rate: float) -> np.ndarray:
+    """Tempo change without pitch change: phase-vocoder stretch so the
+    output has exactly ``round(len(x) / rate)`` samples (rate > 1 =
+    faster/shorter). Clips too short for a stable STFT pass through."""
+    if rate == 1.0 or len(x) < 2048:
+        return x
+    y = _pv_stretch(x, rate)
+    return np.clip(y, -0.99997, 0.99997).astype(np.float32)
+
+
+def _time_stretch_udf(raw: pd.Series, rate: pd.Series) -> pd.DataFrame:
+    from .synth import wrap_wav
+
+    out = {"bytes": [], "sr_hz": [], "dur_ms": []}
+    for b, rt in zip(raw, rate):
+        try:
+            sr, x = decode_wav(b)
+        except (ValueError, struct.error):
+            out["bytes"].append(None)
+            out["sr_hz"].append(None)
+            out["dur_ms"].append(None)
+            continue
+        rt = float(rt)
+        y = time_stretch_pcm(x, rt)
+        changed = rt != 1.0 and len(x) >= 2048
+        out["bytes"].append(wrap_wav(y, sr, "pcm16") if changed else bytes(b))
+        out["sr_hz"].append(sr)
+        # HALF_UP — the repo-wide dur_ms convention (synth + both ingests)
+        out["dur_ms"].append(int(1000 * len(y) / sr + 0.5))
+    return pd.DataFrame(out)
+
+
+def time_stretch_clips(
+    df, rate: float, bytes_col: str = "bytes", id_col: str = "clip_id"
+):
+    """Tempo-perturb augmentation (the fourth leg next to
+    :func:`speed_perturb_clips` — pitch AND tempo together —
+    :func:`pitch_shift_clips` — pitch only — and :func:`reverb_clips`):
+    playback speed scales by ``rate`` while PITCH IS PRESERVED, the
+    exact complement of pitch shift (reference enrichment analogue:
+    ``etl/handlers/click_handler.py`` derives new columns per record;
+    here the payload itself is the derived value). Deterministic — no
+    RNG, so output is partitioning- and retry-invariant by construction.
+
+    Scale shape: map-only — ONE Arrow decode→vocoder→encode pass, no
+    shuffle, no join; the vocoder is vectorized numpy (phase
+    accumulation is a cumsum, not a frame loop). Clips shorter than
+    2048 samples (< 128 ms @ 16 kHz — too short for a stable STFT)
+    pass through byte-identical, as does ``rate=1.0``.
+
+    Output keeps the clip schema with ``dur_ms`` RECOMPUTED from the
+    new length (``round(len/rate)`` samples — the length law gated in
+    tests) and adds lineage column ``stretch_rate``.
+    """
+    s = F.pandas_udf(_time_stretch_udf, PITCHED_TYPE)(
+        F.col(bytes_col), F.lit(float(rate))
+    ).alias("__s")
+    others = [
+        c
+        for c in df.columns
+        if c not in (bytes_col, "sr_hz", "dur_ms", "codec", "stretch_rate")
+    ]
+    return df.select(*others, s).select(
+        *others,
+        F.lit(float(rate)).alias("stretch_rate"),
+        F.col("__s.bytes").alias("bytes"),
+        F.col("__s.sr_hz").alias("sr_hz"),
+        F.col("__s.dur_ms").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+    )
+
+
 # --- Real-noise mixing (MUSAN-style augmentation) -----------------------------
 
 MIXED_TYPE = T.StructType(

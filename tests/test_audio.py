@@ -1837,3 +1837,81 @@ def test_telephony_deterministic_and_8k_mode(spark):
     # duration preserved within resample rounding (1 ms)
     orig = {r.clip_id: r.dur_ms for r in df.collect()}
     assert all(abs(r.dur_ms - orig[r.clip_id]) <= 1 for r in narrow)
+
+
+def test_time_stretch_length_law_preserves_pitch(spark):
+    """Phase-vocoder time stretch: decoded length is EXACTLY
+    round(orig/rate) with dur_ms recomputed to match, planted tones'
+    dominant frequency is UNCHANGED (pitch preserved — the complement
+    of pitch shift), rate=1.0 and too-short clips pass through
+    byte-identical, transcript carried, deterministic under
+    repartitioning."""
+    from lakehouse.audio import (
+        decode_wav,
+        time_stretch_clips,
+        with_dominant_freq,
+    )
+    from lakehouse.synth import wrap_wav
+
+    sr = 16000
+    rows = []
+    f0s = {}
+    for i, f0 in enumerate((220.0, 451.0, 997.0, 2333.0)):
+        t = np.arange(int(sr * 0.8)) / sr
+        x = (0.25 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        cid = f"tone-{i}"
+        rows.append((cid, wrap_wav(x, sr, "pcm16"), sr, 800, "pcm16", f"w{i}"))
+        f0s[cid] = f0
+    short = (0.2 * np.ones(1000)).astype(np.float32)
+    rows.append(("short-0", wrap_wav(short, sr, "pcm16"), sr, 63, "pcm16", "s"))
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = {r.clip_id: r for r in df.collect()}
+
+    for rate in (0.8, 1.25):
+        out = {
+            r.clip_id: r
+            for r in with_dominant_freq(time_stretch_clips(df, rate))
+            .select(
+                "clip_id", "bytes", "dur_ms", "transcript",
+                "stretch_rate", "dominant",
+            )
+            .collect()
+        }
+        assert set(out) == set(src)  # map-only: row set unchanged
+        for cid, r in out.items():
+            b = src[cid]
+            assert r.transcript == b.transcript
+            assert r.stretch_rate == rate
+            _, y = decode_wav(bytes(r.bytes))
+            _, x = decode_wav(bytes(b.bytes))
+            if cid == "short-0":
+                assert bytes(r.bytes) == bytes(b.bytes)
+                assert r.dur_ms == b.dur_ms
+                continue
+            n_want = max(1, int(round(len(x) / rate)))
+            assert len(y) == n_want, (cid, len(y), n_want)
+            assert r.dur_ms == int(1000 * n_want / sr + 0.5)
+            want = f0s[cid]  # pitch unchanged
+            got = r.dominant["dominant_hz"]
+            assert abs(got - want) <= 0.01 * want + 3.0, (cid, got, want)
+
+    # rate=1.0 is a byte-identical passthrough
+    for r in time_stretch_clips(df, 1.0).select("clip_id", "bytes").collect():
+        assert bytes(r.bytes) == bytes(src[r.clip_id].bytes)
+
+    # deterministic under repartitioning (no RNG anywhere)
+    a = {
+        r.clip_id: bytes(r.bytes)
+        for r in time_stretch_clips(df, 1.25).select("clip_id", "bytes").collect()
+    }
+    b = {
+        r.clip_id: bytes(r.bytes)
+        for r in time_stretch_clips(df.repartition(5, "clip_id"), 1.25)
+        .select("clip_id", "bytes")
+        .collect()
+    }
+    assert a == b

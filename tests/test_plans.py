@@ -452,3 +452,45 @@ def test_telephony_and_loudness_plans_are_single_arrow_maps(spark):
         plan = plan_str(out, mode="simple")
         assert "Exchange" not in plan, plan
         assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_attribution_and_paths_plans_have_no_join(spark):
+    """attribution_report (all models) and the journey-path operators
+    build from windows over ONE scan — zero Join nodes, zero Python
+    eval nodes, and no more than one corpus-scaled Exchange (the
+    per-user window sort; later exchanges act on bounded frames)."""
+    import datetime as dt
+
+    from lakehouse.attribution import attribution_report
+    from lakehouse.paths import event_transitions, top_paths
+
+    ev = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    frames = [
+        attribution_report(ev, ["view"], "purchase", model="last_touch"),
+        attribution_report(
+            ev, ["view"], "purchase", model="first_touch", lookback=60.0
+        ),
+        attribution_report(ev, ["view"], "purchase", model="linear"),
+        event_transitions(ev),
+        top_paths(ev),
+    ]
+    for out in frames:
+        plan = plan_str(out, mode="simple")
+        assert "Join" not in plan, plan
+        for node in ("ArrowEvalPython", "BatchEvalPython"):
+            assert node not in plan, plan
+
+
+def test_time_stretch_plan_is_map_only(spark):
+    """time_stretch_clips: exactly one Arrow eval, no Exchange."""
+    from lakehouse.audio import time_stretch_clips
+    from lakehouse.synth import synth_clips_df
+
+    df = synth_clips_df(spark, 4, seed=1, n_days=1)
+    plan = plan_str(time_stretch_clips(df, 1.25), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan

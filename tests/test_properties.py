@@ -186,3 +186,20 @@ def test_pitch_shift_length_preserved(n, factor):
     y = pitch_shift_pcm(x, factor)
     assert len(y) == n
     assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(2048, 30000),
+    rate=st.sampled_from([0.8, 0.9, 1.1, 1.25, 1.5]),
+)
+def test_time_stretch_length_law(n, rate):
+    """Time stretch yields EXACTLY round(n / rate) samples for any
+    input length and rate, and stays within PCM range."""
+    from lakehouse.audio import time_stretch_pcm
+
+    rng = np.random.default_rng(n)
+    x = (0.3 * rng.standard_normal(n)).clip(-1, 1).astype(np.float32)
+    y = time_stretch_pcm(x, rate)
+    assert len(y) == max(1, int(round(n / rate)))
+    assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
