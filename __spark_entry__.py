@@ -5004,6 +5004,53 @@ def _q_events_windowed_rollup(spark, sf_dir):
     )
 
 
+def _q_events_sliding_rollup(spark, sf_dir):
+    """Sliding 15-min window hopping every 5 min × event_type
+    (lakehouse/streaming_agg.py) — the moving-average view; every event
+    lands in exactly 3 overlapping windows."""
+    from lakehouse.streaming_agg import sliding_rollup
+
+    ev = _events(spark, sf_dir)
+    return sliding_rollup(
+        ev, ts_col="ts", key_col="event_type", window="900 seconds",
+        slide="300 seconds", sum_col="value",
+    )
+
+
+def _q_stream_sliding_parity(spark, sf_dir):
+    """Watermarked SLIDING-window aggregate through a real restarted
+    file stream; self-verifies against the batch twin on the same rows
+    (append-mode finalized hop windows must equal the batch aggregate)."""
+    from lakehouse.streaming_agg import drive_batches, sliding_rollup
+
+    sub = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .select("ts", "event_type", "value")
+    )
+    got = drive_batches(
+        spark,
+        lambda s: sliding_rollup(
+            s, ts_col="ts", key_col="event_type", window="3600 seconds",
+            slide="1200 seconds", watermark="3600 seconds",
+            sum_col="value",
+        ),
+        _stream_batches(spark, sub, "event_type"),
+    ).filter(F.col("event_type") != "zz_flush")
+    want = sliding_rollup(
+        sub, ts_col="ts", key_col="event_type", window="3600 seconds",
+        slide="1200 seconds", sum_col="value",
+    )
+    cols = ["window_start_us", "window_end_us", "event_type", "n", "total"]
+    g = [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()]
+    w = [tuple(r) for r in want.select(*cols).orderBy(*cols).collect()]
+    assert g == w, (
+        f"streaming hop windows diverge from batch twin: "
+        f"{len(g)} vs {len(w)} rows"
+    )
+    return got
+
+
 def _q_lh_add_files_scan(spark, sf_dir):
     """Metadata-only parquet adoption (Iceberg add_files): write the
     events corpus as a FOREIGN Spark hive layout (partitionBy drops the
@@ -5366,6 +5413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "events_top_paths": _q_events_top_paths,
         "audio_time_stretch": _q_audio_time_stretch,
+        "events_sliding_rollup": _q_events_sliding_rollup,
+        "stream_sliding_parity": _q_stream_sliding_parity,
     }
 
 
@@ -5457,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from lakehouse.streaming_agg import (
         sessionize_oracle_sql,
+        sliding_rollup_oracle_sql,
         windowed_rollup_oracle_sql,
     )
     from lakehouse import transcripts
@@ -5535,6 +5585,14 @@ def oracle_sql() -> dict[str, str]:
         "stream_rollup_parity": windowed_rollup_oracle_sql(
             table=_ROLLUP_SUB, ts_col="ts", key_col="event_type",
             window_s=3600, sum_col="value",
+        ),
+        "events_sliding_rollup": sliding_rollup_oracle_sql(
+            table="events", ts_col="ts", key_col="event_type",
+            window_s=900, slide_s=300, sum_col="value",
+        ),
+        "stream_sliding_parity": sliding_rollup_oracle_sql(
+            table=_ROLLUP_SUB, ts_col="ts", key_col="event_type",
+            window_s=3600, slide_s=1200, sum_col="value",
         ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,

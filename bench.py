@@ -635,6 +635,9 @@ def main() -> None:
             "range_join_promos",
             "events_funnel",
             "events_cohort_retention",
+            "events_attribution",
+            "events_transitions",
+            "events_top_paths",
             "fk_integrity_audit",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())

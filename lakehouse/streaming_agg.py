@@ -111,6 +111,95 @@ def windowed_rollup_oracle_sql(
     """
 
 
+def sliding_rollup(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    watermark: str = "120 seconds",
+    sum_col: Optional[str] = "value",
+) -> DataFrame:
+    """Sliding (hopping) event-time window × key → (n, total) — the
+    moving-average view the tumbling rollup can't serve (each event
+    lands in ``window/slide`` overlapping windows). Same one-code-path
+    contract as :func:`windowed_rollup`: the watermark is attached only
+    on streaming frames, so the batch run of the SAME expression tree
+    is the streaming run's oracle.
+
+    ``window`` must be an exact multiple of ``slide`` (that is also
+    what keeps the DuckDB twin a closed-form generate_series replicate
+    — every event is in exactly ``window/slide`` windows).
+
+    Scale shape: Spark's native ``F.window(ts, window, slide)`` expands
+    each row to its ``window/slide`` window assignments BEFORE the one
+    hash-aggregate shuffle (map-side combine still applies); streaming
+    state is bounded by the watermark exactly as in the tumbling case.
+    """
+
+    def _secs(s: str) -> int:
+        n, unit = s.split()
+        if not unit.startswith("second"):
+            raise ValueError("windows are specified in seconds")
+        return int(n)
+
+    w_s, s_s = _secs(window), _secs(slide)
+    if w_s % s_s != 0:
+        raise ValueError("window must be a multiple of slide")
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    total = (
+        F.sum(F.col(sum_col).cast("decimal(18,4)")).cast("double")
+        if sum_col
+        else F.lit(None).cast("double")
+    )
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), total.alias("total"))
+        .select(
+            F.unix_micros("win.start").alias("window_start_us"),
+            F.unix_micros("win.end").alias("window_end_us"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_rollup_oracle_sql(
+    *,
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_s: int = 60,
+    slide_s: int = 15,
+    sum_col: str = "value",
+) -> str:
+    """DuckDB twin. Spark assigns an event at t to the
+    ``window_s/slide_s`` windows whose starts are the slide multiples
+    in ``(t − window, t]`` — replicated with a generate_series cross
+    join on integer epoch-micros arithmetic (every event is in exactly
+    m windows when window is a multiple of slide, so no filter)."""
+    if window_s % slide_s != 0:
+        raise ValueError("window must be a multiple of slide")
+    m = window_s // slide_s
+    w_us, s_us = window_s * 1_000_000, slide_s * 1_000_000
+    return f"""
+        SELECT ((epoch_us({ts_col}) // {s_us}) - g.i) * {s_us}
+                   AS window_start_us,
+               ((epoch_us({ts_col}) // {s_us}) - g.i) * {s_us} + {w_us}
+                   AS window_end_us,
+               {key_col},
+               count(*) AS n,
+               CAST(SUM(CAST({sum_col} AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM {table} CROSS JOIN generate_series(0, {m - 1}) AS g(i)
+        GROUP BY 1, 2, 3
+    """
+
+
 # ---------------------------------------------------------------------------
 # sessionization — shared definition, batch twin
 

@@ -313,3 +313,66 @@ def test_stream_rollup_into_lakehouse_table(spark, tmp_path):
     from lakehouse.streaming import committed_batch_ids
 
     assert len(committed_batch_ids(t)) >= len(batches) - 1
+
+
+def test_sliding_rollup_batch_matches_duckdb(spark):
+    from lakehouse.streaming_agg import (
+        sliding_rollup,
+        sliding_rollup_oracle_sql,
+    )
+
+    df = _spark_events(spark)
+    roll_cols = ["window_start_us", "window_end_us", "user_id", "n", "total"]
+    got = _sorted_rows(
+        sliding_rollup(
+            df, key_col="user_id", window="60 seconds", slide="20 seconds",
+            sum_col="value",
+        ),
+        roll_cols,
+        order=["window_start_us", "user_id"],
+    )
+    con = duckdb.connect()
+    con.register("events", _events_pdf())
+    want = [
+        tuple(r)
+        for r in con.sql(
+            sliding_rollup_oracle_sql(
+                key_col="user_id", window_s=60, slide_s=20
+            )
+            + " ORDER BY 1, 3"
+        ).fetchall()
+    ]
+    assert got == want
+    # every event lands in exactly window/slide = 3 windows
+    assert sum(t[3] for t in got) == 3 * len(_events_pdf())
+    with pytest.raises(ValueError):
+        sliding_rollup(df, window="60 seconds", slide="25 seconds")
+
+
+def test_sliding_rollup_stream_matches_batch(spark):
+    from lakehouse.streaming_agg import sliding_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pdf = _events_pdf()
+    batches = _split_batches(spark, pdf, [BASE + 40, BASE + 150])
+    out_cols = ["window_start_us", "window_end_us", "user_id", "n", "total"]
+    got = drive_batches(
+        spark,
+        lambda s: sliding_rollup(
+            s,
+            key_col="user_id",
+            window="60 seconds",
+            slide="20 seconds",
+            watermark="30 seconds",
+            sum_col="value",
+        ),
+        batches,
+    )
+    want = sliding_rollup(
+        _spark_events(spark), key_col="user_id", window="60 seconds",
+        slide="20 seconds",
+    )
+    got_rows = [
+        t for t in _sorted_rows(got, out_cols) if t[2] != "zz_flush"
+    ]
+    assert got_rows == _sorted_rows(want, out_cols)
