@@ -738,6 +738,19 @@ def _q_events_top_paths(spark, sf_dir):
     return top_paths(_read(spark, sf_dir, "events"))
 
 
+def _q_events_ab_test(spark, sf_dir):
+    """A/B experiment readout (lakehouse/abtest.py): seeded-md5 arm
+    assignment (a user can never switch arms), conversion = a purchase
+    over 150 (so arms differ and the z-score is non-degenerate), lift +
+    pooled two-proportion z vs control."""
+    from lakehouse.abtest import ab_test_report
+
+    ev = _read(spark, sf_dir, "events").filter(
+        "event_type != 'purchase' OR value > 150"
+    )
+    return ab_test_report(ev, conversion_type="purchase", variants=3, seed=7)
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Weekly cohort-retention triangle (lakehouse/funnel.py): users
     cohorted by first-activity week, counted once per active week.
@@ -5415,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_time_stretch": _q_audio_time_stretch,
         "events_sliding_rollup": _q_events_sliding_rollup,
         "stream_sliding_parity": _q_stream_sliding_parity,
+        "events_ab_test": _q_events_ab_test,
     }
 
 
@@ -5432,6 +5446,20 @@ def _attribution_oracle(model, lookback) -> str:
         "purchase",
         model=model,
         lookback=lookback,
+    )
+
+
+def _ab_test_oracle() -> str:
+    from lakehouse.abtest import ab_test_oracle_sql
+
+    return ab_test_oracle_sql(
+        conversion_type="purchase",
+        variants=3,
+        seed=7,
+        table=(
+            "(SELECT * FROM events "
+            "WHERE event_type != 'purchase' OR value > 150)"
+        ),
     )
 
 
@@ -5945,6 +5973,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution_linear": _attribution_oracle("linear", None),
         "events_transitions": _transitions_oracle(),
         "events_top_paths": _top_paths_oracle(),
+        "events_ab_test": _ab_test_oracle(),
         "fk_integrity_audit": """
             WITH o AS (SELECT o_orderkey,
                               CASE WHEN o_orderkey % 97 = 0 THEN NULL
