@@ -738,6 +738,18 @@ def _q_events_top_paths(spark, sf_dir):
     return top_paths(_read(spark, sf_dir, "events"))
 
 
+def _q_events_rate_anomalies(spark, sf_dir):
+    """Event-rate anomaly screen (lakehouse/anomaly.py): daily buckets
+    per event type, z-scored against each type's own buckets via exact
+    integer power sums — the data-side alarm the reference's CloudWatch
+    chapter never gives the table itself."""
+    from lakehouse.anomaly import rate_anomalies
+
+    return rate_anomalies(
+        _read(spark, sf_dir, "events"), bucket_s=86400, z_threshold=2.0
+    )
+
+
 def _q_events_ab_test(spark, sf_dir):
     """A/B experiment readout (lakehouse/abtest.py): seeded-md5 arm
     assignment (a user can never switch arms), conversion = a purchase
@@ -5429,6 +5441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rollup": _q_events_sliding_rollup,
         "stream_sliding_parity": _q_stream_sliding_parity,
         "events_ab_test": _q_events_ab_test,
+        "events_rate_anomalies": _q_events_rate_anomalies,
     }
 
 
@@ -5447,6 +5460,12 @@ def _attribution_oracle(model, lookback) -> str:
         model=model,
         lookback=lookback,
     )
+
+
+def _rate_anomalies_oracle() -> str:
+    from lakehouse.anomaly import rate_anomalies_oracle_sql
+
+    return rate_anomalies_oracle_sql(bucket_s=86400, z_threshold=2.0)
 
 
 def _ab_test_oracle() -> str:
@@ -5974,6 +5993,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": _transitions_oracle(),
         "events_top_paths": _top_paths_oracle(),
         "events_ab_test": _ab_test_oracle(),
+        "events_rate_anomalies": _rate_anomalies_oracle(),
         "fk_integrity_audit": """
             WITH o AS (SELECT o_orderkey,
                               CASE WHEN o_orderkey % 97 = 0 THEN NULL
