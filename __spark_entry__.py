@@ -3545,7 +3545,9 @@ def _q_lh_histogram_selectivity(spark, sf_dir):
             col, op, probe, est.est_rows, actual,
         )
         out.append((col, op, float(probe), int(round(est.est_rows)), actual))
-    eq = t.estimate_selectivity("user_id", "=", 123)
+    # probe user_id=3: in-domain at EVERY sf (sf0.001 only has ids
+    # 0..14, so a fixed large probe would clamp to fraction 0)
+    eq = t.estimate_selectivity("user_id", "=", 3)
     assert eq.method.endswith("+ndv") and 0 < eq.fraction < 0.2
     return spark.createDataFrame(
         out,
@@ -5076,6 +5078,63 @@ def _q_stream_sliding_parity(spark, sf_dir):
     return got
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Event-time interval join (lakehouse/streaming_agg.py): every
+    purchase within 1 h at-or-after a view by the same user — the
+    batch run of the expression tree the streaming twin executes as a
+    stream-stream inner join."""
+    from lakehouse.streaming_agg import interval_join
+
+    return interval_join(_events(spark, sf_dir), within=3600.0)
+
+
+def _q_stream_interval_join_parity(spark, sf_dir):
+    """Stream-stream inner join through a real restarted file stream
+    (both sides derived from one source — Spark's stream-stream
+    self-join): watermarked state, time-range eviction; self-verifies
+    as a multiset against the batch twin on the same rows."""
+    from lakehouse.streaming_agg import drive_batches, interval_join
+
+    sub = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 10 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    parts, prev = [], None
+    for b in _STREAM_CUTS:
+        cond = (
+            F.col("ts") < b
+            if prev is None
+            else (F.col("ts") >= prev) & (F.col("ts") < b)
+        )
+        parts.append(sub.filter(cond))
+        prev = b
+    parts.append(sub.filter(F.col("ts") >= prev))
+    # typed flush row (the generic _stream_batches helper builds DOUBLE
+    # fillers, which would break this sub's BIGINT id columns)
+    parts.append(
+        spark.sql(
+            "SELECT CAST(-1 AS BIGINT) AS event_id, "
+            "TIMESTAMP '2025-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS BIGINT) AS user_id, 'zz_flush' AS event_type"
+        )
+    )
+    got = drive_batches(
+        spark,
+        lambda s: interval_join(s, within=3600.0, watermark="3600 seconds"),
+        parts,
+    )
+    want = interval_join(sub, within=3600.0)
+    cols = ["key", "left_id", "right_id", "left_ts_us", "right_ts_us"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w, (
+        f"stream-stream join diverges from batch twin: "
+        f"{len(g)} vs {len(w)} rows"
+    )
+    return got.orderBy(*cols)
+
+
 def _q_lh_add_files_scan(spark, sf_dir):
     """Metadata-only parquet adoption (Iceberg add_files): write the
     events corpus as a FOREIGN Spark hive layout (partitionBy drops the
@@ -5442,6 +5501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_parity": _q_stream_sliding_parity,
         "events_ab_test": _q_events_ab_test,
         "events_rate_anomalies": _q_events_rate_anomalies,
+        "events_interval_join": _q_events_interval_join,
+        "stream_interval_join_parity": _q_stream_interval_join_parity,
     }
 
 
@@ -5552,6 +5613,7 @@ def oracle_sql() -> dict[str, str]:
         semantic_dedup_oracle_sql,
     )
     from lakehouse.streaming_agg import (
+        interval_join_oracle_sql,
         sessionize_oracle_sql,
         sliding_rollup_oracle_sql,
         windowed_rollup_oracle_sql,
@@ -5640,6 +5702,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_sliding_parity": sliding_rollup_oracle_sql(
             table=_ROLLUP_SUB, ts_col="ts", key_col="event_type",
             window_s=3600, slide_s=1200, sum_col="value",
+        ),
+        "events_interval_join": interval_join_oracle_sql(
+            table="events", within=3600.0,
+        ),
+        "stream_interval_join_parity": interval_join_oracle_sql(
+            table="(SELECT * FROM events WHERE user_id % 10 = 0)",
+            within=3600.0,
         ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,

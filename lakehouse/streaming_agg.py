@@ -200,6 +200,97 @@ def sliding_rollup_oracle_sql(
     """
 
 
+def interval_join(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: float = 3600.0,
+    watermark: str = "3600 seconds",
+) -> DataFrame:
+    """Event-time interval join — every (left, right) pair of the same
+    key with ``right.ts`` in ``[left.ts, left.ts + within]`` (the
+    "purchase within an hour of the view" pairing). ONE code path:
+    on a streaming frame both sides get watermarks and this is Spark's
+    stream-stream inner join (rows emit as they match — append-mode
+    inner joins don't wait for the watermark; the watermark bounds the
+    join STATE via the time-range condition), so the batch self-join of
+    the same expression tree is the streaming run's oracle.
+
+    Scale shape: one shuffle per side on the join key; streaming state
+    holds only rows younger than ``watermark`` + ``within`` per side
+    (evicted by the range condition) — O(recent events), not O(stream).
+    Output timestamps are unix micros so results compare portably.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+        F.col(id_col).alias("__id"),
+    )
+    l = base.filter(F.col("__et") == left_type).select(
+        "key",
+        F.col("__ts").alias("l_ts"),
+        F.col("__id").alias("left_id"),
+    )
+    r = base.filter(F.col("__et") == right_type).select(
+        F.col("key").alias("r_key"),
+        F.col("__ts").alias("r_ts"),
+        F.col("__id").alias("right_id"),
+    )
+    if df.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l["key"] == r["r_key"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (
+            r["r_ts"]
+            <= l["l_ts"] + F.expr(f"INTERVAL {int(within)} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        "key",
+        "left_id",
+        "right_id",
+        F.unix_micros("l_ts").alias("left_ts_us"),
+        F.unix_micros("r_ts").alias("right_ts_us"),
+    )
+
+
+def interval_join_oracle_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: float = 3600.0,
+) -> str:
+    """DuckDB twin: the same pair predicate on epoch micros."""
+    q = lambda s: str(s).replace("'", "''")
+    w_us = int(float(within) * 1_000_000)
+    return f"""
+        SELECT l.{key_col} AS key,
+               l.{id_col} AS left_id,
+               r.{id_col} AS right_id,
+               epoch_us(l.{ts_col}) AS left_ts_us,
+               epoch_us(r.{ts_col}) AS right_ts_us
+        FROM {table} l JOIN {table} r
+          ON l.{key_col} = r.{key_col}
+         AND epoch_us(r.{ts_col}) >= epoch_us(l.{ts_col})
+         AND epoch_us(r.{ts_col}) <= epoch_us(l.{ts_col}) + {w_us}
+        WHERE l.{type_col} = '{q(left_type)}'
+          AND r.{type_col} = '{q(right_type)}'
+    """
+
+
 # ---------------------------------------------------------------------------
 # sessionization — shared definition, batch twin
 

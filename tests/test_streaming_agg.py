@@ -376,3 +376,75 @@ def test_sliding_rollup_stream_matches_batch(spark):
         t for t in _sorted_rows(got, out_cols) if t[2] != "zz_flush"
     ]
     assert got_rows == _sorted_rows(want, out_cols)
+
+
+def _ij_events(spark):
+    """view/purchase pairs for the interval join: user 1 has purchases
+    at +30 s and +4000 s of a view (only the first within 3600 s); user
+    2's purchase precedes their view (never matches)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(seconds=30), 1, "purchase"),
+        (3, t0 + dt.timedelta(seconds=4000), 1, "purchase"),
+        (4, t0 + dt.timedelta(seconds=4100), 1, "view"),
+        (5, t0 + dt.timedelta(seconds=100), 2, "purchase"),
+        (6, t0 + dt.timedelta(seconds=200), 2, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_interval_join_batch_semantics_and_duckdb(spark):
+    from lakehouse.streaming_agg import (
+        interval_join,
+        interval_join_oracle_sql,
+    )
+
+    ev = _ij_events(spark)
+    got = sorted(
+        (r.key, r.left_id, r.right_id)
+        for r in interval_join(ev, within=3600.0).collect()
+    )
+    # view@0 matches purchase@30 only (purchase@4000 is out of window
+    # for view@0 but IN window at-or-after view@4100? no — 4000 < 4100,
+    # a right before the left never matches); user 2 inverted -> none
+    assert got == [(1, 1, 2)]
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(interval_join_oracle_sql(within=3600.0)).fetchall()
+    )
+    assert got == want
+
+
+def test_interval_join_stream_matches_batch(spark):
+    import datetime as dt
+
+    from lakehouse.streaming_agg import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ij_events(spark)
+    cut = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=150)
+    flush = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, "
+        "TIMESTAMP '2025-01-01' AS ts, CAST(-1 AS BIGINT) AS user_id, "
+        "'zz_flush' AS event_type"
+    )
+    batches = [ev.filter(ev.ts < cut), ev.filter(ev.ts >= cut), flush]
+    got = drive_batches(
+        spark,
+        lambda s: interval_join(s, within=3600.0, watermark="3600 seconds"),
+        batches,
+    )
+    cols = ["key", "left_id", "right_id", "left_ts_us", "right_ts_us"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(
+        tuple(r)
+        for r in interval_join(ev, within=3600.0).select(*cols).collect()
+    )
+    assert g == w and len(g) == 1
