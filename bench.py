@@ -623,6 +623,8 @@ def main() -> None:
             "text_quality",
             "cosine_topk",
             "events_windowed_rollup",
+            "events_sliding_rollup",
+            "events_interval_join",
             "events_sessionize",
             "transcript_wer",
             "length_bucket_batches",

@@ -419,6 +419,92 @@ def cmd_funnel(args):
     )
 
 
+def cmd_journeys(args):
+    """Journey analytics over an events-shaped table: multi-touch
+    attribution (lakehouse/attribution.py), next-event transitions and
+    top-k paths (lakehouse/paths.py), event-rate anomalies
+    (lakehouse/anomaly.py) — the round-3 analyst pack next to `funnel`."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    from lakehouse.anomaly import rate_anomalies
+    from lakehouse.attribution import attribution_report
+    from lakehouse.paths import event_transitions, top_paths
+
+    ev = t.scan()
+    touches = [s for s in args.touches.split(",") if s]
+    att = attribution_report(
+        ev, touches, args.conversion,
+        model=args.model, lookback=args.lookback,
+        user_col=args.user_col, ts_col=args.ts_col,
+        type_col=args.type_col,
+    ).collect()
+    trans = event_transitions(
+        ev, user_col=args.user_col, ts_col=args.ts_col,
+        type_col=args.type_col,
+    ).collect()
+    paths = top_paths(
+        ev, k_events=args.k_events, n_paths=args.n_paths,
+        user_col=args.user_col, ts_col=args.ts_col,
+        type_col=args.type_col,
+    ).collect()
+    anom = rate_anomalies(
+        ev, bucket_s=args.bucket_s, z_threshold=args.z_threshold,
+        key_col=args.type_col, ts_col=args.ts_col,
+    ).collect()
+    _emit(
+        {
+            "op": "journeys",
+            "attribution": [
+                {"channel": r.channel, "conversions": r.conversions,
+                 "value": r.value}
+                for r in att
+            ],
+            "transitions": [
+                {"src": r.src_type, "dst": r.dst_type,
+                 "n": r.transitions, "p": r.probability}
+                for r in trans
+            ],
+            "top_paths": [
+                {"path": r.path, "users": r.users} for r in paths
+            ],
+            "rate_anomalies": [
+                {"key": r.key, "bucket_start_us": r.bucket_start_us,
+                 "n_events": r.n_events, "z": r.z_score}
+                for r in anom
+            ],
+        }
+    )
+
+
+def cmd_ab_test(args):
+    """A/B experiment readout over an events-shaped table
+    (lakehouse/abtest.py)."""
+    spark = _spark(args)
+    t = _table(spark, args)
+    from lakehouse.abtest import ab_test_report
+
+    rep = ab_test_report(
+        t.scan(),
+        conversion_type=args.conversion,
+        variants=args.variants,
+        seed=args.seed,
+        user_col=args.user_col,
+        type_col=args.type_col,
+    ).collect()
+    _emit(
+        {
+            "op": "ab-test",
+            "arms": [
+                {"variant": r.variant, "users": r.users,
+                 "converters": r.converters, "conv_rate": r.conv_rate,
+                 "conv_value": r.conv_value, "lift": r.lift,
+                 "z_score": r.z_score}
+                for r in rep
+            ],
+        }
+    )
+
+
 def cmd_delete(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -1166,6 +1252,29 @@ def main():
     s.add_argument("--within", type=float, default=None,
                    help="per-hop horizon in seconds")
     s.add_argument("--max-periods", type=int, default=12)
+    s = sub.add_parser("journeys")
+    t(s)
+    s.add_argument("--touches", required=True,
+                   help="comma-separated touch channels")
+    s.add_argument("--conversion", default="purchase")
+    s.add_argument("--model", default="last_touch",
+                   choices=["last_touch", "first_touch", "linear"])
+    s.add_argument("--lookback", type=float, default=None,
+                   help="attribution lookback seconds")
+    s.add_argument("--k-events", type=int, default=5)
+    s.add_argument("--n-paths", type=int, default=20)
+    s.add_argument("--bucket-s", type=int, default=3600)
+    s.add_argument("--z-threshold", type=float, default=3.0)
+    s.add_argument("--user-col", default="user_id")
+    s.add_argument("--ts-col", default="ts")
+    s.add_argument("--type-col", default="event_type")
+    s = sub.add_parser("ab-test")
+    t(s)
+    s.add_argument("--conversion", default="purchase")
+    s.add_argument("--variants", type=int, default=2)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--user-col", default="user_id")
+    s.add_argument("--type-col", default="event_type")
     s = sub.add_parser("dedup-clips")
     t(s)
     s.add_argument("--max-hamming", type=int, default=3)
@@ -1229,6 +1338,8 @@ def main():
         "branch": cmd_branch,
         "cdc": cmd_cdc,
         "funnel": cmd_funnel,
+        "journeys": cmd_journeys,
+        "ab-test": cmd_ab_test,
         "dedup-clips": cmd_dedup_clips,
         "set-sort-order": cmd_set_sort_order,
         "features": cmd_features,

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _HEX_WIDTH, _hash_hex, _hash_sql, _threshold_hex
+from .sampling import _hash_hex, _hash_sql, _threshold_hex
 
 
 def _variant_col(seed: int, user, k: int):
