@@ -494,3 +494,20 @@ def test_time_stretch_plan_is_map_only(spark):
     plan = plan_str(time_stretch_clips(df, 1.25), mode="simple")
     assert "Exchange" not in plan, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """interval_join must plan as an equi join on the key with the time
+    range as residual — never a BroadcastNestedLoopJoin (the plan that
+    dies at 10^12 events)."""
+    import datetime as dt
+
+    from lakehouse.streaming_agg import interval_join
+
+    ev = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    plan = plan_str(interval_join(ev), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
