@@ -5347,11 +5347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_sum_pushdown": _q_lh_sum_pushdown,
         "column_quantiles": _q_column_quantiles,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
-        "lh_transform_incremental": _q_lh_transform_incremental,
+        "events_attribution": _q_events_attribution,
+        "events_ab_test": _q_events_ab_test,
+        "events_rate_anomalies": _q_events_rate_anomalies,
+        "events_interval_join": _q_events_interval_join,
         "lh_datasource_scan": _q_lh_datasource_scan,
         "lh_bloom_point_lookup": _q_lh_bloom_point_lookup,
         "lh_clone_scan_parity": _q_lh_clone,
-        "lh_cherry_pick": _q_lh_cherry_pick,
         "lh_sql_view_rollup": _q_lh_sql_view,
         "lh_constraint_enforcement": _q_lh_constraint_enforcement,
         "lh_default_column": _q_lh_default_column,
@@ -5368,11 +5370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
-        "gopher_quality_filter": _q_gopher_quality_filter,
         "bm25_topk": _q_bm25_topk,
         "asof_join_enrich": _q_asof_join,
         "fk_integrity_audit": _q_fk_integrity,
@@ -5492,16 +5492,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_audio_dedup_curation": _q_lh_audio_dedup_curation,
         "lh_wav_dir_ingest": _q_lh_wav_dir_ingest,
         # journey analytics (round 3, session 5)
-        "events_attribution": _q_events_attribution,
+        "lh_transform_incremental": _q_lh_transform_incremental,
+        "lh_cherry_pick": _q_lh_cherry_pick,
+        "dedup_clusters": _q_dedup_clusters,
+        "gopher_quality_filter": _q_gopher_quality_filter,
         "events_attribution_linear": _q_events_attribution_linear,
         "events_transitions": _q_events_transitions,
         "events_top_paths": _q_events_top_paths,
         "audio_time_stretch": _q_audio_time_stretch,
         "events_sliding_rollup": _q_events_sliding_rollup,
         "stream_sliding_parity": _q_stream_sliding_parity,
-        "events_ab_test": _q_events_ab_test,
-        "events_rate_anomalies": _q_events_rate_anomalies,
-        "events_interval_join": _q_events_interval_join,
         "stream_interval_join_parity": _q_stream_interval_join_parity,
     }
 
