@@ -350,6 +350,7 @@ def test_no_broadcast_hints_on_corpus_scaled_frames():
                                           # both bounded by the query
                                           # list argument
                        "stats"},          # BM25 one-row (N, avgdl)
+        "abtest.py": {"ctrl"},            # one-row control-arm aggregate
         "ops/cluster.py": {"cuts_df"},    # quantile cut points (n_buckets rows)
         "ops/compact.py": {"map_df"},     # file->bin map (metadata-bounded)
         "ops/merge.py": {"keys"},         # bounded-set MERGE strategy keys
