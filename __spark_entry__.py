@@ -5135,6 +5135,62 @@ def _q_stream_interval_join_parity(spark, sf_dir):
     return got.orderBy(*cols)
 
 
+def _q_stream_interval_join_outer(spark, sf_dir):
+    """LEFT-OUTER stream-stream join — the subtlest Structured
+    Streaming contract: an unmatched left emits with NULL right columns
+    only after the watermark proves its match window closed. Driven
+    through a restarted file stream; self-verifies as a multiset
+    against the batch left-join twin (matched pairs + every view that
+    never converted within the hour)."""
+    from lakehouse.streaming_agg import drive_batches, interval_join
+
+    sub = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 10 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    parts, prev = [], None
+    for b in _STREAM_CUTS:
+        cond = (
+            F.col("ts") < b
+            if prev is None
+            else (F.col("ts") >= prev) & (F.col("ts") < b)
+        )
+        parts.append(sub.filter(cond))
+        prev = b
+    parts.append(sub.filter(F.col("ts") >= prev))
+    # the flush must carry an IN-TYPE (right-typed) row: the type
+    # filters push below the shared watermark node, so an off-type
+    # sentinel is never read and the watermark stalls; a far-future
+    # purchase advances it and can match nothing (too late for every
+    # left). Two flushes: NULL rows materialize on the trigger AFTER
+    # the watermark advancement lands in the checkpoint.
+    def _flush(eid):
+        return spark.sql(
+            f"SELECT CAST({eid} AS BIGINT) AS event_id, "
+            "TIMESTAMP '2025-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS BIGINT) AS user_id, 'purchase' AS event_type"
+        )
+    parts.extend([_flush(-1), _flush(-2)])
+    got = drive_batches(
+        spark,
+        lambda s: interval_join(
+            s, within=3600.0, watermark="3600 seconds", how="left_outer"
+        ),
+        parts,
+    )
+    want = interval_join(sub, within=3600.0, how="left_outer")
+    cols = ["key", "left_id", "right_id", "left_ts_us", "right_ts_us"]
+    # repr-keyed sort: NULL right columns make raw tuples unorderable
+    g = sorted((tuple(r) for r in got.select(*cols).collect()), key=repr)
+    w = sorted((tuple(r) for r in want.select(*cols).collect()), key=repr)
+    assert g == w, (
+        f"outer stream-stream join diverges from batch twin: "
+        f"{len(g)} vs {len(w)} rows"
+    )
+    return got.orderBy(*cols)
+
+
 def _q_lh_add_files_scan(spark, sf_dir):
     """Metadata-only parquet adoption (Iceberg add_files): write the
     events corpus as a FOREIGN Spark hive layout (partitionBy drops the
@@ -5503,6 +5559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rollup": _q_events_sliding_rollup,
         "stream_sliding_parity": _q_stream_sliding_parity,
         "stream_interval_join_parity": _q_stream_interval_join_parity,
+        "stream_interval_join_outer": _q_stream_interval_join_outer,
     }
 
 
@@ -5709,6 +5766,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join_parity": interval_join_oracle_sql(
             table="(SELECT * FROM events WHERE user_id % 10 = 0)",
             within=3600.0,
+        ),
+        "stream_interval_join_outer": interval_join_oracle_sql(
+            table="(SELECT * FROM events WHERE user_id % 10 = 0)",
+            within=3600.0, how="left_outer",
         ),
         # maintenance parity: post-op scan must equal the raw table
         "lh_compact_scan_parity": EVENTS_OUT_SQL,

@@ -211,27 +211,44 @@ def interval_join(
     right_type: str = "purchase",
     within: float = 3600.0,
     watermark: str = "3600 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join — every (left, right) pair of the same
     key with ``right.ts`` in ``[left.ts, left.ts + within]`` (the
     "purchase within an hour of the view" pairing). ONE code path:
     on a streaming frame both sides get watermarks and this is Spark's
-    stream-stream inner join (rows emit as they match — append-mode
-    inner joins don't wait for the watermark; the watermark bounds the
-    join STATE via the time-range condition), so the batch self-join of
-    the same expression tree is the streaming run's oracle.
+    stream-stream join, so the batch self-join of the same expression
+    tree is the streaming run's oracle.
+
+    ``how="inner"``: matches emit as they occur (append-mode inner
+    joins don't wait for the watermark; the watermark bounds the join
+    STATE via the time-range condition). ``how="left_outer"``: a left
+    row with no match additionally emits with NULL right columns — in
+    streaming only once the watermark passes ``left.ts + within`` and
+    the row's match window provably closed (the "views that never
+    converted" feed), which is exactly Spark's outer-join
+    watermark-eviction contract.
 
     Scale shape: one shuffle per side on the join key; streaming state
     holds only rows younger than ``watermark`` + ``within`` per side
     (evicted by the range condition) — O(recent events), not O(stream).
     Output timestamps are unix micros so results compare portably.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__et"),
         F.col(id_col).alias("__id"),
     )
+    if df.isStreaming:
+        # ONE watermark on the shared parent, BEFORE the type split:
+        # rows of other types (e.g. a flush sentinel) still advance it,
+        # and both join sides inherit the same event-time column tag —
+        # per-side watermarks below the filters would stall on whichever
+        # side sees events last (the min-of-watermarks rule)
+        base = base.withWatermark("__ts", watermark)
     l = base.filter(F.col("__et") == left_type).select(
         "key",
         F.col("__ts").alias("l_ts"),
@@ -242,9 +259,6 @@ def interval_join(
         F.col("__ts").alias("r_ts"),
         F.col("__id").alias("right_id"),
     )
-    if df.isStreaming:
-        l = l.withWatermark("l_ts", watermark)
-        r = r.withWatermark("r_ts", watermark)
     cond = (
         (l["key"] == r["r_key"])
         & (r["r_ts"] >= l["l_ts"])
@@ -253,7 +267,7 @@ def interval_join(
             <= l["l_ts"] + F.expr(f"INTERVAL {int(within)} SECONDS")
         )
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "key",
         "left_id",
         "right_id",
@@ -272,22 +286,29 @@ def interval_join_oracle_sql(
     left_type: str = "view",
     right_type: str = "purchase",
     within: float = 3600.0,
+    how: str = "inner",
 ) -> str:
-    """DuckDB twin: the same pair predicate on epoch micros."""
+    """DuckDB twin: the same pair predicate on epoch micros; type
+    filters sit in pre-filtered subqueries so the outer form is exact
+    (a WHERE on the right side would silently turn it back inner)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     q = lambda s: str(s).replace("'", "''")
     w_us = int(float(within) * 1_000_000)
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
     return f"""
         SELECT l.{key_col} AS key,
                l.{id_col} AS left_id,
                r.{id_col} AS right_id,
                epoch_us(l.{ts_col}) AS left_ts_us,
                epoch_us(r.{ts_col}) AS right_ts_us
-        FROM {table} l JOIN {table} r
+        FROM (SELECT * FROM {table}
+              WHERE {type_col} = '{q(left_type)}') l
+        {join_kw} (SELECT * FROM {table}
+              WHERE {type_col} = '{q(right_type)}') r
           ON l.{key_col} = r.{key_col}
          AND epoch_us(r.{ts_col}) >= epoch_us(l.{ts_col})
          AND epoch_us(r.{ts_col}) <= epoch_us(l.{ts_col}) + {w_us}
-        WHERE l.{type_col} = '{q(left_type)}'
-          AND r.{type_col} = '{q(right_type)}'
     """
 
 

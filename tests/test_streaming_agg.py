@@ -448,3 +448,54 @@ def test_interval_join_stream_matches_batch(spark):
         for r in interval_join(ev, within=3600.0).select(*cols).collect()
     )
     assert g == w and len(g) == 1
+
+
+def test_interval_join_left_outer_batch_and_stream(spark):
+    import datetime as dt
+
+    from lakehouse.streaming_agg import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ij_events(spark)
+    batch = interval_join(ev, within=3600.0, how="left_outer")
+    rows = sorted(
+        ((r.key, r.left_id, r.right_id) for r in batch.collect()), key=repr
+    )
+    # view@0 matches purchase@30; view@4100 and user 2's view have no
+    # match in-window -> NULL right
+    assert rows == sorted(
+        [(1, 1, 2), (1, 4, None), (2, 6, None)], key=repr
+    )
+
+    cut = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=150)
+    # the flush must carry an IN-TYPE row: the type filters push below
+    # the shared watermark node, so an off-type sentinel is never read
+    # and the watermark stalls. A far-future right-typed row advances
+    # the watermark and can match nothing (too late for every left).
+    # Two flushes: eviction emits NULL rows on the trigger AFTER the
+    # watermark advancement lands in the checkpoint.
+    def _flush(eid):
+        return spark.sql(
+            f"SELECT CAST({eid} AS BIGINT) AS event_id, "
+            "TIMESTAMP '2025-01-01' AS ts, CAST(-1 AS BIGINT) AS user_id, "
+            "'purchase' AS event_type"
+        )
+    batches = [
+        ev.filter(ev.ts < cut),
+        ev.filter(ev.ts >= cut),
+        _flush(-1),
+        _flush(-2),
+    ]
+    got = drive_batches(
+        spark,
+        lambda s: interval_join(
+            s, within=3600.0, watermark="3600 seconds", how="left_outer"
+        ),
+        batches,
+    )
+    cols = ["key", "left_id", "right_id", "left_ts_us", "right_ts_us"]
+    g = sorted((tuple(r) for r in got.select(*cols).collect()), key=repr)
+    w = sorted((tuple(r) for r in batch.select(*cols).collect()), key=repr)
+    assert g == w and len(g) == 3
+    with pytest.raises(ValueError):
+        interval_join(ev, how="full_outer")
