@@ -203,3 +203,44 @@ def test_time_stretch_length_law(n, rate):
     y = time_stretch_pcm(x, rate)
     assert len(y) == max(1, int(round(n / rate)))
     assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    lookback=st.sampled_from([None, 50.0, 500.0]),
+)
+def test_attribution_conserves_conversions(spark, seed, lookback):
+    """For EVERY model and lookback, total credited conversions across
+    channels (including '(none)') equals the exact conversion count —
+    attribution reassigns credit, never creates or destroys it."""
+    import datetime as dt
+
+    from lakehouse.attribution import attribution_report
+
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "signup", "purchase"]
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=int(rng.integers(0, 2000))),
+            int(rng.integers(0, 8)),
+            types[int(rng.integers(0, 4))],
+            float(rng.integers(0, 100)),
+        )
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    n_conv = sum(1 for r in rows if r[3] == "purchase")
+    for model in ("last_touch", "first_touch", "linear"):
+        rep = attribution_report(
+            ev, ["view", "click", "signup"], "purchase",
+            model=model, lookback=lookback,
+        ).collect()
+        total = sum(r.conversions for r in rep)
+        assert abs(total - n_conv) < 1e-4, (model, lookback, total, n_conv)
