@@ -1,8 +1,9 @@
 """A/B experiment analysis over event streams — deterministic variant
 assignment plus the two-proportion significance readout (the "did the
 B arm convert better, and is it real?" ask every clickstream product
-team runs; the reference ships the table and dashboards chapter but no
-experiment operator — same gap family as `lakehouse/funnel.py`).
+team runs; the reference ships the table and the Athena/BI hand-off
+(`/root/reference/README.md:104,113,317`) but no experiment operator —
+same gap family as `lakehouse/funnel.py`).
 
 Variant assignment is the repo's seeded-md5 primitive
 (`lakehouse/sampling.py`): variant(user) = which of ``k`` equal hex

@@ -1,8 +1,9 @@
 """Multi-touch attribution over event streams — the marketing-analytics
 companion to funnel analysis (the reference's Delta table feeds exactly
 this ask: "which touch channel gets credit for each purchase?"; the
-reference ships the clickstream table but no operator — `README.md`
-analyst chapter, same gap as `lakehouse/funnel.py`).
+reference ships the clickstream table but no operator —
+`/root/reference/README.md:104,113,317` routes analysts to Athena over
+the bronze table, same gap as `lakehouse/funnel.py`).
 
 Semantics (the standard attribution models):
 - A CONVERSION is an event of ``conversion_type`` at time ``tc``.

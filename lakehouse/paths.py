@@ -1,8 +1,9 @@
 """User-journey path analytics — next-event transition matrix and
 top-k session paths (the "where do users go next / what do the common
 journeys look like" asks of the reference's clickstream table;
-`README.md` analyst chapter, same operator gap as `lakehouse/funnel.py`
-and `lakehouse/attribution.py`).
+`/root/reference/README.md:104,113,317` defers them to Athena/BI over
+the bronze table — same operator gap as `lakehouse/funnel.py` and
+`lakehouse/attribution.py`).
 
 Scale shape: both operators cost exactly ONE corpus-scaled shuffle —
 the per-user window sort on ``(micros, event_id)`` (fully
