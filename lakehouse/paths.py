@@ -119,6 +119,8 @@ def top_paths(
     string ascending."""
     if k_events < 1 or n_paths < 1:
         raise ValueError("k_events and n_paths must be >= 1")
+    if "'" in sep or "\\" in sep:
+        raise ValueError("sep must not contain quotes or backslashes")
     w = Window.partitionBy(F.col("__u")).orderBy(
         F.col("__tn"), F.col("__id")
     )
@@ -160,6 +162,8 @@ def top_paths_oracle_sql(
     sep: str = ">",
 ) -> str:
     """DuckDB twin: identical row_number bound and ordered string_agg."""
+    if "'" in sep or "\\" in sep:
+        raise ValueError("sep must not contain quotes or backslashes")
     return f"""
         WITH b AS (
           SELECT {user_col} AS u, {type_col} AS et,
