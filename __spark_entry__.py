@@ -729,6 +729,14 @@ def _q_events_transitions(spark, sf_dir):
     return event_transitions(_read(spark, sf_dir, "events"))
 
 
+def _q_events_transition_gaps(spark, sf_dir):
+    """Dwell-time transition matrix (lakehouse/paths.py): mean/max gap
+    seconds per adjacent (src, dst) pair — decimal-exact micro sums."""
+    from lakehouse.paths import transition_gaps
+
+    return transition_gaps(_read(spark, sf_dir, "events"))
+
+
 def _q_events_top_paths(spark, sf_dir):
     """Top-20 user journeys over each user's first 5 events
     (lakehouse/paths.py): row_number-bounded collect, deterministic
@@ -5555,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_linear": _q_events_attribution_linear,
         "events_transitions": _q_events_transitions,
         "events_top_paths": _q_events_top_paths,
+        "events_transition_gaps": _q_events_transition_gaps,
         "audio_time_stretch": _q_audio_time_stretch,
         "events_sliding_rollup": _q_events_sliding_rollup,
         "stream_sliding_parity": _q_stream_sliding_parity,
@@ -5604,6 +5613,12 @@ def _transitions_oracle() -> str:
     from lakehouse.paths import transitions_oracle_sql
 
     return transitions_oracle_sql()
+
+
+def _transition_gaps_oracle() -> str:
+    from lakehouse.paths import transition_gaps_oracle_sql
+
+    return transition_gaps_oracle_sql()
 
 
 def _top_paths_oracle() -> str:
@@ -6122,6 +6137,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution_linear": _attribution_oracle("linear", None),
         "events_transitions": _transitions_oracle(),
         "events_top_paths": _top_paths_oracle(),
+        "events_transition_gaps": _transition_gaps_oracle(),
         "events_ab_test": _ab_test_oracle(),
         "events_rate_anomalies": _rate_anomalies_oracle(),
         "fk_integrity_audit": """

@@ -73,6 +73,86 @@ def event_transitions(
     ).orderBy("src_type", "dst_type")
 
 
+def transition_gaps(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dwell-time view of the transition matrix: per ``(src, dst)``
+    adjacent pair, the count plus the mean and max gap in seconds
+    ("how long do users stare at the cart before purchasing?"). Gaps
+    are integer micros summed as DECIMAL (exact, order-insensitive)
+    and divided once at the end — cross-engine deterministic. Same
+    one-shuffle scale shape as :func:`event_transitions`."""
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col("__tn"), F.col(id_col)
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            _micros(events, ts_col).alias("__tn"),
+            F.col(id_col),
+            F.col(type_col).alias("src_type"),
+        )
+        .withColumn("dst_type", F.lead("src_type").over(w))
+        .withColumn("__gap", F.lead("__tn").over(w) - F.col("__tn"))
+        .filter(F.col("dst_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("src_type", "dst_type")
+        .agg(
+            F.count(F.lit(1)).alias("transitions"),
+            F.sum(F.col("__gap").cast("decimal(38,0)")).alias("__sum"),
+            F.max("__gap").alias("__max"),
+        )
+        .select(
+            "src_type",
+            "dst_type",
+            "transitions",
+            F.round(
+                F.col("__sum").cast("double")
+                / F.col("transitions")
+                / 1_000_000,
+                4,
+            ).alias("avg_gap_s"),
+            F.round(F.col("__max") / 1_000_000, 4).alias("max_gap_s"),
+        )
+        .orderBy("src_type", "dst_type")
+    )
+
+
+def transition_gaps_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin: identical lead() gaps and decimal-sum arithmetic."""
+    return f"""
+        WITH p AS (
+          SELECT {type_col} AS src_type,
+                 lead({type_col}) OVER w AS dst_type,
+                 lead(epoch_us({ts_col})) OVER w
+                     - epoch_us({ts_col}) AS gap
+          FROM {table}
+          WINDOW w AS (PARTITION BY {user_col}
+                       ORDER BY epoch_us({ts_col}), {id_col})
+        )
+        SELECT src_type, dst_type,
+               count(*) AS transitions,
+               round(CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                     / count(*) / 1000000, 4) AS avg_gap_s,
+               round(max(gap) / 1000000, 4) AS max_gap_s
+        FROM p WHERE dst_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def transitions_oracle_sql(
     *,
     table: str = "events",

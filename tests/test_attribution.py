@@ -178,3 +178,27 @@ def test_top_paths(spark):
     assert got2 == [("a", 3)]
     with pytest.raises(ValueError):
         top_paths(ev, k_events=0)
+
+
+def test_transition_gaps(spark):
+    from lakehouse.paths import transition_gaps
+
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "a", 0.0),
+            (10, 1, "b", 0.0),
+            (0, 2, "a", 0.0),
+            (30, 2, "b", 0.0),
+            (35, 2, "a", 0.0),
+        ],
+    )
+    got = {
+        (r.src_type, r.dst_type): (r.transitions, r.avg_gap_s, r.max_gap_s)
+        for r in transition_gaps(ev).collect()
+    }
+    # a->b gaps: 10s and 30s (mean 20, max 30); b->a gap: 5s
+    assert got == {
+        ("a", "b"): (2, 20.0, 30.0),
+        ("b", "a"): (1, 5.0, 5.0),
+    }
