@@ -436,6 +436,61 @@ def _q_lh_merge_mor(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_merge_full_sync(spark, sf_dir):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE (Delta's
+    whenNotMatchedBySourceDelete analog; the reference delegates DML to
+    the Delta jar, README.md:194): partition-scoped full sync. The
+    source holds the hottest date's user_id%3==0 rows re-valued; the
+    clause deletes every OTHER row of that date-partition, while all
+    other partitions stay untouched — their files must survive the
+    commit byte-identical (condition is on the identity partition
+    column, so out-of-scope files never even plan). Fully-in-condition
+    files that lose every row drop METADATA-ONLY."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact()
+    ev = _events(spark, sf_dir)
+    d = ev.agg(F.max("event_date")).collect()[0][0]
+    src = (
+        ev.filter((F.col("event_date") == F.lit(d)) & (F.col("user_id") % 3 == 0))
+        .withColumn("value", F.col("value") + 500.0)
+        .withColumn("event_type", F.lit("synced"))
+    )
+    before = {e.file_path for e in t.plan().files}
+    out_of_scope = before - {
+        e.file_path for e in t.plan(filter=[("event_date", "=", d)]).files
+    }
+    t.merge(
+        src,
+        key="event_id",
+        not_matched_by_source="delete",
+        not_matched_by_source_condition=[("event_date", "=", d)],
+    )
+    after = {e.file_path for e in t.plan().files}
+    assert out_of_scope <= after, (
+        "full sync must not touch files outside the condition partition"
+    )
+    return _events_out(t.scan())
+
+
+LH_MERGE_FULL_SYNC_ORACLE = """
+WITH ev AS (SELECT *, CAST(ts AS DATE) AS event_date FROM events),
+d AS (SELECT max(event_date) AS d FROM ev),
+src AS (
+    SELECT event_id, ts, user_id, 'synced' AS event_type,
+           value + 500.0 AS value, props, event_date
+    FROM ev WHERE event_date = (SELECT d FROM d) AND user_id % 3 = 0
+),
+merged AS (
+    SELECT * FROM ev
+    WHERE event_date <> (SELECT d FROM d)
+    UNION ALL SELECT * FROM src
+)
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+       CAST(event_date AS VARCHAR) AS event_date_s
+FROM merged
+"""
+
+
 LH_MERGE_ORACLE = """
 WITH ev AS (SELECT * FROM events),
 dels AS (
@@ -5406,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_partition_pruned_scan": _q_lh_partition_pruned,
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
+        "lh_merge_full_sync": _q_lh_merge_full_sync,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_sum_pushdown": _q_lh_sum_pushdown,
@@ -5805,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "lh_expire_gc_scan_parity": EVENTS_OUT_SQL,
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
+        "lh_merge_full_sync": LH_MERGE_FULL_SYNC_ORACLE,
         "lh_changelog_pairs": """
             WITH upd AS (
                 SELECT event_id, value FROM events WHERE event_id % 11 = 0

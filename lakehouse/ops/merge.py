@@ -8,7 +8,16 @@ Semantics (Delta/Iceberg MERGE matrix, keyed on a unique ``clip_id``):
 - source row matches nothing:        INSERT (DELETE-ops are ignored);
 - target row matches nothing:        carried over unchanged;
 - duplicate keys in the source:      MergeError (ambiguous merge — same
-  contract as Delta's "multiple source rows matched").
+  contract as Delta's "multiple source rows matched");
+- WHEN NOT MATCHED BY SOURCE (optional, Delta's
+  whenNotMatchedBySourceDelete/-Update): target rows with no source
+  match and satisfying an optional condition are deleted or mutated —
+  ``not_matched_by_source="delete"`` with no condition is full-sync
+  ("make target ≡ source"). In the closed form this is ONE extra
+  filter/projection on the kept side; with a tuple-language condition,
+  files whose stats prove every row matches are dropped METADATA-ONLY
+  (their matched rows re-emit from the source union side), so a
+  partition-scoped full sync costs zero reads outside the partition.
 
 Execution, scale-first:
 
@@ -446,6 +455,96 @@ def anti_join_kept(
     return target.join(keys, target[key] == keys["__k"], "left_anti")
 
 
+def _normalize_nms(schema, nms, cond):
+    """Validate the WHEN NOT MATCHED BY SOURCE clause (Delta's
+    whenNotMatchedBySourceDelete / ...Update analog).
+
+    ``nms``: None | "delete" | {col: sql_expr} (update-set map).
+    ``cond``: None (clause applies to every unmatched row) | SQL string
+    over target columns | tuple-filter list in the engine's predicate
+    language (``expressions.normalize_filter``) — the tuple form is what
+    enables manifest pruning and metadata-only whole-file drops.
+
+    Returns ``(nms, cond_sql, cond_preds)``; ``cond_preds`` is None for
+    raw-SQL conditions (no stats reasoning possible — every live file
+    becomes a rewrite candidate).
+    """
+    if nms is None:
+        if cond is not None:
+            raise MergeError(
+                "not_matched_by_source_condition without "
+                "not_matched_by_source"
+            )
+        return None, None, None
+    names = {f.name for f in schema.fields}
+    if isinstance(nms, dict):
+        if not nms:
+            raise MergeError("empty not_matched_by_source update-set map")
+        bad = sorted(set(nms) - names)
+        if bad:
+            raise MergeError(
+                f"not_matched_by_source update targets unknown "
+                f"columns: {bad}"
+            )
+    elif nms != "delete":
+        raise MergeError(
+            "not_matched_by_source must be 'delete' or an "
+            "update-set {column: sql_expr} dict"
+        )
+    if cond is None:
+        return nms, None, None
+    if isinstance(cond, str):
+        return nms, cond, None
+    from ..expressions import normalize_filter, to_sql
+
+    preds = normalize_filter(cond)
+    sql = to_sql(preds)
+    if sql is None:
+        raise MergeError("empty not_matched_by_source_condition")
+    return nms, sql, preds
+
+
+def _nms_file_sets(table, meta, nms, cond_sql, cond_preds, touched):
+    """Split the NMS clause's candidate files into metadata-only drops
+    and rewrites, from manifest stats alone (zero data IO).
+
+    A file whose every row satisfies the condition can be DROPPED
+    outright under ``nms == "delete"``: its unmatched rows are deleted
+    by the clause and its matched rows are re-emitted verbatim from the
+    source union side of the closed form — the file contributes nothing
+    to kept_target, even when the key probe touched it. Boundary files
+    (condition holds for some rows only, or a raw-SQL condition where
+    stats can't decide) are rewritten with the residual filter; the
+    update-set form never drops (unmatched rows survive, mutated)."""
+    if nms is None:
+        return [], []
+    cands = table.plan(filter=cond_preds).files if cond_preds else (
+        table.plan().files
+    )
+    drops, rewrites = [], []
+    if nms == "delete":
+        from ..fieldids import stats_lookup
+        from .agg import _file_fully_matches
+
+        stats_of = stats_lookup(meta.schemas, meta.current_schema_id)
+        for e in cands:
+            # no condition at all → every row is in scope → droppable;
+            # a raw-SQL condition gives stats nothing to reason with →
+            # always a rewrite candidate
+            if (cond_sql is None) or (
+                cond_preds is not None
+                and _file_fully_matches(e, cond_preds, stats_of)
+            ):
+                drops.append(e)
+            else:
+                rewrites.append(e)
+    else:
+        rewrites = list(cands)
+    touched_set = set(touched)
+    rewrites = [e for e in rewrites if e.file_path not in touched_set]
+    return drops, rewrites
+
+
 def merge_into(
     table,
     source: DataFrame,
@@ -460,6 +559,8 @@ def merge_into(
     set_props: Optional[dict] = None,
     isolation: str = "snapshot",
     validate_from: Optional[int] = None,
+    not_matched_by_source=None,
+    not_matched_by_source_condition=None,
 ) -> MergeResult:
     if isolation not in ("snapshot", "serializable"):
         raise MergeError(f"unknown isolation level: {isolation!r}")
@@ -470,6 +571,18 @@ def merge_into(
     schema = table.schema
     if key not in [f.name for f in schema.fields]:
         raise MergeError(f"merge key {key!r} not in table schema")
+    nms, nms_cond_sql, nms_cond_preds = _normalize_nms(
+        schema, not_matched_by_source, not_matched_by_source_condition
+    )
+    if nms is not None and isolation == "serializable":
+        # the clause's read set is the whole condition domain, which the
+        # key-range validator cannot cover — refuse rather than under-
+        # validate (Delta has the same restriction on CDF-less replays)
+        raise MergeError(
+            "serializable isolation is not supported with "
+            "not_matched_by_source (its read set is the condition "
+            "domain, not a key range)"
+        )
 
     src = conform_merge_source(schema, source, op_col)
     # the source plan is reused by the stats pass, the join build, and
@@ -536,6 +649,17 @@ def merge_into(
             names_of=name_lookup(meta.schemas, meta.current_schema_id),
         )
 
+    # --- WHEN NOT MATCHED BY SOURCE: extra drops + rewrites ------------------
+    nms_drops, nms_rewrites = _nms_file_sets(
+        table, meta, nms, nms_cond_sql, nms_cond_preds, touched
+    )
+    if nms_drops:
+        # fully-condition-matching files vanish metadata-only; a key-
+        # touched one among them contributes nothing to kept_target
+        # (matched rows re-emitted from source, unmatched deleted)
+        drop_paths = {e.file_path for e in nms_drops}
+        touched = [p for p in touched if p not in drop_paths]
+
     log = LineageLog(table.root, job_id)
     log.start_job(
         "merge",
@@ -544,12 +668,23 @@ def merge_into(
             "touched_files": len(touched),
             "strategy": strategy,
             "key_bytes_est": key_bytes,
+            **(
+                {
+                    "nms_files_dropped": len(nms_drops),
+                    "nms_files_rewritten": len(nms_rewrites),
+                }
+                if nms is not None
+                else {}
+            ),
         },
     )
 
     cols = [f.name for f in schema.fields]
     touched_set = set(touched)
     touched_entries = [e for e in live if e.file_path in touched_set]
+    touched_entries += nms_rewrites
+    touched = touched + [e.file_path for e in nms_rewrites]
+    touched_set = set(touched)
     bytes_touched = sum(e.file_size_bytes for e in touched_entries)
     rows_touched = sum(e.record_count for e in touched_entries)
     if target_file_count is None:
@@ -595,6 +730,28 @@ def merge_into(
         key_bytes=key_bytes,
         broadcast_threshold=broadcast_threshold,
     )
+    # NMS clause over the kept (by construction unmatched) rows: delete
+    # filters them out where the condition holds; the update-set form
+    # mutates them in place — one extra codegen'd projection, no join.
+    if nms == "delete":
+        kept_target = (
+            kept_target.filter(~F.expr(nms_cond_sql))
+            if nms_cond_sql
+            else kept_target.filter(F.lit(False))
+        )
+    elif isinstance(nms, dict):
+        cond_c = F.expr(nms_cond_sql) if nms_cond_sql else F.lit(True)
+        kept_target = kept_target.select(
+            *[
+                F.when(cond_c, F.expr(nms[c]).cast(schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in nms
+                else F.col(c)
+                for c in cols
+            ],
+            *[c for c in kept_target.columns if c not in cols],
+        )
     from_source = src.filter(not_delete).select(*cols)
     result = kept_target.select(*cols).unionByName(from_source)
 
@@ -608,14 +765,20 @@ def merge_into(
         job_dir=f"data/{log.job_id}",
     )
     rows_written = sum(e.record_count for e in entries)
+    removed = touched + [e.file_path for e in nms_drops]
     snap = table._commit_files(
         "merge",
         entries,
-        touched,
+        removed,
         summary={
             "job_id": log.job_id,
             "files_touched": len(touched),
             "rows_written": rows_written,
+            **(
+                {"nms_files_dropped": len(nms_drops)}
+                if nms is not None
+                else {}
+            ),
             **(extra_summary or {}),
         },
         set_props=set_props,

@@ -255,10 +255,22 @@ def merge_into_mor(
     isolation: str = "snapshot",
     validate_from: Optional[int] = None,
     branch: Optional[str] = None,
+    not_matched_by_source=None,
+    not_matched_by_source_condition=None,
 ):
     """MERGE INTO — merge-on-read. ONE commit carrying an equality
     delete file of EVERY source key plus appended data files for the
     non-delete source rows.
+
+    ``not_matched_by_source="delete"`` (Delta's
+    whenNotMatchedBySourceDelete) additionally retires every target key
+    absent from the source (optionally restricted by a condition over
+    target columns): one manifest-pruned KEY-column scan of the target,
+    one keys-only left-anti against the source, and the surviving keys
+    ride in extra equality-delete shards of the same commit — write
+    cost O(unmatched keys), still zero payload reads. The update-set
+    form is COW-only (mutating unmatched rows means reading and
+    rewriting their payloads, which defeats MoR — use mode="cow").
 
     Why it works: all entries of a commit share one sequence number, and
     readers apply an equality delete only to data files with *strictly
@@ -287,6 +299,7 @@ def merge_into_mor(
         DELETE_OP,
         MergeResult,
         conform_merge_source,
+        _normalize_nms,
         _validation_spec as _merge_validation_spec,
     )
 
@@ -295,6 +308,21 @@ def merge_into_mor(
         raise MergeError(f"merge key {key!r} not in table schema")
     if isolation not in ("snapshot", "serializable"):
         raise MergeError(f"unknown isolation level: {isolation!r}")
+    nms, nms_cond_sql, nms_cond_preds = _normalize_nms(
+        schema, not_matched_by_source, not_matched_by_source_condition
+    )
+    if isinstance(nms, dict):
+        raise MergeError(
+            "not_matched_by_source update-set is copy-on-write only "
+            "(mutating unmatched rows reads + rewrites payloads); "
+            "use mode='cow'"
+        )
+    if nms is not None and isolation == "serializable":
+        raise MergeError(
+            "serializable isolation is not supported with "
+            "not_matched_by_source (its read set is the condition "
+            "domain, not a key range)"
+        )
     spark = table.spark
     meta = table.meta
     src = conform_merge_source(schema, source, op_col).persist(
@@ -309,7 +337,7 @@ def merge_into_mor(
             F.max(key).alias("key_max"),
         ).collect()[0]
         n_rows = int(stats.rows or 0)
-        if n_rows == 0:
+        if n_rows == 0 and nms is None:
             return MergeResult(job_id or "merge-mor-empty", None, 0, 0, 0)
         if int(stats.nonnull) < n_rows:
             raise MergeError(
@@ -339,25 +367,60 @@ def merge_into_mor(
 
         not_delete = (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
         cols = [f.name for f in schema.fields]
-        data_entries = write_data_files(
-            spark,
-            table.root,
-            meta.schema_json,
-            meta.partition_spec,
-            src.filter(not_delete).select(*cols),
-            target_file_count=target_file_count,
-            job_dir=f"data/{log.job_id}",
+        data_entries = (
+            write_data_files(
+                spark,
+                table.root,
+                meta.schema_json,
+                meta.partition_spec,
+                src.filter(not_delete).select(*cols),
+                target_file_count=target_file_count,
+                job_dir=f"data/{log.job_id}",
+            )
+            if n_rows
+            else []
         )
         # after the data write: Spark's parquet save refuses a pre-
         # existing target path, and data/{job}/deletes nested first
         # would make data/{job} exist
-        del_entries = _write_eq_delete_file(
-            table,
-            src.select(F.col(key)),
-            key,
-            f"data/{log.job_id}/deletes",
-            n_files=-(-n_rows // DELETE_FILE_SHARD_ROWS),
+        del_entries = (
+            _write_eq_delete_file(
+                table,
+                src.select(F.col(key)),
+                key,
+                f"data/{log.job_id}/deletes",
+                n_files=-(-n_rows // DELETE_FILE_SHARD_ROWS),
+            )
+            if n_rows
+            else []
         )
+        nms_keys_deleted = 0
+        if nms == "delete":
+            # unmatched target keys: one manifest-pruned scan, column-
+            # pruned by Catalyst to key + condition columns (pending
+            # deletes applied by scan, so dead keys aren't re-deleted),
+            # then a keys-only left-anti against the source key set
+            tgt = table.scan(filter=nms_cond_preds)
+            if nms_cond_sql:
+                tgt = tgt.filter(F.expr(nms_cond_sql))
+            dead = tgt.select(F.col(key))
+            if n_rows:
+                dead = dead.join(
+                    src.select(F.col(key)), on=key, how="left_anti"
+                )
+            from pyspark import StorageLevel
+
+            dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+            nms_keys_deleted = dead.count()
+            if nms_keys_deleted:
+                del_entries = del_entries + _write_eq_delete_file(
+                    table,
+                    dead,
+                    key,
+                    f"data/{log.job_id}/deletes-nms",
+                    n_files=-(-nms_keys_deleted // DELETE_FILE_SHARD_ROWS),
+                )
+            dead.unpersist()
         rows_written = sum(e.record_count for e in data_entries)
         snap = table._commit_files(
             "merge",
@@ -369,6 +432,11 @@ def merge_into_mor(
                 "key": key,
                 "keys_in_delete_file": sum(
                     e.record_count for e in del_entries
+                ),
+                **(
+                    {"nms_keys_deleted": int(nms_keys_deleted)}
+                    if nms is not None
+                    else {}
                 ),
                 "rows_written": rows_written,
                 **(extra_summary or {}),
