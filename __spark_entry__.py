@@ -3707,6 +3707,68 @@ def _q_lh_delete_convert(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _q_lh_spj_join(spark, sf_dir):
+    """Storage-partitioned join (Iceberg SPJ analog, lakehouse/spj.py):
+    events and a per-user profile table, both bucket(8, user_id)-
+    partitioned, joined bucket-locally — NO join node and NO data
+    exchange in the plan (asserted inline; the only exchange is the
+    8-row task frame). At 10^12 rows this is the join whose shuffle
+    would otherwise BE the job."""
+    from lakehouse import Table
+    from lakehouse.spj import storage_partitioned_join
+
+    ev = _events(spark, sf_dir)
+    spec = [
+        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
+         "n": 8}
+    ]
+    root = tempfile.mkdtemp(prefix="lh_spj_")
+    ta = Table.create(
+        spark, os.path.join(root, "ev"),
+        ev.select("event_id", "user_id", "event_type", "value").schema,
+        partition_spec=spec,
+    )
+    ta.append(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        target_file_count=4,
+    )
+    prof = ev.groupBy("user_id").agg(
+        _dec_sum(F.col("value"), "user_total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tb = Table.create(
+        spark, os.path.join(root, "prof"), prof.schema, partition_spec=spec
+    )
+    tb.append(prof, target_file_count=2)
+    out = storage_partitioned_join(
+        ta, tb, on="user_id",
+        select_a=["event_id", "event_type", "value"],
+        select_b=["user_total", "n_events"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"SPJ plan contains {node}"
+    assert plan.count("Exchange") <= 1, "SPJ plan shuffles data"
+    return out.select(
+        "user_id", "event_id", "event_type", "value", "user_total",
+        "n_events",
+    )
+
+
+LH_SPJ_ORACLE = """
+WITH prof AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS user_total,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.event_type, e.value,
+       p.user_total, p.n_events
+FROM events e JOIN prof p ON e.user_id = p.user_id
+"""
+
+
 def _q_lh_count_pushdown(spark, sf_dir):
     """Metadata-only aggregate pushdown (Iceberg/Delta answer
     SELECT COUNT/MIN/MAX from table metadata; the reference's analysts
@@ -5462,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_merge_full_sync": _q_lh_merge_full_sync,
+        "lh_spj_join": _q_lh_spj_join,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "lh_sum_pushdown": _q_lh_sum_pushdown,
@@ -5862,6 +5925,7 @@ def oracle_sql() -> dict[str, str]:
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
         "lh_merge_full_sync": LH_MERGE_FULL_SYNC_ORACLE,
+        "lh_spj_join": LH_SPJ_ORACLE,
         "lh_changelog_pairs": """
             WITH upd AS (
                 SELECT event_id, value FROM events WHERE event_id % 11 = 0

@@ -1,0 +1,161 @@
+"""Storage-partitioned join: parity with a plain Spark join, plan gate
+(no join node, no data exchange), left-outer nulls, and the guard rails
+(bucket-spec mismatch, pending MoR deletes, pre-spec files)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from lakehouse import Table
+from lakehouse.spj import SpjError, storage_partitioned_join
+
+SCHEMA_A = T.StructType(
+    [
+        T.StructField("uid", T.LongType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+SCHEMA_B = T.StructType(
+    [
+        T.StructField("uid", T.LongType()),
+        T.StructField("segment", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ]
+)
+
+
+def _bucket_spec(n=4):
+    return [{"name": "uid_bucket", "transform": "bucket", "source": "uid", "n": n}]
+
+
+def _mk(spark, root, schema, df, n=4, files=3):
+    t = Table.create(spark, str(root), schema, partition_spec=_bucket_spec(n))
+    t.append(df, target_file_count=files)
+    return t
+
+
+def _df_a(spark, rows=200):
+    return spark.range(rows).select(
+        (F.col("id") % 37).alias("uid"),
+        F.concat(F.lit("e"), (F.col("id") % 5).cast("string")).alias("event"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+
+
+def _df_b(spark, uids=30):
+    return spark.range(uids).select(
+        F.col("id").alias("uid"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("segment"),
+        (F.col("id") * 10).alias("score"),
+    )
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+class TestSpj:
+    def test_inner_parity_with_spark_join(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        got = storage_partitioned_join(ta, tb, on="uid")
+        want = ta.scan().join(tb.scan(), on="uid", how="inner").select(
+            "uid", "event", "value", "segment", "score"
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+    def test_plan_has_no_join_and_no_data_exchange(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        got = storage_partitioned_join(ta, tb, on="uid")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        for node in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        ):
+            assert node not in plan, plan
+        # the only exchange allowed is the ≤N-row task-frame round-robin
+        assert plan.count("Exchange") <= 1, plan
+
+    def test_left_outer_nulls(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        # B covers only uids 0..9 → uids 10..36 must survive with nulls
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark, uids=10))
+        got = storage_partitioned_join(ta, tb, on="uid", how="left")
+        want = ta.scan().join(tb.scan(), on="uid", how="left").select(
+            "uid", "event", "value", "segment", "score"
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+        assert got.filter("segment IS NULL").count() > 0
+        # integral column survives null injection as a proper null
+        assert got.filter("score IS NULL").count() == got.filter(
+            "segment IS NULL"
+        ).count()
+
+    def test_left_outer_missing_bucket_entirely(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        tb = Table.create(
+            spark, str(tmp_path / "b"), SCHEMA_B, partition_spec=_bucket_spec()
+        )
+        # empty B: every A row survives, B columns all null
+        got = storage_partitioned_join(ta, tb, on="uid", how="left")
+        assert got.count() == 200
+        assert got.filter("segment IS NOT NULL").count() == 0
+
+    def test_column_selection(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        got = storage_partitioned_join(
+            ta, tb, on="uid", select_a=["value"], select_b=["segment"]
+        )
+        assert got.columns == ["uid", "value", "segment"]
+
+    def test_survives_compaction_and_rename(self, spark, tmp_path):
+        """Maintenance rewrites keep bucket values; field-id rename maps
+        physical names in already-written files."""
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark), files=6)
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        ta.compact()
+        tb.rename_column("segment", "tier")
+        got = storage_partitioned_join(
+            ta, tb, on="uid", select_a=["event"], select_b=["tier"]
+        )
+        want = ta.scan().join(tb.scan(), on="uid").select("uid", "event", "tier")
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+    def test_guards(self, spark, tmp_path):
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        # bucket-count mismatch
+        tb8 = _mk(spark, tmp_path / "b8", SCHEMA_B, _df_b(spark), n=8)
+        with pytest.raises(SpjError, match="bucket counts differ"):
+            storage_partitioned_join(ta, tb8, on="uid")
+        # unpartitioned side
+        tnb = Table.create(spark, str(tmp_path / "nb"), SCHEMA_B)
+        tnb.append(_df_b(spark), target_file_count=1)
+        with pytest.raises(SpjError, match="not bucket-partitioned"):
+            storage_partitioned_join(ta, tnb, on="uid")
+        # pending MoR deletes
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        tb.delete([("uid", "=", 3)], mode="mor", key="uid")
+        with pytest.raises(SpjError, match="merge-on-read"):
+            storage_partitioned_join(ta, tb, on="uid")
+        tb.materialize_deletes()
+        assert storage_partitioned_join(ta, tb, on="uid").count() > 0
+        # overlapping output names
+        with pytest.raises(SpjError, match="disjoint"):
+            storage_partitioned_join(
+                ta, tb, on="uid", select_a=["event"], select_b=["uid"]
+            )
+
+    def test_pre_spec_file_refused(self, spark, tmp_path):
+        t = Table.create(spark, str(tmp_path / "t"), SCHEMA_A)
+        t.append(_df_a(spark), target_file_count=1)
+        t.update_partition_spec(_bucket_spec())
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        with pytest.raises(SpjError, match="predates"):
+            storage_partitioned_join(t, tb, on="uid")
