@@ -960,12 +960,33 @@ class Table:
 
         return _maintain(self, **kw)
 
-    def merge(self, source: DataFrame, *, mode: str = "cow", **kw):
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        mode: str = "cow",
+        schema_evolution: bool = False,
+        **kw,
+    ):
         """MERGE INTO. ``mode="cow"`` rewrites touched target files
         (pruned, keys-only anti-join); ``mode="mor"`` writes one commit
         of equality-delete file + appended source rows — O(source) write
         cost, zero target reads, deferred rewrite via
-        ``materialize_deletes``/maintenance."""
+        ``materialize_deletes``/maintenance.
+
+        ``schema_evolution=True`` (Delta's withSchemaEvolution): source
+        columns the target lacks are first ADDED to the table schema
+        (nullable, metadata-only commit), and same-named columns whose
+        source type safely widens the target's (schema.is_widening:
+        int→long, float→double, decimal precision) widen it — then the
+        merge runs under the evolved schema. Existing files are never
+        rewritten for the evolution itself (old rows scan as null /
+        up-cast); without the flag, unknown source columns are silently
+        dropped by the conform projection, Delta's default too."""
+        if schema_evolution:
+            self._evolve_for_merge_source(
+                source, op_col=kw.get("op_col", "op")
+            )
         if mode == "mor":
             from .ops.mor import merge_into_mor as _merge_mor
 
@@ -979,6 +1000,39 @@ class Table:
 
         self._materialize_pending_deletes()
         return _merge(self, source, **kw)
+
+    def _evolve_for_merge_source(self, source: DataFrame, *, op_col: str):
+        """Compute the union schema of table × merge source (new source
+        columns appended nullable, safely-widened types adopted) and
+        commit it via evolve_schema — a no-op commit-free pass when the
+        source brings nothing new. The op marker column never evolves
+        into the table."""
+        from .schema import is_widening
+
+        cur = self.schema
+        cur_names = {f.name for f in cur.fields}
+        src_by_name = {f.name: f for f in source.schema.fields}
+        changed = False
+        fields = []
+        for f in cur.fields:
+            s = src_by_name.get(f.name)
+            if (
+                s is not None
+                and s.dataType != f.dataType
+                and is_widening(f.dataType, s.dataType)
+            ):
+                fields.append(
+                    T.StructField(f.name, s.dataType, f.nullable, f.metadata)
+                )
+                changed = True
+            else:
+                fields.append(f)
+        for f in source.schema.fields:
+            if f.name not in cur_names and f.name != op_col:
+                fields.append(T.StructField(f.name, f.dataType, True))
+                changed = True
+        if changed:
+            self.evolve_schema(T.StructType(fields))
 
     def delete(self, predicate, *, mode: str = "cow", **kw):
         """Row-level DELETE. ``mode="cow"`` rewrites touched files;
