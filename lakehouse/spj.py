@@ -96,8 +96,9 @@ def _side_plan(table, key: str, columns: Sequence[str], side: str):
         if bname not in (e.partition or {}):
             raise SpjError(
                 f"table {side} file {e.file_path} predates the bucket "
-                f"spec (no {bname!r} partition value); rewrite it "
-                "(compact/cluster) before storage-partitioned joining"
+                f"spec (no {bname!r} partition value); cluster() the "
+                "table first — its rewrite derives partition values "
+                "under the CURRENT spec (compact carries old values)"
             )
         fills = entry_fills(e.stats)
         spec = {

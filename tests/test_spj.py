@@ -152,10 +152,22 @@ class TestSpj:
                 ta, tb, on="uid", select_a=["event"], select_b=["uid"]
             )
 
-    def test_pre_spec_file_refused(self, spark, tmp_path):
+    def test_pre_spec_file_refused_then_cluster_migrates(
+        self, spark, tmp_path
+    ):
+        """The documented onboarding path for an existing table:
+        update_partition_spec to bucket(N, key), then cluster() — whose
+        rewrite derives partition values under the CURRENT spec — after
+        which the table storage-partition-joins."""
         t = Table.create(spark, str(tmp_path / "t"), SCHEMA_A)
         t.append(_df_a(spark), target_file_count=1)
         t.update_partition_spec(_bucket_spec())
         tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
         with pytest.raises(SpjError, match="predates"):
             storage_partitioned_join(t, tb, on="uid")
+        t.cluster(["uid"])
+        got = storage_partitioned_join(t, tb, on="uid")
+        want = t.scan().join(tb.scan(), on="uid").select(
+            "uid", "event", "value", "segment", "score"
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
