@@ -641,6 +641,8 @@ def main() -> None:
             "events_transitions",
             "events_top_paths",
             "fk_integrity_audit",
+            "lh_merge_full_sync",
+            "lh_spj_join",
         ):
             timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 

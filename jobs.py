@@ -204,13 +204,55 @@ def cmd_merge_demo(args):
         .filter(F.xxhash64("clip_id") % args.frac == 0)
         .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" [v2]")))
     )
+    kw = {}
+    if args.full_sync:
+        kw["not_matched_by_source"] = "delete"
+        if args.sync_condition:
+            kw["not_matched_by_source_condition"] = args.sync_condition
     t0 = time.time()
-    res = t.merge(src, key="clip_id")
+    res = t.merge(src, key="clip_id", mode=args.mode, **kw)
     _emit(
         {
             "op": "merge",
+            "mode": args.mode,
+            "full_sync": bool(args.full_sync),
             "files_touched": res.files_touched,
             "rows_written": res.rows_written,
+            "secs": round(time.time() - t0, 2),
+        }
+    )
+
+
+def cmd_spj(args):
+    """Storage-partitioned join of two bucket-partitioned tables —
+    shuffle-free by construction; emits the plan evidence."""
+    from lakehouse.spj import storage_partitioned_join
+    from lakehouse.table import Table
+
+    spark = _spark(args)
+    ta = _table(spark, args)
+    tb = Table.load(spark, args.other)
+    t0 = time.time()
+    out = storage_partitioned_join(
+        ta, tb, on=args.on, how=args.how
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = out.count()
+    _emit(
+        {
+            "op": "spj",
+            "how": args.how,
+            "rows": n,
+            "exchanges_in_plan": plan.count("Exchange"),
+            "join_nodes_in_plan": sum(
+                plan.count(j)
+                for j in (
+                    "SortMergeJoin",
+                    "BroadcastHashJoin",
+                    "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin",
+                )
+            ),
             "secs": round(time.time() - t0, 2),
         }
     )
@@ -1127,6 +1169,17 @@ def main():
     s = sub.add_parser("merge-demo")
     t(s)
     s.add_argument("--frac", type=int, default=10)
+    s.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    s.add_argument("--full-sync", action="store_true",
+                   help="WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    s.add_argument("--sync-condition", default=None,
+                   help="SQL condition scoping the full-sync delete")
+    s = sub.add_parser("spj")
+    t(s)
+    s.add_argument("--other", required=True,
+                   help="root of the second bucket-partitioned table")
+    s.add_argument("--on", required=True, help="join key column")
+    s.add_argument("--how", choices=["inner", "left"], default="inner")
     s = sub.add_parser("scan")
     t(s)
     s.add_argument("--snapshot", type=int, default=None)
@@ -1308,6 +1361,7 @@ def main():
         "rewrite-manifests": cmd_rewrite_manifests,
         "clone": cmd_clone,
         "merge-demo": cmd_merge_demo,
+        "spj": cmd_spj,
         "scan": cmd_scan,
         "snapshots": cmd_snapshots,
         "metrics": cmd_metrics,
