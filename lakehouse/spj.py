@@ -150,10 +150,11 @@ def storage_partitioned_join(
     """Bucket-aligned equi-join of two lakehouse tables on ``on``;
     returns ``on`` + ``select_a`` + ``select_b`` columns (defaults:
     every non-key column of the respective table; names must be
-    disjoint across sides). ``how``: "inner" or "left" (left keeps
-    every A row; B columns null where the bucket or key is absent)."""
-    if how not in ("inner", "left"):
-        raise SpjError(f"unsupported how={how!r} (inner | left)")
+    disjoint across sides). ``how``: "inner", "left" (every A row
+    survives; B columns null where the bucket or key is absent) or
+    "full" (both directions)."""
+    if how not in ("inner", "left", "full"):
+        raise SpjError(f"unsupported how={how!r} (inner | left | full)")
     sa = table_a.schema
     sb = table_b.schema
     names_a = [f.name for f in sa.fields]
@@ -190,20 +191,31 @@ def storage_partitioned_join(
             "co-location requires identical N"
         )
 
-    keys = (
-        set(buckets_a) & set(buckets_b)
-        if how == "inner"
-        else set(buckets_a)
-    )
+    if how == "inner":
+        keys = set(buckets_a) & set(buckets_b)
+    elif how == "left":
+        keys = set(buckets_a)
+    else:  # full
+        keys = set(buckets_a) | set(buckets_b)
     tasks = [
-        (b, json.dumps(buckets_a[b]), json.dumps(buckets_b.get(b, [])))
+        (
+            b,
+            json.dumps(buckets_a.get(b, [])),
+            json.dumps(buckets_b.get(b, [])),
+        )
         for b in sorted(keys)
     ]
 
     spark = table_a.spark
+    a_nullable = how == "full"  # A columns can be null-injected too
     out_fields = (
         [sa[on]]
-        + [sa[c] for c in select_a]
+        + [
+            T.StructField(c, sa[c].dataType, True)
+            if a_nullable
+            else sa[c]
+            for c in select_a
+        ]
         + [
             T.StructField(c, sb[c].dataType, True)  # outer side: nullable
             for c in select_b
@@ -224,7 +236,7 @@ def storage_partitioned_join(
         len(tasks)
     )
 
-    how_pd = "inner" if how == "inner" else "left"
+    how_pd = {"inner": "inner", "left": "left", "full": "outer"}[how]
     out_cols = [on] + select_a + select_b
     # left-join NaNs land in float64; pandas nullable dtypes round-trip
     # through Arrow as proper nulls for integral/boolean Spark types
@@ -253,3 +265,84 @@ def storage_partitioned_join(
                     yield j.iloc[lo : lo + chunk_rows]
 
     return task_df.mapInPandas(kernel, schema=out_schema)
+
+
+def storage_partitioned_cogroup(
+    table_a,
+    table_b,
+    *,
+    on: str,
+    func,
+    schema: T.StructType,
+    select_a: Optional[Sequence[str]] = None,
+    select_b: Optional[Sequence[str]] = None,
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    """The generic form of the storage-partitioned join: run
+    ``func(a_pdf, b_pdf) -> pdf`` once per co-located bucket of two
+    ``bucket(N, key)`` tables, with ZERO shuffle — the
+    ``cogroup(...).applyInPandas`` shape Spark offers only after a hash
+    exchange of both sides. Custom reconciliation, per-key diffing, and
+    training-data pairing (audio clips × correction batches) run here
+    without the exchange that dominates at 10^12 rows.
+
+    ``func`` receives the two bucket frames with LOGICAL column names
+    (``on`` + the respective selection, every key of the bucket on both
+    sides — including keys present on only one side) and must return a
+    pandas frame conforming to ``schema``. Same planning, validation,
+    and sizing contract as ``storage_partitioned_join``."""
+    sa, sb = table_a.schema, table_b.schema
+    names_a = [f.name for f in sa.fields]
+    names_b = [f.name for f in sb.fields]
+    if on not in names_a or on not in names_b:
+        raise SpjError(f"join key {on!r} missing from a side")
+    select_a = list(
+        select_a if select_a is not None else [c for c in names_a if c != on]
+    )
+    select_b = list(
+        select_b if select_b is not None else [c for c in names_b if c != on]
+    )
+    cols_a = [on] + select_a
+    cols_b = [on] + select_b
+    bf_a, buckets_a = _side_plan(table_a, on, cols_a, "A")
+    bf_b, buckets_b = _side_plan(table_b, on, cols_b, "B")
+    if int(bf_a["n"]) != int(bf_b["n"]):
+        raise SpjError(
+            f"bucket counts differ: A={bf_a['n']} B={bf_b['n']} — "
+            "co-location requires identical N"
+        )
+    keys = set(buckets_a) | set(buckets_b)
+    tasks = [
+        (
+            b,
+            json.dumps(buckets_a.get(b, [])),
+            json.dumps(buckets_b.get(b, [])),
+        )
+        for b in sorted(keys)
+    ]
+    spark = table_a.spark
+    if not tasks:
+        return spark.createDataFrame([], schema)
+    task_schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    task_df = spark.createDataFrame(tasks, task_schema).repartition(
+        len(tasks)
+    )
+    out_names = [f.name for f in schema.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                a = _read_side_pdf(json.loads(row.a), cols_a)
+                b = _read_side_pdf(json.loads(row.b), cols_b)
+                j = func(a, b)
+                j = j[out_names]
+                for lo in range(0, len(j), chunk_rows):
+                    yield j.iloc[lo : lo + chunk_rows]
+
+    return task_df.mapInPandas(kernel, schema=schema)

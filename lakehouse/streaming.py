@@ -250,6 +250,42 @@ def replicate_batch(
     return _inner
 
 
+def enrich_with_table_batch(
+    dim_table,
+    sink,
+    *,
+    on: str,
+    how: str = "left",
+    columns: Optional[list] = None,
+    broadcast_dim: bool = True,
+):
+    """foreachBatch combinator for STREAM-STATIC enrichment against a
+    lakehouse table: each micro-batch joins a FRESH snapshot-pinned scan
+    of ``dim_table`` (re-planned per batch — commits to the dimension
+    between batches are visible to the next batch, the semantics Delta
+    documents for stream-static joins; a plain parquet static side
+    pins its file list at stream start and goes stale), then hands the
+    enriched frame to ``sink`` (any foreachBatch callback here, e.g.
+    ``append_batch(dst)`` — idempotency stays the sink's contract).
+
+    ``broadcast_dim=True`` (default) hints the dimension side: the
+    micro-batch never shuffles — the everyday shape (small/medium dim,
+    hot stream). Set False for a corpus-scaled dimension and let AQE
+    choose. ``columns`` prunes the dim scan (key added automatically).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"enrich_with_table_batch: how={how!r}")
+    cols = None if columns is None else list(dict.fromkeys([on] + list(columns)))
+
+    def _inner(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_table.scan(columns=cols)  # fresh plan: sees new commits
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        sink(batch_df.join(dim, on=on, how=how), batch_id)
+
+    return _inner
+
+
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split on vectorized audio validation.
 

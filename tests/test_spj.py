@@ -171,3 +171,51 @@ class TestSpj:
             "uid", "event", "value", "segment", "score"
         )
         assert _sorted_rows(got) == _sorted_rows(want)
+
+
+class TestSpjFullAndCogroup:
+    def test_full_outer_parity(self, spark, tmp_path):
+        # A misses uids 37+, B misses nothing below 45; disjoint tails
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))     # uids 0..36
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark, uids=45))
+        got = storage_partitioned_join(ta, tb, on="uid", how="full")
+        want = ta.scan().join(tb.scan(), on="uid", how="full").select(
+            "uid", "event", "value", "segment", "score"
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+        # B-only uids appear with null A columns
+        assert got.filter("event IS NULL").count() > 0
+
+    def test_cogroup_custom_reconcile(self, spark, tmp_path):
+        """Per-bucket custom logic: count of A rows per uid joined with
+        B's segment, computed inside the cogroup kernel — no shuffle."""
+        from lakehouse.spj import storage_partitioned_cogroup
+
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, _df_a(spark))
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
+        out_schema = T.StructType(
+            [
+                T.StructField("uid", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("segment", T.StringType()),
+            ]
+        )
+
+        def reconcile(a, b):
+            g = a.groupby("uid").size().reset_index(name="n")
+            return g.merge(b[["uid", "segment"]], on="uid", how="left")
+
+        got = storage_partitioned_cogroup(
+            ta, tb, on="uid", func=reconcile, schema=out_schema,
+            select_a=["event"], select_b=["segment"],
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan.replace("join", "")
+        want = (
+            ta.scan()
+            .groupBy("uid")
+            .count()
+            .withColumnRenamed("count", "n")
+            .join(tb.scan().select("uid", "segment"), on="uid", how="left")
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)

@@ -357,3 +357,67 @@ def test_progress_sink_records_micro_batches(spark, tmp_path):
         assert dst.scan().count() == 30
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_enrich_with_table_batch_sees_dim_updates(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch joins a FRESH scan of
+    the dimension table, so a dim commit between batches is visible to
+    the next batch (Delta stream-static semantics; a parquet static
+    side would pin its file list at stream start)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lakehouse.streaming import enrich_with_table_batch
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    dim = Table.create(spark, str(tmp_path / "dim"), dim_schema)
+    dim.append(
+        spark.range(5).select(
+            F.col("id").alias("uid"), F.lit("old").alias("seg")
+        ),
+        target_file_count=1,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    dst = Table.create(spark, str(tmp_path / "dst"), out_schema)
+    cb = enrich_with_table_batch(
+        dim, append_batch(dst), on="uid", columns=["seg"]
+    )
+
+    batch = spark.range(5).select(
+        F.col("id").alias("uid"), (F.col("id") * 2).alias("v")
+    )
+    cb(batch, 0)
+    assert dst.scan().filter("seg = 'old'").count() == 5
+
+    # dim updated between micro-batches: MERGE flips seg for uid >= 3
+    dim.merge(
+        spark.range(3, 5).select(
+            F.col("id").alias("uid"), F.lit("new").alias("seg")
+        ),
+        key="uid",
+    )
+    cb(batch, 1)
+    assert dst.scan().count() == 10
+    assert dst.scan().filter("seg = 'new'").count() == 2
+    # unmatched keys survive a left enrich with null seg
+    cb(
+        spark.range(90, 92).select(
+            F.col("id").alias("uid"), F.lit(0).alias("v")
+        ),
+        2,
+    )
+    assert dst.scan().filter("seg IS NULL").count() == 2
+    # replay idempotency stays the sink's contract
+    cb(batch, 1)
+    assert dst.scan().count() == 12
