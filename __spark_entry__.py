@@ -5527,7 +5527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_spj_join": _q_lh_spj_join,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
-        "lh_sum_pushdown": _q_lh_sum_pushdown,
         "column_quantiles": _q_column_quantiles,
         "lh_rollup_incremental": _q_lh_rollup_incremental,
         "events_attribution": _q_events_attribution,
@@ -5556,7 +5555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
-        "bm25_topk": _q_bm25_topk,
         "asof_join_enrich": _q_asof_join,
         "fk_integrity_audit": _q_fk_integrity,
         # tokenizer family (rows-only, self-verifying)
@@ -5576,6 +5574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_replication": _q_lh_cdc_replication,
         "lh_generated_column": _q_lh_generated_column,
         "lh_merge_serializable": _q_lh_merge_serializable,
+        "lh_sum_pushdown": _q_lh_sum_pushdown,
+        "bm25_topk": _q_bm25_topk,
         "lh_llm_pipeline": _q_lh_llm_pipeline,
         "stream_rollup_parity": _q_stream_rollup_parity,
         "stream_sessionize_parity": _q_stream_sessionize_parity,
