@@ -257,7 +257,7 @@ def enrich_with_table_batch(
     on: str,
     how: str = "left",
     columns: Optional[list] = None,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ):
     """foreachBatch combinator for STREAM-STATIC enrichment against a
     lakehouse table: each micro-batch joins a FRESH snapshot-pinned scan
@@ -268,10 +268,13 @@ def enrich_with_table_batch(
     enriched frame to ``sink`` (any foreachBatch callback here, e.g.
     ``append_batch(dst)`` — idempotency stays the sink's contract).
 
-    ``broadcast_dim=True`` (default) hints the dimension side: the
-    micro-batch never shuffles — the everyday shape (small/medium dim,
-    hot stream). Set False for a corpus-scaled dimension and let AQE
-    choose. ``columns`` prunes the dim scan (key added automatically).
+    ``broadcast_dim`` defaults to False — AQE already broadcasts a
+    small dimension from its statistics, and a forced hint on a
+    corpus-scaled dim is the plan-hygiene anti-pattern this repo bans
+    (tests/test_plans.py). Set True only when you KNOW the dim is
+    bounded and AQE's estimate misses it (e.g. a filtered scan whose
+    stats overstate it). ``columns`` prunes the dim scan (the key is
+    added automatically).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"enrich_with_table_batch: how={how!r}")

@@ -340,7 +340,11 @@ def test_no_broadcast_hints_on_corpus_scaled_frames():
         "dedup.py": {"eval_sh"},          # eval set, bounded input
         "rollup.py": {"keys"},            # CDC-delta group keys of one refresh
         "similarity.py": {"q", "probes"}, # bounded query/probe sets
-        "streaming.py": {"existing"},     # probe-capped key lookup (<= max_probe_keys)
+        "streaming.py": {"existing",      # probe-capped key lookup (<= max_probe_keys)
+                         "dim"},          # enrich_with_table_batch: hint
+                                          # applied ONLY on explicit user
+                                          # opt-in (broadcast_dim=True,
+                                          # default False — AQE decides)
         "textops.py": {"tot", "vocab",    # one-row aggregates (grand
                                           # total; vocabulary SIZE —
                                           # uni.agg(count), not the
