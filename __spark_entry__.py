@@ -3756,6 +3756,84 @@ def _q_lh_spj_join(spark, sf_dir):
     )
 
 
+def _q_lh_spj_cogroup(spark, sf_dir):
+    """Self-verifying: storage_partitioned_cogroup (the generic
+    per-bucket pandas kernel, lakehouse/spj.py) computes per-user event
+    counts joined with the profile segment INSIDE the bucket kernel;
+    the builder asserts exact equality with the plain Spark
+    groupBy+join twin AND that the plan carries no join node. Rows-only
+    under the driver (the custom-kernel op is the point — its SQL twin
+    is the assertion, not the oracle)."""
+    from pyspark.sql import types as T
+
+    from lakehouse import Table
+    from lakehouse.spj import storage_partitioned_cogroup
+
+    ev = _events(spark, sf_dir)
+    spec = [
+        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
+         "n": 8}
+    ]
+    root = tempfile.mkdtemp(prefix="lh_spjcg_")
+    ta = Table.create(
+        spark, os.path.join(root, "ev"),
+        ev.select("event_id", "user_id", "event_type").schema,
+        partition_spec=spec,
+    )
+    ta.append(
+        ev.select("event_id", "user_id", "event_type"),
+        target_file_count=4,
+    )
+    prof = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tb = Table.create(
+        spark, os.path.join(root, "prof"), prof.schema, partition_spec=spec
+    )
+    tb.append(prof, target_file_count=2)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchases", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def kernel(a, b):
+        g = (
+            a[a.event_type == "purchase"]
+            .groupby("user_id")
+            .size()
+            .reset_index(name="purchases")
+        )
+        j = b[["user_id", "n_events"]].merge(g, on="user_id", how="left")
+        j["purchases"] = j["purchases"].fillna(0).astype("int64")
+        return j[["user_id", "purchases", "n_events"]]
+
+    out = storage_partitioned_cogroup(
+        ta, tb, on="user_id", func=kernel, schema=out_schema,
+        select_a=["event_type"], select_b=["n_events"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan.replace("join", ""), "cogroup plan has a join"
+    want = (
+        ta.scan()
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("purchases"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got = {(r.user_id, r.purchases, r.n_events) for r in out.collect()}
+    exp = {(r.user_id, r.purchases, r.n_events) for r in want.collect()}
+    assert got == exp, (
+        f"cogroup != Spark twin: {len(got ^ exp)} differing rows"
+    )
+    return out.orderBy("user_id")
+
+
 LH_SPJ_ORACLE = """
 WITH prof AS (
     SELECT user_id,
@@ -5574,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_replication": _q_lh_cdc_replication,
         "lh_generated_column": _q_lh_generated_column,
         "lh_merge_serializable": _q_lh_merge_serializable,
+        "lh_spj_cogroup": _q_lh_spj_cogroup,
         "lh_sum_pushdown": _q_lh_sum_pushdown,
         "bm25_topk": _q_bm25_topk,
         "lh_llm_pipeline": _q_lh_llm_pipeline,
