@@ -3847,6 +3847,65 @@ FROM events e JOIN prof p ON e.user_id = p.user_id
 """
 
 
+def _q_lh_identity_append(spark, sf_dir):
+    """Identity column (GENERATED BY DEFAULT AS IDENTITY,
+    lakehouse/identity.py): a surrogate key auto-assigned at the append
+    choke — unique, ascending between commits, gaps allowed (Delta's
+    contract), watermark CAS-guarded in the data commit. Raw ids are
+    partitioning-dependent, so the ORACLE-COMPARED output is the
+    deterministic invariant set: row count, distinct-sk count (must
+    equal it), null-sk count (zero), and commit-order monotonicity."""
+    from pyspark.sql import types as T
+
+    from lakehouse import Table
+
+    ev = _events(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("sk", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="lh_ident_")
+    t = Table.create(spark, os.path.join(root, "t"), schema)
+    t.set_identity_column("sk", start=1000)
+    half_a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.lit(None).cast("long").alias("sk"), "event_id", "event_type"
+    )
+    half_b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.lit(None).cast("long").alias("sk"), "event_id", "event_type"
+    )
+    t.append(half_a, target_file_count=3)
+    max_first = t.scan().agg(F.max("sk")).collect()[0][0]
+    t.append(half_b, target_file_count=3)
+    out = t.scan()
+    second_min = (
+        out.filter(F.col("event_id") % 2 == 1)
+        .agg(F.min("sk"))
+        .collect()[0][0]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sk").alias("n_distinct_sk"),
+        F.sum(F.when(F.col("sk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_sk"),
+        F.lit(bool(second_min > max_first)).alias("ascending_commits"),
+        F.lit(bool(max_first >= 1000)).alias("start_respected"),
+    )
+
+
+LH_IDENTITY_ORACLE = """
+SELECT COUNT(*) AS n,
+       COUNT(*) AS n_distinct_sk,
+       CAST(0 AS BIGINT) AS n_null_sk,
+       TRUE AS ascending_commits,
+       TRUE AS start_respected
+FROM events
+"""
+
+
 def _q_lh_count_pushdown(spark, sf_dir):
     """Metadata-only aggregate pushdown (Iceberg/Delta answer
     SELECT COUNT/MIN/MAX from table metadata; the reference's analysts
@@ -5603,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_merge_full_sync": _q_lh_merge_full_sync,
         "lh_spj_join": _q_lh_spj_join,
+        "lh_identity_append": _q_lh_identity_append,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
         "column_quantiles": _q_column_quantiles,
@@ -5629,7 +5689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_retention_policy": _q_lh_retention_policy,
         # dedup family
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash,
         "curate_documents": _q_curate_documents,
         # textops family
         "text_quality": _q_text_quality,
@@ -5652,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_cdc_replication": _q_lh_cdc_replication,
         "lh_generated_column": _q_lh_generated_column,
         "lh_merge_serializable": _q_lh_merge_serializable,
+        "dedup_minhash_lsh": _q_dedup_minhash,
         "lh_spj_cogroup": _q_lh_spj_cogroup,
         "lh_sum_pushdown": _q_lh_sum_pushdown,
         "bm25_topk": _q_bm25_topk,
@@ -6004,6 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "lh_merge_upsert": LH_MERGE_ORACLE,
         "lh_merge_mor": LH_MERGE_ORACLE,
         "lh_merge_full_sync": LH_MERGE_FULL_SYNC_ORACLE,
+        "lh_identity_append": LH_IDENTITY_ORACLE,
         "lh_spj_join": LH_SPJ_ORACLE,
         "lh_changelog_pairs": """
             WITH upd AS (

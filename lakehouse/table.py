@@ -175,6 +175,7 @@ class Table:
         branch: Optional[str] = None,
         set_props: Optional[dict[str, Any]] = None,
         validate: Optional[dict[str, Any]] = None,
+        props_guard: Optional[dict[str, Any]] = None,
     ) -> S.Snapshot:
         """Build snapshot N+1 = parent − removed + added, with manifest
         rewrite: any parent manifest touched by a removal is rewritten
@@ -209,6 +210,21 @@ class Table:
                 # base we actually commit on, so no concurrent commit
                 # can slip between validation and publish
                 self._validate_serializable(base, validate)
+            if props_guard:
+                # optimistic property CAS (identity watermarks): the
+                # guarded keys must still hold the values read at plan
+                # time on the base we actually commit against — a
+                # concurrent mover means our derived state (e.g.
+                # assigned identity ids) is stale, so conflict out
+                # rather than clobber
+                for gk, gv in props_guard.items():
+                    cur = (base.properties or {}).get(gk)
+                    if cur != gv:
+                        raise CommitConflictError(
+                            f"{operation}: guarded property {gk!r} moved "
+                            f"concurrently (expected {gv!r}, found "
+                            f"{cur!r}); re-run the operation"
+                        )
             sid = S.next_snapshot_id(base)
             removed_records = removed_bytes = 0
             refs = dict(base.refs)
@@ -643,6 +659,18 @@ class Table:
         schema_json = (
             new_schema.jsonValue() if new_schema is not None else meta.schema_json
         )
+        # identity columns (lakehouse/identity.py): fill NULLs map-side
+        # from the watermark read HERE; the advanced watermark commits
+        # in the same snapshot below, CAS-guarded against a concurrent
+        # append having moved it (CommitConflictError → re-run)
+        from .identity import advance_watermarks, assign_identity, identity_of
+        from .schema import conform as _conform
+
+        id_specs = identity_of(meta.properties)
+        if id_specs:
+            df = assign_identity(
+                _conform(df, T.StructType.fromJson(schema_json)), id_specs
+            )
         entries = write_data_files(
             self.spark,
             self.root,
@@ -652,9 +680,14 @@ class Table:
             target_file_count=target_file_count,
             files_per_partition=files_per_partition,
         )
+        props_guard = None
+        if id_specs:
+            id_props, props_guard = advance_watermarks(id_specs, entries)
+            set_props = {**(set_props or {}), **id_props}
         return self._commit_files(
             "append", entries, (), new_schema=new_schema,
             summary=extra_summary, branch=branch, set_props=set_props,
+            props_guard=props_guard,
         )
 
     # --- read path ------------------------------------------------------------
@@ -1449,6 +1482,45 @@ class Table:
         if column not in generated_of(self.meta.properties):
             raise ValueError(f"{column!r} has no generation rule")
         self.set_properties(**{GENERATED_PREFIX + column: None})
+
+    def set_identity_column(
+        self, column: str, *, start: int = 1, step: int = 1
+    ) -> None:
+        """GENERATED BY DEFAULT AS IDENTITY (lakehouse/identity.py):
+        appends fill NULLs of ``column`` with unique ascending ids
+        (gaps allowed — Delta's exact contract), supplied values are
+        kept and the watermark auto-advances past them at commit.
+        The initial watermark clears every EXISTING value too (one
+        metadata-only max over manifest stats), so generated ids never
+        collide with history."""
+        from .identity import (
+            identity_of,
+            identity_prop,
+            validate_identity_column,
+        )
+
+        if column in identity_of(self.meta.properties):
+            raise ValueError(f"{column!r} is already an identity column")
+        validate_identity_column(
+            self.schema, self.meta.properties, column, step
+        )
+        high = int(start)
+        if self.current_snapshot_id() is not None:
+            # metadata-first MAX with its own boundary-file fallback, so
+            # stat-less (e.g. adopted) files can't hide a high value
+            from .ops.agg import min_max
+
+            cur_max = min_max(self, [column]).per_column[column][1]
+            if cur_max is not None:
+                high = max(high, int(cur_max) + int(step))
+        self.set_properties(**identity_prop(column, start, step, high))
+
+    def drop_identity_column_rule(self, column: str) -> None:
+        from .identity import IDENTITY_PREFIX, identity_of
+
+        if column not in identity_of(self.meta.properties):
+            raise ValueError(f"{column!r} is not an identity column")
+        self.set_properties(**{IDENTITY_PREFIX + column: None})
 
     def analyze(self, columns, **kw):
         """ANALYZE: persist per-column NDV sketches (KMV top-k job per
