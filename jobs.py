@@ -665,6 +665,25 @@ def cmd_maintain(args):
     )
 
 
+def cmd_set_identity(args):
+    spark = _spark(args)
+    t = _table(spark, args)
+    if args.drop:
+        t.drop_identity_column_rule(args.column)
+        _emit({"op": "set-identity", "column": args.column, "dropped": True})
+        return
+    t.set_identity_column(args.column, start=args.start, step=args.step)
+    from lakehouse.identity import identity_of
+
+    _emit(
+        {
+            "op": "set-identity",
+            "column": args.column,
+            "spec": identity_of(t.meta.properties)[args.column],
+        }
+    )
+
+
 def cmd_add_constraint(args):
     spark = _spark(args)
     t = _table(spark, args)
@@ -1245,6 +1264,13 @@ def main():
     s.add_argument("--gc", action="store_true")
     s.add_argument("--cluster-by", default=None)
     s.add_argument("--expire-keep-last", type=int, default=None)
+    s = sub.add_parser("set-identity")
+    t(s)
+    s.add_argument("column")
+    s.add_argument("--start", type=int, default=1)
+    s.add_argument("--step", type=int, default=1)
+    s.add_argument("--drop", action="store_true",
+                   help="remove the identity rule instead")
     s = sub.add_parser("add-constraint")
     t(s)
     s.add_argument("name")
@@ -1380,6 +1406,7 @@ def main():
         "histogram": cmd_histogram,
         "sum": cmd_sum,
         "maintain": cmd_maintain,
+        "set-identity": cmd_set_identity,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,
         "rollup": cmd_rollup,
