@@ -616,10 +616,19 @@ class Table:
         S.commit(self.root, apply)
         return holder["snap"]
 
-    def rollback(self, snapshot_id: int) -> None:
+    def rollback(
+        self, snapshot_id: Optional[int] = None, *, as_of=None
+    ) -> None:
         """Point main back at an earlier live snapshot (metadata-only —
         the engine-side form of the reference's 'point-in-time recovery
-        via Delta Lake time travel', /root/reference/README.md:176)."""
+        via Delta Lake time travel', /root/reference/README.md:176).
+        ``as_of`` (Delta's RESTORE ... TO TIMESTAMP): restore to the
+        latest snapshot committed at or before the given datetime/date/
+        epoch-millis instead of naming an id."""
+        if (snapshot_id is None) == (as_of is None):
+            raise ValueError("rollback: pass exactly one of snapshot_id / as_of")
+        if as_of is not None:
+            snapshot_id = self.snapshot_as_of(as_of)
 
         def apply(base: S.TableMetadata) -> S.TableMetadata:
             base.snapshot(snapshot_id)  # raises if expired/unknown
@@ -1484,12 +1493,15 @@ class Table:
         self.set_properties(**{GENERATED_PREFIX + column: None})
 
     def set_identity_column(
-        self, column: str, *, start: int = 1, step: int = 1
+        self, column: str, *, start: int = 1, step: int = 1,
+        mode: str = "default",
     ) -> None:
         """GENERATED BY DEFAULT AS IDENTITY (lakehouse/identity.py):
         appends fill NULLs of ``column`` with unique ascending ids
         (gaps allowed — Delta's exact contract), supplied values are
         kept and the watermark auto-advances past them at commit.
+        ``mode="always"`` (GENERATED ALWAYS AS IDENTITY) instead
+        REJECTS supplied values pre-commit, Delta's strict flavor.
         The initial watermark clears every EXISTING value too (one
         metadata-only max over manifest stats), so generated ids never
         collide with history."""
@@ -1513,7 +1525,11 @@ class Table:
             cur_max = min_max(self, [column]).per_column[column][1]
             if cur_max is not None:
                 high = max(high, int(cur_max) + int(step))
-        self.set_properties(**identity_prop(column, start, step, high))
+        if mode not in ("default", "always"):
+            raise ValueError(f"identity mode {mode!r} (default | always)")
+        self.set_properties(
+            **identity_prop(column, start, step, high, mode)
+        )
 
     def drop_identity_column_rule(self, column: str) -> None:
         from .identity import IDENTITY_PREFIX, identity_of
