@@ -207,8 +207,11 @@ def cmd_merge_demo(args):
     kw = {}
     if args.full_sync:
         kw["not_matched_by_source"] = "delete"
-        if args.sync_condition:
-            kw["not_matched_by_source_condition"] = args.sync_condition
+    if args.sync_condition:
+        # forwarded unconditionally: --sync-condition without
+        # --full-sync must raise (the engine rejects a condition with
+        # no clause), never silently run a plain upsert
+        kw["not_matched_by_source_condition"] = args.sync_condition
     t0 = time.time()
     res = t.merge(src, key="clip_id", mode=args.mode, **kw)
     _emit(

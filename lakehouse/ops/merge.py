@@ -494,6 +494,11 @@ def _normalize_nms(schema, nms, cond):
     if cond is None:
         return nms, None, None
     if isinstance(cond, str):
+        if not cond.strip():
+            # an empty string is falsy downstream and would silently
+            # become an UNCONDITIONAL full-sync delete — the templating
+            # bug that loses a table
+            raise MergeError("empty not_matched_by_source_condition")
         return nms, cond, None
     from ..expressions import normalize_filter, to_sql
 
@@ -504,9 +509,15 @@ def _normalize_nms(schema, nms, cond):
     return nms, sql, preds
 
 
-def _nms_file_sets(table, meta, nms, cond_sql, cond_preds, touched):
+def _nms_file_sets(meta, nms, cond_sql, cond_preds, touched, live_all):
     """Split the NMS clause's candidate files into metadata-only drops
     and rewrites, from manifest stats alone (zero data IO).
+
+    Candidates come from ``live_all`` — the SAME entry list the key
+    probe planned against (no second manifest sweep, no snapshot-
+    consistency window between two plans); the tuple-language condition
+    prunes it driver-side with the planner's own any-row tests
+    (matches_partition + matches_stats).
 
     A file whose every row satisfies the condition can be DROPPED
     outright under ``nms == "delete"``: its unmatched rows are deleted
@@ -518,9 +529,19 @@ def _nms_file_sets(table, meta, nms, cond_sql, cond_preds, touched):
     update-set form never drops (unmatched rows survive, mutated)."""
     if nms is None:
         return [], []
-    cands = table.plan(filter=cond_preds).files if cond_preds else (
-        table.plan().files
-    )
+    if cond_preds:
+        from ..expressions import matches_partition, matches_stats
+        from ..fieldids import stats_lookup as _sl
+
+        st_of = _sl(meta.schemas, meta.current_schema_id)
+        cands = [
+            e
+            for e in live_all
+            if all(matches_partition(p, e.partition or {}) for p in cond_preds)
+            and all(matches_stats(p, st_of(e, p.col)) for p in cond_preds)
+        ]
+    else:
+        cands = list(live_all)
     drops, rewrites = [], []
     if nms == "delete":
         from ..fieldids import stats_lookup
@@ -585,6 +606,15 @@ def merge_into(
         )
 
     src = conform_merge_source(schema, source, op_col)
+    # identity columns: fill NULL ids of genuinely-new source rows
+    # (carried ids — the upsert shape — pass through; the watermark
+    # advance + CAS guard land with the commit below, same contract as
+    # Table.append)
+    from ..identity import advance_watermarks, assign_identity, identity_of
+
+    id_specs = identity_of(meta.properties)
+    if id_specs:
+        src = assign_identity(src, id_specs, allow_supplied=True)
     # the source plan is reused by the stats pass, the join build, and
     # (broadcast path) the insert anti-join — persist it so an arbitrary
     # user plan (e.g. a filtered table scan) executes once, not 3×
@@ -638,6 +668,7 @@ def merge_into(
 
     # --- file-level pruning: which target files can contain source keys? -----
     live = table.plan().files
+    live_all = live  # pre-pruning list, shared with the NMS clause
     if int(stats.src_rows or 0) == 0:
         touched = []
     else:
@@ -651,7 +682,7 @@ def merge_into(
 
     # --- WHEN NOT MATCHED BY SOURCE: extra drops + rewrites ------------------
     nms_drops, nms_rewrites = _nms_file_sets(
-        table, meta, nms, nms_cond_sql, nms_cond_preds, touched
+        meta, nms, nms_cond_sql, nms_cond_preds, touched, live_all
     )
     if nms_drops:
         # fully-condition-matching files vanish metadata-only; a key-
@@ -733,14 +764,25 @@ def merge_into(
     # NMS clause over the kept (by construction unmatched) rows: delete
     # filters them out where the condition holds; the update-set form
     # mutates them in place — one extra codegen'd projection, no join.
+    # SQL three-valued logic: the clause fires only where the condition
+    # is TRUE — a NULL condition must KEEP (delete) / skip (update) the
+    # row, exactly like WHERE; hence the coalesce(cond, false), and the
+    # same rule the metadata-drop dual already enforces via
+    # _always_matches_stats' nulls==0 requirement.
     if nms == "delete":
         kept_target = (
-            kept_target.filter(~F.expr(nms_cond_sql))
+            kept_target.filter(
+                ~F.coalesce(F.expr(nms_cond_sql), F.lit(False))
+            )
             if nms_cond_sql
             else kept_target.filter(F.lit(False))
         )
     elif isinstance(nms, dict):
-        cond_c = F.expr(nms_cond_sql) if nms_cond_sql else F.lit(True)
+        cond_c = (
+            F.coalesce(F.expr(nms_cond_sql), F.lit(False))
+            if nms_cond_sql
+            else F.lit(True)
+        )
         kept_target = kept_target.select(
             *[
                 F.when(cond_c, F.expr(nms[c]).cast(schema[c].dataType))
@@ -766,6 +808,10 @@ def merge_into(
     )
     rows_written = sum(e.record_count for e in entries)
     removed = touched + [e.file_path for e in nms_drops]
+    props_guard = None
+    if id_specs:
+        id_props, props_guard = advance_watermarks(id_specs, entries)
+        set_props = {**(set_props or {}), **id_props}
     snap = table._commit_files(
         "merge",
         entries,
@@ -783,6 +829,7 @@ def merge_into(
         },
         set_props=set_props,
         validate=validate,
+        props_guard=props_guard,
     )
     log.finish_task(
         "merge",

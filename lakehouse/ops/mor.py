@@ -325,9 +325,14 @@ def merge_into_mor(
         )
     spark = table.spark
     meta = table.meta
-    src = conform_merge_source(schema, source, op_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from ..identity import advance_watermarks, assign_identity, identity_of
+
+    id_specs = identity_of(meta.properties)
+    src = conform_merge_source(schema, source, op_col)
+    if id_specs:
+        # fill NULL ids of new rows; carried ids (upserts) pass through
+        src = assign_identity(src, id_specs, allow_supplied=True)
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = src.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -411,7 +416,21 @@ def merge_into_mor(
             from pyspark import StorageLevel
 
             dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
-            nms_keys_deleted = dead.count()
+            counts = dead.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key).alias("nonnull"),
+            ).collect()[0]
+            nms_keys_deleted = int(counts.n or 0)
+            if nms_keys_deleted > int(counts.nonnull or 0):
+                # an equality delete can never retire a NULL-key row
+                # (delete application is a join, NULL matches nothing) —
+                # silently writing these keys would break COW/MoR parity
+                raise MergeError(
+                    f"not_matched_by_source: "
+                    f"{nms_keys_deleted - int(counts.nonnull or 0)} "
+                    f"unmatched row(s) have a NULL {key!r}; an equality "
+                    "delete cannot target them — use mode='cow'"
+                )
             if nms_keys_deleted:
                 del_entries = del_entries + _write_eq_delete_file(
                     table,
@@ -422,6 +441,12 @@ def merge_into_mor(
                 )
             dead.unpersist()
         rows_written = sum(e.record_count for e in data_entries)
+        props_guard = None
+        if id_specs:
+            id_props, props_guard = advance_watermarks(
+                id_specs, data_entries
+            )
+            set_props = {**(set_props or {}), **id_props}
         snap = table._commit_files(
             "merge",
             del_entries + data_entries,
@@ -443,6 +468,7 @@ def merge_into_mor(
             },
             set_props=set_props,
             branch=branch,
+            props_guard=props_guard,
             validate=(
                 None
                 if n_rows == 0

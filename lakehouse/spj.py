@@ -137,6 +137,63 @@ def _read_side_pdf(filespecs, columns):
     return pd.concat(parts, ignore_index=True)
 
 
+def _validate_and_plan(table_a, table_b, on, select_a, select_b):
+    """Shared front half of join + cogroup: resolve/validate the column
+    selections, plan both sides, check bucket-spec compatibility.
+    Returns (select_a, select_b, cols_a, cols_b, buckets_a, buckets_b).
+    """
+    sa, sb = table_a.schema, table_b.schema
+    names_a = [f.name for f in sa.fields]
+    names_b = [f.name for f in sb.fields]
+    if on not in names_a or on not in names_b:
+        raise SpjError(f"join key {on!r} missing from a side")
+    select_a = list(
+        select_a if select_a is not None else [c for c in names_a if c != on]
+    )
+    select_b = list(
+        select_b if select_b is not None else [c for c in names_b if c != on]
+    )
+    for c in select_a:
+        if c not in names_a:
+            raise SpjError(f"select_a column {c!r} not in table A")
+    for c in select_b:
+        if c not in names_b:
+            raise SpjError(f"select_b column {c!r} not in table B")
+    cols_a = [on] + select_a
+    cols_b = [on] + select_b
+    bf_a, buckets_a = _side_plan(table_a, on, cols_a, "A")
+    bf_b, buckets_b = _side_plan(table_b, on, cols_b, "B")
+    if int(bf_a["n"]) != int(bf_b["n"]):
+        raise SpjError(
+            f"bucket counts differ: A={bf_a['n']} B={bf_b['n']} — "
+            "co-location requires identical N"
+        )
+    return select_a, select_b, cols_a, cols_b, buckets_a, buckets_b
+
+
+_TASK_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+    ]
+)
+
+
+def _task_df(spark, buckets_a, buckets_b, keys):
+    tasks = [
+        (
+            b,
+            json.dumps(buckets_a.get(b, [])),
+            json.dumps(buckets_b.get(b, [])),
+        )
+        for b in sorted(keys)
+    ]
+    if not tasks:
+        return None
+    return spark.createDataFrame(tasks, _TASK_SCHEMA).repartition(len(tasks))
+
+
 def storage_partitioned_join(
     table_a,
     table_b,
@@ -155,24 +212,10 @@ def storage_partitioned_join(
     "full" (both directions)."""
     if how not in ("inner", "left", "full"):
         raise SpjError(f"unsupported how={how!r} (inner | left | full)")
-    sa = table_a.schema
-    sb = table_b.schema
-    names_a = [f.name for f in sa.fields]
-    names_b = [f.name for f in sb.fields]
-    if on not in names_a or on not in names_b:
-        raise SpjError(f"join key {on!r} missing from a side")
-    select_a = list(
-        select_a if select_a is not None else [c for c in names_a if c != on]
+    sa, sb = table_a.schema, table_b.schema
+    select_a, select_b, cols_a, cols_b, buckets_a, buckets_b = (
+        _validate_and_plan(table_a, table_b, on, select_a, select_b)
     )
-    select_b = list(
-        select_b if select_b is not None else [c for c in names_b if c != on]
-    )
-    for c in select_a:
-        if c not in names_a:
-            raise SpjError(f"select_a column {c!r} not in table A")
-    for c in select_b:
-        if c not in names_b:
-            raise SpjError(f"select_b column {c!r} not in table B")
     overlap = (set(select_a) & set(select_b)) | ({on} & set(select_a)) | (
         {on} & set(select_b)
     )
@@ -181,30 +224,12 @@ def storage_partitioned_join(
             f"output columns must be disjoint; rename or drop {sorted(overlap)}"
         )
 
-    cols_a = [on] + select_a
-    cols_b = [on] + select_b
-    bf_a, buckets_a = _side_plan(table_a, on, cols_a, "A")
-    bf_b, buckets_b = _side_plan(table_b, on, cols_b, "B")
-    if int(bf_a["n"]) != int(bf_b["n"]):
-        raise SpjError(
-            f"bucket counts differ: A={bf_a['n']} B={bf_b['n']} — "
-            "co-location requires identical N"
-        )
-
     if how == "inner":
         keys = set(buckets_a) & set(buckets_b)
     elif how == "left":
         keys = set(buckets_a)
     else:  # full
         keys = set(buckets_a) | set(buckets_b)
-    tasks = [
-        (
-            b,
-            json.dumps(buckets_a.get(b, [])),
-            json.dumps(buckets_b.get(b, [])),
-        )
-        for b in sorted(keys)
-    ]
 
     spark = table_a.spark
     a_nullable = how == "full"  # A columns can be null-injected too
@@ -222,19 +247,9 @@ def storage_partitioned_join(
         ]
     )
     out_schema = T.StructType(out_fields)
-    if not tasks:
+    task_df = _task_df(spark, buckets_a, buckets_b, keys)
+    if task_df is None:
         return spark.createDataFrame([], out_schema)
-
-    task_schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("a", T.StringType()),
-            T.StructField("b", T.StringType()),
-        ]
-    )
-    task_df = spark.createDataFrame(tasks, task_schema).repartition(
-        len(tasks)
-    )
 
     how_pd = {"inner": "inner", "left": "left", "full": "outer"}[how]
     out_cols = [on] + select_a + select_b
@@ -291,48 +306,15 @@ def storage_partitioned_cogroup(
     sides — including keys present on only one side) and must return a
     pandas frame conforming to ``schema``. Same planning, validation,
     and sizing contract as ``storage_partitioned_join``."""
-    sa, sb = table_a.schema, table_b.schema
-    names_a = [f.name for f in sa.fields]
-    names_b = [f.name for f in sb.fields]
-    if on not in names_a or on not in names_b:
-        raise SpjError(f"join key {on!r} missing from a side")
-    select_a = list(
-        select_a if select_a is not None else [c for c in names_a if c != on]
+    select_a, select_b, cols_a, cols_b, buckets_a, buckets_b = (
+        _validate_and_plan(table_a, table_b, on, select_a, select_b)
     )
-    select_b = list(
-        select_b if select_b is not None else [c for c in names_b if c != on]
-    )
-    cols_a = [on] + select_a
-    cols_b = [on] + select_b
-    bf_a, buckets_a = _side_plan(table_a, on, cols_a, "A")
-    bf_b, buckets_b = _side_plan(table_b, on, cols_b, "B")
-    if int(bf_a["n"]) != int(bf_b["n"]):
-        raise SpjError(
-            f"bucket counts differ: A={bf_a['n']} B={bf_b['n']} — "
-            "co-location requires identical N"
-        )
-    keys = set(buckets_a) | set(buckets_b)
-    tasks = [
-        (
-            b,
-            json.dumps(buckets_a.get(b, [])),
-            json.dumps(buckets_b.get(b, [])),
-        )
-        for b in sorted(keys)
-    ]
     spark = table_a.spark
-    if not tasks:
+    task_df = _task_df(
+        spark, buckets_a, buckets_b, set(buckets_a) | set(buckets_b)
+    )
+    if task_df is None:
         return spark.createDataFrame([], schema)
-    task_schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("a", T.StringType()),
-            T.StructField("b", T.StringType()),
-        ]
-    )
-    task_df = spark.createDataFrame(tasks, task_schema).repartition(
-        len(tasks)
-    )
     out_names = [f.name for f in schema.fields]
 
     def kernel(batches):

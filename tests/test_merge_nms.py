@@ -273,3 +273,72 @@ class TestMorNms:
             key=lambda r: r[0],
         )
         assert a == b
+
+
+class TestNmsReviewFindings:
+    """Regression tests from the session-6 code review."""
+
+    def test_null_condition_rows_survive_cow_delete(self, spark, tmp_path):
+        """SQL three-valued logic: the clause fires only where the
+        condition is TRUE — unmatched rows whose condition column is
+        NULL must survive (previously ~cond deleted them)."""
+        t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+        pdf = synth_clips_pdf(range(20), seed=42, n_days=2)
+        df = spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+        ids = sorted(pdf.clip_id)
+        df = df.withColumn(
+            "sr_hz",
+            F.when(F.col("clip_id").isin(ids[:5]), F.lit(None).cast("int"))
+            .otherwise(F.col("sr_hz")),
+        )
+        t.append(df, target_file_count=1)
+        src = _src_slice(t, ids[15:])
+        t.merge(
+            src,
+            key="clip_id",
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="sr_hz > 0",  # NULL for ids[:5]
+        )
+        out = t.scan()
+        # NULL-sr rows kept, condition-true unmatched rows deleted,
+        # matched rows replaced
+        assert out.filter("sr_hz IS NULL").count() == 5
+        assert out.count() == 10  # 5 NULL + 5 matched
+
+    def test_empty_string_condition_refused(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path / "t", n=10, files=1)
+        src = _src_slice(t, _ids(t)[:3])
+        with pytest.raises(MergeError, match="empty"):
+            t.merge(
+                src,
+                key="clip_id",
+                not_matched_by_source="delete",
+                not_matched_by_source_condition="   ",
+            )
+
+    def test_mor_null_key_rows_refused(self, spark, tmp_path):
+        """Equality deletes can't retire NULL-key rows — the MoR NMS
+        path must refuse instead of silently diverging from COW."""
+        t = Table.create(spark, str(tmp_path / "t"), CLIPS_SCHEMA)
+        pdf = synth_clips_pdf(range(10), seed=42, n_days=2)
+        df = spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+        ids = sorted(pdf.clip_id)
+        df = df.withColumn(
+            "clip_id",
+            F.when(F.col("clip_id") == ids[0], F.lit(None)).otherwise(
+                F.col("clip_id")
+            ),
+        )
+        t.append(df, target_file_count=1)
+        src = (
+            t.scan()
+            .filter(F.col("clip_id").isin(ids[1:4]))
+            .withColumn("codec", F.lit("upd"))
+        )
+        with pytest.raises(MergeError, match="NULL"):
+            t.merge(
+                src,
+                key="clip_id",
+                mode="mor",
+                not_matched_by_source="delete",
+            )
