@@ -101,17 +101,22 @@ def ab_test_report(
         pooled * (1 - pooled) * (1 / F.col("users") + 1 / F.col("__n0"))
     )
     is_ctrl = F.col("variant") == "v0"
+    # stable_round (not F.round): the rounded stats feed a cross-engine
+    # value-hash; plain round(double) diverges from DuckDB at repr ties
+    # (the round-3 driver red) — see lakehouse/stablemath.py
+    from .stablemath import stable_round
+
     return j.select(
         "variant",
         "users",
         "converters",
-        F.round(p, 4).alias("conv_rate"),
+        stable_round(p, 4, precision=10).alias("conv_rate"),
         "conv_value",
-        F.when(is_ctrl, F.lit(None)).otherwise(F.round(p - p0, 4)).alias(
-            "lift"
-        ),
+        F.when(is_ctrl, F.lit(None))
+        .otherwise(stable_round(p - p0, 4, precision=10))
+        .alias("lift"),
         F.when(is_ctrl | (se == 0), F.lit(None))
-        .otherwise(F.round((p - p0) / se, 4))
+        .otherwise(stable_round((p - p0) / se, 4, precision=10))
         .alias("z_score"),
     ).orderBy("variant")
 
@@ -126,7 +131,11 @@ def ab_test_oracle_sql(
     type_col: str = "event_type",
     value_col: str = "value",
 ) -> str:
-    """DuckDB twin: identical hash ranges, integer counts and rounding."""
+    """DuckDB twin: identical hash ranges, integer counts, and the
+    stable (floor-based) rounding so the decimal stats hash-match
+    bit-for-bit — see lakehouse/stablemath.py."""
+    from .stablemath import stable_round_sql
+
     q = lambda s: str(s).replace("'", "''")
     h = _hash_sql(seed, "u")
     case = f"'v{variants - 1}'"
@@ -135,6 +144,13 @@ def ab_test_oracle_sql(
             f"CASE WHEN {h} < '{_threshold_hex(i / variants)}' "
             f"THEN 'v{i - 1}' ELSE {case} END"
         )
+    p = "converters * 1.0 / users"
+    p0 = "c0 * 1.0 / n0"
+    pooled = "((converters + c0) * 1.0 / (users + n0))"
+    se = (
+        f"sqrt({pooled} * (1 - {pooled}) * (1.0 / users + 1.0 / n0))"
+    )
+    r = lambda e: stable_round_sql(e, 4, precision=10)
     return f"""
         WITH pu AS (
           SELECT {user_col} AS u,
@@ -155,20 +171,11 @@ def ab_test_oracle_sql(
           WHERE variant = 'v0'
         )
         SELECT variant, users, converters,
-               round(converters * 1.0 / users, 4) AS conv_rate,
+               {r(p)} AS conv_rate,
                conv_value,
                CASE WHEN variant = 'v0' THEN NULL
-                    ELSE round(converters * 1.0 / users
-                               - c0 * 1.0 / n0, 4) END AS lift,
-               CASE WHEN variant = 'v0' OR sqrt(
-                        ((converters + c0) * 1.0 / (users + n0))
-                        * (1 - (converters + c0) * 1.0 / (users + n0))
-                        * (1.0 / users + 1.0 / n0)) = 0 THEN NULL
-                    ELSE round((converters * 1.0 / users
-                                - c0 * 1.0 / n0)
-                               / sqrt(
-                        ((converters + c0) * 1.0 / (users + n0))
-                        * (1 - (converters + c0) * 1.0 / (users + n0))
-                        * (1.0 / users + 1.0 / n0)), 4) END AS z_score
+                    ELSE {r(f"{p} - {p0}")} END AS lift,
+               CASE WHEN variant = 'v0' OR {se} = 0 THEN NULL
+                    ELSE {r(f"({p} - {p0}) / {se}")} END AS z_score
         FROM arms CROSS JOIN ctrl ORDER BY variant
     """

@@ -606,15 +606,31 @@ def merge_into(
         )
 
     src = conform_merge_source(schema, source, op_col)
-    # identity columns: fill NULL ids of genuinely-new source rows
-    # (carried ids — the upsert shape — pass through; the watermark
-    # advance + CAS guard land with the commit below, same contract as
-    # Table.append)
-    from ..identity import advance_watermarks, assign_identity, identity_of
+    # identity columns: fill NULL ids of genuinely-new NON-DELETE source
+    # rows (carried ids — the upsert shape — pass through; DELETE-op
+    # rows never get a generated id, so a NULL identity merge key fails
+    # validation instead of becoming a no-op delete of a fresh key; the
+    # watermark advance + CAS guard land with the commit below, same
+    # contract as Table.append). GENERATED ALWAYS: explicit ids on
+    # insert-shaped rows are rejected before any write.
+    from ..identity import (
+        advance_watermarks,
+        assign_identity,
+        identity_of,
+        validate_merge_supplied_ids,
+    )
 
     id_specs = identity_of(meta.properties)
     if id_specs:
-        src = assign_identity(src, id_specs, allow_supplied=True)
+        validate_merge_supplied_ids(table, src, id_specs, key)
+        src = assign_identity(
+            src,
+            id_specs,
+            allow_supplied=True,
+            generate_where=(
+                (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
+            ),
+        )
     # the source plan is reused by the stats pass, the join build, and
     # (broadcast path) the insert anti-join — persist it so an arbitrary
     # user plan (e.g. a filtered table scan) executes once, not 3×

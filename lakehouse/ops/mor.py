@@ -325,13 +325,33 @@ def merge_into_mor(
         )
     spark = table.spark
     meta = table.meta
-    from ..identity import advance_watermarks, assign_identity, identity_of
+    from ..identity import (
+        advance_watermarks,
+        assign_identity,
+        identity_of,
+        validate_merge_supplied_ids,
+    )
 
     id_specs = identity_of(meta.properties)
     src = conform_merge_source(schema, source, op_col)
     if id_specs:
-        # fill NULL ids of new rows; carried ids (upserts) pass through
-        src = assign_identity(src, id_specs, allow_supplied=True)
+        # fill NULL ids of new NON-DELETE rows; carried ids (upserts)
+        # pass through. DELETE-op rows keep a NULL id so a NULL identity
+        # merge key trips the NULL-key MergeError below instead of
+        # silently no-op-deleting a freshly generated key. ALWAYS mode:
+        # explicit ids on insert-shaped rows rejected pre-write (reads
+        # the txn branch head when one is staged).
+        validate_merge_supplied_ids(
+            table, src, id_specs, key, branch=branch
+        )
+        src = assign_identity(
+            src,
+            id_specs,
+            allow_supplied=True,
+            generate_where=(
+                (F.col("__op").isNull()) | (F.col("__op") != DELETE_OP)
+            ),
+        )
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = src.agg(
@@ -404,8 +424,22 @@ def merge_into_mor(
             # unmatched target keys: one manifest-pruned scan, column-
             # pruned by Catalyst to key + condition columns (pending
             # deletes applied by scan, so dead keys aren't re-deleted),
-            # then a keys-only left-anti against the source key set
-            tgt = table.scan(filter=nms_cond_preds)
+            # then a keys-only left-anti against the source key set.
+            # Under a transaction (branch staging) the candidate set
+            # MUST come from the branch head — read-your-writes: rows
+            # staged earlier in the txn are full-sync candidates too,
+            # and rows the txn already deleted must not re-surface. The
+            # branch ref only exists after the txn's first staged
+            # commit; before that its parent IS the main head.
+            from ..errors import RefError
+
+            if branch is not None:
+                try:
+                    tgt = table.scan(ref=branch, filter=nms_cond_preds)
+                except RefError:
+                    tgt = table.scan(filter=nms_cond_preds)
+            else:
+                tgt = table.scan(filter=nms_cond_preds)
             if nms_cond_sql:
                 tgt = tgt.filter(F.expr(nms_cond_sql))
             dead = tgt.select(F.col(key))

@@ -180,15 +180,31 @@ _TASK_SCHEMA = T.StructType(
 )
 
 
-def _task_df(spark, buckets_a, buckets_b, keys):
-    tasks = [
-        (
-            b,
-            json.dumps(buckets_a.get(b, [])),
-            json.dumps(buckets_b.get(b, [])),
-        )
-        for b in sorted(keys)
-    ]
+# Driver-memory bound on the task frame: the planner JSON-serializes
+# every file spec (path + physical-name map + fills) on the driver
+# before shipping it; at millions of files that listing would no longer
+# be "bounded driver planning". ~200 B/spec → 256 MB ≈ 1.3M files,
+# far past the ~0.5-1 GB-bucket sizing contract, but a hard error beats
+# a silent driver OOM. Raise the cap explicitly for bigger plans, or
+# compact/cluster first to cut the file count.
+DEFAULT_MAX_PLAN_BYTES = 256 * 1024 * 1024
+
+
+def _task_df(spark, buckets_a, buckets_b, keys, max_plan_bytes):
+    tasks = []
+    total = 0
+    for b in sorted(keys):
+        a = json.dumps(buckets_a.get(b, []))
+        bb = json.dumps(buckets_b.get(b, []))
+        total += len(a) + len(bb)
+        if total > max_plan_bytes:
+            raise SpjError(
+                f"SPJ task frame exceeds max_plan_bytes="
+                f"{max_plan_bytes} (file listing too large to plan on "
+                "the driver); compact/cluster the tables to reduce "
+                "file count, or raise max_plan_bytes explicitly"
+            )
+        tasks.append((b, a, bb))
     if not tasks:
         return None
     return spark.createDataFrame(tasks, _TASK_SCHEMA).repartition(len(tasks))
@@ -203,13 +219,16 @@ def storage_partitioned_join(
     select_b: Optional[Sequence[str]] = None,
     how: str = "inner",
     chunk_rows: int = 1 << 16,
+    max_plan_bytes: int = DEFAULT_MAX_PLAN_BYTES,
 ) -> DataFrame:
     """Bucket-aligned equi-join of two lakehouse tables on ``on``;
     returns ``on`` + ``select_a`` + ``select_b`` columns (defaults:
     every non-key column of the respective table; names must be
     disjoint across sides). ``how``: "inner", "left" (every A row
     survives; B columns null where the bucket or key is absent) or
-    "full" (both directions)."""
+    "full" (both directions). NULL join keys follow SQL equi-join
+    semantics: NULL matches nothing — inner drops such rows, left/full
+    emit them unmatched with the other side null-filled."""
     if how not in ("inner", "left", "full"):
         raise SpjError(f"unsupported how={how!r} (inner | left | full)")
     sa, sb = table_a.schema, table_b.schema
@@ -247,7 +266,7 @@ def storage_partitioned_join(
         ]
     )
     out_schema = T.StructType(out_fields)
-    task_df = _task_df(spark, buckets_a, buckets_b, keys)
+    task_df = _task_df(spark, buckets_a, buckets_b, keys, max_plan_bytes)
     if task_df is None:
         return spark.createDataFrame([], out_schema)
 
@@ -268,11 +287,38 @@ def storage_partitioned_join(
             nullable_dtype[f.name] = d
 
     def kernel(batches):
+        import pandas as pd
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 a = _read_side_pdf(json.loads(row.a), cols_a)
                 b = _read_side_pdf(json.loads(row.b), cols_b)
-                j = a.merge(b, on=on, how=how_pd)[out_cols]
+                # SQL equi-join three-valued logic: a NULL key matches
+                # NOTHING — pandas merge would pair NaN==NaN / None==
+                # None (and null keys DO co-locate, pmod(xxhash64(NULL))
+                # is a constant bucket), so join only the non-null-key
+                # rows and re-emit the outer side's null-key rows as
+                # unmatched with the other side null-filled.
+                a_null_mask = a[on].isna()
+                b_null_mask = b[on].isna()
+                parts = [
+                    a[~a_null_mask].merge(
+                        b[~b_null_mask], on=on, how=how_pd
+                    )
+                ]
+                if how in ("left", "full") and a_null_mask.any():
+                    parts.append(
+                        a[a_null_mask].reindex(columns=out_cols)
+                    )
+                if how == "full" and b_null_mask.any():
+                    parts.append(
+                        b[b_null_mask].reindex(columns=out_cols)
+                    )
+                j = (
+                    pd.concat(parts, ignore_index=True)
+                    if len(parts) > 1
+                    else parts[0]
+                )[out_cols]
                 for c, d in nullable_dtype.items():
                     if str(j[c].dtype) != d:
                         j[c] = j[c].astype(d)
@@ -292,6 +338,7 @@ def storage_partitioned_cogroup(
     select_a: Optional[Sequence[str]] = None,
     select_b: Optional[Sequence[str]] = None,
     chunk_rows: int = 1 << 16,
+    max_plan_bytes: int = DEFAULT_MAX_PLAN_BYTES,
 ) -> DataFrame:
     """The generic form of the storage-partitioned join: run
     ``func(a_pdf, b_pdf) -> pdf`` once per co-located bucket of two
@@ -311,7 +358,11 @@ def storage_partitioned_cogroup(
     )
     spark = table_a.spark
     task_df = _task_df(
-        spark, buckets_a, buckets_b, set(buckets_a) | set(buckets_b)
+        spark,
+        buckets_a,
+        buckets_b,
+        set(buckets_a) | set(buckets_b),
+        max_plan_bytes,
     )
     if task_df is None:
         return spark.createDataFrame([], schema)

@@ -55,15 +55,15 @@ def test_ab_report_matches_pure_python(spark, events):
         c = sum(1 for u in users if u % 3 == 0)
         r = got[v]
         assert (r.users, r.converters) == (n, c), v
-        assert r.conv_rate == pytest.approx(round(c / n, 4), abs=1e-9)
+        assert float(r.conv_rate) == pytest.approx(round(c / n, 4), abs=1e-9)
         assert r.conv_value == pytest.approx(10.0 * c, abs=1e-9)
         if v == "v0":
             assert r.lift is None and r.z_score is None
         else:
-            assert r.lift == pytest.approx(round(c / n - c0 / n0, 4))
+            assert float(r.lift) == pytest.approx(round(c / n - c0 / n0, 4), abs=1e-9)
             p = (c + c0) / (n + n0)
             se = math.sqrt(p * (1 - p) * (1 / n + 1 / n0))
-            assert r.z_score == pytest.approx(
+            assert float(r.z_score) == pytest.approx(
                 round((c / n - c0 / n0) / se, 4), abs=1e-9
             )
 
