@@ -2938,7 +2938,10 @@ def _q_audio_qc_detection(spark, sf_dir):
     assert wrong == 0, f"{wrong} clips mis-flagged"
     n = feats.count()
     assert n == 154, n
-    return feats.drop("i")
+    # returned surface = the flag decisions, which the oracle re-derives
+    # in pure SQL from the planted-defect rule (clip ids are a closed
+    # formula of the index); the raw feature values stay asserted above
+    return feats.select("clip_id", "flag_clipping", "flag_dc")
 
 
 def _q_audio_mfcc_invariance(spark, sf_dir):
@@ -5914,6 +5917,67 @@ def _sampling_oracles() -> tuple[str, str, str, str]:
     )
 
 
+# Golden for bpe_train: py_bpe_train (pure-Python reference trainer)
+# over Counter(w for docs[doc_id%5==0].text.lower().split()) at sf0.01
+# — regenerate with:
+#   python -c "import duckdb; from collections import Counter;
+#   from lakehouse.bpe import py_bpe_train;
+#   wf=Counter(w for (t,) in duckdb.sql(\"SELECT text FROM
+#   '/root/testdata/sf0.01/documents.parquet' WHERE doc_id%5=0\")
+#   .fetchall() for w in t.lower().split() if w);
+#   print(py_bpe_train(dict(wf), num_merges=24, min_freq=2))"
+_BPE_TRAIN_GOLDEN = [
+    (0, "e", "r", 908), (1, "e", "</w>", 875), (2, "o", "w", 582),
+    (3, "ow", "</w>", 582), (4, "er", "</w>", 563), (5, "s", "t", 551),
+    (6, "o", "r", 518), (7, "n", "</w>", 515), (8, "l", "u", 380),
+    (9, "h", "</w>", 375), (10, "t", "</w>", 370), (11, "g", "</w>", 366),
+    (12, "a", "r", 360), (13, "p", "ar", 360), (14, "a", "t", 354),
+    (15, "a", "</w>", 347), (16, "y", "</w>", 330), (17, "i", "n", 329),
+    (18, "c", "u", 212), (19, "cu", "st", 212), (20, "cust", "o", 212),
+    (21, "custo", "m", 212), (22, "custom", "er</w>", 212),
+    (23, "r", "ow</w>", 207),
+]
+_BPE_TRAIN_GOLDEN_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({r}, '{l}', '{rr}', {f})" for r, l, rr, f in _BPE_TRAIN_GOLDEN
+    )
+    + ') AS t("rank", "left", "right", pair_freq)'
+)
+
+# Golden for lh_webdataset_export: post-churn shard manifest (zeroed
+# tar metadata ⇒ shard bytes are a pure function of content; the query
+# itself asserts re-export byte-identity and byte-exact round-trips).
+_WDS_EXPORT_GOLDEN = [
+    ("shard-000000.tar", 32, 2283520,
+     "ea84f5b40b3b31831aa1e9ad24bf0bd799775e3c0bf24dad7dfe14e8b50f559c",
+     "clip-000000000009", "hot-000000000921"),
+    ("shard-000001.tar", 53, 3461120,
+     "7898d6918a843d2f3f0652565e856ff3da750379805bf6d89dc1b64ada4a5cfe",
+     "clip-000000000005", "hot-000000000902"),
+    ("shard-000002.tar", 59, 4433920,
+     "7846a8ab47e4dd8008cf86f1478252c893bfe6476f650cca8d06f2544ddc6592",
+     "clip-000000000015", "hot-000000000920"),
+    ("shard-000003.tar", 46, 3717120,
+     "a7b68a66a9ea50fbeb78a76dd6282e57f0860ec2c6905deb4beeec3e921e5ce4",
+     "clip-000000000014", "hot-000000000251"),
+    ("shard-000004.tar", 44, 3031040,
+     "dd5f6819d627920308de54a50200cd5254eb4408ce1d9f7412b9942e89e1d9ce",
+     "clip-000000000007", "hot-000000000910"),
+    ("shard-000005.tar", 56, 4311040,
+     "5aac19cb924ff5a331bed06d486da4dde1d567f63a8f60536e9d525467e3cd65",
+     "clip-000000000003", "hot-000000000922"),
+]
+_WDS_EXPORT_GOLDEN_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{s}', {n}, {b}, '{h}', '{mn}', '{mx}')"
+        for s, n, b, h, mn, mx in _WDS_EXPORT_GOLDEN
+    )
+    + ") AS t(shard, n_samples, tar_bytes, sha256, min_key, max_key)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from lakehouse.quantiles import (
         quantiles_oracle_sql as _quantiles_oracle_sql,
@@ -6494,5 +6558,29 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": cluster_balanced_sample_oracle_sql(
             25, n_centroids=16
         ),
-        # audio queries intentionally omitted → rows-only check
+        # --- formerly no_oracle rows (VERDICT r3 next-round #3) ----------
+        # audio_qc_detection: the planted-defect rule IS the oracle —
+        # clip ids are a closed formula of the synth index (synth.py
+        # clip_id_for: hot- prefix when idx%10<3), flags are the
+        # deterministic plant pattern; pure SQL, no golden needed.
+        "audio_qc_detection": """
+            SELECT CASE WHEN i % 10 < 3 THEN 'hot-' ELSE 'clip-' END
+                       || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+                   (i % 7 = 0) AS flag_clipping,
+                   ((i % 7 <> 0) AND (i % 11 = 0)) AS flag_dc
+            FROM range(154) AS t(i)
+        """,
+        # bpe_train: golden merge sequence computed by py_bpe_train (the
+        # INDEPENDENT pure-Python reference trainer, lakehouse/bpe.py)
+        # over the sf0.01 documents slice (doc_id % 5 = 0, lowercased
+        # whitespace words) — the driver's correctness protocol runs at
+        # sf0.01, which pins this golden; replicas must use sf0.01 too.
+        "bpe_train": _BPE_TRAIN_GOLDEN_SQL,
+        # lh_webdataset_export: shard manifest golden. n_samples /
+        # min/max keys follow from the deterministic synth corpus +
+        # churn; tar_bytes/sha256 pin the byte-determinism contract the
+        # query itself proves (re-export from a differently-partitioned
+        # frame must be byte-identical). sf-independent (synth input).
+        "lh_webdataset_export": _WDS_EXPORT_GOLDEN_SQL,
+        # remaining audio queries intentionally omitted → rows-only check
     }
