@@ -491,6 +491,134 @@ FROM merged
 """
 
 
+def _q_lh_sql_merge(spark, sf_dir):
+    """SQL DML front-end (lakehouse/sqldml.py — r3 verdict #4): the
+    same engine ops driven by ``MERGE INTO`` / ``DELETE`` / ``UPDATE``
+    STATEMENT TEXT, the on-ramp for SQL-only BI/ELT tooling (the
+    reference's analyst surface stops at read-only Athena,
+    README.md:104-114). One upsert MERGE, one DELETE, one UPDATE —
+    parsed, dispatched to the native merge/delete/update paths, and
+    oracle-checked end-to-end against plain DuckDB SQL."""
+    t = _events_table(spark, sf_dir, appends=2)
+    t.compact()
+    ev = _events(spark, sf_dir)
+    upd = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("event_type", F.lit("updated"))
+    )
+    ins = (
+        ev.filter(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 13 == 0)
+        )
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("event_type", F.lit("inserted"))
+        .withColumn("value", F.lit(1.0))
+    )
+    upd.unionByName(ins).createOrReplaceTempView("sql_merge_src")
+    t.sql(
+        """MERGE INTO events_table AS t USING sql_merge_src AS s
+           ON t.event_id = s.event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    t.sql(
+        "DELETE FROM events_table "
+        "WHERE event_type = 'error' AND user_id % 5 = 0"
+    )
+    t.sql(
+        "UPDATE events_table SET value = value * 2 "
+        "WHERE event_type = 'updated'"
+    )
+    return _events_out(t.scan())
+
+
+LH_SQL_MERGE_ORACLE = """
+WITH ev AS (SELECT * FROM events),
+upd AS (
+    SELECT event_id, ts, user_id, 'updated' AS event_type,
+           (value + 1000.0) * 2 AS value, props
+    FROM ev WHERE user_id % 7 = 0
+),
+ins AS (
+    SELECT event_id + 10000000 AS event_id, ts, user_id,
+           'inserted' AS event_type, 1.0 AS value, props
+    FROM ev WHERE event_type = 'signup' AND user_id % 13 = 0
+),
+merged AS (
+    SELECT * FROM ev
+    WHERE event_id NOT IN (SELECT event_id FROM upd)
+      AND NOT (event_type = 'error' AND user_id % 5 = 0)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+)
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s
+FROM merged
+"""
+
+
+def _q_lh_ops_alerts(spark, sf_dir):
+    """Ops alarm evaluation (lakehouse/alerts.py — r3 verdict #5; the
+    reference ships CloudWatch ALARMS over its stream,
+    README.md:319-329). Three planted tables: healthy (maintained),
+    fragmented (12 small files, never compacted), and one with a
+    pending MoR delete — the warehouse sweep must fire EXACTLY the
+    planted alarms, asserted here and oracle-checked as the fired
+    (table, alert, severity) set."""
+    import tempfile as _tf
+
+    from lakehouse.catalog import Catalog
+    from lakehouse.synth import synth_clips_df
+
+    cat = Catalog.create(_tf.mkdtemp(prefix="lh_alerts_") + "/wh")
+    from lakehouse.schema import CLIPS_SCHEMA
+
+    for name in ("fresh", "frag", "backlog"):
+        cat.create_table(spark, name, CLIPS_SCHEMA)
+    fresh = cat.load_table(spark, "fresh")
+    fresh.append(synth_clips_df(spark, 30, seed=41, n_days=1),
+                 target_file_count=2)
+    fresh.compact()
+    frag = cat.load_table(spark, "frag")
+    frag.append(synth_clips_df(spark, 30, seed=42, n_days=1),
+                target_file_count=12)
+    backlog = cat.load_table(spark, "backlog")
+    backlog.append(synth_clips_df(spark, 30, seed=43, n_days=1),
+                   target_file_count=2)
+    backlog.compact()
+    victim = backlog.scan().select("clip_id").first()[0]
+    backlog.delete([("clip_id", "=", victim)], mode="mor")
+    now = max(
+        t.meta.snapshots[-1].timestamp_ms
+        for t in (fresh, frag, backlog)
+    ) + 1000
+    got = cat.alerts(spark, [
+        {"kind": "stale_table", "max_age_ms": 3_600_000},
+        {"kind": "stale_maintenance", "max_age_ms": 3_600_000},
+        {"kind": "small_files", "max_files": 5},
+        {"kind": "delete_backlog", "max_delete_files": 0},
+    ], now_ms=now)
+    fired = sorted(
+        (r.table_name, r.alert) for r in got.collect()
+    )
+    assert fired == [
+        ("backlog", "delete_backlog"),
+        ("frag", "small_files"),
+        ("frag", "stale_maintenance"),
+    ], fired
+    return got.select("table_name", "alert", "severity")
+
+
+LH_OPS_ALERTS_ORACLE = """
+SELECT * FROM (VALUES
+    ('backlog', 'delete_backlog', 'warn'),
+    ('frag', 'small_files', 'warn'),
+    ('frag', 'stale_maintenance', 'warn')
+) AS t(table_name, alert, severity)
+"""
+
+
 LH_MERGE_ORACLE = """
 WITH ev AS (SELECT * FROM events),
 dels AS (
@@ -5664,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_upsert": _q_lh_merge,
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_merge_full_sync": _q_lh_merge_full_sync,
+        "lh_sql_merge": _q_lh_sql_merge,
         "lh_spj_join": _q_lh_spj_join,
         "lh_identity_append": _q_lh_identity_append,
         "lh_delete_mor": _q_lh_delete_mor,
@@ -5684,6 +5813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_partition_evolution": _q_lh_partition_evolution,
         "lh_cdc_row_changes": _q_lh_cdc,
         "lh_commit_metrics": _q_lh_commit_metrics,
+        "lh_ops_alerts": _q_lh_ops_alerts,
         "lh_streaming_pipeline": _q_lh_streaming_pipeline,
         "lh_multi_table_txn": _q_lh_multi_table_txn,
         "lh_cdc_stream": _q_lh_cdc_stream,
@@ -6321,6 +6451,8 @@ def oracle_sql() -> dict[str, str]:
                    1 AS file_count, count(*) AS record_count
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        "lh_sql_merge": LH_SQL_MERGE_ORACLE,
+        "lh_ops_alerts": LH_OPS_ALERTS_ORACLE,
         "lh_commit_metrics": """
             WITH c AS (
                 SELECT count(*) AS n,

@@ -166,8 +166,15 @@ def main() -> None:
                 # the exact per-file SUM of dur_ms (one narrow column
                 # read per fresh file — KBs next to the audio payload),
                 # pricing the real-world config where sum_meta answers
-                # SELECT SUM metadata-only
-                properties={"agg_stats_columns": "dur_ms"},
+                # SELECT SUM metadata-only. SPARK_GRAFT_BENCH_AGG_STATS=0
+                # disables it for the r4 A/B isolating the harvest cost
+                # (VERDICT r3 "What's wrong" #2).
+                properties=(
+                    {"agg_stats_columns": "dur_ms"}
+                    if os.environ.get("SPARK_GRAFT_BENCH_AGG_STATS", "1")
+                    != "0"
+                    else {}
+                ),
             )
             per = N_CLIPS // APPENDS
 
@@ -271,12 +278,15 @@ def main() -> None:
             timed("count_meta", count_meta)
 
             # metadata-only SUM/AVG: manifest per-file sums (opted in
-            # at table creation) — zero data bytes
-            def sum_meta():
-                res = t.sum_agg(["dur_ms"])
-                assert res.files_scanned == 0 and res.fallback is None
+            # at table creation) — zero data bytes. Skipped when the
+            # A/B runs with the harvest disabled (no sum stats to read).
+            if os.environ.get("SPARK_GRAFT_BENCH_AGG_STATS", "1") != "0":
 
-            timed("sum_meta", sum_meta)
+                def sum_meta():
+                    res = t.sum_agg(["dur_ms"])
+                    assert res.files_scanned == 0 and res.fallback is None
+
+                timed("sum_meta", sum_meta)
 
             # rank-exact equi-depth quantiles (coarse-bucket prefix
             # sum) over the corpus — the ANALYZE-histogram kernel

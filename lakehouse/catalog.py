@@ -320,6 +320,29 @@ class Catalog:
 
     # --- multi-table transactions ----------------------------------------
 
+    def alerts(self, spark, rules, *, now_ms=None, names=None):
+        """Warehouse-wide ops alarm sweep (lakehouse/alerts.py):
+        evaluate declarative threshold rules — stale table / stale
+        maintenance / slow commit / snapshot backlog / small files /
+        MoR delete backlog / stalled stream — over every registered
+        table's metadata. Zero data I/O; returns the fired-alert
+        frame (empty = all clear)."""
+        from .alerts import catalog_alerts
+
+        return catalog_alerts(
+            self, spark, rules, now_ms=now_ms, names=names
+        )
+
+    def sql(self, spark, statement: str, **kw):
+        """Run one ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` statement
+        against a catalog table through the engine's native DML ops
+        (lakehouse/sqldml.py — the SQL-tooling on-ramp; reads go
+        through ``register_views`` + ``spark.sql``). ``kw`` forwards
+        to the op (``mode="mor"``, ``isolation=...``)."""
+        from .sqldml import execute_dml
+
+        return execute_dml(statement, catalog=self, spark=spark, **kw)
+
     def transaction(self, spark):
         """Open a multi-table transaction: stage appends to several
         catalog tables, publish all-or-nothing (see lakehouse/txn.py).

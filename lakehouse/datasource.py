@@ -474,9 +474,11 @@ def _read_changes_partition(part: FilesPartition,
     delete files kill: ``part.selectors`` select (eq keys under the
     Iceberg seq rule, or positions), ``part.deletes`` — the deletes
     already live BEFORE the commit — exclude, so a row only ever
-    streams as deleted once. Mask arithmetic mirrors _read_partition
-    (positions on the RAW batch offsets, eq via is_in with null→no
-    match), combined into one filter per batch.
+    streams as deleted once. ``part.selectors is None`` selects ALL
+    live rows — the copy-on-write shape, where the whole file was
+    removed by the commit (exclusions still apply). Mask arithmetic
+    mirrors _read_partition (positions on the RAW batch offsets, eq
+    via is_in with null→no match), combined into one filter per batch.
     """
     import numpy as np
     import pyarrow as pa
@@ -510,7 +512,8 @@ def _read_changes_partition(part: FilesPartition,
                 eq.setdefault(d["key"], []).append((d["seq"], keys))
         return eq, pos
 
-    sel_eq, sel_pos = _load(part.selectors)
+    select_all = part.selectors is None
+    sel_eq, sel_pos = _load(part.selectors or [])
     excl_eq, excl_pos = _load(part.deletes)
 
     def _file_keys(groups, f_seq, have):
@@ -582,7 +585,7 @@ def _read_changes_partition(part: FilesPartition,
                     [ren.get(c, c) for c in tbl.column_names]
                 )
             n = tbl.num_rows
-            keep = np.zeros(n, dtype=bool)
+            keep = np.full(n, select_all, dtype=bool)
             if f_sel_pos is not None:
                 _pos_mask(keep, f_sel_pos, offset, n, True)
             for key_name, dead in f_sel_eq:
@@ -730,8 +733,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # insert/delete row images tagged _change_type, planned map-only
         # from per-snapshot manifest diffs — appends stream inserts,
         # MoR delete/merge commits stream the rows their NEW delete
-        # files kill. COW mutations are not map-only derivable and fail
-        # the stream (use Table.row_changes / changelog_view in batch).
+        # files kill, and COW mutations stream Iceberg-changelog style:
+        # removed files' live rows as deletes + added files as inserts
+        # (carried-over rows appear as delete+insert pairs; netting is
+        # changelog_view's batch job).
         self._changes = str(options.get("changes", "false")).lower() == "true"
         # stream position: the snapshot id everything up to which has
         # been handed to Spark. _UNKNOWN until either partitions()
@@ -866,20 +871,37 @@ class LakehouseStreamReader(DataSourceStreamReader):
             }
             cur_files = {e.file_path: e for e in cur_plan.files}
             removed = [p for p in prev_files if p not in cur_files]
-            if removed:
-                raise LakehouseError(
-                    f"changes stream hit copy-on-write snapshot "
-                    f"{snap.snapshot_id} ({snap.operation!r}, "
-                    f"{len(removed)} files rewritten): row-level changes "
-                    f"of COW commits are not map-only derivable; use "
-                    f"Table.row_changes / changelog_view for batch CDC, "
-                    f"or restart the stream from a later offset"
-                )
             added = [e for p, e in cur_files.items() if p not in prev_files]
             prev_dels = {
                 d.file_path: d
                 for d in (prev_plan.delete_files if prev_plan else [])
             }
+            if removed:
+                # copy-on-write mutation (merge/update/delete/
+                # overwrite; data-neutral rewrites were skipped above):
+                # Iceberg-changelog semantics — every LIVE row of a
+                # removed file streams as a delete (selectors=None =
+                # select-all; the parent's pending deletes still
+                # exclude), added files stream as inserts below. A
+                # carried-over row appears as a delete+insert pair
+                # (net no-op) — exactly Iceberg's raw changelog without
+                # carryover removal, which keeps planning map-only and
+                # the read bounded by the commit's touched files
+                # (r3 verdict #7; pairing/netting is changelog_view's
+                # batch job, not the stream's).
+                for part in _partitions_for(
+                    self._root,
+                    _Plan(
+                        [prev_files[p] for p in removed],
+                        prev_dels.values(),
+                    ),
+                    self._target_bytes,
+                    ren_by_gid=ren,
+                ):
+                    part.change = "delete"
+                    part.selectors = None  # all live rows of the file
+                    part.snapshot_id = snap.snapshot_id
+                    parts.append(part)
             new_dels = [
                 d
                 for d in cur_plan.delete_files

@@ -117,14 +117,24 @@ def conform_merge_source(schema, source: DataFrame, op_col: str) -> DataFrame:
 
 
 def _validation_spec(
-    table, isolation, validate_from, key, key_min, key_max
+    table, isolation, validate_from, key, key_min, key_max,
+    nms_domain=None,
 ):
     """Serializable-isolation spec for Table._validate_serializable:
     the operation's read base + its source-key range, stat-encoded so
     it compares like manifest min/max (meta/manifests._encode_stat).
     ``validate_from`` defaults to the table head at plan time — pass an
     older snapshot id when the source was computed against it (the
-    multi-step-pipeline shape Iceberg covers with fromSnapshot)."""
+    multi-step-pipeline shape Iceberg covers with fromSnapshot).
+
+    ``nms_domain`` extends the read set for WHEN NOT MATCHED BY SOURCE
+    (r3 verdict #6 — previously refused): the clause READS the whole
+    condition domain over the target, so a concurrent commit landing
+    rows inside it changes the outcome. ``"all"`` = no condition / raw
+    SQL condition (domain unknowable from stats) — every concurrent
+    non-data-neutral commit conflicts; a tuple-predicate list = the
+    same conservative stats overlap test the scan planner prunes with
+    (expressions.matches_stats), zero data I/O."""
     if isolation != "serializable":
         return None
     from ..meta.manifests import _encode_stat
@@ -134,12 +144,20 @@ def _validation_spec(
         if validate_from is not None
         else table.current_snapshot_id()
     )
-    return {
+    spec = {
         "from_snapshot_id": base,
         "key": key,
         "min": _encode_stat(key_min),
         "max": _encode_stat(key_max),
     }
+    if nms_domain is not None:
+        if nms_domain == "all":
+            spec["nms_domain"] = "all"
+        else:
+            from ..expressions import normalize_filter
+
+            spec["nms_domain"] = list(normalize_filter(nms_domain))
+    return spec
 
 
 def _range_arrays(spark, live, key, key_type, names_of=None):
@@ -595,15 +613,15 @@ def merge_into(
     nms, nms_cond_sql, nms_cond_preds = _normalize_nms(
         schema, not_matched_by_source, not_matched_by_source_condition
     )
-    if nms is not None and isolation == "serializable":
-        # the clause's read set is the whole condition domain, which the
-        # key-range validator cannot cover — refuse rather than under-
-        # validate (Delta has the same restriction on CDF-less replays)
-        raise MergeError(
-            "serializable isolation is not supported with "
-            "not_matched_by_source (its read set is the condition "
-            "domain, not a key range)"
-        )
+    # NMS read set under serializable isolation: the condition's tuple
+    # domain when stats can bound it, else the whole table ("all" —
+    # raw-SQL conditions and unconditional full sync read everything
+    # unmatched). Previously refused; now validated (r3 verdict #6).
+    nms_domain = (
+        None
+        if nms is None
+        else (nms_cond_preds if nms_cond_preds is not None else "all")
+    )
 
     src = conform_merge_source(schema, source, op_col)
     # identity columns: fill NULL ids of genuinely-new NON-DELETE source
@@ -661,11 +679,15 @@ def merge_into(
         .collect()[0]
     )
     validate = (
+        # empty source: no key range to miss — but an NMS clause still
+        # reads its whole condition domain, so its spec survives
         None
-        if int(stats.src_rows or 0) == 0  # empty source: nothing to miss
+        if int(stats.src_rows or 0) == 0 and nms_domain is None
         else _validation_spec(
             table, isolation, validate_from, key,
-            stats.key_min, stats.key_max,
+            stats.key_min if int(stats.src_rows or 0) else None,
+            stats.key_max if int(stats.src_rows or 0) else None,
+            nms_domain=nms_domain,
         )
     )
     if (stats.max_n or 0) > 1:

@@ -317,12 +317,13 @@ def merge_into_mor(
             "(mutating unmatched rows reads + rewrites payloads); "
             "use mode='cow'"
         )
-    if nms is not None and isolation == "serializable":
-        raise MergeError(
-            "serializable isolation is not supported with "
-            "not_matched_by_source (its read set is the condition "
-            "domain, not a key range)"
-        )
+    # NMS read set under serializable isolation: condition tuple domain
+    # when stats can bound it, else "all" (r3 verdict #6 — was refused)
+    nms_domain = (
+        None
+        if nms is None
+        else (nms_cond_preds if nms_cond_preds is not None else "all")
+    )
     spark = table.spark
     meta = table.meta
     from ..identity import (
@@ -505,10 +506,12 @@ def merge_into_mor(
             props_guard=props_guard,
             validate=(
                 None
-                if n_rows == 0
+                if n_rows == 0 and nms_domain is None
                 else _merge_validation_spec(
                     table, isolation, validate_from, key,
-                    stats.key_min, stats.key_max,
+                    stats.key_min if n_rows else None,
+                    stats.key_max if n_rows else None,
+                    nms_domain=nms_domain,
                 )
             ),
         )

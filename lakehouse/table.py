@@ -121,7 +121,18 @@ class Table:
         from_sid = spec["from_snapshot_id"]
         if base.current_snapshot_id == from_sid:
             return
-        key, rng = spec["key"], {"min": spec["min"], "max": spec["max"]}
+        key = spec["key"]
+        # key range absent (None min/max) for NMS-only merges with an
+        # empty source: only the condition-domain test applies
+        rng = (
+            {"min": spec["min"], "max": spec["max"]}
+            if spec.get("min") is not None
+            else None
+        )
+        # WHEN NOT MATCHED BY SOURCE read set: "all" (unconditional /
+        # raw-SQL condition) or the condition's tuple predicates, tested
+        # with the same conservative stats overlap the scan planner uses
+        nms_dom = spec.get("nms_domain")
         try:
             chain = _chain(base, from_sid, base.current_snapshot_id)
         except Exception:
@@ -146,22 +157,51 @@ class Table:
                 if m["path"] in parent_paths:
                     continue
                 for e in read_manifest(self.root, m["path"]):
-                    if e.is_pos_delete:
-                        # positions name files of OLDER snapshots the
-                        # operation read — always a potential conflict
-                        st = None
-                    elif e.is_delete and e.delete_key != key:
-                        st = None  # deletes on another key: unknown
+                    if rng is not None:
+                        if e.is_pos_delete:
+                            # positions name files of OLDER snapshots
+                            # the operation read — always a potential
+                            # conflict
+                            st = None
+                        elif e.is_delete and e.delete_key != key:
+                            st = None  # deletes on another key: unknown
+                        else:
+                            st = e.stats.get(key)
+                        if st is None or _range_intersects(st, rng):
+                            raise CommitConflictError(
+                                f"serializable conflict: snapshot "
+                                f"{snap.snapshot_id} "
+                                f"({snap.operation!r}) committed "
+                                f"{e.file_path} overlapping "
+                                f"{key} range [{spec['min']!r}, "
+                                f"{spec['max']!r}] after read base "
+                                f"{from_sid}; replan the operation"
+                            )
+                    if nms_dom is None:
+                        continue
+                    if e.is_pos_delete or e.is_delete:
+                        # a concurrent row retirement anywhere near the
+                        # sync domain could be silently undone by the
+                        # clause's boundary-file rewrites — stats can't
+                        # bound positional deletes at all, so conflict
+                        hit = True
+                    elif nms_dom == "all":
+                        hit = True  # the clause read the whole table
                     else:
-                        st = e.stats.get(key)
-                    if st is None or _range_intersects(st, rng):
+                        from .expressions import matches_stats
+
+                        hit = all(
+                            matches_stats(p, e.stats.get(p.col))
+                            for p in nms_dom
+                        )
+                    if hit:
                         raise CommitConflictError(
                             f"serializable conflict: snapshot "
                             f"{snap.snapshot_id} ({snap.operation!r}) "
-                            f"committed {e.file_path} overlapping "
-                            f"{key} range [{spec['min']!r}, "
-                            f"{spec['max']!r}] after read base "
-                            f"{from_sid}; replan the operation"
+                            f"committed {e.file_path} inside the NOT "
+                            f"MATCHED BY SOURCE read domain "
+                            f"({'whole table' if nms_dom == 'all' else nms_dom}) "
+                            f"after read base {from_sid}; replan"
                         )
 
     def _commit_files(
@@ -1075,6 +1115,15 @@ class Table:
                 changed = True
         if changed:
             self.evolve_schema(T.StructType(fields))
+
+    def sql(self, statement: str, **kw):
+        """Run one ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` statement
+        against THIS table (the table name in the statement must match
+        the root basename, or be ``*``) — lakehouse/sqldml.py parses
+        and dispatches to the native merge/update/delete ops."""
+        from .sqldml import execute_dml
+
+        return execute_dml(statement, table=self, **kw)
 
     def delete(self, predicate, *, mode: str = "cow", **kw):
         """Row-level DELETE. ``mode="cow"`` rewrites touched files;

@@ -3,8 +3,9 @@
 analog (lakehouse/datasource.py). Appends stream as insert rows; MoR
 delete/merge commits stream the full row images their NEW delete files
 kill (old deletes excluded, so a row streams as deleted exactly once);
-data-neutral rewrites are silent; COW mutations fail the stream with
-the batch-CDC pointer. Everything planned map-only from manifest diffs.
+data-neutral rewrites are silent; COW mutations stream Iceberg-
+changelog delete/insert pairs bounded by the commit's touched files.
+Everything planned map-only from manifest diffs.
 """
 
 from __future__ import annotations
@@ -159,15 +160,80 @@ def test_append_and_mor_ladder_streams_exact_changes(
     assert net.count() == t.scan().count()
 
 
-def test_cow_mutation_fails_the_changes_stream(spark, cdc_table, tmp_path):
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
+def test_cow_delete_streams_changelog_pairs(spark, cdc_table, tmp_path):
+    """COW mutations stream Iceberg-changelog style (r3 verdict #7 —
+    previously failed the stream): removed files' live rows as deletes,
+    added files' rows as inserts; carried-over rows appear as
+    delete+insert pairs, and the running net effect still reproduces
+    the live table."""
     t = cdc_table
     drain = _drainer(spark, t.root, tmp_path)
     drain()
+    victims = set(
+        r.clip_id for r in t.scan().filter("sr_hz = 16000")
+        .select("clip_id").collect()
+    )
+    assert victims
     t.delete("sr_hz = 16000", mode="cow")
-    with pytest.raises(StreamingQueryException, match="copy-on-write"):
-        drain()
+    got = drain()
+    batch = got.filter(
+        F.col("_commit_snapshot_id") == t.current_snapshot_id()
+    )
+    dels = set(_ids(batch, "delete"))
+    ins = set(_ids(batch, "insert"))
+    assert victims <= dels  # every deleted row streamed as delete
+    assert not (victims & ins)  # and never as an insert
+    assert dels - victims == ins  # carryovers: delete+insert pairs
+    net = (
+        got.groupBy("clip_id")
+        .agg(F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    assert net.count() == t.scan().count()
+
+
+def test_cow_update_stage_exactly_once(spark, cdc_table, tmp_path):
+    """COW UPDATE in the ladder: old images stream as deletes, new as
+    inserts (updated rows carry the new values), exactly once across
+    checkpointed drains."""
+    t = cdc_table
+    drain = _drainer(spark, t.root, tmp_path)
+    drain()
+    upd_keys = set(
+        r.clip_id for r in t.scan().filter("dur_ms >= 1000")
+        .select("clip_id").collect()
+    )
+    assert upd_keys
+    t.update({"transcript": "'cowup'"}, "dur_ms >= 1000", mode="cow")
+    got = drain()
+    batch = got.filter(
+        F.col("_commit_snapshot_id") == t.current_snapshot_id()
+    )
+    assert upd_keys <= set(_ids(batch, "delete"))
+    new_img = batch.filter(
+        (F.col("_change_type") == "insert")
+        & (F.col("transcript") == "cowup")
+    )
+    assert set(r.clip_id for r in new_img.select("clip_id").collect()) \
+        == upd_keys
+    # old images must NOT carry the new value
+    assert batch.filter(
+        (F.col("_change_type") == "delete")
+        & (F.col("transcript") == "cowup")
+    ).count() == 0
+    n_total = got.count()
+    assert drain().count() == n_total  # exactly once: nothing re-emitted
+    net = (
+        spark.read.parquet(str(tmp_path / "cdc_out"))
+        .groupBy("clip_id")
+        .agg(F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    assert net.count() == t.scan().count()
 
 
 def test_changes_is_stream_only(spark, cdc_table):

@@ -6,7 +6,8 @@ Covers: full-sync delete (no condition) via metadata-only drops,
 condition-scoped delete (tuple condition → pruning + whole-file drops,
 out-of-scope files untouched), boundary-file rewrites, the update-set
 form, the MoR delete variant (keys-only, zero target data removals),
-and the guard rails (serializable refusal, MoR update refusal).
+the guard rails (MoR update refusal), and serializable isolation over
+the clause's condition-domain read set.
 """
 
 import pyspark.sql.functions as F
@@ -174,13 +175,6 @@ class TestCowNms:
     def test_guards(self, spark, tmp_path):
         t = _mk_table(spark, tmp_path / "t", n=10, files=1)
         src = _src_slice(t, _ids(t)[:4])
-        with pytest.raises(MergeError, match="serializable"):
-            t.merge(
-                src,
-                key="clip_id",
-                isolation="serializable",
-                not_matched_by_source="delete",
-            )
         with pytest.raises(MergeError, match="unknown"):
             t.merge(
                 src,
@@ -340,5 +334,95 @@ class TestNmsReviewFindings:
                 src,
                 key="clip_id",
                 mode="mor",
+                not_matched_by_source="delete",
+            )
+
+
+class TestNmsSerializable:
+    """Serializable isolation for NOT MATCHED BY SOURCE (r3 verdict #6
+    — previously refused): the clause's read set is its condition
+    DOMAIN, validated with the same stats-only overlap test as the key
+    range. A concurrent insert INSIDE the domain conflicts; one outside
+    commits; unconditional full sync conflicts on any concurrent
+    data commit."""
+
+    def _extra(self, t, prefix, n=3):
+        import pyspark.sql.functions as F
+
+        return (
+            t.scan()
+            .orderBy("clip_id")
+            .limit(n)
+            .withColumn(
+                "clip_id", F.concat(F.lit(prefix), F.col("clip_id"))
+            )
+        )
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_concurrent_insert_inside_domain_conflicts(
+        self, spark, tmp_path, mode
+    ):
+        from lakehouse.errors import CommitConflictError
+
+        t = _mk_table(spark, tmp_path / "t", n=20, files=2)
+        src = _src_slice(t, _ids(t)[:10]).localCheckpoint()
+        base = t.current_snapshot_id()
+        # 'aaa…' ids sort INSIDE the sync domain (< 'x') and OUTSIDE
+        # the source key range
+        t.append(self._extra(t, "aaa-"), target_file_count=1)
+        with pytest.raises(CommitConflictError, match="NOT MATCHED"):
+            t.merge(
+                src,
+                key="clip_id",
+                mode=mode,
+                isolation="serializable",
+                validate_from=base,
+                not_matched_by_source="delete",
+                not_matched_by_source_condition=[("clip_id", "<", "x")],
+            )
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_concurrent_insert_outside_domain_commits(
+        self, spark, tmp_path, mode
+    ):
+        t = _mk_table(spark, tmp_path / "t", n=20, files=2)
+        keep = _ids(t)[:10]
+        src = _src_slice(t, keep).localCheckpoint()
+        base = t.current_snapshot_id()
+        # 'zzz…' ids sort OUTSIDE the domain (< 'x' is false) and
+        # outside the source key range — stats pruning lets it through
+        t.append(self._extra(t, "zzz-"), target_file_count=1)
+        res = t.merge(
+            src,
+            key="clip_id",
+            mode=mode,
+            isolation="serializable",
+            validate_from=base,
+            not_matched_by_source="delete",
+            not_matched_by_source_condition=[("clip_id", "<", "x")],
+        )
+        assert res.snapshot_id is not None
+        out = _ids(t)
+        # zzz rows survive (outside domain); unmatched in-domain gone
+        assert [c for c in out if c.startswith("zzz-")]
+        assert [c for c in out if not c.startswith("zzz-")] == sorted(keep)
+
+    def test_full_sync_conflicts_on_any_concurrent_commit(
+        self, spark, tmp_path
+    ):
+        from lakehouse.errors import CommitConflictError
+
+        t = _mk_table(spark, tmp_path / "t", n=20, files=2)
+        src = _src_slice(t, _ids(t)[:10]).localCheckpoint()
+        base = t.current_snapshot_id()
+        t.append(self._extra(t, "zzz-"), target_file_count=1)
+        # unconditional full sync reads EVERYTHING unmatched — even a
+        # disjoint-range concurrent append conflicts
+        with pytest.raises(CommitConflictError, match="whole table"):
+            t.merge(
+                src,
+                key="clip_id",
+                isolation="serializable",
+                validate_from=base,
                 not_matched_by_source="delete",
             )

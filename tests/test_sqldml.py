@@ -1,0 +1,275 @@
+"""SQL DML front-end (lakehouse/sqldml.py): MERGE INTO / UPDATE /
+DELETE statements dispatched to the native ops — parity with the
+Python-API calls they compile to, clause-combination semantics, and
+the loud refusals for out-of-grammar text."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from lakehouse import CLIPS_SCHEMA, Table
+from lakehouse.catalog import Catalog
+from lakehouse.sqldml import SqlDmlError, execute_dml
+from lakehouse.synth import synth_clips_df
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    cat = Catalog.create(str(tmp_path / "wh"))
+    cat.create_table(spark, "clips", CLIPS_SCHEMA)
+    cat.load_table(spark, "clips").append(
+        synth_clips_df(spark, 30, seed=11, n_days=2), target_file_count=2
+    )
+    return cat
+
+
+def _ids(t):
+    return sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+
+class TestDelete:
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_delete_where(self, spark, wh, mode):
+        t = wh.load_table(spark, "clips")
+        pre = set(_ids(t))
+        doomed = set(sorted(pre)[:5])
+        in_list = ", ".join(f"'{c}'" for c in doomed)
+        wh.sql(
+            spark,
+            f"DELETE FROM clips WHERE clip_id IN ({in_list})",
+            mode=mode,
+        )
+        assert set(_ids(t)) == pre - doomed
+        assert t.scan().count() == 25
+
+    def test_missing_where_refused(self, spark, wh):
+        with pytest.raises(SqlDmlError, match="WHERE"):
+            wh.sql(spark, "DELETE FROM clips")
+
+
+class TestUpdate:
+    def test_update_set_where(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        wh.sql(
+            spark,
+            "UPDATE clips SET transcript = upper(transcript), "
+            "codec = 'upd' WHERE sr_hz >= 16000",
+        )
+        out = t.scan()
+        n_hi = out.filter(F.col("sr_hz") >= 16000).count()
+        assert n_hi > 0
+        assert out.filter(F.col("codec") == "upd").count() == n_hi
+        bad = out.filter(
+            (F.col("sr_hz") >= 16000)
+            & (F.col("transcript") != F.upper(F.col("transcript")))
+        ).count()
+        assert bad == 0
+
+    def test_string_literal_with_keywords(self, spark, wh):
+        # keywords inside string literals must not confuse the parser
+        t = wh.load_table(spark, "clips")
+        victim = _ids(t)[0]
+        wh.sql(
+            spark,
+            "UPDATE clips SET transcript = 'WHEN MATCHED THEN DELETE , "
+            f"SET WHERE' WHERE clip_id = '{victim}'",
+        )
+        got = (
+            t.scan().filter(F.col("clip_id") == victim)
+            .select("transcript").first()[0]
+        )
+        assert got == "WHEN MATCHED THEN DELETE , SET WHERE"
+
+
+class TestMerge:
+    def _src(self, spark, t, n=6, codec="v2"):
+        return (
+            t.scan().orderBy("clip_id").limit(n)
+            .withColumn("codec", F.lit(codec))
+        )
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_upsert_parity_with_python_api(self, spark, wh, mode, tmp_path):
+        t = wh.load_table(spark, "clips")
+        src = self._src(spark, t).unionByName(
+            synth_clips_df(spark, 3, start=700, seed=12, n_days=1)
+        )
+        src.createOrReplaceTempView("merge_src")
+        wh.sql(
+            spark,
+            """MERGE INTO clips AS t USING merge_src AS s
+               ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            mode=mode,
+        )
+        out = t.scan()
+        assert out.count() == 33
+        assert out.filter(F.col("codec") == "v2").count() == 6
+
+    def test_using_subquery_and_bare_key(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        t.scan().createOrReplaceTempView("clips_v")
+        wh.sql(
+            spark,
+            """MERGE INTO clips USING (
+                 SELECT clip_id, bytes, sr_hz, dur_ms, codec,
+                        'subq' AS transcript, ingest_ts, event_date
+                 FROM clips_v LIMIT 4
+               ) ON clip_id = clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        assert t.scan().filter(
+            F.col("transcript") == "subq"
+        ).count() == 4
+
+    def test_full_sync_nms_delete(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        keep = _ids(t)[:8]
+        t.scan().filter(F.col("clip_id").isin(keep)).createOrReplaceTempView(
+            "sync_src"
+        )
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING sync_src s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        )
+        assert _ids(t) == sorted(keep)
+
+    def test_nms_delete_with_condition(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        before = t.scan()
+        n_lo = before.filter(F.col("sr_hz") < 16000).count()
+        keep = _ids(t)[:5]
+        t.scan().filter(F.col("clip_id").isin(keep)).createOrReplaceTempView(
+            "sync_src2"
+        )
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING sync_src2 s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE AND sr_hz < 16000 THEN DELETE""",
+        )
+        out = t.scan()
+        # survivors: all non-low-rate rows + low-rate rows in the source
+        assert out.count() == 30 - n_lo + sum(
+            1
+            for r in before.filter(F.col("clip_id").isin(keep)).collect()
+            if r.sr_hz < 16000
+        )
+        assert out.filter(
+            (F.col("sr_hz") < 16000) & ~F.col("clip_id").isin(keep)
+        ).count() == 0
+
+    def test_matched_delete_only(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        pre = set(_ids(t))
+        doomed = sorted(pre)[:4]
+        t.scan().filter(F.col("clip_id").isin(doomed)).createOrReplaceTempView(
+            "del_src"
+        )
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING del_src s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN DELETE""",
+        )
+        assert set(_ids(t)) == pre - set(doomed)
+        assert t.scan().count() == 26
+
+    def test_update_only_does_not_insert(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        src = self._src(spark, t, n=3, codec="uo").unionByName(
+            synth_clips_df(spark, 5, start=800, seed=13, n_days=1)
+        )
+        src.createOrReplaceTempView("upd_src")
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING upd_src s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *""",
+        )
+        out = t.scan()
+        assert out.count() == 30  # the 5 unmatched rows were NOT inserted
+        assert out.filter(F.col("codec") == "uo").count() == 3
+
+    def test_insert_only_does_not_update(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        src = self._src(spark, t, n=3, codec="io").unionByName(
+            synth_clips_df(spark, 5, start=850, seed=14, n_days=1)
+        )
+        src.createOrReplaceTempView("ins_src")
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING ins_src s ON t.clip_id = s.clip_id
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        out = t.scan()
+        assert out.count() == 35
+        assert out.filter(F.col("codec") == "io").count() == 0
+
+    def test_table_bound_form(self, spark, tmp_path):
+        t = Table.create(spark, str(tmp_path / "solo"), CLIPS_SCHEMA)
+        t.append(synth_clips_df(spark, 10, seed=15, n_days=1))
+        t.sql("DELETE FROM solo WHERE sr_hz < 16000")
+        assert t.scan().filter(F.col("sr_hz") < 16000).count() == 0
+        with pytest.raises(SqlDmlError, match="bound table"):
+            t.sql("DELETE FROM other WHERE true")
+
+
+class TestRefusals:
+    def test_out_of_grammar(self, spark, wh):
+        for bad, pat in [
+            ("SELECT * FROM clips", "MERGE INTO / UPDATE / DELETE"),
+            ("TRUNCATE TABLE clips", "MERGE INTO / UPDATE / DELETE"),
+            (
+                """MERGE INTO clips t USING clips_v s ON t.clip_id = s.clip_id
+                   WHEN MATCHED AND t.sr_hz > 0 THEN UPDATE SET *""",
+                "MATCHED AND",
+            ),
+            (
+                """MERGE INTO clips t USING clips_v s ON t.clip_id = s.clip_id
+                   WHEN MATCHED THEN UPDATE SET codec = 'x'""",
+                "UPDATE SET [*]",
+            ),
+            (
+                """MERGE INTO clips t USING clips_v s ON t.clip_id = s.other_id
+                   WHEN MATCHED THEN UPDATE SET *""",
+                "SAME column",
+            ),
+            (
+                """MERGE INTO clips t USING clips_v s ON t.a = s.b OR true
+                   WHEN MATCHED THEN UPDATE SET *""",
+                "equi-condition",
+            ),
+            (
+                """MERGE INTO clips t USING clips_v s ON x.clip_id = s.clip_id
+                   WHEN MATCHED THEN UPDATE SET *""",
+                "qualifier",
+            ),
+        ]:
+            wh.load_table(spark, "clips").scan().limit(1)\
+                .createOrReplaceTempView("clips_v")
+            with pytest.raises(SqlDmlError, match=pat):
+                wh.sql(spark, bad)
+
+    def test_nms_update_set_routes_dict(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        keep = _ids(t)[:6]
+        t.scan().filter(F.col("clip_id").isin(keep)).createOrReplaceTempView(
+            "nmsu_src"
+        )
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING nmsu_src s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE THEN
+                   UPDATE SET codec = 'stale', transcript = upper(transcript)
+            """,
+        )
+        out = t.scan()
+        assert out.count() == 30
+        assert out.filter(F.col("codec") == "stale").count() == 24
