@@ -39,6 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lakehouse.stablemath import stable_round
 from pyspark.sql.window import Window
 
 SF0001 = "/root/testdata/sf0.001"
@@ -818,7 +820,9 @@ def _q_asof_join(spark, sf_dir):
         F.unix_micros(F.col("ts_matched").cast("timestamp")).alias(
             "purchase_ts_us"
         ),
-        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+        stable_round(
+            F.col("last_purchase_value"), 6
+        ).alias("last_purchase_value"),
     )
 
 
@@ -1708,7 +1712,7 @@ def _q_cosine_topk_arrow(spark, sf_dir):
     for r in rows:
         want = ref[(r.query_id, r.rank)]
         assert r.neighbor_id == want.neighbor_id, (r, want)
-        assert abs(r.cosine - want.cosine) <= 1e-4
+        assert abs(r.cosine - float(want.cosine)) <= 1e-4
     return got
 
 
@@ -6584,7 +6588,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id,
                    epoch_us(l.ts) AS ts_us,
                    epoch_us(r.ts) AS purchase_ts_us,
-                   round(r.last_purchase_value, 6) AS last_purchase_value
+                   CAST(floor(r.last_purchase_value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS last_purchase_value
             FROM events l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,

@@ -74,6 +74,8 @@ def rate_anomalies(
         .cast("double")
         .alias("__ss"),
     )
+    from .stablemath import stable_round
+
     j = per_bucket.join(stats, "key")
     mean = F.col("__s") / F.col("__n")
     var = (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")) / (
@@ -86,9 +88,9 @@ def rate_anomalies(
             "key",
             "bucket_start_us",
             "n_events",
-            F.round(mean, 4).alias("mean_events"),
-            F.round(F.sqrt(var), 4).alias("std_events"),
-            F.round(z, 4).alias("z_score"),
+            stable_round(mean, 4).alias("mean_events"),
+            stable_round(F.sqrt(var), 4).alias("std_events"),
+            stable_round(z, 4).alias("z_score"),
         )
         .filter(F.abs(F.col("z_score")) >= z_threshold)
         .orderBy("key", "bucket_start_us")
@@ -104,8 +106,13 @@ def rate_anomalies_oracle_sql(
     key_col: str = "event_type",
     ts_col: str = "ts",
 ) -> str:
-    """DuckDB twin: identical bucket floor, power sums and closed form.
-    The z filter applies to the ROUNDED z exactly as the engine does."""
+    """DuckDB twin: identical bucket floor, power sums and closed form,
+    with the cross-engine-stable rounding (lakehouse/stablemath.py) —
+    the z filter applies to the ROUNDED z exactly as the engine does,
+    so a round tie could otherwise change row MEMBERSHIP, not just a
+    hash."""
+    from .stablemath import stable_round_sql as _r
+
     b_us = bucket_s * 1_000_000
     return f"""
         WITH pb AS (
@@ -121,10 +128,9 @@ def rate_anomalies_oracle_sql(
           FROM pb GROUP BY 1
         ), z AS (
           SELECT pb.key, pb.bucket_start_us, pb.n_events,
-                 round(s / n, 4) AS mean_events,
-                 round(sqrt((ss - s * s / n) / (n - 1)), 4) AS std_events,
-                 round((pb.n_events - s / n)
-                       / sqrt((ss - s * s / n) / (n - 1)), 4) AS z_score
+                 {_r("s / n")} AS mean_events,
+                 {_r("sqrt((ss - s * s / n) / (n - 1))")} AS std_events,
+                 {_r("(pb.n_events - s / n) / sqrt((ss - s * s / n) / (n - 1))")} AS z_score
           FROM pb JOIN st USING (key)
           WHERE n >= {int(min_buckets)}
             AND (ss - s * s / n) / (n - 1) > 0

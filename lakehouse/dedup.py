@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .stablemath import stable_round
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -130,7 +132,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")),
                 4,
@@ -159,11 +161,11 @@ def ngram_jaccard_oracle_sql(
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+           CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {threshold}
+    WHERE CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
     """
 
 
@@ -301,7 +303,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
                 4,
             ).alias("jaccard"),
@@ -353,11 +355,11 @@ def minhash_lsh_oracle_sql(
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+           CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {threshold}
+    WHERE CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
     """
 
 

@@ -90,8 +90,11 @@ def funnel_report(
     within: Optional[float] = None,
 ) -> DataFrame:
     """One row per funnel step: users reached, conversion from the
-    previous step and from step 1 (4-decimal rounding in BOTH engines
-    so float division can't flake the gate)."""
+    previous step and from step 1 (cross-engine-stable 4-decimal
+    rounding — lakehouse/stablemath.py — so float division can't flake
+    the gate)."""
+    from .stablemath import stable_round
+
     t = funnel_times(
         events, steps,
         user_col=user_col, ts_col=ts_col, type_col=type_col, within=within,
@@ -109,13 +112,13 @@ def funnel_report(
             F.lit(i).alias("step"),
             F.lit(step).alias("event_type"),
             F.col(f"n{i}").alias("users"),
-            F.round(
+            stable_round(
                 F.when(prev > 0, F.col(f"n{i}") / prev).otherwise(
                     F.lit(None)
                 ),
                 4,
             ).alias("conversion_from_prev"),
-            F.round(
+            stable_round(
                 F.when(F.col("n1") > 0, F.col(f"n{i}") / F.col("n1"))
                 .otherwise(F.lit(None)),
                 4,
@@ -134,7 +137,11 @@ def funnel_oracle_sql(
     type_col: str = "event_type",
     within: Optional[float] = None,
 ) -> str:
-    """DuckDB twin: identical step-by-step min() cascade."""
+    """DuckDB twin: identical step-by-step min() cascade; stable
+    floor-based rounding (lakehouse/stablemath.py) so the rate columns
+    hash-match bit-for-bit."""
+    from .stablemath import stable_round_sql as _r
+
     q = lambda s: s.replace("'", "''")
     ctes = [
         f"s1 AS (SELECT {user_col} AS u, min({ts_col}) AS t1 "
@@ -161,9 +168,9 @@ def funnel_oracle_sql(
         sel.append(
             f"SELECT {i} AS step, '{q(step)}' AS event_type, "
             f"n{i} AS users, "
-            f"round(CASE WHEN {prev} > 0 THEN n{i} * 1.0 / {prev} END, 4) "
+            f"{_r(f'CASE WHEN {prev} > 0 THEN n{i} * 1.0 / {prev} END')} "
             f"AS conversion_from_prev, "
-            f"round(CASE WHEN n1 > 0 THEN n{i} * 1.0 / n1 END, 4) "
+            f"{_r(f'CASE WHEN n1 > 0 THEN n{i} * 1.0 / n1 END')} "
             f"AS conversion_from_first FROM c"
         )
     return (

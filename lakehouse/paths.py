@@ -62,12 +62,14 @@ def event_transitions(
         .groupBy("src_type", "dst_type")
         .agg(F.count(F.lit(1)).alias("transitions"))
     )
+    from .stablemath import stable_round
+
     per_src = Window.partitionBy("src_type")
     return pairs.select(
         "src_type",
         "dst_type",
         "transitions",
-        F.round(
+        stable_round(
             F.col("transitions") / F.sum("transitions").over(per_src), 4
         ).alias("probability"),
     ).orderBy("src_type", "dst_type")
@@ -85,8 +87,10 @@ def transition_gaps(
     adjacent pair, the count plus the mean and max gap in seconds
     ("how long do users stare at the cart before purchasing?"). Gaps
     are integer micros summed as DECIMAL (exact, order-insensitive)
-    and divided once at the end — cross-engine deterministic. Same
+    and divided once at the end, then stable-rounded
+    (lakehouse/stablemath.py) — cross-engine bit-deterministic. Same
     one-shuffle scale shape as :func:`event_transitions`."""
+    from .stablemath import stable_round
     w = Window.partitionBy(F.col(user_col)).orderBy(
         F.col("__tn"), F.col(id_col)
     )
@@ -112,13 +116,15 @@ def transition_gaps(
             "src_type",
             "dst_type",
             "transitions",
-            F.round(
+            stable_round(
                 F.col("__sum").cast("double")
                 / F.col("transitions")
                 / 1_000_000,
                 4,
             ).alias("avg_gap_s"),
-            F.round(F.col("__max") / 1_000_000, 4).alias("max_gap_s"),
+            stable_round(F.col("__max") / 1_000_000, 4).alias(
+                "max_gap_s"
+            ),
         )
         .orderBy("src_type", "dst_type")
     )
@@ -133,6 +139,8 @@ def transition_gaps_oracle_sql(
     id_col: str = "event_id",
 ) -> str:
     """DuckDB twin: identical lead() gaps and decimal-sum arithmetic."""
+    from .stablemath import stable_round_sql as _r
+
     return f"""
         WITH p AS (
           SELECT {type_col} AS src_type,
@@ -145,9 +153,8 @@ def transition_gaps_oracle_sql(
         )
         SELECT src_type, dst_type,
                count(*) AS transitions,
-               round(CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
-                     / count(*) / 1000000, 4) AS avg_gap_s,
-               round(max(gap) / 1000000, 4) AS max_gap_s
+               {_r("CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000")} AS avg_gap_s,
+               {_r("max(gap) / 1000000")} AS max_gap_s
         FROM p WHERE dst_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
     """
@@ -162,6 +169,8 @@ def transitions_oracle_sql(
     id_col: str = "event_id",
 ) -> str:
     """DuckDB twin: identical lead() pairing and normalization."""
+    from .stablemath import stable_round_sql as _r
+
     return f"""
         WITH p AS (
           SELECT {type_col} AS src_type,
@@ -175,9 +184,7 @@ def transitions_oracle_sql(
           FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2
         )
         SELECT src_type, dst_type, transitions,
-               round(transitions * 1.0 /
-                     SUM(transitions) OVER (PARTITION BY src_type),
-                     4) AS probability
+               {_r("transitions * 1.0 / SUM(transitions) OVER (PARTITION BY src_type)")} AS probability
         FROM c ORDER BY src_type, dst_type
     """
 

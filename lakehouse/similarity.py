@@ -37,6 +37,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .stablemath import stable_round
+
 
 def _cos(a, b):
     """Cosine similarity of two array<double> columns, JVM-side."""
@@ -83,7 +85,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            stable_round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
     )
     from pyspark.sql.window import Window
@@ -191,9 +193,7 @@ def cosine_topk_oracle_sql(
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM {table}),
     scored AS (
         SELECT query_id, neighbor_id,
-               round(list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
         FROM q, c WHERE query_id <> neighbor_id
     ),
     ranked AS (
@@ -328,7 +328,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            stable_round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
     )
     from pyspark.sql.window import Window
@@ -369,9 +369,7 @@ def ann_lsh_oracle_sql(
           WHERE neighbor_id IN ({ids})),
     scored AS (
         SELECT query_id, wb.neighbor_id,
-               round(list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
         FROM q JOIN wb USING (bucket)
         WHERE query_id <> wb.neighbor_id
     ),
@@ -570,7 +568,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            stable_round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -626,9 +624,7 @@ def ann_ivf_oracle_sql(
     ),
     scored AS (
         SELECT query_id, corpus.neighbor_id,
-               round(list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
         FROM probes JOIN corpus USING (cid)
         WHERE query_id <> corpus.neighbor_id
     ),
@@ -697,7 +693,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(_cos(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            stable_round(_cos(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()  # a pair may agree on several bands
@@ -728,14 +724,10 @@ def embedding_near_dup_oracle_sql(
         FROM wb CROSS JOIN (VALUES {bands}) bands(band)
     )
     SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+           CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bb = b.bb AND a.vid < b.vid
-    WHERE round(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}
+    WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
     """
 
 
@@ -786,7 +778,7 @@ def semantic_dedup(
     victims = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(_cos(F.col("va"), F.col("vb")), 4) >= threshold)
+        .filter(stable_round(_cos(F.col("va"), F.col("vb")), 4) >= threshold)
         .select(F.col("id_b").alias("vid"))
         .distinct()
     )
@@ -821,9 +813,7 @@ def semantic_dedup_oracle_sql(
         SELECT DISTINCT b.vid
         FROM assigned a
         JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
-        WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 4)
+        WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
               >= {threshold}
     )
     SELECT s.vid AS vec_id, s.cid
@@ -862,7 +852,7 @@ def quantize_embeddings(
         F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("long")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
     base = emb.select(
-        F.col(id_col), q.alias("_q"), F.round(s, 6).alias("scale")
+        F.col(id_col), q.alias("_q"), stable_round(s, 6).alias("scale")
     )
     return base.select(
         id_col,
@@ -893,7 +883,7 @@ def quantize_embeddings_oracle_sql(table: str = "embeddings") -> str:
                END AS qv
         FROM s
     )
-    SELECT vec_id, round(sc, 6) AS scale,
+    SELECT vec_id, CAST(floor((sc) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS scale,
            list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qnorm2
     FROM q
     """
@@ -936,7 +926,7 @@ def cosine_topk_int8(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            stable_round(
                 dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 4
             ).alias("cosine"),
         )
@@ -979,8 +969,7 @@ def cosine_topk_int8_oracle_sql(
     ),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               round(list_dot_product(a.qv, b.qv)
-                     / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 4) AS cosine
+               CAST(floor((list_dot_product(a.qv, b.qv) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
         FROM n a, n b
         WHERE a.vec_id IN ({ids}) AND a.vec_id <> b.vec_id
           AND a.n2 > 0 AND b.n2 > 0
@@ -1224,7 +1213,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            stable_round(
                 _adc_score(F.col("lut"), F.col("pq_code"), len(cb)), 4
             ).alias("adc"),
         )
@@ -1307,7 +1296,7 @@ def pq_topk_oracle_sql(
     ),
     scored AS (
         SELECT query_id, neighbor_id,
-               round({_adc_score_sql(m, "lut", "pq_code")}, 4) AS adc
+               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS adc
         FROM q, codes
         WHERE query_id <> neighbor_id
     ),
@@ -1382,7 +1371,7 @@ def ann_ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            stable_round(
                 _adc_score(F.col("lut"), F.col("pq_code"), len(cb)), 4
             ).alias("adc"),
         )
@@ -1442,7 +1431,7 @@ def ann_ivfpq_oracle_sql(
     ),
     scored AS (
         SELECT query_id, corpus.neighbor_id,
-               round({_adc_score_sql(m, "lut", "pq_code")}, 4) AS adc
+               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS adc
         FROM probes JOIN corpus USING (cid)
         WHERE query_id <> corpus.neighbor_id
     ),

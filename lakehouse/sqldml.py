@@ -283,6 +283,33 @@ def _parse_when_clauses(rest: str, masked_rest: str) -> _MergeClauses:
         or out.nms is not None
     ):
         raise SqlDmlError("MERGE has no actionable clauses")
+    if out.nms is not None and not (
+        out.matched_update_star
+        or out.matched_delete
+        or out.not_matched_insert_star
+    ):
+        # the engine's closed form always writes the source rows; a
+        # statement whose ONLY action is NOT MATCHED BY SOURCE would
+        # silently upsert them — refuse rather than deviate from SQL
+        raise SqlDmlError(
+            "WHEN NOT MATCHED BY SOURCE needs a matched/not-matched "
+            "clause too (the closed form rewrites matched rows from "
+            "the source); add WHEN MATCHED THEN UPDATE SET *"
+        )
+    if (
+        out.nms is not None
+        and out.not_matched_insert_star
+        and not (out.matched_update_star or out.matched_delete)
+    ):
+        # insert-only pre-filters the source with an anti-join; the
+        # already-matched source keys would vanish from the match set
+        # and NOT MATCHED BY SOURCE would wrongly delete their targets
+        raise SqlDmlError(
+            "WHEN NOT MATCHED THEN INSERT * alone cannot combine with "
+            "WHEN NOT MATCHED BY SOURCE (the insert-only pre-filter "
+            "would shrink the match set); add WHEN MATCHED THEN "
+            "UPDATE SET *"
+        )
     return out
 
 

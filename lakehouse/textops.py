@@ -53,6 +53,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     distinct-token ratios, plus a blended quality score. All ratios are
     rounded to 4 decimals so a double-precision SQL oracle hashes
     identically."""
+    from .stablemath import stable_round
+
     t = F.col(text_col)
     toks = ws_tokens(t)
     n_tok = F.size(toks)
@@ -75,27 +77,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).alias("n_chars_m"),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        stable_round(avg_len, 4).alias("avg_token_len"),
+        stable_round(stop_ratio, 4).alias("stop_ratio"),
+        stable_round(distinct_ratio, 4).alias("distinct_ratio"),
         score_pts.alias("quality_pts"),
     )
 
 
 def quality_oracle_sql(table: str = "documents") -> str:
+    from .stablemath import stable_round_sql as _r
+
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
     SELECT doc_id,
            length(text) AS n_chars_m,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_distinct,
-           round((length(text) - (len(string_split(text,' ')) - 1))
-                 * 1.0 / len(string_split(text,' ')), 4) AS avg_token_len,
-           round(len(list_filter(string_split(text,' '),
-                                 w -> list_contains([{stop}], w)))
-                 * 1.0 / len(string_split(text,' ')), 4) AS stop_ratio,
-           round(len(list_distinct(string_split(text,' ')))
-                 * 1.0 / len(string_split(text,' ')), 4) AS distinct_ratio,
+           {_r("(length(text) - (len(string_split(text,' ')) - 1)) * 1.0 / len(string_split(text,' '))")} AS avg_token_len,
+           {_r("len(list_filter(string_split(text,' '), w -> list_contains([" + stop + "], w))) * 1.0 / len(string_split(text,' '))")} AS stop_ratio,
+           {_r("len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))")} AS distinct_ratio,
            (least(len(string_split(text,' ')), 64) * 5
             + CAST(floor(len(list_distinct(string_split(text,' '))) * 400.0
                          / len(string_split(text,' '))) AS BIGINT)
@@ -313,19 +313,25 @@ def repetition_stats(
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
     safe = F.when(n_grams > 0, n_grams.cast("double"))
+    from .stablemath import stable_round
+
     return df.select(
         "doc_id",
         n_grams.alias("n_grams"),
         n_distinct.alias("n_distinct_grams"),
         top.alias("top_gram_count"),
-        F.coalesce(F.round(top / safe, 4), F.lit(0.0)).alias("top_gram_frac"),
-        F.coalesce(
-            F.round((n_grams - n_distinct) / safe, 4), F.lit(0.0)
+        stable_round(
+            F.coalesce(top / safe, F.lit(0.0)), 4
+        ).alias("top_gram_frac"),
+        stable_round(
+            F.coalesce((n_grams - n_distinct) / safe, F.lit(0.0)), 4
         ).alias("dup_gram_frac"),
     )
 
 
 def repetition_oracle_sql(table: str = "documents", n: int = 2) -> str:
+    from .stablemath import stable_round_sql as _r
+
     grams = (
         f"[array_to_string(string_split(text, ' ')[i+1 : i+{n}], ' ')"
         f" for i in range(0, len(string_split(text, ' ')) - {n} + 1)]"
@@ -338,11 +344,8 @@ def repetition_oracle_sql(table: str = "documents", n: int = 2) -> str:
            coalesce(list_max(list_transform(list_distinct(grams),
                         x -> len(list_filter(grams, y -> y = x)))), 0)
                AS top_gram_count,
-           coalesce(round(list_max(list_transform(list_distinct(grams),
-                        x -> len(list_filter(grams, y -> y = x))))
-                    * 1.0 / nullif(len(grams), 0), 4), 0.0) AS top_gram_frac,
-           coalesce(round((len(grams) - len(list_distinct(grams)))
-                    * 1.0 / nullif(len(grams), 0), 4), 0.0) AS dup_gram_frac
+           {_r("coalesce(list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x)))) * 1.0 / nullif(len(grams), 0), 0.0)")} AS top_gram_frac,
+           {_r("coalesce((len(grams) - len(list_distinct(grams))) * 1.0 / nullif(len(grams), 0), 0.0)")} AS dup_gram_frac
     FROM g
     """
 
@@ -371,15 +374,19 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     scored = tok.join(cnt, "w").crossJoin(F.broadcast(tot))
+    from .stablemath import stable_round
+
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
+        stable_round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
             "unigram_logprob"
         ),
     )
 
 
 def unigram_logprob_oracle_sql(table: str = "documents") -> str:
+    from .stablemath import stable_round_sql as _r
+
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                  FROM {table}),
@@ -387,7 +394,7 @@ def unigram_logprob_oracle_sql(table: str = "documents") -> str:
          tot AS (SELECT sum(c) AS n FROM cnt)
     SELECT doc_id,
            count(*) AS n_tokens,
-           round(avg(ln(c * 1.0 / n)), 4) AS unigram_logprob
+           {_r("avg(ln(c * 1.0 / n))")} AS unigram_logprob
     FROM tok JOIN cnt USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """
@@ -438,13 +445,17 @@ def bigram_logprob(
         (F.col("cb") + F.lit(float(k)))
         / (F.col("cprev") + F.lit(float(k)) * F.col("v"))
     )
+    from .stablemath import stable_round
+
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(logp), 4).alias("bigram_logprob"),
+        stable_round(F.avg(logp), 4).alias("bigram_logprob"),
     )
 
 
 def bigram_logprob_oracle_sql(table: str = "documents", k: float = 0.5) -> str:
+    from .stablemath import stable_round_sql as _r
+
     return f"""
     WITH tok AS (SELECT doc_id,
                         unnest(ws) AS w,
@@ -463,7 +474,7 @@ def bigram_logprob_oracle_sql(table: str = "documents", k: float = 0.5) -> str:
          voc AS (SELECT count(*) AS v FROM uni)
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(avg(ln((cb + {k}) / (cu_prev + {k} * v))), 4)
+           {_r(f"avg(ln((cb + {k}) / (cu_prev + {k} * v)))")}
              AS bigram_logprob
     FROM pairs
     JOIN big USING (w_prev, w)
@@ -614,6 +625,8 @@ def bm25_topk(
         .select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("w"))
         .filter(F.col("w").isin(terms))
     )
+    from .stablemath import stable_round
+
     tf = base.groupBy("doc_id", "dl", "w").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -626,7 +639,7 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .groupBy("query", "doc_id")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(
                     F.log(
                         1.0
@@ -673,6 +686,8 @@ def bm25_topk_oracle_sql(
 ) -> str:
     """DuckDB twin: identical tokenization/idf/tf arithmetic, plain
     single-level row_number (the two-level prune is plan shape only)."""
+    from .stablemath import stable_round_sql as _r
+
     pairs = _bm25_query_terms(queries)
     vals = ", ".join(
         "('{}', '{}')".format(q.replace("'", "''"), w.replace("'", "''"))
@@ -692,11 +707,7 @@ def bm25_topk_oracle_sql(
                 GROUP BY doc_id, dl, w),
          dfq AS (SELECT w, count(*) AS df_t FROM tf GROUP BY w),
          sc AS (SELECT q.query, tf.doc_id,
-                       round(sum(ln(1 + (n_docs - df_t + 0.5)
-                                     / (df_t + 0.5))
-                                 * tf * ({k1} + 1.0)
-                                 / (tf + {k1} * (1.0 - {b}
-                                       + {b} * dl / avgdl))), 4) AS bm25
+                       {_r(f"sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * tf * ({k1} + 1.0) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))")} AS bm25
                 FROM tf JOIN q USING (w) JOIN dfq USING (w)
                 CROSS JOIN stats
                 GROUP BY q.query, tf.doc_id),

@@ -79,6 +79,8 @@ def cer_pairs(
 ) -> DataFrame:
     """(id, n_ref_chars, dist, cer) — char-level edit distance, fully
     JVM-side. ``cer`` is NULL for an empty reference (0/0)."""
+    from .stablemath import stable_round
+
     ref, hyp = F.col(ref_col), F.col(hyp_col)
     dist = F.levenshtein(ref, hyp)
     n = F.length(ref)
@@ -86,7 +88,7 @@ def cer_pairs(
         F.col(id_col),
         n.alias("n_ref_chars"),
         dist.alias("dist"),
-        F.when(n > 0, F.round(dist / n, 4)).alias("cer"),
+        F.when(n > 0, stable_round(dist / n, 4)).alias("cer"),
     )
 
 
@@ -153,6 +155,8 @@ def wer_pairs(
 ) -> DataFrame:
     """(id, n_ref, n_hyp, dist, wer) — word-level edit distance via one
     Arrow batch pass. ``wer`` is NULL for an empty reference."""
+    from .stablemath import stable_round
+
     w = make_wer_udf()(F.col(ref_col), F.col(hyp_col)).alias("__w")
     return df.select(F.col(id_col), w).select(
         id_col,
@@ -161,7 +165,7 @@ def wer_pairs(
         F.col("__w.dist").alias("dist"),
         F.when(
             F.col("__w.n_ref") > 0,
-            F.round(F.col("__w.dist") / F.col("__w.n_ref"), 4),
+            stable_round(F.col("__w.dist") / F.col("__w.n_ref"), 4),
         ).alias("wer"),
     )
 
@@ -397,7 +401,7 @@ def cer_oracle_sql(
            -- column live (an unreferenced CASE would be pruned away)
            levenshtein(ref, hyp) * ok AS dist,
            CASE WHEN length(ref) > 0
-                THEN round(levenshtein(ref, hyp) * ok * 1.0 / length(ref), 4)
+                THEN CAST(floor((levenshtein(ref, hyp) * ok * 1.0 / length(ref)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
            END AS cer
     FROM g
     """
@@ -444,7 +448,7 @@ def wer_oracle_sql(
            CAST(h.n AS INTEGER) AS n_hyp,
            levenshtein(r.s, h.s) AS dist,
            CASE WHEN r.n > 0
-                THEN round(levenshtein(r.s, h.s) * 1.0 / r.n, 4)
+                THEN CAST(floor((levenshtein(r.s, h.s) * 1.0 / r.n) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
            END AS wer
     FROM enc r JOIN enc h
       ON r.doc_id = h.doc_id AND r.side = 'r' AND h.side = 'h'

@@ -42,9 +42,9 @@ def test_planted_spike_is_flagged_with_exact_z(spark):
     ss = sum(c * c for c in counts)
     mean = s / n
     std = math.sqrt((ss - s * s / n) / (n - 1))
-    assert r.mean_events == pytest.approx(round(mean, 4), abs=1e-9)
-    assert r.std_events == pytest.approx(round(std, 4), abs=1e-9)
-    assert r.z_score == pytest.approx(round((50 - mean) / std, 4), abs=1e-9)
+    assert float(r.mean_events) == pytest.approx(round(mean, 4), abs=1e-9)
+    assert float(r.std_events) == pytest.approx(round(std, 4), abs=1e-9)
+    assert float(r.z_score) == pytest.approx(round((50 - mean) / std, 4), abs=1e-9)
     assert r.bucket_start_us == int(
         (T0 + dt.timedelta(seconds=60 * 7)).timestamp() * 1_000_000
     )

@@ -134,7 +134,7 @@ def test_event_transitions(spark):
         ],
     )
     got = {
-        (r.src_type, r.dst_type): (r.transitions, r.probability)
+        (r.src_type, r.dst_type): (r.transitions, float(r.probability))
         for r in event_transitions(ev).collect()
     }
     # a->b twice, a->c once (p=2/3, 1/3); b->a once (p=1.0); last
@@ -194,7 +194,7 @@ def test_transition_gaps(spark):
         ],
     )
     got = {
-        (r.src_type, r.dst_type): (r.transitions, r.avg_gap_s, r.max_gap_s)
+        (r.src_type, r.dst_type): (r.transitions, float(r.avg_gap_s), float(r.max_gap_s))
         for r in transition_gaps(ev).collect()
     }
     # a->b gaps: 10s and 30s (mean 20, max 30); b->a gap: 5s

@@ -273,3 +273,46 @@ class TestRefusals:
         out = t.scan()
         assert out.count() == 30
         assert out.filter(F.col("codec") == "stale").count() == 24
+
+
+class TestClauseCombos:
+    def test_nms_only_refused(self, spark, wh):
+        wh.load_table(spark, "clips").scan().limit(2)\
+            .createOrReplaceTempView("combo_src")
+        with pytest.raises(SqlDmlError, match="needs a matched"):
+            wh.sql(
+                spark,
+                """MERGE INTO clips t USING combo_src s
+                   ON t.clip_id = s.clip_id
+                   WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+            )
+
+    def test_insert_only_plus_nms_refused(self, spark, wh):
+        wh.load_table(spark, "clips").scan().limit(2)\
+            .createOrReplaceTempView("combo_src2")
+        with pytest.raises(SqlDmlError, match="insert-only pre-filter"):
+            wh.sql(
+                spark,
+                """MERGE INTO clips t USING combo_src2 s
+                   ON t.clip_id = s.clip_id
+                   WHEN NOT MATCHED THEN INSERT *
+                   WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+            )
+
+    def test_matched_delete_plus_nms_full_purge_scoped(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        pre = sorted(_ids(t))
+        doomed = pre[:3]
+        t.scan().filter(F.col("clip_id").isin(doomed))\
+            .createOrReplaceTempView("combo_src3")
+        # delete the matched keys AND every unmatched row in-domain
+        wh.sql(
+            spark,
+            f"""MERGE INTO clips t USING combo_src3 s
+                ON t.clip_id = s.clip_id
+                WHEN MATCHED THEN DELETE
+                WHEN NOT MATCHED BY SOURCE
+                    AND clip_id < '{pre[10]}' THEN DELETE""",
+        )
+        got = sorted(_ids(t))
+        assert got == [c for c in pre[10:]]

@@ -293,7 +293,7 @@ def test_ann_recall_vs_exact(spark):
         ).collect()
     }
     for key, cos in approx_top1.items():
-        assert cos <= exact_top1[key] + 1e-9
+        assert float(cos) <= float(exact_top1[key]) + 1e-9
 
     exact5 = {
         (r.query_id, r.neighbor_id)
@@ -359,7 +359,7 @@ def test_ann_ivf_recall_and_training(spark):
         for r in ann_ivf_topk(emb, ids, k=1, n_centroids=8, nprobe=2).collect()
         for key in [(r.query_id, r.rank)]
     ):
-        assert cos <= exact_top1[key] + 1e-9
+        assert float(cos) <= float(exact_top1[key]) + 1e-9
 
     # nprobe == n_centroids probes everything -> recall 1.0 exactly
     assert recall(n_centroids=8, nprobe=8) == 1.0
@@ -418,7 +418,7 @@ def test_cosine_topk_arrow_parity(spark):
     assert ka.keys() == kb.keys()
     for key in ka:
         assert ka[key].neighbor_id == kb[key].neighbor_id, (key, ka[key], kb[key])
-        assert abs(ka[key].cosine - kb[key].cosine) <= 1e-4
+        assert abs(float(ka[key].cosine) - float(kb[key].cosine)) <= 1e-4
 
 
 def test_curate_documents_planted_flow(spark):
@@ -827,8 +827,8 @@ def test_repetition_stats_hand_computed(spark):
     assert got[1]["n_grams"] == 5
     assert got[1]["n_distinct_grams"] == 2
     assert got[1]["top_gram_count"] == 3
-    assert got[1]["top_gram_frac"] == 0.6
-    assert got[1]["dup_gram_frac"] == 0.6
+    assert float(got[1]["top_gram_frac"]) == 0.6
+    assert float(got[1]["dup_gram_frac"]) == 0.6
     # doc 2 too short for a bigram: all-zero signals, still present
     assert got[2] == {
         "doc_id": 2,
