@@ -4134,13 +4134,12 @@ def _q_lh_sum_pushdown(spark, sf_dir):
     assert (s_v, n_v, s_u, n_u) == tuple(real), (
         "metadata sums must equal the scan"
     )
-    import decimal as _d
+    import math as _m
 
-    avg_u = float(
-        (_d.Decimal(s_u) / _d.Decimal(n_u)).quantize(
-            _d.Decimal("0.000001"), rounding=_d.ROUND_HALF_UP
-        )
-    )
+    # same IEEE floor-based rounding as the oracle SQL: s_u/n_u is the
+    # identical double in both engines, so the rounded value is
+    # bit-deterministic (lakehouse/stablemath.py rationale)
+    avg_u = _m.floor((s_u / n_u) * 1_000_000.0 + 0.5) / 1_000_000.0
     return spark.createDataFrame(
         [(s_v, n_v, s_u, avg_u)],
         "sum_value_c bigint, n_value_c bigint, "
@@ -4297,7 +4296,7 @@ def _q_lh_transform_incremental(spark, sf_dir):
         columns=["event_id", "event_type", "value", "ts"],
         exprs={
             "etype": "event_type",
-            "v2": "round(value * 2.0, 4)",
+            "v2": "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))",
             "ehour": "CAST(date_trunc('hour', ts) AS STRING)",
         },
     )
@@ -6314,7 +6313,7 @@ def oracle_sql() -> dict[str, str]:
             " AS sum_value_c, "
             "COUNT(CAST(FLOOR(value * 100) AS BIGINT)) AS n_value_c, "
             "CAST(SUM(user_id) AS BIGINT) AS sum_user, "
-            "round(AVG(user_id), 6) AS avg_user "
+            "floor(AVG(user_id) * 1000000.0 + 0.5) / 1000000.0 AS avg_user "
             "FROM (" + EVENTS_OUT_SQL + ") "
             "WHERE event_date_s BETWEEN '2024-01-05' AND '2024-01-09'"
         ),
@@ -6327,7 +6326,7 @@ def oracle_sql() -> dict[str, str]:
             "event_type, value, props FROM events "
             "WHERE event_type = 'signup' AND user_id % 13 = 0) "
             "SELECT event_id, event_type AS etype, "
-            "round(value * 2.0, 4) AS v2, "
+            "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS v2, "
             "CAST(date_trunc('hour', ts) AS VARCHAR) AS ehour "
             "FROM rows"
         ),

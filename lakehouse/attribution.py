@@ -48,6 +48,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .stablemath import stable_round
+
 MODELS = ("last_touch", "first_touch", "linear")
 
 # fixed-width sortable key: 20-digit micros | 20-digit id | channel —
@@ -134,14 +136,10 @@ def attribution_report(
                     F.col("__tot") > 0, F.col(f"__c{i}") / F.col("__tot")
                 ).otherwise(F.lit(0.0))
             aggs.append(
-                F.sum(F.round(share, 6).cast("decimal(18,6)")).alias(
-                    f"__conv{i}"
-                )
+                F.sum(stable_round(share, 6)).alias(f"__conv{i}")
             )
             aggs.append(
-                F.sum(
-                    F.round(vv * share, 6).cast("decimal(18,6)")
-                ).alias(f"__val{i}")
+                F.sum(stable_round(vv * share, 6)).alias(f"__val{i}")
             )
             labels.append(
                 (str(t) if t is not None else "(none)").replace("'", "''")
@@ -240,10 +238,11 @@ def attribution_oracle_sql(
             share = f"CASE WHEN tot > 0 THEN c{i} * 1.0 / tot ELSE 0.0 END"
             picks.append(
                 f"SELECT '{q(t)}' AS channel, "
-                f"CAST(coalesce(SUM(CAST(round({share}, 6) "
-                f"AS DECIMAL(18,6))), 0) AS DOUBLE) AS conversions, "
-                f"CAST(coalesce(SUM(CAST(round(coalesce(v, 0.0) * "
-                f"({share}), 6) AS DECIMAL(18,6))), 0) AS DOUBLE) "
+                f"CAST(coalesce(SUM(CAST(floor(({share}) * 1000000.0 + 0.5) "
+                f"/ 1000000.0 AS DECIMAL(18,6))), 0) AS DOUBLE) AS conversions, "
+                f"CAST(coalesce(SUM(CAST(floor(coalesce(v, 0.0) * "
+                f"({share}) * 1000000.0 + 0.5) / 1000000.0 "
+                f"AS DECIMAL(18,6))), 0) AS DOUBLE) "
                 f"AS value FROM conv"
             )
         none_share = "CASE WHEN tot = 0 THEN 1.0 ELSE 0.0 END"
@@ -251,8 +250,9 @@ def attribution_oracle_sql(
             f"SELECT '(none)' AS channel, "
             f"CAST(coalesce(SUM(CAST({none_share} AS DECIMAL(18,6))), 0) "
             f"AS DOUBLE) AS conversions, "
-            f"CAST(coalesce(SUM(CAST(round(coalesce(v, 0.0) * "
-            f"({none_share}), 6) AS DECIMAL(18,6))), 0) AS DOUBLE) "
+            f"CAST(coalesce(SUM(CAST(floor(coalesce(v, 0.0) * "
+            f"({none_share}) * 1000000.0 + 0.5) / 1000000.0 "
+            f"AS DECIMAL(18,6))), 0) AS DOUBLE) "
             f"AS value FROM conv"
         )
         return (
