@@ -532,6 +532,14 @@ def _q_lh_sql_merge(spark, sf_dir):
         "UPDATE events_table SET value = value * 2 "
         "WHERE event_type = 'updated'"
     )
+    ev.createOrReplaceTempView("sql_ins_src")
+    t.sql(
+        """INSERT INTO events_table
+           SELECT event_id + 30000000, ts, user_id, 'sql_inserted',
+                  3.0, props, event_date
+           FROM sql_ins_src
+           WHERE event_type = 'signup' AND user_id % 17 = 0"""
+    )
     return _events_out(t.scan())
 
 
@@ -547,12 +555,18 @@ ins AS (
            'inserted' AS event_type, 1.0 AS value, props
     FROM ev WHERE event_type = 'signup' AND user_id % 13 = 0
 ),
+ins2 AS (
+    SELECT event_id + 30000000 AS event_id, ts, user_id,
+           'sql_inserted' AS event_type, 3.0 AS value, props
+    FROM ev WHERE event_type = 'signup' AND user_id % 17 = 0
+),
 merged AS (
     SELECT * FROM ev
     WHERE event_id NOT IN (SELECT event_id FROM upd)
       AND NOT (event_type = 'error' AND user_id % 5 = 0)
     UNION ALL SELECT * FROM upd
     UNION ALL SELECT * FROM ins
+    UNION ALL SELECT * FROM ins2
 )
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
        CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s

@@ -16,6 +16,10 @@ Supported grammar (case-insensitive keywords; ``<pred>``/``<expr>``
 are passed through to Spark SQL verbatim, so any engine-supported
 expression works):
 
+    INSERT INTO <table> [(c1, ...)] SELECT ... | VALUES ...
+        → positional mapping, unlisted columns take their declared
+          default / NULL; generated + identity columns flow through
+          the append path's own compute/assign rules
     DELETE FROM <table> WHERE <pred>
     UPDATE <table> SET col = <expr> [, ...] WHERE <pred>
     MERGE INTO <table> [AS] [t] USING <src> [AS] [s] ON <key-equality>
@@ -363,6 +367,50 @@ def execute_dml(
             raise SqlDmlError("pass spark= when using catalog=")
         return catalog.load_table(spark, name)
 
+    if head == "INSERT":
+        m = re.match(
+            rf"^INSERT{_WS}INTO{_WS}({_IDENT})\s*(\(([^)]*)\))?\s*",
+            masked,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDmlError(
+                "expected: INSERT INTO <table> [(c1, ...)] "
+                "SELECT ... | VALUES ..."
+            )
+        t = _get_table(m.group(1))
+        sp = spark or t.spark
+        query = stmt[m.end() :].strip()
+        if not re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", query, re.IGNORECASE):
+            raise SqlDmlError(
+                f"INSERT body must be a SELECT/VALUES query, got "
+                f"{query[:40]!r}"
+            )
+        df = sp.sql(query)
+        names = [f.name for f in t.schema.fields]
+        if m.group(3) is not None:
+            listed = [c.strip() for c in m.group(3).split(",") if c.strip()]
+            unknown = [c for c in listed if c not in names]
+            if unknown:
+                raise SqlDmlError(
+                    f"INSERT column(s) {unknown} not in table schema"
+                )
+            targets = listed
+        else:
+            targets = names
+        if len(df.columns) != len(targets):
+            raise SqlDmlError(
+                f"INSERT supplies {len(df.columns)} column(s) for "
+                f"{len(targets)} target column(s)"
+            )
+        # positional mapping (standard SQL), then conform: unlisted
+        # columns take their declared default / NULL; generated and
+        # identity columns flow through the append path's own rules
+        df = df.toDF(*targets)
+        from .schema import conform
+
+        return t.append(conform(df, t.schema), **op_kw)
+
     if head == "DELETE":
         m = re.match(
             rf"^DELETE{_WS}FROM{_WS}({_IDENT})({_WS}WHERE{_WS})",
@@ -464,6 +512,6 @@ def execute_dml(
 
     raise SqlDmlError(
         f"unsupported statement {head or sql!r} — this entry point "
-        "accepts MERGE INTO / UPDATE / DELETE only (reads: "
-        "register_views + spark.sql)"
+        "accepts INSERT INTO / MERGE INTO / UPDATE / DELETE only "
+        "(reads: register_views + spark.sql)"
     )

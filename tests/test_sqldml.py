@@ -316,3 +316,55 @@ class TestClauseCombos:
         )
         got = sorted(_ids(t))
         assert got == [c for c in pre[10:]]
+
+
+class TestInsert:
+    def test_insert_select(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        t.scan().createOrReplaceTempView("clips_all")
+        wh.sql(
+            spark,
+            """INSERT INTO clips
+               SELECT concat('ins-', clip_id), bytes, sr_hz, dur_ms,
+                      codec, transcript, ingest_ts, event_date
+               FROM clips_all LIMIT 4""",
+        )
+        out = t.scan()
+        assert out.count() == 34
+        assert out.filter(F.col("clip_id").startswith("ins-")).count() == 4
+
+    def test_insert_values_with_column_list(self, spark, tmp_path):
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        t = Table.create(spark, str(tmp_path / "kv"), schema)
+        t.sql("INSERT INTO kv (k, name) VALUES (1, 'a'), (2, 'b')")
+        rows = sorted(tuple(r) for r in t.scan().collect())
+        assert rows == [(1, "a", None), (2, "b", None)]
+        with pytest.raises(SqlDmlError, match="not in table schema"):
+            t.sql("INSERT INTO kv (nope) VALUES (1)")
+        with pytest.raises(SqlDmlError, match="column"):
+            t.sql("INSERT INTO kv (k, name) VALUES (1)")
+        with pytest.raises(SqlDmlError, match="SELECT/VALUES"):
+            t.sql("INSERT INTO kv SET x = 1")
+
+    def test_insert_respects_generated_and_identity(self, spark, tmp_path):
+        schema = T.StructType(
+            [
+                T.StructField("rid", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("v2", T.LongType()),
+            ]
+        )
+        t = Table.create(spark, str(tmp_path / "gen"), schema)
+        t.set_generated_column("v2", "v * 2")
+        t.set_identity_column("rid", start=10)
+        t.sql("INSERT INTO gen (v) VALUES (3), (4)")
+        rows = sorted((r.v, r.v2) for r in t.scan().collect())
+        assert rows == [(3, 6), (4, 8)]
+        rids = [r.rid for r in t.scan().collect()]
+        assert len(set(rids)) == 2 and all(r >= 10 for r in rids)
