@@ -713,10 +713,57 @@ def merge_into(
         live = prune_files_by_key_bucket(spark, meta, src, key, live)
         from ..fieldids import name_lookup
 
-        touched = probe_touched_files(
-            spark, src, key, key_type, live, table_root=table.root,
-            names_of=name_lookup(meta.schemas, meta.current_schema_id),
-        )
+        names_of = name_lookup(meta.schemas, meta.current_schema_id)
+        # probe cost guard (manifest arithmetic, zero I/O): the probe's
+        # ONLY win is dropping candidate files holding no source key —
+        # with a DENSE source the expected number of droppable files is
+        # ~0 and the probe is a pure extra pass over every candidate's
+        # key column. Driver-side first: range-prefilter candidates on
+        # the source [min,max] (the same conservative stat compare the
+        # probe's sweep starts from), then estimate, per survivor,
+        # P(no source key lands in it) ≈ exp(-src_rows · rows_f/rows_T)
+        # under uniform draw. If the expected droppable count is < 0.5
+        # files, skip the probe and rewrite every candidate — always
+        # correct (a no-match file rewrites verbatim), and the sparse
+        # shapes (trickle upserts, bloom-backed point merges, where the
+        # probe pays for itself thousandfold) keep it.
+        cands = None
+        from ..meta.manifests import _encode_stat
+
+        kmin = _encode_stat(stats.key_min)
+        kmax = _encode_stat(stats.key_max, upper=True)
+        if kmin is not None and kmax is not None:
+            try:
+                cands = []
+                for e in live:
+                    phys = names_of(e, key)
+                    st = (e.stats.get(phys) or {}) if phys else {}
+                    lo, hi = st.get("min"), st.get("max")
+                    if lo is None or hi is None or not (
+                        hi < kmin or lo > kmax
+                    ):
+                        cands.append(e)
+            except TypeError:
+                cands = None  # incomparable stat/literal types
+        skip_probe = False
+        if cands is not None:
+            import math
+
+            rows_t = sum(e.record_count for e in live_all) or 1
+            exp_droppable = sum(
+                math.exp(
+                    -int(stats.src_rows) * e.record_count / rows_t
+                )
+                for e in cands
+            )
+            skip_probe = exp_droppable < 0.5
+        if skip_probe:
+            touched = sorted(e.file_path for e in cands)
+        else:
+            touched = probe_touched_files(
+                spark, src, key, key_type, live, table_root=table.root,
+                names_of=names_of,
+            )
 
     # --- WHEN NOT MATCHED BY SOURCE: extra drops + rewrites ------------------
     nms_drops, nms_rewrites = _nms_file_sets(
