@@ -74,18 +74,19 @@ def _strip_strings(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):  # Spark accepts double-quoted literals too
+            q = c
             j = i + 1
             while j < n:
-                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                if sql[j] == q and j + 1 < n and sql[j + 1] == q:
                     j += 2
                     continue
-                if sql[j] == "'":
+                if sql[j] == q:
                     break
                 j += 1
             if j >= n:
                 raise SqlDmlError("unterminated string literal")
-            out.append("'" + " " * (j - i - 1) + "'")
+            out.append(q + " " * (j - i - 1) + q)
             i = j + 1
         else:
             out.append(c)
@@ -93,8 +94,31 @@ def _strip_strings(sql: str) -> str:
     return "".join(out)
 
 
+def _depths(masked: str) -> list[int]:
+    """Parenthesis depth at each position of the masked statement."""
+    out, d = [], 0
+    for c in masked:
+        if c == "(":
+            out.append(d)
+            d += 1
+        elif c == ")":
+            d -= 1
+            out.append(d)
+        else:
+            out.append(d)
+    return out
+
+
 def _kw_pos(masked: str, pattern: str, start: int = 0) -> Optional[re.Match]:
-    return re.compile(pattern, re.IGNORECASE).search(masked, start)
+    """First keyword match at parenthesis depth 0 — keywords inside a
+    subquery or a parenthesized expression (a JOIN's ON, a scalar
+    subquery's WHERE, a (CASE WHEN … THEN …)) never split the outer
+    statement."""
+    depths = _depths(masked)
+    for m in re.compile(pattern, re.IGNORECASE).finditer(masked, start):
+        if depths[m.start()] == 0:
+            return m
+    return None
 
 
 def _split_top_commas(s: str) -> list[str]:
@@ -194,7 +218,10 @@ def _parse_when_clauses(rest: str, masked_rest: str) -> _MergeClauses:
         r"(\s+AND\s+)?",
         re.IGNORECASE,
     )
-    matches = list(pat.finditer(masked_rest))
+    depths = _depths(masked_rest)
+    matches = [
+        m for m in pat.finditer(masked_rest) if depths[m.start()] == 0
+    ]
     if not matches:
         raise SqlDmlError("MERGE has no WHEN clauses")
     if masked_rest[: matches[0].start()].strip():
@@ -484,11 +511,63 @@ def execute_dml(
 
         from pyspark.sql import functions as F
 
-        op_col = op_kw.pop("op_col", "op")
+        # the statement text is the ONLY channel for per-row semantics:
+        # a source column that happens to be named like the engine's op
+        # marker (the default is 'op' — ubiquitous in CDC feeds) must
+        # NOT silently turn an upsert into deletes, so the front-end
+        # always owns a reserved marker column instead
+        op_col = "__sqldml_op"
+        op_kw.pop("op_col", None)
+        if op_col in src.columns:
+            raise SqlDmlError(
+                f"source column {op_col!r} collides with the DML "
+                "front-end's reserved op marker; rename it"
+            )
         if clauses.matched_delete:
             # delete-by-key: every source row is a DELETE op (unmatched
             # keys are harmless no-ops in both COW and MoR paths)
             src = src.withColumn(op_col, F.lit("delete"))
+        else:
+            src = src.withColumn(
+                op_col, F.lit(None).cast("string")
+            )
+        # NMS condition / update-set expressions are target-domain:
+        # strip the statement's own target qualifier (t.col → col) and
+        # refuse source-qualified references loudly
+        def _target_expr(expr: str) -> str:
+            masked_e = _strip_strings(expr)
+            for q in (s_alias, s_name):
+                if q and re.search(
+                    rf"\b{re.escape(q)}\s*\.", masked_e, re.IGNORECASE
+                ):
+                    raise SqlDmlError(
+                        f"NOT MATCHED BY SOURCE expressions see only "
+                        f"the TARGET row; {q!r}-qualified reference in "
+                        f"{expr!r}"
+                    )
+            for q in (t_alias, t_name):
+                if not q:
+                    continue
+                pat = re.compile(
+                    rf"\b{re.escape(q)}\s*\.\s*", re.IGNORECASE
+                )
+                pieces, last = [], 0
+                for m in pat.finditer(masked_e):
+                    pieces.append(expr[last : m.start()])
+                    last = m.end()
+                pieces.append(expr[last:])
+                expr = "".join(pieces)
+                masked_e = _strip_strings(expr)
+            return expr
+
+        nms = clauses.nms
+        nms_condition = clauses.nms_condition
+        if isinstance(nms, dict):
+            nms = {c: _target_expr(e) for c, e in nms.items()}
+        if isinstance(nms_condition, str):
+            nms_condition = _target_expr(nms_condition)
+        if clauses.matched_delete:
+            pass
         elif clauses.matched_update_star and not clauses.not_matched_insert_star:
             # update-only: keys-only semi-join pre-filter, so unmatched
             # source rows are NOT inserted (one column-pruned key probe)
@@ -505,8 +584,8 @@ def execute_dml(
             key=key,
             mode=mode,
             op_col=op_col,
-            not_matched_by_source=clauses.nms,
-            not_matched_by_source_condition=clauses.nms_condition,
+            not_matched_by_source=nms,
+            not_matched_by_source_condition=nms_condition,
             **op_kw,
         )
 

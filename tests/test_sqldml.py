@@ -368,3 +368,91 @@ class TestInsert:
         assert rows == [(3, 6), (4, 8)]
         rids = [r.rid for r in t.scan().collect()]
         assert len(set(rids)) == 2 and all(r >= 10 for r in rids)
+
+
+class TestReviewFixes:
+    """Round-4 review findings: op-column collision, depth-aware
+    keyword splitting, alias-qualified NMS expressions."""
+
+    def test_source_op_column_does_not_trigger_deletes(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        # CDC-shaped source: a column literally named 'op' with
+        # 'delete' values must NOT be interpreted as the merge marker
+        src = (
+            t.scan().orderBy("clip_id").limit(5)
+            .withColumn("codec", F.lit("cdc"))
+            .withColumn("op", F.lit("delete"))
+        )
+        src.createOrReplaceTempView("cdc_src")
+        wh.sql(
+            spark,
+            """MERGE INTO clips t USING cdc_src s ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        out = t.scan()
+        assert out.count() == 30  # nothing deleted
+        assert out.filter("codec = 'cdc'").count() == 5  # pure upsert
+
+    def test_using_subquery_with_join_on(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        t.scan().createOrReplaceTempView("cv")
+        # the JOIN's ON inside the subquery must not split the MERGE
+        wh.sql(
+            spark,
+            """MERGE INTO clips USING (
+                 SELECT a.clip_id, a.bytes, a.sr_hz, a.dur_ms,
+                        'joined' AS codec, a.transcript, a.ingest_ts,
+                        a.event_date
+                 FROM cv a JOIN cv b ON a.clip_id = b.clip_id
+                 LIMIT 3
+               ) ON clip_id = clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        assert t.scan().filter("codec = 'joined'").count() == 3
+
+    def test_alias_qualified_nms_condition(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        keep = sorted(
+            r.clip_id for r in t.scan().select("clip_id").limit(6).collect()
+        )
+        t.scan().filter(F.col("clip_id").isin(keep)).createOrReplaceTempView(
+            "al_src"
+        )
+        wh.sql(
+            spark,
+            """MERGE INTO clips AS t USING al_src AS s
+               ON t.clip_id = s.clip_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE AND t.sr_hz >= 0 THEN DELETE""",
+        )
+        assert sorted(
+            r.clip_id for r in t.scan().select("clip_id").collect()
+        ) == keep
+        # source-qualified reference refused loudly
+        with pytest.raises(SqlDmlError, match="TARGET row"):
+            wh.sql(
+                spark,
+                """MERGE INTO clips AS t USING al_src AS s
+                   ON t.clip_id = s.clip_id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED BY SOURCE AND s.sr_hz > 0 THEN DELETE""",
+            )
+
+    def test_double_quoted_literal_and_scalar_subquery(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        victim = sorted(
+            r.clip_id for r in t.scan().select("clip_id").collect()
+        )[0]
+        wh.sql(
+            spark,
+            f'UPDATE clips SET transcript = "use WHERE wisely" '
+            f"WHERE clip_id = '{victim}'",
+        )
+        got = (
+            t.scan().filter(F.col("clip_id") == victim)
+            .select("transcript").first()[0]
+        )
+        assert got == "use WHERE wisely"
