@@ -148,6 +148,11 @@ def ngram_jaccard_oracle_sql(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
 ) -> str:
+    from .stablemath import stable_round_sql
+
+    _jac = stable_round_sql(
+        "inter * 1.0 / (sa.n_sh + sb.n_sh - inter)", 4
+    )
     return f"""
     WITH sh AS ({_shingles_sql(table, k)}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -161,11 +166,11 @@ def ngram_jaccard_oracle_sql(
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS jaccard
+           {_jac} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
+    WHERE {_jac} >= {threshold}
     """
 
 
@@ -332,6 +337,11 @@ def minhash_lsh_oracle_sql(
         "FROM sigs"
         for b in range(bands)
     )
+    from .stablemath import stable_round_sql
+
+    _jac = stable_round_sql(
+        "inter * 1.0 / (sa.n_sh + sb.n_sh - inter)", 4
+    )
     return f"""
     WITH sh AS ({_shingles_sql(table, k)}),
     shx AS (
@@ -355,11 +365,11 @@ def minhash_lsh_oracle_sql(
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS jaccard
+           {_jac} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(floor((inter * 1.0 / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
+    WHERE {_jac} >= {threshold}
     """
 
 

@@ -47,7 +47,14 @@ def stable_round(col: Column, digits: int = 4, *, precision: int = 18) -> Column
 
 def stable_round_sql(expr: str, digits: int = 4, *, precision: int = 18) -> str:
     """The DuckDB twin of ``stable_round`` — textually the same IEEE
-    op chain, so the two engines agree bit-for-bit."""
+    op chain, so the two engines agree bit-for-bit.
+
+    Canonical emitted text (do not drift):
+    ``CAST(floor((X) * 10^d.0 + 0.5) / 10^d.0 AS DECIMAL(p,d))``.
+    A few oracle builders (similarity.py ADC/cosine, attribution.py)
+    inline this text verbatim because their ``X`` itself interpolates
+    f-string pieces a plain string argument can't carry — any change
+    here must sweep those sites too (grep ``floor((`` )."""
     p = float(10 ** digits)
     return (
         f"CAST(floor(({expr}) * {p!r} + 0.5) / {p!r} "

@@ -375,6 +375,11 @@ def cer_oracle_sql(
     GUARDS the assumption: any multi-byte text raises a loud error
     (division by zero via the octet-length check) instead of silently
     diverging from the engine on a future non-ASCII corpus."""
+    from .stablemath import stable_round_sql
+
+    _cer = stable_round_sql(
+        "levenshtein(ref, hyp) * ok * 1.0 / length(ref)", 4
+    )
     return f"""
     WITH t AS (
         SELECT {id_sql} AS doc_id, text AS ref,
@@ -401,7 +406,7 @@ def cer_oracle_sql(
            -- column live (an unreferenced CASE would be pruned away)
            levenshtein(ref, hyp) * ok AS dist,
            CASE WHEN length(ref) > 0
-                THEN CAST(floor((levenshtein(ref, hyp) * ok * 1.0 / length(ref)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
+                THEN {_cer}
            END AS cer
     FROM g
     """
@@ -416,6 +421,9 @@ def wer_oracle_sql(
     """Word-level WER via single-byte dictionary encoding (module doc:
     DuckDB levenshtein is byte-based, so each word must encode to ONE
     byte — dense_rank per document pair, ranks 1..127)."""
+    from .stablemath import stable_round_sql
+
+    _wer = stable_round_sql("levenshtein(r.s, h.s) * 1.0 / r.n", 4)
     return f"""
     WITH t AS (
         SELECT {id_sql} AS doc_id,
@@ -448,7 +456,7 @@ def wer_oracle_sql(
            CAST(h.n AS INTEGER) AS n_hyp,
            levenshtein(r.s, h.s) AS dist,
            CASE WHEN r.n > 0
-                THEN CAST(floor((levenshtein(r.s, h.s) * 1.0 / r.n) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
+                THEN {_wer}
            END AS wer
     FROM enc r JOIN enc h
       ON r.doc_id = h.doc_id AND r.side = 'r' AND h.side = 'h'
