@@ -3905,6 +3905,59 @@ def _q_lh_spj_join(spark, sf_dir):
     )
 
 
+def _q_lh_spj_anti(spark, sf_dir):
+    """Storage-partitioned ANTI join (round 4): events minus a
+    co-bucketed exclusion list — the 10^12-row decontamination /
+    tombstone-exclusion shape with ZERO exchange (asserted inline; the
+    B side reads its key column only). Exclusions: every user_id
+    divisible by 9, via a bucket(8, user_id) exclusion table."""
+    from lakehouse import Table
+    from lakehouse.spj import storage_partitioned_join
+
+    ev = _events(spark, sf_dir)
+    spec = [
+        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
+         "n": 8}
+    ]
+    root = tempfile.mkdtemp(prefix="lh_spja_")
+    ta = Table.create(
+        spark, os.path.join(root, "ev"),
+        ev.select("event_id", "user_id", "event_type", "value").schema,
+        partition_spec=spec,
+    )
+    ta.append(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        target_file_count=4,
+    )
+    excl = ev.select("user_id").distinct().filter(
+        F.col("user_id") % 9 == 0
+    )
+    tb = Table.create(
+        spark, os.path.join(root, "excl"), excl.schema, partition_spec=spec
+    )
+    tb.append(excl, target_file_count=2)
+    out = storage_partitioned_join(
+        ta, tb, on="user_id",
+        select_a=["event_id", "event_type", "value"],
+        how="left_anti",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"SPJ anti plan contains {node}"
+    assert plan.count("Exchange") <= 1, "SPJ anti plan shuffles data"
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+LH_SPJ_ANTI_ORACLE = """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    WHERE user_id NOT IN (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 9 = 0
+    )
+"""
+
+
 def _q_lh_spj_cogroup(spark, sf_dir):
     """Self-verifying: storage_partitioned_cogroup (the generic
     per-bucket pandas kernel, lakehouse/spj.py) computes per-user event
@@ -5811,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_full_sync": _q_lh_merge_full_sync,
         "lh_sql_merge": _q_lh_sql_merge,
         "lh_spj_join": _q_lh_spj_join,
+        "lh_spj_anti": _q_lh_spj_anti,
         "lh_identity_append": _q_lh_identity_append,
         "lh_delete_mor": _q_lh_delete_mor,
         "lh_count_pushdown": _q_lh_count_pushdown,
@@ -6277,6 +6331,7 @@ def oracle_sql() -> dict[str, str]:
         "lh_merge_full_sync": LH_MERGE_FULL_SYNC_ORACLE,
         "lh_identity_append": LH_IDENTITY_ORACLE,
         "lh_spj_join": LH_SPJ_ORACLE,
+        "lh_spj_anti": LH_SPJ_ANTI_ORACLE,
         "lh_changelog_pairs": """
             WITH upd AS (
                 SELECT event_id, value FROM events WHERE event_id % 11 = 0

@@ -225,12 +225,26 @@ def storage_partitioned_join(
     returns ``on`` + ``select_a`` + ``select_b`` columns (defaults:
     every non-key column of the respective table; names must be
     disjoint across sides). ``how``: "inner", "left" (every A row
-    survives; B columns null where the bucket or key is absent) or
-    "full" (both directions). NULL join keys follow SQL equi-join
-    semantics: NULL matches nothing — inner drops such rows, left/full
-    emit them unmatched with the other side null-filled."""
-    if how not in ("inner", "left", "full"):
-        raise SpjError(f"unsupported how={how!r} (inner | left | full)")
+    survives; B columns null where the bucket or key is absent),
+    "full" (both directions), or the filtering joins "left_semi" /
+    "left_anti" (A rows whose key does / does not exist in B — B
+    columns never emitted, ``select_b`` must be empty; the 10^12-row
+    decontamination / exclusion shape across two co-bucketed tables,
+    zero exchange). NULL join keys follow SQL equi-join semantics:
+    NULL matches nothing — inner/semi drop such rows, left/full emit
+    them unmatched with the other side null-filled, anti KEEPS them
+    (a NULL key never has a match, exactly Spark's left_anti)."""
+    if how not in ("inner", "left", "full", "left_semi", "left_anti"):
+        raise SpjError(
+            f"unsupported how={how!r} "
+            "(inner | left | full | left_semi | left_anti)"
+        )
+    if how in ("left_semi", "left_anti") and select_b:
+        raise SpjError(
+            f"{how} emits no B-side columns; pass select_b=None/[]"
+        )
+    if how in ("left_semi", "left_anti") and select_b is None:
+        select_b = []
     sa, sb = table_a.schema, table_b.schema
     select_a, select_b, cols_a, cols_b, buckets_a, buckets_b = (
         _validate_and_plan(table_a, table_b, on, select_a, select_b)
@@ -243,9 +257,10 @@ def storage_partitioned_join(
             f"output columns must be disjoint; rename or drop {sorted(overlap)}"
         )
 
-    if how == "inner":
+    if how in ("inner", "left_semi"):
         keys = set(buckets_a) & set(buckets_b)
-    elif how == "left":
+    elif how in ("left", "left_anti"):
+        # anti: an A bucket with no B side keeps ALL its rows
         keys = set(buckets_a)
     else:  # full
         keys = set(buckets_a) | set(buckets_b)
@@ -270,7 +285,13 @@ def storage_partitioned_join(
     if task_df is None:
         return spark.createDataFrame([], out_schema)
 
-    how_pd = {"inner": "inner", "left": "left", "full": "outer"}[how]
+    how_pd = {
+        "inner": "inner",
+        "left": "left",
+        "full": "outer",
+        "left_semi": None,
+        "left_anti": None,
+    }[how]
     out_cols = [on] + select_a + select_b
     # left-join NaNs land in float64; pandas nullable dtypes round-trip
     # through Arrow as proper nulls for integral/boolean Spark types
@@ -293,6 +314,19 @@ def storage_partitioned_join(
             for row in pdf.itertuples(index=False):
                 a = _read_side_pdf(json.loads(row.a), cols_a)
                 b = _read_side_pdf(json.loads(row.b), cols_b)
+                if how_pd is None:  # left_semi / left_anti
+                    bkeys = b[on].dropna().unique()
+                    if how == "left_semi":
+                        mask = a[on].notna() & a[on].isin(bkeys)
+                    else:  # NULL keys never match → anti keeps them
+                        mask = a[on].isna() | ~a[on].isin(bkeys)
+                    j = a[mask][out_cols]
+                    for c, d in nullable_dtype.items():
+                        if str(j[c].dtype) != d:
+                            j[c] = j[c].astype(d)
+                    for lo in range(0, len(j), chunk_rows):
+                        yield j.iloc[lo : lo + chunk_rows]
+                    continue
                 # SQL equi-join three-valued logic: a NULL key matches
                 # NOTHING — pandas merge would pair NaN==NaN / None==
                 # None (and null keys DO co-locate, pmod(xxhash64(NULL))

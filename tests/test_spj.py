@@ -283,3 +283,52 @@ class TestSpjPlanCap:
         tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark))
         with pytest.raises(SpjError, match="max_plan_bytes"):
             storage_partitioned_join(ta, tb, on="uid", max_plan_bytes=10)
+
+
+class TestSpjSemiAnti:
+    """Filtering joins over co-bucketed tables (the 10^12-row
+    decontamination shape): zero exchange, B side read key-column-only,
+    NULL keys follow Spark's semantics (semi drops, anti keeps)."""
+
+    def _tables(self, spark, tmp_path):
+        a = _df_a(spark).union(
+            spark.range(2).select(
+                F.lit(None).cast("long").alias("uid"),
+                F.lit("na").alias("event"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        ta = _mk(spark, tmp_path / "a", SCHEMA_A, a)
+        tb = _mk(spark, tmp_path / "b", SCHEMA_B, _df_b(spark, uids=20))
+        return ta, tb
+
+    @pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+    def test_parity_with_spark_join(self, spark, tmp_path, how):
+        ta, tb = self._tables(spark, tmp_path)
+        got = storage_partitioned_join(ta, tb, on="uid", how=how)
+        assert got.columns == ["uid", "event", "value"]
+        want = ta.scan().join(
+            tb.scan().select("uid"), on="uid", how=how
+        ).select("uid", "event", "value")
+        key = lambda df: sorted(
+            tuple("\0" if v is None else str(v) for v in r)
+            for r in df.collect()
+        )
+        assert key(got) == key(want)
+
+    def test_anti_keeps_null_keys_and_unmatched_buckets(
+        self, spark, tmp_path
+    ):
+        ta, tb = self._tables(spark, tmp_path)
+        anti = storage_partitioned_join(ta, tb, on="uid", how="left_anti")
+        assert anti.filter(F.col("uid").isNull()).count() == 2
+        semi = storage_partitioned_join(ta, tb, on="uid", how="left_semi")
+        assert semi.filter(F.col("uid").isNull()).count() == 0
+        assert semi.count() + anti.count() == ta.scan().count()
+
+    def test_select_b_refused(self, spark, tmp_path):
+        ta, tb = self._tables(spark, tmp_path)
+        with pytest.raises(SpjError, match="no B-side columns"):
+            storage_partitioned_join(
+                ta, tb, on="uid", how="left_semi", select_b=["segment"]
+            )
