@@ -3856,6 +3856,36 @@ def _q_lh_delete_convert(spark, sf_dir):
     return _events_out(t.scan())
 
 
+def _spj_events_table(spark, sf_dir, root):
+    """Shared SPJ fixture: the events projection as a bucket(8,
+    user_id) lakehouse table (both SPJ entry queries build on it)."""
+    from lakehouse import Table
+
+    ev = _events(spark, sf_dir)
+    spec = [
+        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
+         "n": 8}
+    ]
+    ta = Table.create(
+        spark, os.path.join(root, "ev"),
+        ev.select("event_id", "user_id", "event_type", "value").schema,
+        partition_spec=spec,
+    )
+    ta.append(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        target_file_count=4,
+    )
+    return ev, spec, ta
+
+
+def _assert_spj_plan(out, label="SPJ"):
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{label} plan contains {node}"
+    assert plan.count("Exchange") <= 1, f"{label} plan shuffles data"
+
+
 def _q_lh_spj_join(spark, sf_dir):
     """Storage-partitioned join (Iceberg SPJ analog, lakehouse/spj.py):
     events and a per-user profile table, both bucket(8, user_id)-
@@ -3866,21 +3896,8 @@ def _q_lh_spj_join(spark, sf_dir):
     from lakehouse import Table
     from lakehouse.spj import storage_partitioned_join
 
-    ev = _events(spark, sf_dir)
-    spec = [
-        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
-         "n": 8}
-    ]
     root = tempfile.mkdtemp(prefix="lh_spj_")
-    ta = Table.create(
-        spark, os.path.join(root, "ev"),
-        ev.select("event_id", "user_id", "event_type", "value").schema,
-        partition_spec=spec,
-    )
-    ta.append(
-        ev.select("event_id", "user_id", "event_type", "value"),
-        target_file_count=4,
-    )
+    ev, spec, ta = _spj_events_table(spark, sf_dir, root)
     prof = ev.groupBy("user_id").agg(
         _dec_sum(F.col("value"), "user_total"),
         F.count(F.lit(1)).alias("n_events"),
@@ -3894,11 +3911,7 @@ def _q_lh_spj_join(spark, sf_dir):
         select_a=["event_id", "event_type", "value"],
         select_b=["user_total", "n_events"],
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                 "BroadcastNestedLoopJoin"):
-        assert node not in plan, f"SPJ plan contains {node}"
-    assert plan.count("Exchange") <= 1, "SPJ plan shuffles data"
+    _assert_spj_plan(out)
     return out.select(
         "user_id", "event_id", "event_type", "value", "user_total",
         "n_events",
@@ -3914,21 +3927,8 @@ def _q_lh_spj_anti(spark, sf_dir):
     from lakehouse import Table
     from lakehouse.spj import storage_partitioned_join
 
-    ev = _events(spark, sf_dir)
-    spec = [
-        {"name": "u_bucket", "transform": "bucket", "source": "user_id",
-         "n": 8}
-    ]
     root = tempfile.mkdtemp(prefix="lh_spja_")
-    ta = Table.create(
-        spark, os.path.join(root, "ev"),
-        ev.select("event_id", "user_id", "event_type", "value").schema,
-        partition_spec=spec,
-    )
-    ta.append(
-        ev.select("event_id", "user_id", "event_type", "value"),
-        target_file_count=4,
-    )
+    ev, spec, ta = _spj_events_table(spark, sf_dir, root)
     excl = ev.select("user_id").distinct().filter(
         F.col("user_id") % 9 == 0
     )
@@ -3941,21 +3941,19 @@ def _q_lh_spj_anti(spark, sf_dir):
         select_a=["event_id", "event_type", "value"],
         how="left_anti",
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                 "BroadcastNestedLoopJoin"):
-        assert node not in plan, f"SPJ anti plan contains {node}"
-    assert plan.count("Exchange") <= 1, "SPJ anti plan shuffles data"
+    _assert_spj_plan(out, "SPJ anti")
     return out.select("user_id", "event_id", "event_type", "value")
 
 
 LH_SPJ_ANTI_ORACLE = """
     SELECT user_id, event_id, event_type, value
     FROM events
-    WHERE user_id NOT IN (
+    WHERE user_id IS NULL OR user_id NOT IN (
         SELECT DISTINCT user_id FROM events WHERE user_id % 9 = 0
     )
-"""
+"""  # IS NULL arm: left_anti KEEPS null-key rows; NOT IN alone would
+     # drop them through SQL three-valued logic (none exist in the
+     # seeded data, but the oracle must encode the semantics under test
 
 
 def _q_lh_spj_cogroup(spark, sf_dir):

@@ -113,16 +113,26 @@ def _side_plan(table, key: str, columns: Sequence[str], side: str):
 def _read_side_pdf(filespecs, columns):
     """Concatenate one bucket's files into a pandas frame with LOGICAL
     column names — pyarrow reads pruned to the physically-present
-    columns, absent fields become fills or nulls."""
+    columns, absent fields become fills or nulls. Integral columns map
+    to pandas NULLABLE dtypes (Int8..Int64): a plain to_pandas() would
+    promote a null-containing int64 key column to float64, silently
+    rounding keys beyond 2^53 and corrupting join membership."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    int_map = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }
     parts = []
     for fs in filespecs:
         phys = [p for p in (fs["cols"].get(c) for c in columns) if p]
         tbl = pq.read_table(fs["path"], columns=phys)
-        pdf = tbl.to_pandas()
+        pdf = tbl.to_pandas(types_mapper=int_map.get)
         pdf.columns = [
             next(c for c in columns if fs["cols"].get(c) == p)
             for p in pdf.columns
@@ -321,38 +331,34 @@ def storage_partitioned_join(
                     else:  # NULL keys never match → anti keeps them
                         mask = a[on].isna() | ~a[on].isin(bkeys)
                     j = a[mask][out_cols]
-                    for c, d in nullable_dtype.items():
-                        if str(j[c].dtype) != d:
-                            j[c] = j[c].astype(d)
-                    for lo in range(0, len(j), chunk_rows):
-                        yield j.iloc[lo : lo + chunk_rows]
-                    continue
-                # SQL equi-join three-valued logic: a NULL key matches
-                # NOTHING — pandas merge would pair NaN==NaN / None==
-                # None (and null keys DO co-locate, pmod(xxhash64(NULL))
-                # is a constant bucket), so join only the non-null-key
-                # rows and re-emit the outer side's null-key rows as
-                # unmatched with the other side null-filled.
-                a_null_mask = a[on].isna()
-                b_null_mask = b[on].isna()
-                parts = [
-                    a[~a_null_mask].merge(
-                        b[~b_null_mask], on=on, how=how_pd
-                    )
-                ]
-                if how in ("left", "full") and a_null_mask.any():
-                    parts.append(
-                        a[a_null_mask].reindex(columns=out_cols)
-                    )
-                if how == "full" and b_null_mask.any():
-                    parts.append(
-                        b[b_null_mask].reindex(columns=out_cols)
-                    )
-                j = (
-                    pd.concat(parts, ignore_index=True)
-                    if len(parts) > 1
-                    else parts[0]
-                )[out_cols]
+                else:
+                    # SQL equi-join three-valued logic: a NULL key
+                    # matches NOTHING — pandas merge would pair
+                    # NaN==NaN / None==None (and null keys DO
+                    # co-locate, pmod(xxhash64(NULL)) is a constant
+                    # bucket), so join only the non-null-key rows and
+                    # re-emit the outer side's null-key rows as
+                    # unmatched with the other side null-filled.
+                    a_null_mask = a[on].isna()
+                    b_null_mask = b[on].isna()
+                    parts = [
+                        a[~a_null_mask].merge(
+                            b[~b_null_mask], on=on, how=how_pd
+                        )
+                    ]
+                    if how in ("left", "full") and a_null_mask.any():
+                        parts.append(
+                            a[a_null_mask].reindex(columns=out_cols)
+                        )
+                    if how == "full" and b_null_mask.any():
+                        parts.append(
+                            b[b_null_mask].reindex(columns=out_cols)
+                        )
+                    j = (
+                        pd.concat(parts, ignore_index=True)
+                        if len(parts) > 1
+                        else parts[0]
+                    )[out_cols]
                 for c, d in nullable_dtype.items():
                     if str(j[c].dtype) != d:
                         j[c] = j[c].astype(d)

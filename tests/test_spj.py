@@ -332,3 +332,25 @@ class TestSpjSemiAnti:
             storage_partitioned_join(
                 ta, tb, on="uid", how="left_semi", select_b=["segment"]
             )
+
+
+def test_semi_anti_int64_keys_stay_exact_with_nulls(spark, tmp_path):
+    """Review fix: a null-containing int64 key column must not round-
+    trip through float64 (keys beyond 2^53 would alias); the nullable
+    Int64 read keeps membership exact."""
+    big = (1 << 53) + 1
+    S = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    spec = [{"name": "b", "transform": "bucket", "source": "uid", "n": 4}]
+    ta = Table.create(spark, str(tmp_path / "a"), S, partition_spec=spec)
+    tb = Table.create(spark, str(tmp_path / "b"), S, partition_spec=spec)
+    ta.append(spark.createDataFrame([(big, "big"), (7, "x"), (None, "n")], S))
+    tb.append(spark.createDataFrame([(big - 1, "near"), (7, "y")], S))
+    from lakehouse.spj import storage_partitioned_join
+
+    semi = storage_partitioned_join(ta, tb, on="uid", how="left_semi")
+    assert [(r.uid, r.v) for r in semi.collect()] == [(7, "x")]
+    anti = storage_partitioned_join(ta, tb, on="uid", how="left_anti")
+    got = sorted((str(r.uid), r.v) for r in anti.collect())
+    assert got == sorted([(str(big), "big"), ("None", "n")])
