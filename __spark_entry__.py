@@ -4361,7 +4361,7 @@ def _q_lh_transform_incremental(spark, sf_dir):
         columns=["event_id", "event_type", "value", "ts"],
         exprs={
             "etype": "event_type",
-            "v2": "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))",
+            "v2": "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)",
             "ehour": "CAST(date_trunc('hour', ts) AS STRING)",
         },
     )
@@ -6393,7 +6393,7 @@ def oracle_sql() -> dict[str, str]:
             "event_type, value, props FROM events "
             "WHERE event_type = 'signup' AND user_id % 13 = 0) "
             "SELECT event_id, event_type AS etype, "
-            "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS v2, "
+            "CAST(floor(value * 2.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS v2, "
             "CAST(date_trunc('hour', ts) AS VARCHAR) AS ehour "
             "FROM rows"
         ),
@@ -6654,7 +6654,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id,
                    epoch_us(l.ts) AS ts_us,
                    epoch_us(r.ts) AS purchase_ts_us,
-                   CAST(floor(r.last_purchase_value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS last_purchase_value
+                   CAST(floor(r.last_purchase_value * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS last_purchase_value
             FROM events l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,

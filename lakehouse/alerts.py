@@ -235,15 +235,38 @@ def catalog_alerts(
     now_ms: Optional[int] = None,
     names: Optional[Sequence[str]] = None,
 ):
-    """Warehouse-wide sweep: every catalog table × every rule, one
-    result frame. Per-table cost is metadata-only, so the sweep is
-    O(tables), not O(data)."""
+    """Warehouse-wide sweep: every catalog table × every per-table
+    rule, one result frame. Per-table cost is metadata-only, so the
+    sweep is O(tables), not O(data).
+
+    ``stream_stalled`` rules read one FIXED progress table, not the
+    swept table — applying them per catalog table would fire N
+    duplicate alerts each stamped with an unrelated table_name and
+    re-run the progress scan N times. The sweep therefore evaluates
+    each stream_stalled rule ONCE, attributed to its progress table's
+    own basename."""
+    per_table = [r for r in rules if r.get("kind") != "stream_stalled"]
+    stream_rules = [r for r in rules if r.get("kind") == "stream_stalled"]
     rows: list[tuple] = []
     for name in sorted(names or catalog.tables()):
         t = catalog.load_table(spark, name)
         rows.extend(
             evaluate_alert_rows(
-                t, rules, now_ms=now_ms, table_name=name
+                t, per_table, now_ms=now_ms, table_name=name
+            )
+        )
+    for r in stream_rules:
+        import os as _os
+
+        pt = r.get("progress_table")
+        if not hasattr(pt, "scan"):
+            raise AlertError("stream_stalled needs progress_table=<Table>")
+        rows.extend(
+            evaluate_alert_rows(
+                pt,
+                [r],
+                now_ms=now_ms,
+                table_name=_os.path.basename(pt.root.rstrip("/")),
             )
         )
     return spark.createDataFrame(rows, ALERT_SCHEMA)

@@ -48,7 +48,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .stablemath import stable_round
+from .stablemath import stable_round_dec
 
 MODELS = ("last_touch", "first_touch", "linear")
 
@@ -135,11 +135,15 @@ def attribution_report(
                 share = F.when(
                     F.col("__tot") > 0, F.col(f"__c{i}") / F.col("__tot")
                 ).otherwise(F.lit(0.0))
+            # stable_round_DEC (not stable_round): these rounded
+            # per-row shares feed a SUM, which must be decimal-exact
+            # (order-insensitive) — the output boundary below casts
+            # the aggregate to double (see stablemath.py docstring)
             aggs.append(
-                F.sum(stable_round(share, 6)).alias(f"__conv{i}")
+                F.sum(stable_round_dec(share, 6)).alias(f"__conv{i}")
             )
             aggs.append(
-                F.sum(stable_round(vv * share, 6)).alias(f"__val{i}")
+                F.sum(stable_round_dec(vv * share, 6)).alias(f"__val{i}")
             )
             labels.append(
                 (str(t) if t is not None else "(none)").replace("'", "''")

@@ -193,7 +193,7 @@ def cosine_topk_oracle_sql(
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM {table}),
     scored AS (
         SELECT query_id, neighbor_id,
-               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS cosine
         FROM q, c WHERE query_id <> neighbor_id
     ),
     ranked AS (
@@ -369,7 +369,7 @@ def ann_lsh_oracle_sql(
           WHERE neighbor_id IN ({ids})),
     scored AS (
         SELECT query_id, wb.neighbor_id,
-               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS cosine
         FROM q JOIN wb USING (bucket)
         WHERE query_id <> wb.neighbor_id
     ),
@@ -624,7 +624,7 @@ def ann_ivf_oracle_sql(
     ),
     scored AS (
         SELECT query_id, corpus.neighbor_id,
-               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
+               CAST(floor((list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS cosine
         FROM probes JOIN corpus USING (cid)
         WHERE query_id <> corpus.neighbor_id
     ),
@@ -724,10 +724,10 @@ def embedding_near_dup_oracle_sql(
         FROM wb CROSS JOIN (VALUES {bands}) bands(band)
     )
     SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
-           CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
+           CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS cosine
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bb = b.bb AND a.vid < b.vid
-    WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) >= {threshold}
+    WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) >= {threshold}
     """
 
 
@@ -813,7 +813,7 @@ def semantic_dedup_oracle_sql(
         SELECT DISTINCT b.vid
         FROM assigned a
         JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
-        WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))
+        WHERE CAST(floor((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
               >= {threshold}
     )
     SELECT s.vid AS vec_id, s.cid
@@ -883,7 +883,7 @@ def quantize_embeddings_oracle_sql(table: str = "embeddings") -> str:
                END AS qv
         FROM s
     )
-    SELECT vec_id, CAST(floor((sc) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS scale,
+    SELECT vec_id, CAST(floor((sc) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS scale,
            list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qnorm2
     FROM q
     """
@@ -969,7 +969,7 @@ def cosine_topk_int8_oracle_sql(
     ),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               CAST(floor((list_dot_product(a.qv, b.qv) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS cosine
+               CAST(floor((list_dot_product(a.qv, b.qv) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS cosine
         FROM n a, n b
         WHERE a.vec_id IN ({ids}) AND a.vec_id <> b.vec_id
           AND a.n2 > 0 AND b.n2 > 0
@@ -1296,7 +1296,7 @@ def pq_topk_oracle_sql(
     ),
     scored AS (
         SELECT query_id, neighbor_id,
-               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS adc
+               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS adc
         FROM q, codes
         WHERE query_id <> neighbor_id
     ),
@@ -1431,7 +1431,7 @@ def ann_ivfpq_oracle_sql(
     ),
     scored AS (
         SELECT query_id, corpus.neighbor_id,
-               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS adc
+               CAST(floor(({_adc_score_sql(m, "lut", "pq_code")}) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS adc
         FROM probes JOIN corpus USING (cid)
         WHERE query_id <> corpus.neighbor_id
     ),

@@ -405,18 +405,48 @@ def execute_dml(
                 "expected: INSERT INTO <table> [(c1, ...)] "
                 "SELECT ... | VALUES ..."
             )
+        col_list = m.group(3)
+        end = m.end()
+        # `INSERT INTO t (SELECT ...)` — standard SQL allows a
+        # parenthesized query body with no column list; the optional
+        # paren group must not capture it as column names (it would
+        # fail later with a confusing 'columns not in schema').
+        # A real column list never starts with a query keyword.
+        if col_list is not None and re.match(
+            r"^\s*(SELECT|VALUES|WITH|TABLE)\b", col_list, re.IGNORECASE
+        ):
+            col_list = None
+            end = m.end(1)
         t = _get_table(m.group(1))
         sp = spark or t.spark
-        query = stmt[m.end() :].strip()
-        if not re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", query, re.IGNORECASE):
+        query = stmt[end:].strip()
+        if query.startswith("(") and query.endswith(")"):
+            # parenthesized query body: strip ONE outer layer, only if
+            # it is balanced as a single group (so `(SELECT..) UNION
+            # (SELECT..)` is left intact for the engine parser)
+            depth, whole = 0, True
+            masked_q = _strip_strings(query)
+            for i, ch in enumerate(masked_q):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0 and i < len(masked_q) - 1:
+                    whole = False
+                    break
+            inner = query[1:-1].strip() if whole else ""
+            if re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", inner, re.IGNORECASE):
+                query = inner
+        # a compound body like `(SELECT..) UNION ALL (SELECT..)` keeps
+        # its parens — probe past them for the query keyword; the
+        # engine parser still rejects malformed text loudly
+        probe = query.lstrip("(").lstrip()
+        if not re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", probe, re.IGNORECASE):
             raise SqlDmlError(
                 f"INSERT body must be a SELECT/VALUES query, got "
                 f"{query[:40]!r}"
             )
         df = sp.sql(query)
         names = [f.name for f in t.schema.fields]
-        if m.group(3) is not None:
-            listed = [c.strip() for c in m.group(3).split(",") if c.strip()]
+        if col_list is not None:
+            listed = [c.strip() for c in col_list.split(",") if c.strip()]
             unknown = [c for c in listed if c not in names]
             if unknown:
                 raise SqlDmlError(
@@ -517,7 +547,14 @@ def execute_dml(
         # NOT silently turn an upsert into deletes, so the front-end
         # always owns a reserved marker column instead
         op_col = "__sqldml_op"
-        op_kw.pop("op_col", None)
+        if "op_col" in op_kw:
+            # silently dropping it would turn a caller's per-row CDC
+            # delete semantics into all-upserts with no indication
+            raise SqlDmlError(
+                "op_col= is not accepted by the SQL front-end (it owns "
+                "the op marker); use WHEN MATCHED THEN DELETE, or the "
+                "Python Table.merge(op_col=...) API for per-row CDC ops"
+            )
         if op_col in src.columns:
             raise SqlDmlError(
                 f"source column {op_col!r} collides with the DML "

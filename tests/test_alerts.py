@@ -135,3 +135,36 @@ def test_unknown_kind_refused(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", n=5, files=1)
     with pytest.raises(AlertError, match="unknown alert kind"):
         evaluate_alerts(t, [{"kind": "nope", "x": 1}])
+
+
+def test_catalog_sweep_evaluates_stream_stalled_once(spark, tmp_path):
+    """ADVICE r4: a stream_stalled rule reads ONE fixed progress
+    table; a warehouse sweep must evaluate it once (attributed to the
+    progress table), not once per catalog table."""
+    import datetime
+
+    from lakehouse.streaming import PROGRESS_SCHEMA
+
+    cat = Catalog.create(str(tmp_path / "wh"))
+    for name in ("a", "b", "c"):
+        cat.create_table(spark, name, CLIPS_SCHEMA)
+        cat.load_table(spark, name).append(
+            synth_clips_df(spark, 5, seed=3, n_days=1), target_file_count=1
+        )
+    prog = Table.create(spark, str(tmp_path / "progress"), PROGRESS_SCHEMA)
+    ts = datetime.datetime(2026, 8, 21, 6, 0, 0,
+                           tzinfo=datetime.timezone.utc)
+    prog.append(spark.createDataFrame(
+        [("q1", "r1", 3, ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+          100, 10.0, 12.0, 800, "sink")],
+        PROGRESS_SCHEMA,
+    ), target_file_count=1)
+    base_ms = int(ts.timestamp() * 1000)
+    got = cat.alerts(spark, [
+        {"kind": "stream_stalled", "max_age_ms": 60_000,
+         "progress_table": prog},
+        {"kind": "stale_table", "max_age_ms": 3_600_000_000},
+    ], now_ms=base_ms + 3_600_000).collect()
+    stalled = [r for r in got if r.alert == "stream_stalled"]
+    assert len(stalled) == 1  # once per sweep, not once per table
+    assert stalled[0].table_name == "progress"

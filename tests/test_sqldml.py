@@ -456,3 +456,45 @@ class TestReviewFixes:
             .select("transcript").first()[0]
         )
         assert got == "use WHERE wisely"
+
+
+class TestAdviceR4:
+    """Round-4 ADVICE findings: parenthesized INSERT query body, and
+    loud rejection of a caller-supplied op_col."""
+
+    def test_insert_parenthesized_select_body(self, spark, wh):
+        # standard SQL: INSERT INTO t (SELECT ...) — the paren group
+        # is a query body, not a column list
+        t = wh.load_table(spark, "clips")
+        t.scan().createOrReplaceTempView("clips_all2")
+        wh.sql(
+            spark,
+            """INSERT INTO clips
+               (SELECT concat('par-', clip_id), bytes, sr_hz, dur_ms,
+                       codec, transcript, ingest_ts, event_date
+                FROM clips_all2 LIMIT 3)""",
+        )
+        out = t.scan()
+        assert out.count() == 33
+        assert out.filter(F.col("clip_id").startswith("par-")).count() == 3
+
+    def test_insert_union_of_parenthesized_selects(self, spark, tmp_path):
+        # (SELECT..) UNION ALL (SELECT..): outer parens are NOT one
+        # balanced group — must reach the engine parser intact
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        t = Table.create(spark, str(tmp_path / "kv_u"), schema)
+        t.sql(
+            "INSERT INTO kv_u (SELECT 1 AS k) UNION ALL (SELECT 2 AS k)"
+        )
+        assert sorted(r.k for r in t.scan().collect()) == [1, 2]
+
+    def test_merge_rejects_op_col_kwarg(self, spark, wh):
+        t = wh.load_table(spark, "clips")
+        t.scan().limit(2).createOrReplaceTempView("src2")
+        with pytest.raises(SqlDmlError, match="op_col"):
+            wh.sql(
+                spark,
+                """MERGE INTO clips t USING src2 s ON t.clip_id = s.clip_id
+                   WHEN MATCHED THEN UPDATE SET *""",
+                op_col="op",
+            )

@@ -5,6 +5,15 @@ DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive value multiset. Usage:
 
     python tools/check_entry.py [sf_dir] [query ...]
+
+DECIMAL OUTPUT BAN (round-5 hardening): round 4 shipped DECIMAL-typed
+readouts that this gate's ``str()`` normalization could not
+distinguish from doubles, while the driver's hash protocol could
+(fixed-scale ``1.0000`` vs shortest-repr ``1.0``) — 5 driver reds the
+replica called green. The gate now FAILS any query whose Spark output
+schema or oracle result contains a decimal type/cell: decimals are for
+internal arithmetic only and must be cast to DOUBLE at the output
+boundary (lakehouse/stablemath.py docstring).
 """
 
 from __future__ import annotations
@@ -35,6 +44,45 @@ def norm_cell(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return str(v)
+
+
+def decimal_problems(df, ocols, orows):
+    """The class the driver catches and ``str()``-normalization can't:
+    any decimal in either side's output. Spark side is schema-typed;
+    DuckDB's DB-API description types everything numeric as 'NUMBER',
+    so the oracle side is detected by cell type (first non-null cell
+    per column — decimal typing is uniform within a column)."""
+    import decimal
+
+    out = []
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if "decimal" in f.dataType.simpleString()
+    ]
+    if bad:
+        out.append(
+            f"spark output has DECIMAL column(s) {bad} — cast to DOUBLE "
+            "at the output boundary (stablemath.py)"
+        )
+    pending = set(range(len(ocols)))
+    obad = set()
+    for r in orows:
+        if not pending:
+            break
+        for i in list(pending):
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, decimal.Decimal):
+                obad.add(ocols[i])
+            pending.discard(i)
+    if obad:
+        out.append(
+            f"oracle output has DECIMAL column(s) {sorted(obad)} — "
+            "cast the oracle SQL to DOUBLE"
+        )
+    return out
 
 
 def fingerprint(rows, colnames):
@@ -82,9 +130,21 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        spark_dec = [
+            f.name
+            for f in df.schema.fields
+            if "decimal" in f.dataType.simpleString()
+        ]
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
-            n_pass += 1
+            if spark_dec:
+                print(
+                    f"FAIL {name}: output has DECIMAL column(s) "
+                    f"{spark_dec} — cast to DOUBLE (stablemath.py)"
+                )
+                n_fail += 1
+            else:
+                print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
+                n_pass += 1
             continue
         try:
             res = con.execute(oracles[name])
@@ -95,7 +155,7 @@ def main():
             traceback.print_exc()
             n_fail += 1
             continue
-        problems = []
+        problems = decimal_problems(df, ocols, orows)
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} != {sorted(ocols)}")
         if len(rows) != len(orows):
