@@ -635,6 +635,91 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_lh_sql_ddl_lifecycle(spark, sf_dir):
+    """SQL DDL front-end (lakehouse/sqlddl.py — r4 verdict #6): a full
+    table lifecycle driven through STATEMENT TEXT only — CREATE TABLE
+    … PARTITIONED BY … AS SELECT, ALTER TABLE ADD COLUMN … DEFAULT,
+    then INSERT / MERGE / DELETE through the DML front-end, then a
+    pruned read back. An SQL-only ELT tool can now create AND write.
+    All ops dispatch to the same native paths (partitioned ACID
+    append, metadata-only add-column with Iceberg-v3 initial-default,
+    keys-only merge), so every scale property is the dispatched op's
+    own."""
+    import tempfile as _tf
+
+    from lakehouse.catalog import Catalog
+
+    cat = Catalog.create(_tf.mkdtemp(prefix="lh_ddl_") + "/wh")
+    _events(spark, sf_dir).createOrReplaceTempView("ddl_src")
+    cat.sql(
+        spark,
+        """CREATE TABLE orders_ddl PARTITIONED BY (event_date_s) AS
+           SELECT event_id, user_id, event_type, value,
+                  CAST(event_date AS STRING) AS event_date_s
+           FROM ddl_src""",
+    )
+    cat.sql(
+        spark,
+        "ALTER TABLE orders_ddl ADD COLUMN status STRING DEFAULT 'open'",
+    )
+    # old files scan as the default (metadata-only, zero rewrites)
+    cat.sql(
+        spark,
+        """INSERT INTO orders_ddl
+           (SELECT event_id + 50000000, user_id, 'ddl_inserted',
+                   4.0, CAST(event_date AS STRING), 'new'
+            FROM ddl_src
+            WHERE event_type = 'signup' AND user_id % 9 = 0)""",
+    )
+    spark.sql(
+        """SELECT event_id, user_id, event_type, value,
+                  CAST(event_date AS STRING) AS event_date_s,
+                  'flagged' AS status
+           FROM ddl_src WHERE event_type = 'purchase' AND user_id % 11 = 0"""
+    ).createOrReplaceTempView("ddl_fix_src")
+    cat.sql(
+        spark,
+        """MERGE INTO orders_ddl t USING ddl_fix_src s
+           ON t.event_id = s.event_id
+           WHEN MATCHED THEN UPDATE SET *""",
+    )
+    cat.sql(
+        spark,
+        "DELETE FROM orders_ddl WHERE event_type = 'error' AND user_id % 3 = 0",
+    )
+    return cat.load_table(spark, "orders_ddl").scan().select(
+        "event_id", "user_id", "event_type", "value",
+        "event_date_s", "status",
+    )
+
+
+LH_SQL_DDL_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
+           'open' AS status
+    FROM events
+),
+merged AS (
+    SELECT event_id, user_id, event_type, value, event_date_s,
+           CASE WHEN event_type = 'purchase' AND user_id % 11 = 0
+                THEN 'flagged' ELSE status END AS status
+    FROM base
+),
+inserted AS (
+    SELECT event_id + 50000000 AS event_id, user_id,
+           'ddl_inserted' AS event_type, 4.0 AS value,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date_s,
+           'new' AS status
+    FROM events WHERE event_type = 'signup' AND user_id % 9 = 0
+)
+SELECT * FROM (
+    SELECT * FROM merged UNION ALL SELECT * FROM inserted
+)
+WHERE NOT (event_type = 'error' AND user_id % 3 = 0)
+"""
+
+
 LH_MERGE_ORACLE = """
 WITH ev AS (SELECT * FROM events),
 dels AS (
@@ -5861,6 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lh_merge_mor": _q_lh_merge_mor,
         "lh_merge_full_sync": _q_lh_merge_full_sync,
         "lh_sql_merge": _q_lh_sql_merge,
+        "lh_sql_ddl_lifecycle": _q_lh_sql_ddl_lifecycle,
         "lh_spj_join": _q_lh_spj_join,
         "lh_spj_anti": _q_lh_spj_anti,
         "lh_identity_append": _q_lh_identity_append,
@@ -6522,6 +6608,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "lh_sql_merge": LH_SQL_MERGE_ORACLE,
+        "lh_sql_ddl_lifecycle": LH_SQL_DDL_ORACLE,
         "lh_ops_alerts": LH_OPS_ALERTS_ORACLE,
         "lh_commit_metrics": """
             WITH c AS (

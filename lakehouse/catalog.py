@@ -334,11 +334,18 @@ class Catalog:
         )
 
     def sql(self, spark, statement: str, **kw):
-        """Run one ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` statement
-        against a catalog table through the engine's native DML ops
-        (lakehouse/sqldml.py — the SQL-tooling on-ramp; reads go
-        through ``register_views`` + ``spark.sql``). ``kw`` forwards
-        to the op (``mode="mor"``, ``isolation=...``)."""
+        """Run one DML (``INSERT`` / ``MERGE INTO`` / ``UPDATE`` /
+        ``DELETE``) or DDL (``CREATE TABLE … AS`` / ``ALTER TABLE``)
+        statement against a catalog table through the engine's native
+        ops (lakehouse/sqldml.py + sqlddl.py — the SQL-tooling
+        on-ramp; reads go through ``register_views`` + ``spark.sql``).
+        ``kw`` forwards to the op (``mode="mor"``, ``isolation=...``,
+        or CREATE's ``properties=...``)."""
+        head = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
+        if head in ("CREATE", "ALTER"):
+            from .sqlddl import execute_ddl
+
+            return execute_ddl(statement, catalog=self, spark=spark, **kw)
         from .sqldml import execute_dml
 
         return execute_dml(statement, catalog=self, spark=spark, **kw)

@@ -1117,10 +1117,16 @@ class Table:
             self.evolve_schema(T.StructType(fields))
 
     def sql(self, statement: str, **kw):
-        """Run one ``MERGE INTO`` / ``UPDATE`` / ``DELETE`` statement
-        against THIS table (the table name in the statement must match
-        the root basename, or be ``*``) — lakehouse/sqldml.py parses
-        and dispatches to the native merge/update/delete ops."""
+        """Run one DML (``INSERT`` / ``MERGE INTO`` / ``UPDATE`` /
+        ``DELETE``) or DDL (``ALTER TABLE``) statement against THIS
+        table (the table name in the statement must match the root
+        basename, or be ``*``) — lakehouse/sqldml.py + sqlddl.py parse
+        and dispatch to the native ops."""
+        head = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
+        if head in ("CREATE", "ALTER"):
+            from .sqlddl import execute_ddl
+
+            return execute_ddl(statement, table=self, **kw)
         from .sqldml import execute_dml
 
         return execute_dml(statement, table=self, **kw)

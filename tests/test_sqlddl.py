@@ -1,0 +1,176 @@
+"""SQL DDL front-end (lakehouse/sqlddl.py): CREATE TABLE AS SELECT /
+ALTER TABLE text forms dispatched to the native catalog/table ops,
+with the same loud-refusal discipline as the DML front-end — plus the
+VERDICT r4 "done =" chain: DDL → DML → read driven through text only."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from lakehouse.catalog import Catalog
+from lakehouse.sqldml import SqlDmlError
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog.create(str(tmp_path / "wh"))
+
+
+class TestCreateTableAs:
+    def test_ctas_infers_schema_and_appends(self, spark, cat):
+        t = cat.sql(
+            spark,
+            "CREATE TABLE users AS SELECT id AS user_id, "
+            "concat('u', id) AS name, CAST(id * 1.5 AS DOUBLE) AS score "
+            "FROM range(10)",
+        )
+        assert sorted(cat.tables()) == ["users"]
+        assert [f.name for f in t.schema.fields] == [
+            "user_id", "name", "score",
+        ]
+        rows = sorted(r.user_id for r in t.scan().collect())
+        assert rows == list(range(10))
+
+    def test_ctas_partitioned_by(self, spark, cat):
+        t = cat.sql(
+            spark,
+            "CREATE TABLE ev PARTITIONED BY (day) AS "
+            "SELECT id, CAST(id % 3 AS STRING) AS day FROM range(30)",
+        )
+        spec = t.meta.partition_spec
+        assert [p["source"] for p in spec] == ["day"]
+        assert [p["transform"] for p in spec] == ["identity"]
+        # partition pruning works on the created layout
+        plan = t.plan(filter=[("day", "=", "1")])
+        assert 0 < len(plan.files) < len(t.plan().files)
+        assert t.scan(filter=[("day", "=", "1")]).count() == 10
+
+    def test_ctas_values_body_and_parens(self, spark, cat):
+        t = cat.sql(
+            spark, "CREATE TABLE kv AS (SELECT 1 AS k, 'a' AS v)"
+        )
+        assert [tuple(r) for r in t.scan().collect()] == [(1, "a")]
+
+    def test_ctas_refusals(self, spark, cat):
+        with pytest.raises(SqlDmlError, match="SELECT/VALUES"):
+            cat.sql(spark, "CREATE TABLE t2 AS DELETE FROM x")
+        with pytest.raises(SqlDmlError, match="PARTITIONED BY column"):
+            cat.sql(
+                spark,
+                "CREATE TABLE t3 PARTITIONED BY (nope) AS "
+                "SELECT 1 AS k",
+            )
+        with pytest.raises(SqlDmlError, match="CREATE TABLE"):
+            cat.sql(spark, "CREATE TABLE t4 (k BIGINT)")
+        from lakehouse.sqlddl import execute_ddl
+
+        with pytest.raises(SqlDmlError, match="catalog"):
+            execute_ddl("CREATE TABLE t5 AS SELECT 1 AS k", spark=spark)
+
+
+class TestAlterTable:
+    def _mk(self, spark, cat):
+        return cat.sql(
+            spark,
+            "CREATE TABLE base AS SELECT id AS k, "
+            "concat('n', id) AS name FROM range(5)",
+        )
+
+    def test_add_column_with_default(self, spark, cat):
+        t = self._mk(spark, cat)
+        cat.sql(
+            spark,
+            "ALTER TABLE base ADD COLUMN tier STRING DEFAULT 'bronze'",
+        )
+        out = t.scan()
+        assert dict(out.dtypes)["tier"] == "string"
+        # old rows scan as the default, not null
+        assert out.filter(F.col("tier") == "bronze").count() == 5
+
+    def test_add_column_no_default_and_numeric_default(self, spark, cat):
+        t = self._mk(spark, cat)
+        cat.sql(spark, "ALTER TABLE base ADD COLUMN w DOUBLE DEFAULT 2.5")
+        cat.sql(spark, "ALTER TABLE base ADD COLUMN note STRING")
+        row = t.scan().filter(F.col("k") == 0).first()
+        assert row.w == 2.5 and row.note is None
+
+    def test_drop_and_rename_column(self, spark, cat):
+        t = self._mk(spark, cat)
+        cat.sql(spark, "ALTER TABLE base RENAME COLUMN name TO label")
+        assert "label" in [f.name for f in t.schema.fields]
+        cat.sql(spark, "ALTER TABLE base DROP COLUMN label")
+        assert [f.name for f in t.schema.fields] == ["k"]
+
+    def test_alter_through_bound_table(self, spark, cat):
+        t = self._mk(spark, cat)
+        t.sql("ALTER TABLE base ADD COLUMN z BIGINT DEFAULT 7")
+        assert t.scan().filter(F.col("z") == 7).count() == 5
+        with pytest.raises(SqlDmlError, match="targets"):
+            t.sql("ALTER TABLE other ADD COLUMN q BIGINT")
+
+    def test_alter_refusals(self, spark, cat):
+        self._mk(spark, cat)
+        with pytest.raises(SqlDmlError, match="unsupported ALTER"):
+            cat.sql(spark, "ALTER TABLE base SET TBLPROPERTIES ('a'='b')")
+        with pytest.raises(SqlDmlError, match="literal"):
+            cat.sql(
+                spark,
+                "ALTER TABLE base ADD COLUMN c BIGINT DEFAULT k + 1",
+            )
+        with pytest.raises(SqlDmlError, match="unsupported statement"):
+            from lakehouse.sqlddl import execute_ddl
+
+            execute_ddl("DROP TABLE base", catalog=cat, spark=spark)
+
+    def test_default_string_with_quote_and_keyword(self, spark, cat):
+        t = self._mk(spark, cat)
+        # masked-text parsing: a quoted DEFAULT containing a keyword
+        # or doubled quote must round-trip exactly
+        cat.sql(
+            spark,
+            "ALTER TABLE base ADD COLUMN m STRING "
+            "DEFAULT 'it''s DEFAULT ok'",
+        )
+        assert t.scan().first().m == "it's DEFAULT ok"
+
+
+def test_text_only_lifecycle(spark, cat):
+    """VERDICT r4 next-step #6 'done =' gate: a full DDL → DML → read
+    chain driven through SQL text alone — create, evolve, upsert,
+    delete, and read back, never touching the Python mutation APIs."""
+    cat.sql(
+        spark,
+        "CREATE TABLE orders PARTITIONED BY (day) AS "
+        "SELECT id AS order_id, CAST(id % 2 AS STRING) AS day, "
+        "CAST(id * 10.0 AS DOUBLE) AS amount FROM range(8)",
+    )
+    cat.sql(
+        spark,
+        "ALTER TABLE orders ADD COLUMN status STRING DEFAULT 'open'",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO orders (SELECT 100 AS order_id, '1' AS day, "
+        "5.0 AS amount, 'open' AS status)",
+    )
+    spark.sql(
+        "SELECT 0 AS order_id, '0' AS day, 999.0 AS amount, "
+        "'amended' AS status"
+    ).createOrReplaceTempView("fix_src")
+    cat.sql(
+        spark,
+        "MERGE INTO orders t USING fix_src s ON t.order_id = s.order_id "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    cat.sql(spark, "DELETE FROM orders WHERE order_id IN (6, 7)")
+    t = cat.load_table(spark, "orders")
+    cat.register_views(spark, names=["orders"])
+    got = {
+        r.order_id: (r.status, r.amount)
+        for r in spark.sql("SELECT * FROM orders").collect()
+    }
+    assert len(got) == 7  # 8 - 2 deleted + 1 inserted
+    assert got[0] == ("amended", 999.0)
+    assert got[100] == ("open", 5.0)
+    assert got[1] == ("open", 10.0)
+    assert t.scan(filter=[("day", "=", "1")]).count() == 4  # 1,3,5 + inserted 100
