@@ -1102,6 +1102,24 @@ def cmd_catalog(args):
         _emit({"op": "catalog", "action": "tables", "tables": cat.tables()})
     elif args.action == "sql":
         spark = _spark(args)
+        head = (
+            args.query.strip().split(None, 1)[0].upper()
+            if args.query and args.query.strip()
+            else ""
+        )
+        if head in ("INSERT", "MERGE", "UPDATE", "DELETE", "CREATE",
+                    "ALTER"):
+            # write/DDL statements dispatch to the native ops
+            # (lakehouse/sqldml.py + sqlddl.py); reads go through
+            # snapshot-pinned views below
+            res = cat.sql(spark, args.query)
+            _emit({
+                "op": "catalog",
+                "action": "sql",
+                "statement": head,
+                "result": repr(res),
+            })
+            return
         cat.register_views(spark)
         rows = spark.sql(args.query).limit(args.limit).collect()
         _emit({

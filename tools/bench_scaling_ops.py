@@ -34,6 +34,13 @@ N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "16384"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 TARGET_MB = int(os.environ.get("SPARK_GRAFT_SCALE_TARGET_MB", "64"))
 N_BUCKETS = 16
+# which op families to run this invocation (comma list) — a large-N
+# merge-only pair needn't pay for the SPJ rounds
+OPS = set(
+    s.strip()
+    for s in os.environ.get("SPARK_GRAFT_SCALE_OPS", "merge,spj").split(",")
+    if s.strip()
+)
 
 
 def main() -> None:
@@ -97,7 +104,7 @@ def main() -> None:
 
         # --- shuffle-path MERGE rounds ---------------------------------
         merge_secs = []
-        for r in range(ROUNDS):
+        for r in range(ROUNDS if "merge" in OPS else 0):
             src = (
                 t.scan()
                 .filter(F.xxhash64("clip_id") % 10 == 0)
@@ -113,12 +120,19 @@ def main() -> None:
             t.remove_orphan_files(
                 older_than_ms=int(time.time() * 1000) + 60_000
             )
-        out["merge_secs"] = merge_secs
-        out["merge_best"] = min(merge_secs[1:]) if ROUNDS > 1 else merge_secs[0]
+        if merge_secs:
+            out["merge_secs"] = merge_secs
+            out["merge_best"] = (
+                min(merge_secs[1:]) if len(merge_secs) > 1 else merge_secs[0]
+            )
 
         # --- SPJ rounds -------------------------------------------------
         # same-bucketed derived side (transcript projection re-tabled);
         # the join decodes every clips payload bucket-locally
+        if "spj" not in OPS:
+            out["value"] = out.get("merge_best")
+            print(json.dumps(out))
+            return
         side = Table.create(
             spark, os.path.join(work, "side"),
             t.scan().select("clip_id", "transcript").schema,
@@ -150,7 +164,7 @@ def main() -> None:
             spj_secs.append(round(time.time() - t0, 2))
         out["spj_secs"] = spj_secs
         out["spj_best"] = min(spj_secs[1:]) if ROUNDS > 1 else spj_secs[0]
-        out["value"] = out["merge_best"]
+        out["value"] = out.get("merge_best", out["spj_best"])
         print(json.dumps(out))
     finally:
         import shutil
