@@ -18,6 +18,17 @@ Supported grammar (case-insensitive keywords):
           result appended as the first snapshot (one ACID commit
           after create). Requires a catalog (a bare Table bind has
           nowhere to put a new table).
+    CREATE TABLE <name> (col type [DEFAULT <lit>][, …])
+                 [PARTITIONED BY (c1[, c2…])]
+        → empty catalog-managed table from an explicit column list
+          (types parse through Spark's DDL type parser, so any
+          engine-supported type text works); DEFAULTs apply with the
+          same initial-default semantics as ALTER ADD COLUMN.
+    DROP TABLE <name> [PURGE]
+        → unregisters from the catalog; bare DROP leaves the table
+          directory on disk (external-style — re-register to
+          recover), PURGE also deletes the data and metadata
+          directories irrecoverably.
     ALTER TABLE <name> ADD COLUMN <col> <type> [DEFAULT <literal>]
         → metadata-only add with Iceberg-v3 initial-default
           semantics (Table.add_column) — literal defaults only;
@@ -62,6 +73,81 @@ def _parse_literal(text: str):
     )
 
 
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at parenthesis depth 0 (so ``decimal(10,2)``
+    stays one item). Operates on already-masked text offsets but
+    returns slices of the original."""
+    out, depth, last = [], 0, 0
+    masked = _strip_strings(text)
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(text[last:i])
+            last = i + 1
+    out.append(text[last:])
+    return [s for s in (p.strip() for p in out) if s]
+
+
+def _create_from_columns(catalog, spark, name, cols_text, part_text, **create_kw):
+    """CREATE TABLE <name> (col type [DEFAULT lit], …) [PARTITIONED
+    BY …] — empty table from an explicit column list. ``cols_text`` is
+    the UNMASKED column-group text, ``part_text`` the PARTITIONED BY
+    column list or None."""
+    from pyspark.sql import types as T
+
+    from .schema import DEFAULT_KEY
+
+    if catalog is None or spark is None:
+        raise SqlDmlError(
+            "CREATE TABLE needs catalog= and spark= (a bound table "
+            "has nowhere to create a sibling)"
+        )
+    fields = []
+    for item in _split_top_commas(cols_text):
+        im = re.match(
+            rf"^({_IDENT}){_WS}(.+?)(?:{_WS}DEFAULT{_WS}(.+))?$",
+            _strip_strings(item),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not im:
+            raise SqlDmlError(
+                f"bad column definition {item[:40]!r} — expected "
+                "<name> <type> [DEFAULT <literal>]"
+            )
+        cname = im.group(1)
+        dtype_text = item[im.start(2) : im.end(2)].strip()
+        try:
+            dt = T._parse_datatype_string(dtype_text)
+        except Exception:
+            raise SqlDmlError(
+                f"unparseable type {dtype_text!r} for column {cname!r}"
+            )
+        md = {}
+        if im.group(3) is not None:
+            md[DEFAULT_KEY] = _parse_literal(item[im.start(3) : im.end(3)])
+        fields.append(T.StructField(cname, dt, True, md))
+    spec = None
+    if part_text:
+        names = [f.name for f in fields]
+        cols = [c.strip() for c in part_text.split(",") if c.strip()]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise SqlDmlError(
+                f"PARTITIONED BY column(s) {missing} not in the "
+                f"column list {names}"
+            )
+        spec = [
+            {"name": c, "transform": "identity", "source": c}
+            for c in cols
+        ]
+    return catalog.create_table(
+        spark, name, T.StructType(fields), partition_spec=spec, **create_kw
+    )
+
+
 def execute_ddl(
     sql: str,
     *,
@@ -94,6 +180,48 @@ def execute_ddl(
         return catalog.load_table(spark, name)
 
     if head == "CREATE":
+        # column-list form: CREATE TABLE <n> ( … ) [PARTITIONED BY (…)]
+        # — the column group must be found by BALANCED-paren scan (a
+        # greedy regex would swallow a trailing PARTITIONED BY group;
+        # nested parens appear legitimately in decimal(10,2))
+        clh = re.match(
+            rf"^CREATE{_WS}TABLE{_WS}({_IDENT})\s*\(",
+            masked,
+            re.IGNORECASE,
+        )
+        if clh:
+            depth, close = 1, -1
+            for i in range(clh.end(), len(masked)):
+                depth += (masked[i] == "(") - (masked[i] == ")")
+                if depth == 0:
+                    close = i
+                    break
+            if close < 0:
+                raise SqlDmlError("unbalanced '(' in CREATE TABLE")
+            cols_span = (clh.end(), close)
+            tail = masked[close + 1 :].strip()
+            if not re.match(
+                r"^\s*(SELECT|VALUES|WITH|TABLE)\b",
+                masked[cols_span[0] : cols_span[1]],
+                re.IGNORECASE,
+            ):
+                pm = re.fullmatch(
+                    rf"(?:PARTITIONED{_WS}BY\s*\(([^)]*)\))?",
+                    tail,
+                    re.IGNORECASE,
+                )
+                if pm is None:
+                    raise SqlDmlError(
+                        f"unexpected text after column list: {tail[:40]!r}"
+                    )
+                return _create_from_columns(
+                    catalog,
+                    spark,
+                    clh.group(1),
+                    stmt[cols_span[0] : cols_span[1]],
+                    pm.group(1),
+                    **create_kw,
+                )
         m = re.match(
             rf"^CREATE{_WS}TABLE{_WS}({_IDENT})"
             rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
@@ -103,9 +231,9 @@ def execute_ddl(
         )
         if not m:
             raise SqlDmlError(
-                "expected: CREATE TABLE <name> [PARTITIONED BY (c1, …)] "
-                "AS SELECT …  (column-list CREATE goes through the "
-                "Python Table.create API)"
+                "expected: CREATE TABLE <name> (col type, …) "
+                "[PARTITIONED BY (c1, …)] | CREATE TABLE <name> "
+                "[PARTITIONED BY (c1, …)] AS SELECT …"
             )
         if catalog is None or spark is None:
             raise SqlDmlError(
@@ -190,7 +318,26 @@ def execute_ddl(
             "<col> | RENAME COLUMN <old> TO <new>"
         )
 
+    if head == "DROP":
+        m = re.match(
+            rf"^DROP{_WS}TABLE{_WS}({_IDENT})({_WS}PURGE)?$",
+            masked,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDmlError("expected: DROP TABLE <name> [PURGE]")
+        if catalog is None:
+            raise SqlDmlError("DROP TABLE needs catalog=")
+        name = m.group(1)
+        root = catalog.resolve(name)  # raises if unknown
+        catalog.unregister(name)
+        if m.group(2):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+        return root
+
     raise SqlDmlError(
         f"unsupported statement {head or sql!r} — this entry point "
-        "accepts CREATE TABLE … AS / ALTER TABLE only"
+        "accepts CREATE TABLE [… AS] / ALTER TABLE / DROP TABLE only"
     )

@@ -60,8 +60,6 @@ class TestCreateTableAs:
                 "CREATE TABLE t3 PARTITIONED BY (nope) AS "
                 "SELECT 1 AS k",
             )
-        with pytest.raises(SqlDmlError, match="CREATE TABLE"):
-            cat.sql(spark, "CREATE TABLE t4 (k BIGINT)")
         from lakehouse.sqlddl import execute_ddl
 
         with pytest.raises(SqlDmlError, match="catalog"):
@@ -120,7 +118,7 @@ class TestAlterTable:
         with pytest.raises(SqlDmlError, match="unsupported statement"):
             from lakehouse.sqlddl import execute_ddl
 
-            execute_ddl("DROP TABLE base", catalog=cat, spark=spark)
+            execute_ddl("TRUNCATE TABLE base", catalog=cat, spark=spark)
 
     def test_default_string_with_quote_and_keyword(self, spark, cat):
         t = self._mk(spark, cat)
@@ -174,3 +172,63 @@ def test_text_only_lifecycle(spark, cat):
     assert got[100] == ("open", 5.0)
     assert got[1] == ("open", 10.0)
     assert t.scan(filter=[("day", "=", "1")]).count() == 4  # 1,3,5 + inserted 100
+
+
+class TestColumnListCreateAndDrop:
+    """Round-5 grammar completion: explicit column-list CREATE (typed
+    columns + DEFAULTs, depth-aware comma split for decimal(p,s)) and
+    DROP TABLE (unregister; PURGE deletes the directory)."""
+
+    def test_create_column_list(self, spark, cat):
+        t = cat.sql(
+            spark,
+            "CREATE TABLE typed (k BIGINT, name STRING DEFAULT 'anon', "
+            "amt DECIMAL(10,2), tags ARRAY<STRING>) "
+            "PARTITIONED BY (name)",
+        )
+        assert [(f.name, f.dataType.simpleString()) for f in t.schema.fields] == [
+            ("k", "bigint"), ("name", "string"),
+            ("amt", "decimal(10,2)"), ("tags", "array<string>"),
+        ]
+        assert [p["source"] for p in t.meta.partition_spec] == ["name"]
+        assert t.scan().count() == 0
+        # DEFAULT applies on write when the column is omitted
+        t.sql("INSERT INTO typed (k) VALUES (1)")
+        assert t.scan().first().name == "anon"
+
+    def test_create_column_list_refusals(self, spark, cat):
+        with pytest.raises(SqlDmlError, match="unparseable type"):
+            cat.sql(spark, "CREATE TABLE bad (k NOPETYPE)")
+        with pytest.raises(SqlDmlError, match="bad column definition"):
+            cat.sql(spark, "CREATE TABLE bad2 (justaname)")
+        with pytest.raises(SqlDmlError, match="PARTITIONED BY column"):
+            cat.sql(
+                spark,
+                "CREATE TABLE bad3 (k BIGINT) PARTITIONED BY (nope)",
+            )
+
+    def test_drop_table_keeps_files_without_purge(self, spark, cat):
+        import os
+
+        t = cat.sql(spark, "CREATE TABLE keepme AS SELECT 1 AS k")
+        root = t.root
+        cat.sql(spark, "DROP TABLE keepme")
+        assert "keepme" not in cat.tables()
+        assert os.path.isdir(root)  # external-style: directory survives
+        cat.register("keepme", root)  # recoverable
+        assert cat.load_table(spark, "keepme").scan().count() == 1
+
+    def test_drop_table_purge_removes_files(self, spark, cat):
+        import os
+
+        t = cat.sql(spark, "CREATE TABLE gone AS SELECT 1 AS k")
+        root = t.root
+        cat.sql(spark, "DROP TABLE gone PURGE")
+        assert "gone" not in cat.tables()
+        assert not os.path.exists(root)
+
+    def test_drop_unknown_refused(self, spark, cat):
+        from lakehouse.catalog import CatalogError
+
+        with pytest.raises((SqlDmlError, CatalogError)):
+            cat.sql(spark, "DROP TABLE never_existed")
