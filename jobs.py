@@ -1108,7 +1108,7 @@ def cmd_catalog(args):
             else ""
         )
         if head in ("INSERT", "MERGE", "UPDATE", "DELETE", "CREATE",
-                    "ALTER", "DROP"):
+                    "ALTER", "DROP", "TRUNCATE"):
             # write/DDL statements dispatch to the native ops
             # (lakehouse/sqldml.py + sqlddl.py); reads go through
             # snapshot-pinned views below

@@ -318,6 +318,14 @@ def execute_ddl(
             "<col> | RENAME COLUMN <old> TO <new>"
         )
 
+    if head == "TRUNCATE":
+        m = re.match(
+            rf"^TRUNCATE{_WS}TABLE{_WS}({_IDENT})$", masked, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDmlError("expected: TRUNCATE TABLE <name>")
+        return _get_table(m.group(1)).truncate()
+
     if head == "DROP":
         m = re.match(
             rf"^DROP{_WS}TABLE{_WS}({_IDENT})({_WS}PURGE)?$",
@@ -339,5 +347,6 @@ def execute_ddl(
 
     raise SqlDmlError(
         f"unsupported statement {head or sql!r} — this entry point "
-        "accepts CREATE TABLE [… AS] / ALTER TABLE / DROP TABLE only"
+        "accepts CREATE TABLE [… AS] / ALTER TABLE / TRUNCATE TABLE / "
+        "DROP TABLE only"
     )

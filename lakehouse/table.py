@@ -1123,7 +1123,7 @@ class Table:
         basename, or be ``*``) — lakehouse/sqldml.py + sqlddl.py parse
         and dispatch to the native ops."""
         head = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
-        if head in ("CREATE", "ALTER"):
+        if head in ("CREATE", "ALTER", "TRUNCATE"):
             from .sqlddl import execute_ddl
 
             return execute_ddl(statement, table=self, **kw)
@@ -1156,6 +1156,33 @@ class Table:
         from .ops.mor import materialize_deletes as _mat
 
         return _mat(self, **kw)
+
+    def truncate(self) -> S.Snapshot:
+        """TRUNCATE TABLE: one commit removing EVERY live data file and
+        every pending MoR delete file — metadata-only, zero data I/O
+        at any table size (the Iceberg metadata-delete fast path
+        applied to the whole table; a COW ``delete("true")`` would
+        first pay a narrow whole-table probe pass). Prior snapshots
+        stay time-travelable; ``expire_snapshots`` GCs the file bytes
+        later. Schema, partition spec, properties, identity watermarks
+        and sort orders all survive."""
+        plan = self.plan()
+        removed = [e.file_path for e in plan.files] + [
+            d.file_path for d in plan.delete_files
+        ]
+        return self._commit_files(
+            "delete",
+            [],
+            removed,
+            summary={
+                "truncate": True,
+                "removed_files": len(plan.files),
+                "removed_delete_files": len(plan.delete_files),
+                "removed_records": sum(
+                    e.record_count for e in plan.files
+                ),
+            },
+        )
 
     def evolve_schema(self, new_schema: T.StructType) -> S.Snapshot:
         """Metadata-only schema evolution commit (no data written):

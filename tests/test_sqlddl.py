@@ -118,7 +118,7 @@ class TestAlterTable:
         with pytest.raises(SqlDmlError, match="unsupported statement"):
             from lakehouse.sqlddl import execute_ddl
 
-            execute_ddl("TRUNCATE TABLE base", catalog=cat, spark=spark)
+            execute_ddl("VACUUM base", catalog=cat, spark=spark)
 
     def test_default_string_with_quote_and_keyword(self, spark, cat):
         t = self._mk(spark, cat)
@@ -232,3 +232,50 @@ class TestColumnListCreateAndDrop:
 
         with pytest.raises((SqlDmlError, CatalogError)):
             cat.sql(spark, "DROP TABLE never_existed")
+
+
+class TestTruncate:
+    """TRUNCATE TABLE: whole-table metadata delete — zero data I/O,
+    snapshots stay time-travelable, schema/spec/properties survive."""
+
+    def test_truncate_metadata_only(self, spark, cat):
+        t = cat.sql(
+            spark,
+            "CREATE TABLE big PARTITIONED BY (day) AS "
+            "SELECT id, CAST(id % 4 AS STRING) AS day FROM range(100)",
+        )
+        pre_snap = t.current_snapshot_id()
+        n_files = len(t.plan().files)
+        assert n_files > 1
+        snap = cat.sql(spark, "TRUNCATE TABLE big")
+        assert snap.operation == "delete"
+        assert snap.summary["truncate"] is True
+        assert snap.summary["removed_files"] == n_files
+        assert snap.summary["removed_records"] == 100
+        # no data files were written by the truncate commit
+        assert snap.summary.get("added_files", 0) in (0, None)
+        assert t.scan().count() == 0
+        assert len(t.plan().files) == 0
+        # prior snapshot still time-travels
+        assert t.scan(snapshot_id=pre_snap).count() == 100
+        # the table is still writable with its old schema + spec
+        t.sql("INSERT INTO big VALUES (7, '3')")
+        assert t.scan().count() == 1
+        assert [p["source"] for p in t.meta.partition_spec] == ["day"]
+
+    def test_truncate_clears_pending_mor_deletes(self, spark, cat):
+        t = cat.sql(
+            spark, "CREATE TABLE morred AS SELECT id AS k FROM range(20)"
+        )
+        t.delete([("k", "<", 5)], mode="mor", key="k")
+        assert len(t.plan().delete_files) > 0
+        t.sql("TRUNCATE TABLE morred")
+        assert t.plan().delete_files == [] or len(t.plan().delete_files) == 0
+        assert t.scan().count() == 0
+
+    def test_truncate_refusals(self, spark, cat):
+        cat.sql(spark, "CREATE TABLE tr AS SELECT 1 AS k")
+        from lakehouse.sqlddl import execute_ddl
+
+        with pytest.raises(SqlDmlError, match="TRUNCATE TABLE"):
+            execute_ddl("TRUNCATE tr", catalog=cat, spark=spark)

@@ -223,7 +223,9 @@ class TestRefusals:
     def test_out_of_grammar(self, spark, wh):
         for bad, pat in [
             ("SELECT * FROM clips", "MERGE INTO / UPDATE / DELETE"),
-            ("TRUNCATE TABLE clips", "MERGE INTO / UPDATE / DELETE"),
+            # TRUNCATE graduated to the DDL front-end in round 5 —
+            # a still-unknown verb must keep refusing loudly
+            ("UPSERT INTO clips VALUES (1)", "MERGE INTO / UPDATE / DELETE"),
             (
                 """MERGE INTO clips t USING clips_v s ON t.clip_id = s.clip_id
                    WHEN MATCHED AND t.sr_hz > 0 THEN UPDATE SET *""",
