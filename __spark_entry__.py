@@ -658,6 +658,26 @@ def _q_lh_sql_ddl_lifecycle(spark, sf_dir):
                   CAST(event_date AS STRING) AS event_date_s
            FROM ddl_src""",
     )
+    # TRUNCATE / column-list CREATE / DROP, self-gated in-builder on a
+    # scratch table (the oracle below covers the orders_ddl flow; these
+    # verbs leave no rows to hash): truncate must be a METADATA-ONLY
+    # whole-table delete with time travel intact, drop must unregister
+    scratch = cat.sql(
+        spark,
+        "CREATE TABLE ddl_scratch (k BIGINT, tag STRING DEFAULT 'x')",
+    )
+    scratch.sql("INSERT INTO ddl_scratch (k) VALUES (1), (2), (3)")
+    pre = scratch.current_snapshot_id()
+    tsnap = cat.sql(spark, "TRUNCATE TABLE ddl_scratch")
+    assert tsnap.summary.get("truncate") is True
+    assert tsnap.summary.get("added_files", 0) == 0  # zero data I/O
+    assert tsnap.summary.get("removed_records") == 3
+    assert scratch.scan().count() == 0
+    assert scratch.scan(snapshot_id=pre).count() == 3  # time travel
+    scratch.sql("INSERT INTO ddl_scratch VALUES (9, 'post')")
+    assert scratch.scan().count() == 1  # still writable, schema intact
+    cat.sql(spark, "DROP TABLE ddl_scratch")
+    assert "ddl_scratch" not in cat.tables()
     cat.sql(
         spark,
         "ALTER TABLE orders_ddl ADD COLUMN status STRING DEFAULT 'open'",
