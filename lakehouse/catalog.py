@@ -342,7 +342,9 @@ class Catalog:
         ``kw`` forwards to the op (``mode="mor"``, ``isolation=...``,
         or CREATE's ``properties=...``)."""
         head = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
-        if head in ("CREATE", "ALTER", "DROP", "TRUNCATE"):
+        from .sqlddl import DDL_HEADS
+
+        if head in DDL_HEADS:
             from .sqlddl import execute_ddl
 
             return execute_ddl(statement, catalog=self, spark=spark, **kw)

@@ -51,6 +51,11 @@ from typing import Optional
 
 from .sqldml import SqlDmlError, _IDENT, _WS, _strip_strings
 
+# the statement heads this module owns — the single source the three
+# SQL entry points (Table.sql, Catalog.sql, the CLI) route by, so the
+# routing lists can never drift
+DDL_HEADS = ("CREATE", "ALTER", "TRUNCATE", "DROP")
+
 
 def _parse_literal(text: str):
     """A literal DEFAULT value: quoted string, number, boolean. NULL
@@ -129,23 +134,26 @@ def _create_from_columns(catalog, spark, name, cols_text, part_text, **create_kw
         if im.group(3) is not None:
             md[DEFAULT_KEY] = _parse_literal(item[im.start(3) : im.end(3)])
         fields.append(T.StructField(cname, dt, True, md))
-    spec = None
-    if part_text:
-        names = [f.name for f in fields]
-        cols = [c.strip() for c in part_text.split(",") if c.strip()]
-        missing = [c for c in cols if c not in names]
-        if missing:
-            raise SqlDmlError(
-                f"PARTITIONED BY column(s) {missing} not in the "
-                f"column list {names}"
-            )
-        spec = [
-            {"name": c, "transform": "identity", "source": c}
-            for c in cols
-        ]
+    spec = _identity_spec(part_text, [f.name for f in fields])
     return catalog.create_table(
         spark, name, T.StructType(fields), partition_spec=spec, **create_kw
     )
+
+
+def _identity_spec(part_text, available):
+    """PARTITIONED BY column list → identity partition spec, shared by
+    both CREATE branches (so validation and spec shape can't drift)."""
+    if not part_text:
+        return None
+    cols = [c.strip() for c in part_text.split(",") if c.strip()]
+    missing = [c for c in cols if c not in available]
+    if missing:
+        raise SqlDmlError(
+            f"PARTITIONED BY column(s) {missing} not in {available}"
+        )
+    return [
+        {"name": c, "transform": "identity", "source": c} for c in cols
+    ]
 
 
 def execute_ddl(
@@ -159,10 +167,19 @@ def execute_ddl(
     """Parse one DDL statement and run it through the engine. Pass
     ``catalog`` (+ ``spark``) for CREATE TABLE and name-resolved ALTER,
     or a bound ``table`` for ALTER against that table. ``create_kw``
-    forwards to ``Catalog.create_table`` (``properties=...``)."""
+    forwards to ``Catalog.create_table`` (``properties=...``) and is
+    only meaningful for CREATE — other statements refuse it loudly (a
+    silently-dropped ``isolation=``/``mode=`` would let a caller
+    believe an option applied)."""
     stmt = sql.strip().rstrip(";").strip()
     masked = _strip_strings(stmt)
     head = masked.lstrip().split(None, 1)[0].upper() if masked.strip() else ""
+    if create_kw and head != "CREATE":
+        raise SqlDmlError(
+            f"unexpected keyword argument(s) {sorted(create_kw)} for "
+            f"{head or '<empty>'} — only CREATE TABLE accepts "
+            "create_table options (properties=...)"
+        )
 
     def _get_table(name: str):
         if table is not None:
@@ -180,6 +197,11 @@ def execute_ddl(
         return catalog.load_table(spark, name)
 
     if head == "CREATE":
+        if catalog is None or spark is None:
+            raise SqlDmlError(
+                "CREATE TABLE needs catalog= and spark= (a bound table "
+                "has nowhere to create a sibling)"
+            )
         # column-list form: CREATE TABLE <n> ( … ) [PARTITIONED BY (…)]
         # — the column group must be found by BALANCED-paren scan (a
         # greedy regex would swallow a trailing PARTITIONED BY group;
@@ -200,20 +222,22 @@ def execute_ddl(
                 raise SqlDmlError("unbalanced '(' in CREATE TABLE")
             cols_span = (clh.end(), close)
             tail = masked[close + 1 :].strip()
-            if not re.match(
-                r"^\s*(SELECT|VALUES|WITH|TABLE)\b",
-                masked[cols_span[0] : cols_span[1]],
+            # a paren group right after the name is ALWAYS a column
+            # list in CREATE (CTAS requires AS before its query, so a
+            # column legitimately named select/values/with/table must
+            # not be mistaken for a query body); if the content IS a
+            # query, the column parse fails and the error below points
+            # at the missing AS
+            pm = re.fullmatch(
+                rf"(?:PARTITIONED{_WS}BY\s*\(([^)]*)\))?",
+                tail,
                 re.IGNORECASE,
-            ):
-                pm = re.fullmatch(
-                    rf"(?:PARTITIONED{_WS}BY\s*\(([^)]*)\))?",
-                    tail,
-                    re.IGNORECASE,
+            )
+            if pm is None:
+                raise SqlDmlError(
+                    f"unexpected text after column list: {tail[:40]!r}"
                 )
-                if pm is None:
-                    raise SqlDmlError(
-                        f"unexpected text after column list: {tail[:40]!r}"
-                    )
+            try:
                 return _create_from_columns(
                     catalog,
                     spark,
@@ -222,6 +246,17 @@ def execute_ddl(
                     pm.group(1),
                     **create_kw,
                 )
+            except SqlDmlError:
+                if re.match(
+                    r"^\s*[\s(]*(SELECT|VALUES|WITH|TABLE)\b",
+                    masked[cols_span[0] : cols_span[1]],
+                    re.IGNORECASE,
+                ):
+                    raise SqlDmlError(
+                        "a query body after the table name needs AS: "
+                        "CREATE TABLE <name> AS (SELECT …)"
+                    )
+                raise
         m = re.match(
             rf"^CREATE{_WS}TABLE{_WS}({_IDENT})"
             rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
@@ -235,14 +270,11 @@ def execute_ddl(
                 "[PARTITIONED BY (c1, …)] | CREATE TABLE <name> "
                 "[PARTITIONED BY (c1, …)] AS SELECT …"
             )
-        if catalog is None or spark is None:
-            raise SqlDmlError(
-                "CREATE TABLE needs catalog= and spark= (a bound table "
-                "has nowhere to create a sibling)"
-            )
         name = m.group(1)
         query = stmt[m.end() :].strip()
-        probe = query.lstrip("(").lstrip()
+        # probe past any leading parens/whitespace — compound bodies
+        # like `( (SELECT..) UNION ALL (SELECT..) )` are valid
+        probe = re.sub(r"^[\s(]+", "", query)
         if not re.match(
             r"^(SELECT|VALUES|WITH|TABLE)\b", probe, re.IGNORECASE
         ):
@@ -251,19 +283,7 @@ def execute_ddl(
                 f"got {query[:40]!r}"
             )
         df = spark.sql(query)
-        spec = None
-        if m.group(2):
-            cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
-            missing = [c for c in cols if c not in df.columns]
-            if missing:
-                raise SqlDmlError(
-                    f"PARTITIONED BY column(s) {missing} not in the "
-                    f"query output {df.columns}"
-                )
-            spec = [
-                {"name": c, "transform": "identity", "source": c}
-                for c in cols
-            ]
+        spec = _identity_spec(m.group(2), df.columns)
         t = catalog.create_table(
             spark, name, df.schema, partition_spec=spec, **create_kw
         )
@@ -342,7 +362,16 @@ def execute_ddl(
         if m.group(2):
             import shutil
 
-            shutil.rmtree(root, ignore_errors=True)
+            try:
+                shutil.rmtree(root)
+            except OSError as e:
+                # the name is already unregistered; a swallowed purge
+                # failure would report "deleted" while data remains
+                raise SqlDmlError(
+                    f"DROP TABLE PURGE: {name!r} was unregistered but "
+                    f"deleting {root!r} failed ({e}); remove the "
+                    "directory manually or re-register and retry"
+                ) from e
         return root
 
     raise SqlDmlError(

@@ -413,7 +413,7 @@ def execute_dml(
         # fail later with a confusing 'columns not in schema').
         # A real column list never starts with a query keyword.
         if col_list is not None and re.match(
-            r"^\s*(SELECT|VALUES|WITH|TABLE)\b", col_list, re.IGNORECASE
+            r"^[\s(]*(SELECT|VALUES|WITH|TABLE)\b", col_list, re.IGNORECASE
         ):
             col_list = None
             end = m.end(1)
@@ -437,7 +437,7 @@ def execute_dml(
         # a compound body like `(SELECT..) UNION ALL (SELECT..)` keeps
         # its parens — probe past them for the query keyword; the
         # engine parser still rejects malformed text loudly
-        probe = query.lstrip("(").lstrip()
+        probe = re.sub(r"^[\s(]+", "", query)
         if not re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", probe, re.IGNORECASE):
             raise SqlDmlError(
                 f"INSERT body must be a SELECT/VALUES query, got "

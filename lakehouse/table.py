@@ -1123,7 +1123,9 @@ class Table:
         basename, or be ``*``) — lakehouse/sqldml.py + sqlddl.py parse
         and dispatch to the native ops."""
         head = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
-        if head in ("CREATE", "ALTER", "TRUNCATE"):
+        from .sqlddl import DDL_HEADS
+
+        if head in DDL_HEADS:
             from .sqlddl import execute_ddl
 
             return execute_ddl(statement, table=self, **kw)

@@ -279,3 +279,42 @@ class TestTruncate:
 
         with pytest.raises(SqlDmlError, match="TRUNCATE TABLE"):
             execute_ddl("TRUNCATE tr", catalog=cat, spark=spark)
+
+
+class TestReviewFixesR5:
+    """Round-5 review findings on the DDL/DML front-ends."""
+
+    def test_column_named_like_keyword(self, spark, cat):
+        # 'values' is a common column name — must parse as a column
+        # list, not be mistaken for a query body
+        t = cat.sql(
+            spark, "CREATE TABLE kwcols (values BIGINT, k INT)"
+        )
+        assert [f.name for f in t.schema.fields] == ["values", "k"]
+
+    def test_query_body_without_as_gets_pointed_at_as(self, spark, cat):
+        with pytest.raises(SqlDmlError, match="needs AS"):
+            cat.sql(spark, "CREATE TABLE noas (SELECT 1 AS k)")
+
+    def test_fully_parenthesized_compound_insert(self, spark, cat):
+        t = cat.sql(spark, "CREATE TABLE cmp (k BIGINT)")
+        t.sql("INSERT INTO cmp ((SELECT 1 AS k) UNION ALL (SELECT 2))")
+        assert sorted(r.k for r in t.scan().collect()) == [1, 2]
+
+    def test_ddl_rejects_dml_kwargs(self, spark, cat):
+        cat.sql(spark, "CREATE TABLE kwt AS SELECT 1 AS k")
+        with pytest.raises(SqlDmlError, match="keyword argument"):
+            cat.sql(spark, "TRUNCATE TABLE kwt", mode="mor")
+        with pytest.raises(SqlDmlError, match="keyword argument"):
+            cat.sql(
+                spark,
+                "ALTER TABLE kwt ADD COLUMN z BIGINT",
+                isolation="serializable",
+            )
+
+    def test_table_sql_routes_drop_to_ddl(self, spark, cat):
+        t = cat.sql(spark, "CREATE TABLE bnd AS SELECT 1 AS k")
+        # a bound table can't DROP (no catalog) but the error must come
+        # from the DDL front-end, not the DML grammar refusal
+        with pytest.raises(SqlDmlError, match="DROP TABLE needs catalog"):
+            t.sql("DROP TABLE bnd")

@@ -41,6 +41,13 @@ OPS = set(
     for s in os.environ.get("SPARK_GRAFT_SCALE_OPS", "merge,spj").split(",")
     if s.strip()
 )
+_unknown = OPS - {"merge", "spj"}
+if _unknown or not OPS:
+    # a typo must not silently emit a value=null run into the jsonl
+    raise SystemExit(
+        f"SPARK_GRAFT_SCALE_OPS: unknown op(s) {sorted(_unknown)} "
+        "(valid: merge, spj)"
+    )
 
 
 def main() -> None:

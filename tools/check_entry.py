@@ -130,17 +130,10 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
-        spark_dec = [
-            f.name
-            for f in df.schema.fields
-            if "decimal" in f.dataType.simpleString()
-        ]
         if name not in oracles:
-            if spark_dec:
-                print(
-                    f"FAIL {name}: output has DECIMAL column(s) "
-                    f"{spark_dec} — cast to DOUBLE (stablemath.py)"
-                )
+            probs = decimal_problems(df, [], [])
+            if probs:
+                print(f"FAIL {name}: {'; '.join(probs)}")
                 n_fail += 1
             else:
                 print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
