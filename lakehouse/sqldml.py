@@ -355,6 +355,64 @@ def _resolve_source(spark, catalog, src_text: str):
     return spark.table(src_text)
 
 
+def _insert_overwrite(t, spark, stmt, ow, **op_kw):
+    """``INSERT OVERWRITE [TABLE] <t> [PARTITION (c = lit, …)] <query>``
+    → ``Table.overwrite_partitions``: with a PARTITION clause the named
+    partitions are replaced (static mode — Spark semantics: a listed
+    partition column may be omitted from the query and is filled from
+    its literal); without one the replaced partitions are discovered
+    from the incoming rows (dynamic mode). One atomic commit either
+    way; the op's own guards (row-outside-filter, mixed-spec) apply."""
+    from pyspark.sql import functions as F
+
+    sp = spark or t.spark
+    query = stmt[ow.end() :].strip()
+    probe = re.sub(r"^[\s(]+", "", query)
+    if not re.match(r"^(SELECT|VALUES|WITH|TABLE)\b", probe, re.IGNORECASE):
+        raise SqlDmlError(
+            f"INSERT OVERWRITE body must be a SELECT/VALUES query, "
+            f"got {query[:40]!r}"
+        )
+    df = sp.sql(query)
+    part_filter = None
+    if ow.group(2) is not None:
+        from .sqlddl import _parse_literal, _split_top_commas
+
+        raw = stmt[ow.start(2) : ow.end(2)]
+        part_sources = [p["source"] for p in t.meta.partition_spec]
+        part_filter = []
+        for item in _split_top_commas(raw):
+            pm = re.match(
+                rf"^({_IDENT})\s*=\s*(.+)$",
+                _strip_strings(item),
+                re.DOTALL,
+            )
+            if not pm:
+                raise SqlDmlError(
+                    f"bad PARTITION entry {item[:40]!r} — expected "
+                    "<column> = <literal>"
+                )
+            col = pm.group(1)
+            if col not in part_sources:
+                raise SqlDmlError(
+                    f"PARTITION column {col!r} is not a partition "
+                    f"source column {part_sources}"
+                )
+            val = _parse_literal(item[pm.start(2) : pm.end(2)])
+            part_filter.append((col, "=", val))
+            if col not in df.columns:
+                # Spark static-partition semantics: a listed partition
+                # column may be omitted from the query body
+                df = df.withColumn(
+                    col, F.lit(val).cast(t.schema[col].dataType)
+                )
+    from .schema import conform
+
+    return t.overwrite_partitions(
+        conform(df, t.schema), partition_filter=part_filter, **op_kw
+    )
+
+
 def execute_dml(
     sql: str,
     *,
@@ -395,6 +453,16 @@ def execute_dml(
         return catalog.load_table(spark, name)
 
     if head == "INSERT":
+        ow = re.match(
+            rf"^INSERT{_WS}OVERWRITE{_WS}(?:TABLE{_WS})?({_IDENT})"
+            rf"(?:\s*PARTITION\s*\(([^)]*)\))?\s*",
+            masked,
+            re.IGNORECASE,
+        )
+        if ow:
+            return _insert_overwrite(
+                _get_table(ow.group(1)), spark, stmt, ow, **op_kw
+            )
         m = re.match(
             rf"^INSERT{_WS}INTO{_WS}({_IDENT})\s*(\(([^)]*)\))?\s*",
             masked,
@@ -402,7 +470,8 @@ def execute_dml(
         )
         if not m:
             raise SqlDmlError(
-                "expected: INSERT INTO <table> [(c1, ...)] "
+                "expected: INSERT [INTO|OVERWRITE] <table> "
+                "[(c1, ...)] | [PARTITION (c = lit, ...)] "
                 "SELECT ... | VALUES ..."
             )
         col_list = m.group(3)

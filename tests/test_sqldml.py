@@ -500,3 +500,63 @@ class TestAdviceR4:
                    WHEN MATCHED THEN UPDATE SET *""",
                 op_col="op",
             )
+
+
+class TestInsertOverwrite:
+    """INSERT OVERWRITE text form → overwrite_partitions (static via
+    PARTITION (...), dynamic without)."""
+
+    @pytest.fixture()
+    def days(self, spark, tmp_path):
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("day", T.StringType()),
+        ])
+        t = Table.create(
+            spark, str(tmp_path / "days"), schema,
+            partition_spec=[
+                {"name": "day", "transform": "identity", "source": "day"}
+            ],
+        )
+        t.append(spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(30)], schema
+        ))
+        return t
+
+    def test_static_partition_with_omitted_column(self, spark, days):
+        # Spark semantics: the listed partition column may be omitted
+        # from the query body and fills from its literal
+        days.sql(
+            "INSERT OVERWRITE days PARTITION (day = '1') "
+            "SELECT CAST(900 + id AS BIGINT) AS k FROM range(2)"
+        )
+        out = days.scan()
+        assert out.filter("day = '1'").count() == 2
+        assert out.filter("day = '0'").count() == 10  # untouched
+        assert out.count() == 22
+        ks = sorted(r.k for r in out.filter("day = '1'").collect())
+        assert ks == [900, 901]
+
+    def test_dynamic_overwrite(self, spark, days):
+        days.sql(
+            "INSERT OVERWRITE TABLE days "
+            "SELECT CAST(id AS BIGINT) AS k, '2' AS day FROM range(3)"
+        )
+        out = days.scan()
+        assert out.filter("day = '2'").count() == 3  # replaced
+        assert out.filter("day = '0'").count() == 10
+        assert out.filter("day = '1'").count() == 10
+        assert out.count() == 23
+
+    def test_overwrite_refusals(self, spark, days):
+        with pytest.raises(SqlDmlError, match="not a partition"):
+            days.sql(
+                "INSERT OVERWRITE days PARTITION (k = 1) "
+                "SELECT CAST(1 AS BIGINT) AS k, '0' AS day"
+            )
+        with pytest.raises(SqlDmlError, match="SELECT/VALUES"):
+            days.sql("INSERT OVERWRITE days SET x = 1")
+        with pytest.raises(SqlDmlError, match="PARTITION entry"):
+            days.sql(
+                "INSERT OVERWRITE days PARTITION (day) SELECT 1 AS k"
+            )
